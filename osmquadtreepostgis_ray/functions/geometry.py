@@ -1,0 +1,254 @@
+"""Geometry kernels — numpy replacements for the reference's GEOS bridge
+(src/validategeoms.cpp): area/length (A6), validate/repair (F7),
+representative point (F8), boundary (F9), topology simplify (F10),
+point-in-polygon + grid index (the engine-native replacement for the
+reference's PostGIS gist indexes, SURVEY.md §2.5 J5).
+
+No shapely in the sandbox — everything here is pure numpy and unit-tested.
+Coordinates are (N, 2) float64 arrays; rings are lists of closed rings
+(first outer, rest holes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- measures
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace. Positive = counter-clockwise. Ring may be open or closed."""
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """Outer |area| minus hole |areas| (reference: per-part area,
+    src/postgiswriter.cpp:502-503, :587)."""
+    if not rings:
+        return 0.0
+    a = abs(ring_signed_area(rings[0]))
+    for h in rings[1:]:
+        a -= abs(ring_signed_area(h))
+    return a
+
+
+def path_length(coords: np.ndarray) -> float:
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        return 0.0
+    return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
+
+
+# ---------------------------------------------------------------- validate
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) == 0 or np.array_equal(r[0], r[-1]):
+        return r
+    return np.vstack([r, r[:1]])
+
+
+def dedupe_consecutive(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 2:
+        return r
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = np.any(r[1:] != r[:-1], axis=1)
+    return r[keep]
+
+
+def validate_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Repair-lite, the engine's F7 (reference repairs with GEOS
+    buffer(0), src/validategeoms.cpp:64-82): close rings, drop duplicate
+    consecutive vertices, drop degenerate (<4 pt) rings, orient outer
+    CCW and holes CW."""
+    out = []
+    for i, r in enumerate(rings):
+        r = close_ring(dedupe_consecutive(np.asarray(r, dtype=np.float64)))
+        if len(r) < 4:
+            continue
+        sa = ring_signed_area(r)
+        if sa == 0.0:
+            continue
+        want_ccw = i == 0
+        if (sa > 0) != want_ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
+# ------------------------------------------------------- derived geometries
+
+def point_on_surface(rings: list[np.ndarray]) -> np.ndarray:
+    """Representative interior point (F8 analog of GEOSPointOnSurface,
+    src/validategeoms.cpp:97-102): centroid if inside, else the midpoint
+    of the widest interior span on the horizontal scanline through the
+    bbox-middle latitude — always inside for valid polygons."""
+    outer = np.asarray(rings[0], dtype=np.float64)
+    cx, cy = outer[:-1, 0].mean(), outer[:-1, 1].mean()
+    if points_in_polygon(np.array([[cx, cy]]), rings)[0]:
+        return np.array([cx, cy])
+    y = (outer[:, 1].min() + outer[:, 1].max()) / 2.0
+    xs = _scanline_crossings(rings, y)
+    if len(xs) >= 2:
+        spans = xs.reshape(-1, 2)
+        widest = spans[np.argmax(spans[:, 1] - spans[:, 0])]
+        return np.array([(widest[0] + widest[1]) / 2.0, y])
+    return np.array([cx, cy])
+
+
+def _scanline_crossings(rings: list[np.ndarray], y: float) -> np.ndarray:
+    xs = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        y0, y1 = r[:-1, 1], r[1:, 1]
+        x0, x1 = r[:-1, 0], r[1:, 0]
+        hit = (y0 <= y) != (y1 <= y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (y - y0[hit]) / (y1[hit] - y0[hit])
+        xs.append(x0[hit] + t * (x1[hit] - x0[hit]))
+    xs = np.concatenate(xs) if xs else np.empty(0)
+    return np.sort(xs)
+
+
+def boundary_lines(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """F9: polygon boundary as its rings-as-linestrings
+    (src/validategeoms.cpp:104-109)."""
+    return [np.asarray(r, dtype=np.float64) for r in rings]
+
+
+def simplify(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker (F10 analog of GEOSTopologyPreserveSimplify,
+    src/validategeoms.cpp:83-89).  Iterative, numpy distance kernel."""
+    c = np.asarray(coords, dtype=np.float64)
+    n = len(c)
+    if n <= 2 or tol <= 0:
+        return c
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    t2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[j] - c[i]
+        pts = c[i + 1:j] - c[i]
+        L2 = seg @ seg
+        if L2 == 0.0:
+            d2 = (pts ** 2).sum(axis=1)
+        else:
+            t = np.clip((pts @ seg) / L2, 0.0, 1.0)
+            d2 = ((pts - t[:, None] * seg) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > t2:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return c[keep]
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Ring-safe simplify: keeps closure; falls back to the original ring
+    if simplification would collapse it (topology-preserving-lite)."""
+    r = simplify(close_ring(np.asarray(ring, dtype=np.float64)), tol)
+    if len(r) < 4 or ring_signed_area(r) == 0.0:
+        return close_ring(np.asarray(ring, dtype=np.float64))
+    return r
+
+
+# ------------------------------------------------------ point-in-polygon
+
+def points_in_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Vectorized even-odd ray casting of many points against one polygon
+    (with holes).  Boundary convention: half-open (a point exactly on the
+    max edge is outside) — matches the integer-box oracle SQL which uses
+    closed-left / open-right interval tests."""
+    pts = np.asarray(pts, dtype=np.float64)
+    inside = np.zeros(len(pts), dtype=bool)
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        x0, y0 = r[:-1, 0], r[:-1, 1]
+        x1, y1 = r[1:, 0], r[1:, 1]
+        px = pts[:, 0][:, None]
+        py = pts[:, 1][:, None]
+        crosses = (y0[None, :] <= py) != (y1[None, :] <= py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (py - y0[None, :]) / (y1[None, :] - y0[None, :])
+            xint = x0[None, :] + t * (x1[None, :] - x0[None, :])
+        inside ^= ((crosses) & (xint > px)).sum(axis=1) % 2 == 1
+    return inside
+
+
+class GridIndex:
+    """STRtree-lite: polygon bboxes bucketed on a uniform grid — the
+    per-worker spatial index for the PIP-join stage (replaces the
+    reference's PostGIS gist index, osmquadtreepostgis/__init__.py:242-257).
+    Built once per actor in __init__; query is vectorized candidate
+    lookup + exact PIP."""
+
+    def __init__(self, polygons: list[tuple[int, list[np.ndarray]]], nx: int = 64, ny: int = 64):
+        self.polys = polygons
+        boxes = np.array([
+            [r[0][:, 0].min(), r[0][:, 1].min(), r[0][:, 0].max(), r[0][:, 1].max()]
+            for _, r in polygons
+        ]) if polygons else np.empty((0, 4))
+        self.boxes = boxes
+        if len(boxes):
+            self.xmin, self.ymin = boxes[:, 0].min(), boxes[:, 1].min()
+            self.xmax, self.ymax = boxes[:, 2].max(), boxes[:, 3].max()
+        else:
+            self.xmin = self.ymin = 0.0
+            self.xmax = self.ymax = 1.0
+        self.nx, self.ny = nx, ny
+        self.cells: dict[tuple[int, int], list[int]] = {}
+        for i, b in enumerate(boxes):
+            gx0, gy0 = self._gcell(b[0], b[1])
+            gx1, gy1 = self._gcell(b[2], b[3])
+            for gx in range(gx0, gx1 + 1):
+                for gy in range(gy0, gy1 + 1):
+                    self.cells.setdefault((gx, gy), []).append(i)
+
+    def _gcell(self, x: float, y: float) -> tuple[int, int]:
+        fx = (x - self.xmin) / max(self.xmax - self.xmin, 1e-12)
+        fy = (y - self.ymin) / max(self.ymax - self.ymin, 1e-12)
+        return (min(self.nx - 1, max(0, int(fx * self.nx))),
+                min(self.ny - 1, max(0, int(fy * self.ny))))
+
+    def query(self, pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Join: returns (point_index, polygon_id) pairs for containment."""
+        pts = np.asarray(pts, dtype=np.float64)
+        if not len(pts) or not self.polys:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        fx = np.clip(((pts[:, 0] - self.xmin) / max(self.xmax - self.xmin, 1e-12) * self.nx).astype(np.int64), 0, self.nx - 1)
+        fy = np.clip(((pts[:, 1] - self.ymin) / max(self.ymax - self.ymin, 1e-12) * self.ny).astype(np.int64), 0, self.ny - 1)
+        # group points by grid cell, test each candidate polygon once per cell
+        order = np.argsort(fx * self.ny + fy, kind="stable")
+        keys = (fx * self.ny + fy)[order]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_p, out_z = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idxs = order[s:e]
+            cell = (int(fx[idxs[0]]), int(fy[idxs[0]]))
+            cand = self.cells.get(cell)
+            if not cand:
+                continue
+            sub = pts[idxs]
+            for ci in cand:
+                b = self.boxes[ci]
+                inbox = ((sub[:, 0] >= b[0]) & (sub[:, 0] < b[2]) &
+                         (sub[:, 1] >= b[1]) & (sub[:, 1] < b[3]))
+                if not inbox.any():
+                    continue
+                zid, rings = self.polys[ci]
+                hit = np.zeros(len(sub), dtype=bool)
+                hit[inbox] = points_in_polygon(sub[inbox], rings)
+                if hit.any():
+                    out_p.append(idxs[hit])
+                    out_z.append(np.full(int(hit.sum()), zid, dtype=np.int64))
+        if not out_p:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_p), np.concatenate(out_z)

@@ -1,0 +1,35 @@
+"""Parquet table readers with column pruning — the engine's S1.
+
+The reference's merge reader (read_blocks_merge, src/processpostgis.cpp:143)
+reads quadtree-tiled pbf + diff files; here the input is parquet (Lance-
+shaped at production), and the diff-merge semantic is `merge_latest`:
+union of base + change datasets with per-key latest-wins dedup.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Pruned read — only requested columns leave storage."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def merge_latest(base: ray.data.Dataset, changes: ray.data.Dataset,
+                 key: str, version: str) -> ray.data.Dataset:
+    """Latest-wins merge of a base table and change sets (S1 diff-merge).
+
+    Shuffle keyed on `key`; at scale this is one hash exchange of only the
+    rows that have competing versions would be ideal — here we keep the
+    simple single groupby (keys are unique-ish, groups tiny).
+    """
+    import pandas as pd
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(version, kind="stable").tail(1)
+
+    return base.union(changes).groupby(key).map_groups(last, batch_format="pandas")

@@ -1,0 +1,98 @@
+import duckdb
+import numpy as np
+import pandas as pd
+
+from osmquadtreepostgis_ray.functions import codecs, tags, text
+
+
+def test_count_word_matches_sql():
+    s = pd.Series(["the fast the slow ", "data data the ", "nothing here "])
+    con = duckdb.connect()
+    for w in ("the", "data", "fast"):
+        got = tags.count_word(s, w)
+        sql = con.sql(
+            f"SELECT {tags.count_word_sql('t', w)} FROM (SELECT unnest($1) AS t)",
+            params=[s.tolist()],
+        ).fetchnumpy()
+        key = list(sql)[0]
+        assert np.array_equal(got, sql[key].astype(np.int64)), w
+
+
+def test_hstore_leftover_matches_sql():
+    s = pd.Series(["the fast key order sort table scan merge part ",
+                   "spark group query row data slow small filter ",
+                   "the the data "])
+    feature = {"the", "data", "query", "table"}
+    got = tags.hstore_leftover(s, feature).tolist()
+    con = duckdb.connect()
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": s})
+    con.register("docs", df)
+    sql = tags.hstore_leftover_sql("docs", "doc_id", "text", tuple(sorted(feature)))
+    want = con.sql(sql + " ORDER BY doc_id").df()["tags"].tolist()
+    assert got == want
+
+
+def test_json_tags():
+    s = pd.Series(["b a a ", ""])
+    out = tags.json_tags(s).tolist()
+    assert out[0] == '{"a": 2, "b": 1}' or out[0] == '{"b": 1, "a": 2}'  # sorted by word
+    assert out[0] == '{"a": 2, "b": 1}'
+    assert out[1] == "{}"
+
+
+def test_lang_id_matches_sql():
+    s = pd.Series(["the the data ", "data data the ", "query table table ", "zz yy "])
+    got = text.lang_id(s).tolist()
+    con = duckdb.connect()
+    sql = con.sql(
+        f"SELECT {text.lang_id_sql('t')} AS lang FROM (SELECT unnest($1) AS t)",
+        params=[s.tolist()],
+    ).df()["lang"].tolist()
+    assert got == sql
+    assert got[3] == "und"
+
+
+def test_quality_and_tokens():
+    s = pd.Series(["the a of and x ", ""])
+    q = text.quality_stats(s)
+    assert q["n_tokens"].tolist() == [5, 0]
+    assert q["stop_hits"].tolist() == [4, 0]
+    assert q["stop_permille"].tolist() == [800, 0]
+    assert text.token_count(s).tolist() == [5, 0]
+
+
+def test_fingerprint_deterministic():
+    s = pd.Series(["hello world", "hello world", "hello worle"])
+    fp = text.fingerprint(s)
+    assert fp[0] == fp[1] != fp[2]
+    assert (fp >= 0).all()
+
+
+def test_minhash_similarity():
+    a = text.char_shingles("the quick brown fox jumps over the lazy dog " * 3)
+    b = text.char_shingles("the quick brown fox jumps over the lazy cat " * 3)
+    c = text.char_shingles("completely different text about databases " * 3)
+    sa, sb, sc = (text.minhash_signature(x) for x in (a, b, c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    true_ab = text.jaccard(a, b)
+    assert abs(sim_ab - true_ab) < 0.25
+    assert sim_ab > sim_ac
+
+
+def test_simhash_close_for_similar():
+    a = text.simhash(text.char_shingles("the quick brown fox jumps over the lazy dog"))
+    b = text.simhash(text.char_shingles("the quick brown fox jumps over the lazy dot"))
+    c = text.simhash(text.char_shingles("osm quadtree postgis spatial join engine!!"))
+    def ham(x, y):
+        return bin(int(np.uint64(x) ^ np.uint64(y))).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_codecs_psnr_invariant():
+    img = codecs.synth_pixels(12345, 64, 48)
+    assert np.array_equal(codecs.decode(codecs.encode(img, "raw"), 64, 48, "raw"), img)
+    dec = codecs.decode(codecs.encode(img, "qlossy"), 64, 48, "qlossy")
+    assert codecs.psnr(img, dec) >= 40.0
+    r = codecs.resize_nearest(img, 32, 24)
+    assert r.shape == (24, 32)
