@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pipeline smoke on sf0.001.
+queries()    — one entry per implemented operator/pipeline (SURVEY.md §2
+               + training-data ops); each callable takes sf_dir.
+oracle_sql() — DuckDB twins for the SQL-expressible subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +16,53 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: corpus -> cells -> route -> project;
+    returns the projected point table (Dataset)."""
+    from osmquadtreepostgis_ray import queries as Q
+    return Q.q_flagship_point("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from osmquadtreepostgis_ray import queries as Q
+    return {
+        # geospatial core (cell encode, tiling, PIP, kNN)
+        "cell_histogram": Q.q_cell_histogram,
+        "tile_assign": Q.q_tile_assign,
+        "agg_cells": Q.q_agg_cells,
+        "pip_zones": Q.q_pip_zones,
+        "knn_brute": Q.q_knn_brute,
+        "knn_cellring": Q.q_knn_cellring,
+        # flagship routing/projection/unions/lowzoom
+        "flagship_point": Q.q_flagship_point,
+        "flagship_counts": Q.q_flagship_counts,
+        "union_lines": Q.q_union_lines,
+        "lowzoom_counts": Q.q_lowzoom_counts,
+        # relational ops (joins, window, topk, agg, diff-merge dedup)
+        "dedup_latest": Q.q_dedup_latest,
+        "window_hourly": Q.q_window_hourly,
+        "join_orders_customer": Q.q_join_orders_customer,
+        "join_lineitem_part": Q.q_join_lineitem_part,
+        "topk_orders": Q.q_topk_orders,
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        # training-data text ops
+        "dedup_exact": Q.q_dedup_exact,
+        "lang_id": Q.q_lang_id,
+        "quality": Q.q_quality,
+        "hstore_tags": Q.q_hstore_tags,
+        "token_totals": Q.q_token_totals,
+        "fingerprints": Q.q_fingerprints,
+        "minhash_pairs": Q.q_minhash_pairs,
+        "simhash": Q.q_simhash,
+        "ngram_dups": Q.q_ngram_dups,
+        # embeddings (similarity search / near-dup)
+        "embed_knn": Q.q_embed_knn,
+        "embed_knn_ivf": Q.q_embed_knn_ivf,
+        "embed_neardup": Q.q_embed_neardup,
+        # multimodal decode path
+        "image_decode": Q.q_image_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmquadtreepostgis_ray.oracle import build_oracles
+    return build_oracles()

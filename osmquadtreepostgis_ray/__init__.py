@@ -15,7 +15,20 @@ its CsvBlock byte buffers (src/postgiswriter.hpp:35-81) by Arrow record
 batches; its PostGIS COPY sink by partitioned Parquet.
 """
 
+import sys as _sys
+
 from osmquadtreepostgis_ray.config import EngineParams, Style
+
+# Ship the package to Ray workers by value: the driver may import this
+# library from a cwd outside the repo (the graft driver does), in which
+# case worker processes have no import path to it.  register_pickle_by_value
+# makes every stage closure self-contained (covers all submodules).
+for _mod in ("cloudpickle", "ray.cloudpickle"):
+    try:  # ray serializes with its vendored cloudpickle; register on both
+        import importlib as _il
+        _il.import_module(_mod).register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
 
 __all__ = ["EngineParams", "Style"]
 __version__ = "0.1.0"

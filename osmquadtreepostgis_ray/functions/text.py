@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from osmquadtreepostgis_ray.functions.tags import count_word, count_word_sql
+
 TOKEN_RE = r"\S+"
 
 # deterministic "language marker" table for the synthetic corpus: the
@@ -32,7 +34,6 @@ def token_count(texts: pd.Series) -> np.ndarray:
 
 def lang_id(texts: pd.Series) -> pd.Series:
     """Argmax over marker-word counts; 'und' when all zero."""
-    from osmquadtreepostgis_ray.functions.tags import count_word
     counts = np.stack([count_word(texts, w) for _, w in LANG_MARKERS])
     best = counts.argmax(axis=0)
     langs = np.array([l for l, _ in LANG_MARKERS])
@@ -42,7 +43,6 @@ def lang_id(texts: pd.Series) -> pd.Series:
 
 
 def lang_id_sql(text_expr: str) -> str:
-    from osmquadtreepostgis_ray.functions.tags import count_word_sql
     cols = [(lang, count_word_sql(text_expr, w)) for lang, w in LANG_MARKERS]
     maxexpr = "greatest(" + ", ".join(c for _, c in cols) + ")"
     whens = "".join(f" WHEN {c} = {maxexpr} THEN '{lang}'" for lang, c in cols)
@@ -52,7 +52,6 @@ def lang_id_sql(text_expr: str) -> str:
 def quality_stats(texts: pd.Series) -> dict[str, np.ndarray]:
     """Integer quality signals: n_tokens, n_chars, stopword hits, and
     stop_permille = 1000*stop/ n_tokens (integer division — SQL-exact)."""
-    from osmquadtreepostgis_ray.functions.tags import count_word
     n_tokens = token_count(texts)
     n_chars = texts.str.len().to_numpy(dtype=np.int64)
     stop = sum(count_word(texts, w) for w in ("the", "a", "of", "and"))

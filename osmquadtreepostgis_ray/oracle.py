@@ -1,0 +1,291 @@
+"""DuckDB oracle SQL for __ray_entry__.oracle_sql().
+
+Every expression here is the exact integer-arithmetic twin of the Ray
+kernels (functions/geotag.py, functions/quadtree.py, stages/routing.py),
+generated programmatically so the bit-level definitions live in ONE
+place per concept.  Tables are pre-registered DuckDB views over the same
+parquet files the Ray queries read.
+"""
+
+from __future__ import annotations
+
+from osmquadtreepostgis_ray.config import DEFAULT_FEATURE_KEYS
+from osmquadtreepostgis_ray.functions import geotag, quadtree
+from osmquadtreepostgis_ray.functions.tags import count_word_sql, hstore_leftover_sql
+from osmquadtreepostgis_ray.functions.text import lang_id_sql
+from osmquadtreepostgis_ray.queries import CELL_DEPTH, TILE_DEPTH
+from osmquadtreepostgis_ray.sources import zones as Z
+from osmquadtreepostgis_ray.stages.routing import route_sql_exprs
+
+
+def _cell_expr(lon_milli: str, lat_milli: str, depth: int) -> str:
+    """Milli-degree ints -> quadtree cell id (exact twin of
+    quadtree.encode_ixy over geotag.milli_to_fixed)."""
+    n = 1 << depth
+    ix = f"((({lon_milli}) * 10000 * {n}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat_milli}) + 5000) * 10000 * {n}) // {quadtree.LAT_SPAN})"
+    return quadtree.interleave_sql(ix, iy, depth)
+
+
+def events_geo_cte(nq_filter: str = "") -> str:
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    ev AS (
+        SELECT event_id, user_id, value,
+               {lon} AS lon_milli, {lat} AS lat_milli,
+               {_cell_expr(lon, lat, CELL_DEPTH)} AS cell,
+               {_cell_expr(lon, lat, TILE_DEPTH)} AS tile
+        FROM events {nq_filter}
+    )"""
+
+
+def sql_cell_histogram() -> str:
+    return f"WITH {events_geo_cte()} SELECT cell, count(*)::BIGINT AS n FROM ev GROUP BY cell"
+
+
+def sql_tile_assign() -> str:
+    return f"WITH {events_geo_cte()} SELECT event_id, cell, tile FROM ev"
+
+
+def sql_agg_cells() -> str:
+    return (f"WITH {events_geo_cte()} SELECT tile, count(*)::BIGINT AS n, "
+            f"round(sum(value), 2) AS sum_value FROM ev GROUP BY tile")
+
+
+def sql_pip_zones() -> str:
+    zid, keep = Z.zone_match_sql("lon_milli", "lat_milli")
+    admin = Z.admin_zone_sql("lon_milli", "lat_milli")
+    return f"""
+    WITH {events_geo_cte()}
+    SELECT event_id, zone_id, kind FROM (
+        SELECT event_id, {zid} AS zone_id, 'grid' AS kind FROM ev WHERE {keep}
+        UNION ALL
+        SELECT event_id, {admin} AS zone_id, 'admin' AS kind FROM ev
+    )"""
+
+
+def sql_knn(k: int = 5, nq: int = 10) -> str:
+    return f"""
+    WITH {events_geo_cte()},
+    q AS (SELECT event_id AS query_id, lon_milli AS qx, lat_milli AS qy
+          FROM ev WHERE event_id < {nq}),
+    d AS (SELECT q.query_id, e.event_id AS neighbor_id,
+                 (e.lon_milli - q.qx) * (e.lon_milli - q.qx)
+               + (e.lat_milli - q.qy) * (e.lat_milli - q.qy) AS dist
+          FROM q CROSS JOIN ev e WHERE e.event_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, dist, rank::BIGINT AS rank FROM r WHERE rank <= {k}
+    """
+
+
+def sql_dedup_latest() -> str:
+    return """
+    SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """
+
+
+def sql_window_hourly() -> str:
+    return """
+    SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+           count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id, hour
+    """
+
+
+def sql_join_orders_customer() -> str:
+    return """
+    SELECT c_mktsegment, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
+def sql_join_lineitem_part() -> str:
+    return """
+    SELECT p_brand, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """
+
+
+def sql_topk_orders() -> str:
+    return ("SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10")
+
+
+def sql_lineitem_pricing() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*)::BIGINT AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+# ------------------------------------------------------------------ flagship
+
+def images_cte() -> str:
+    """The synthetic corpus as SQL: documents -> image rows with geotag,
+    cell/tile, routing columns (twin of sources/images.py +
+    stages/cells.py + stages/routing.py)."""
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql("phash")
+    r = route_sql_exprs(caption_expr="text", phash_expr="phash")
+    return f"""
+    imgs0 AS (
+        SELECT doc_id, text, {ph} AS phash,
+               CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h
+        FROM documents
+    ),
+    imgs AS (
+        SELECT doc_id, text, phash, w, h,
+               {lon} AS lon_milli, {lat} AS lat_milli,
+               {_cell_expr(lon, lat, CELL_DEPTH)} AS cell,
+               {_cell_expr(lon, lat, TILE_DEPTH)} AS tile,
+               {r['kind']} AS kind, {r['z_order']} AS z_order,
+               {r['layer']} AS layer, {r['minzoom']} AS minzoom,
+               {r['is_building']} AS is_building,
+               {r['is_boundary']} AS is_boundary,
+               {r['is_highway']} AS is_highway
+        FROM imgs0
+    )"""
+
+
+def sql_flagship_point() -> str:
+    kvs = ",\n           ".join(
+        f"{count_word_sql('text', k)} AS kv_{k}" for k in DEFAULT_FEATURE_KEYS)
+    hs = hstore_leftover_sql("imgs", "doc_id", "text", DEFAULT_FEATURE_KEYS)
+    return f"""
+    WITH {images_cte()},
+    hs AS ({hs})
+    SELECT i.doc_id AS osm_id, i.cell AS quadtree, i.tile AS tile,
+           {kvs},
+           hs.tags AS tags, i.minzoom AS minzoom
+    FROM imgs i JOIN hs ON i.doc_id = hs.doc_id
+    WHERE i.kind = 0
+    """
+
+
+def sql_flagship_counts() -> str:
+    return f"""
+    WITH {images_cte()}
+    SELECT tbl, n FROM (
+        SELECT 'point' AS tbl, count(*)::BIGINT AS n FROM imgs WHERE kind = 0
+        UNION ALL SELECT 'line', count(*)::BIGINT FROM imgs WHERE kind = 1 AND NOT is_highway
+        UNION ALL SELECT 'highway', count(*)::BIGINT FROM imgs WHERE is_highway
+        UNION ALL SELECT 'polygon', count(*)::BIGINT FROM imgs WHERE kind = 2 AND NOT is_building
+        UNION ALL SELECT 'building', count(*)::BIGINT FROM imgs WHERE is_building
+        UNION ALL SELECT 'boundary', count(*)::BIGINT FROM imgs WHERE is_boundary
+    )"""
+
+
+def sql_union_lines() -> str:
+    return f"""
+    WITH {images_cte()}
+    SELECT doc_id AS osm_id, tile, z_order FROM imgs WHERE kind = 1 AND NOT is_highway
+    UNION ALL
+    SELECT doc_id AS osm_id, tile, z_order FROM imgs WHERE is_highway
+    """
+
+
+def sql_lowzoom_counts(z: int = 12) -> str:
+    return f"""
+    WITH {images_cte()}
+    SELECT tbl, n FROM (
+        SELECT 'point' AS tbl, count(*) FILTER (minzoom <= {z})::BIGINT AS n FROM imgs WHERE kind = 0
+        UNION ALL SELECT 'line', count(*) FILTER (minzoom <= {z})::BIGINT FROM imgs WHERE kind = 1 AND NOT is_highway
+        UNION ALL SELECT 'highway', count(*) FILTER (minzoom <= {z})::BIGINT FROM imgs WHERE is_highway
+        UNION ALL SELECT 'polygon', count(*) FILTER (minzoom <= {z})::BIGINT FROM imgs WHERE kind = 2 AND NOT is_building
+        UNION ALL SELECT 'building', count(*) FILTER (minzoom <= {z})::BIGINT FROM imgs WHERE is_building
+        UNION ALL SELECT 'boundary', count(*) FILTER (minzoom <= {z})::BIGINT FROM imgs WHERE is_boundary
+    )"""
+
+
+# ------------------------------------------------------------------ documents
+
+def sql_dedup_exact() -> str:
+    return ("SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY text")
+
+
+def sql_lang_id() -> str:
+    return f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def sql_quality() -> str:
+    stop = " + ".join(count_word_sql("text", w) for w in ("the", "a", "of", "and"))
+    ntok = r"length(regexp_replace(text, '\S+', 'x', 'g')) - length(regexp_replace(text, '\s+', '', 'g'))"
+    # n_tokens via token regex: count of \S+ runs
+    ntok = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
+    return f"""
+    SELECT doc_id, {ntok}::BIGINT AS n_tokens, ({stop})::BIGINT AS stop_hits,
+           (CASE WHEN {ntok} > 0 THEN (1000 * ({stop})) // {ntok} ELSE 0 END)::BIGINT AS stop_permille
+    FROM documents
+    """
+
+
+def sql_hstore_tags() -> str:
+    return hstore_leftover_sql("documents", "doc_id", "text", DEFAULT_FEATURE_KEYS)
+
+
+def sql_token_totals() -> str:
+    ntok = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
+    return (f"SELECT source, sum({ntok})::BIGINT AS tokens, count(*)::BIGINT AS docs "
+            f"FROM documents GROUP BY source")
+
+
+def sql_embed_knn(k: int = 5, nq: int = 5) -> str:
+    dd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH e AS (SELECT vec_id, {dd} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}),
+    d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                 / sqrt(list_dot_product(e.v, e.v))
+                 / sqrt(list_dot_product(q.qv, q.qv)) AS sim
+          FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {k}
+    """
+
+
+ORACLES: dict[str, str] = {}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "cell_histogram": sql_cell_histogram(),
+        "tile_assign": sql_tile_assign(),
+        "agg_cells": sql_agg_cells(),
+        "pip_zones": sql_pip_zones(),
+        "knn_brute": sql_knn(),
+        "knn_cellring": sql_knn(),
+        "dedup_latest": sql_dedup_latest(),
+        "window_hourly": sql_window_hourly(),
+        "join_orders_customer": sql_join_orders_customer(),
+        "join_lineitem_part": sql_join_lineitem_part(),
+        "topk_orders": sql_topk_orders(),
+        "lineitem_pricing": sql_lineitem_pricing(),
+        "flagship_point": sql_flagship_point(),
+        "flagship_counts": sql_flagship_counts(),
+        "union_lines": sql_union_lines(),
+        "lowzoom_counts": sql_lowzoom_counts(),
+        "dedup_exact": sql_dedup_exact(),
+        "lang_id": sql_lang_id(),
+        "quality": sql_quality(),
+        "hstore_tags": sql_hstore_tags(),
+        "token_totals": sql_token_totals(),
+        "embed_knn": sql_embed_knn(),
+    }

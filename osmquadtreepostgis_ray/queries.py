@@ -1,0 +1,390 @@
+"""The Ray-side implementations behind __ray_entry__.queries().
+
+Each function takes sf_dir and returns a Dataset / pyarrow Table whose
+columns match the DuckDB oracle in osmquadtreepostgis_ray/oracle.py
+name-for-name and value-for-value (driver compares order-insensitively).
+
+Float discipline: aggregate floats are rounded to the decimal precision
+of the exact underlying value (2dp money, 4dp revenue) so both engines
+land on the identical double; everything else is int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from osmquadtreepostgis_ray.config import EngineParams
+from osmquadtreepostgis_ray.functions import geotag, quadtree
+from osmquadtreepostgis_ray.sources.tables import read_table
+from osmquadtreepostgis_ray.util import pool_size
+
+CELL_DEPTH = 12
+TILE_DEPTH = 8
+
+
+# ------------------------------------------------------------------ events geo
+
+def prep_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """events + geotag + cell/tile columns (vectorized, exact ints)."""
+    cols = columns or ["event_id", "user_id"]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        e = batch.column("event_id").to_numpy()
+        lon_m, lat_m = geotag.event_lonlat_milli(u, e)
+        fx, fy = geotag.milli_to_fixed(lon_m, lat_m)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, CELL_DEPTH)
+        cell = quadtree.encode_ixy(ix, iy, CELL_DEPTH)
+        tile = quadtree.at_depth(cell, TILE_DEPTH)
+        lon, lat = geotag.milli_to_degrees(lon_m, lat_m)
+        for name, arr, typ in (("lon_milli", lon_m, pa.int64()), ("lat_milli", lat_m, pa.int64()),
+                               ("lon", lon, pa.float64()), ("lat", lat, pa.float64()),
+                               ("cell", cell, pa.int64()), ("tile", tile, pa.int64())):
+            batch = batch.append_column(name, pa.array(arr, typ))
+        return batch
+
+    return read_table(sf_dir, "events", columns=cols).map_batches(enc, batch_format="pyarrow")
+
+
+def q_cell_histogram(sf_dir: str):
+    return (prep_events(sf_dir)
+            .groupby("cell").aggregate(Count(alias_name="n"))
+            .select_columns(["cell", "n"]))
+
+
+def q_tile_assign(sf_dir: str):
+    return prep_events(sf_dir).select_columns(["event_id", "cell", "tile"])
+
+
+def q_agg_cells(sf_dir: str):
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = ds.groupby("tile").aggregate(Count(alias_name="n"),
+                                       Sum("value", alias_name="sum_value"))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        sv = np.round(batch.column("sum_value").to_numpy(), 2)
+        return batch.set_column(batch.schema.get_field_index("sum_value"),
+                                "sum_value", pa.array(sv, pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["tile", "n", "sum_value"])
+
+
+def q_pip_zones(sf_dir: str):
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import PipJoin
+    zref = ray.put(zones_table())
+    return prep_events(sf_dir).map_batches(
+        PipJoin, fn_constructor_args=(zref,),
+        batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+
+
+def _event_queries(sf_dir: str, nq: int = 10) -> dict:
+    import duckdb
+    con = duckdb.connect()
+    df = con.sql(f"SELECT event_id, user_id FROM '{sf_dir}/events.parquet' "
+                 f"WHERE event_id < {nq} ORDER BY event_id").df()
+    lon_m, lat_m = geotag.event_lonlat_milli(df["user_id"].to_numpy(), df["event_id"].to_numpy())
+    return {"id": df["event_id"].to_numpy(), "lon_milli": lon_m, "lat_milli": lat_m}
+
+
+def q_knn_brute(sf_dir: str, k: int = 5):
+    from osmquadtreepostgis_ray.stages.knn import knn_brute
+    return knn_brute(prep_events(sf_dir), _event_queries(sf_dir), k=k)
+
+
+def q_knn_cellring(sf_dir: str, k: int = 5):
+    from osmquadtreepostgis_ray.stages.knn import CellRingKNN
+    ev = prep_events(sf_dir).select_columns(["event_id", "lon_milli", "lat_milli"])
+    corpus = {"id": [], "lon_milli": [], "lat_milli": []}
+    for b in ev.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        corpus["id"].append(b.column("event_id").to_numpy())
+        corpus["lon_milli"].append(b.column("lon_milli").to_numpy())
+        corpus["lat_milli"].append(b.column("lat_milli").to_numpy())
+    corpus = {k2: np.concatenate(v) for k2, v in corpus.items()}
+    cref = ray.put(corpus)
+    q = _event_queries(sf_dir)
+    qds = ray.data.from_arrow(pa.table({
+        "id": pa.array(q["id"], pa.int64()),
+        "lon_milli": pa.array(q["lon_milli"], pa.int64()),
+        "lat_milli": pa.array(q["lat_milli"], pa.int64()),
+        "k": pa.array(np.full(len(q["id"]), k), pa.int64()),
+    }))
+    out = qds.map_batches(CellRingKNN, fn_constructor_args=(cref,),
+                          batch_format="pyarrow", concurrency=pool_size(0.25))
+    return out
+
+
+def q_dedup_latest(sf_dir: str):
+    """S1 diff-merge semantic: latest event per (user_id, event_type),
+    ties broken by max event_id."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["ts", "event_id"], kind="stable")
+        return batch.groupby(["user_id", "event_type"], sort=False).tail(1)
+
+    # partial per batch, then grouped exact final pick — two-level combiner
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return g.tail(1)[["user_id", "event_type", "event_id"]]
+
+    return (part.groupby(["user_id", "event_type"]).map_groups(final, batch_format="pandas")
+            .select_columns(["user_id", "event_type", "event_id"]))
+
+
+def q_window_hourly(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def hour(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        return batch.append_column("hour", pa.array(ts // 3_600_000_000, pa.int64()))
+
+    out = (ds.map_batches(hour, batch_format="pyarrow")
+             .groupby(["user_id", "hour"])
+             .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        sv = np.round(batch.column("sum_value").to_numpy(), 2)
+        return batch.set_column(batch.schema.get_field_index("sum_value"),
+                                "sum_value", pa.array(sv, pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["user_id", "hour", "n", "sum_value"])
+
+
+# --------------------------------------------------------------- TPC-H-ish
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast join (A3/A4 pattern): customer is the small side."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        sv = np.round(batch.column("sum_price").to_numpy(), 2)
+        return batch.set_column(batch.schema.get_field_index("sum_price"),
+                                "sum_price", pa.array(sv, pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["c_mktsegment", "n", "sum_price"])
+
+
+def q_join_lineitem_part(sf_dir: str):
+    """Partitioned bucket hash join: both sides streamed."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"]) \
+        .map_batches(lambda t: t.rename_columns(["p_partkey", "l_extendedprice"]),
+                     batch_format="pyarrow")
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = bucket_hash_join(li, part, on="p_partkey")
+    out = joined.groupby("p_brand").aggregate(
+        Count(alias_name="n"), Sum("l_extendedprice", alias_name="sum_price"))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        sv = np.round(batch.column("sum_price").to_numpy(), 2)
+        return batch.set_column(batch.schema.get_field_index("sum_price"),
+                                "sum_price", pa.array(sv, pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["p_brand", "n", "sum_price"])
+
+
+def q_topk_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style pre-aggregated wide aggregate."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"), n=("l_quantity", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_price", alias_name="sum_price"),
+                        Sum("revenue", alias_name="revenue"),
+                        Sum("n", alias_name="n")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for col, dec in (("sum_qty", 2), ("sum_price", 2), ("revenue", 4)):
+            v = np.round(batch.column(col).to_numpy(), dec)
+            batch = batch.set_column(batch.schema.get_field_index(col), col,
+                                     pa.array(v, pa.float64()))
+        return batch
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "revenue", "n"])
+
+
+# ------------------------------------------------------------------ flagship
+
+def q_flagship_point(sf_dir: str):
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    ds = output_tables(sf_dir)["point"]
+    cols = [c for c in ds.schema().names if c != "way"]
+    return ds.select_columns(cols)
+
+
+def q_flagship_counts(sf_dir: str):
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    rows = [{"tbl": name, "n": ds.count()}
+            for name, ds in sorted(output_tables(sf_dir).items())]
+    return pa.Table.from_pylist(rows)
+
+
+def q_union_lines(sf_dir: str):
+    """J2 analog: planet_osm_line = line UNION highway (id, tile, z_order)."""
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    t = output_tables(sf_dir)
+    cols = ["osm_id", "tile", "z_order"]
+    return t["line"].select_columns(cols).union(t["highway"].select_columns(cols))
+
+
+def q_lowzoom_counts(sf_dir: str, z: int = 12):
+    """V1/V2 analog: per-table row count at minzoom <= z."""
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    rows = []
+    for name, ds in sorted(output_tables(sf_dir).items()):
+        n = ds.map_batches(
+            lambda t: t.filter(pa.compute.less_equal(t.column("minzoom"), z)),
+            batch_format="pyarrow").count()
+        rows.append({"tbl": name, "n": n})
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------------------ documents
+
+def q_dedup_exact(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.dedup import dedup_exact
+    ds = dedup_exact(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ds.select_columns(["keep_id", "n_dups"])
+
+
+def q_lang_id(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    ds = add_text_stats(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    ds = add_text_stats(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens", "stop_hits", "stop_permille"])
+
+
+def q_hstore_tags(sf_dir: str):
+    from osmquadtreepostgis_ray.config import DEFAULT_FEATURE_KEYS
+    from osmquadtreepostgis_ray.functions.tags import hstore_leftover
+
+    def hs(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "tags": pa.array(hstore_leftover(s, set(DEFAULT_FEATURE_KEYS)).to_numpy(), pa.string()),
+        })
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        hs, batch_format="pyarrow")
+
+
+def q_token_totals(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    ds = add_text_stats(read_table(sf_dir, "documents", columns=["doc_id", "text", "source"]))
+    return (ds.groupby("source")
+              .aggregate(Sum("n_tokens", alias_name="tokens"), Count(alias_name="docs"))
+              .select_columns(["source", "tokens", "docs"]))
+
+
+# ------------------------------------------------------------------ embeddings
+
+def _query_vectors(sf_dir: str, nq: int = 5):
+    import duckdb
+    con = duckdb.connect()
+    df = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+                 f"WHERE vec_id < {nq} ORDER BY vec_id").df()
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def q_embed_knn(sf_dir: str, k: int = 5):
+    from osmquadtreepostgis_ray.stages.embed import knn_embeddings
+    ids, mat = _query_vectors(sf_dir)
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_embeddings(corpus, ids, mat, k=k)
+
+
+def q_embed_knn_ivf(sf_dir: str, k: int = 5):
+    from osmquadtreepostgis_ray.stages.embed import ivf_knn
+    ids, mat = _query_vectors(sf_dir)
+    import duckdb
+    con = duckdb.connect()
+    cdf = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                  f"WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16").df()
+    centroids = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=6)
+
+
+def q_embed_neardup(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.embed import cosine_neardup_pairs
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(corpus, threshold=0.9)
+
+
+def q_minhash_pairs(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.dedup import minhash_candidates
+    ds = minhash_candidates(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                            sim_threshold=0.5)
+    return ds
+
+
+def q_simhash(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.dedup import simhash_buckets
+    return simhash_buckets(read_table(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .select_columns(["doc_id", "simhash", "bucket"])
+
+
+def q_ngram_dups(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                               n=3, threshold=0.6)
+
+
+def q_fingerprints(sf_dir: str):
+    from osmquadtreepostgis_ray.stages.dedup import add_fingerprint
+    return add_fingerprint(read_table(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+# ------------------------------------------------------------------ images
+
+def q_image_decode(sf_dir: str):
+    """Multimodal decode path: actor-pool decode + PSNR invariant +
+    feature extraction. Returns integer stats (psnr floor, mean pixel)."""
+    from osmquadtreepostgis_ray.stages.images import DecodeStats
+    from osmquadtreepostgis_ray.sources.images import read_images
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=pool_size()) \
+        .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])

@@ -1,0 +1,193 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.  (Embedding-cosine near-dup lives
+in stages/embed.py.)
+
+Scale notes (the part the sandbox can't show): the exact path is
+hash-partitioned — only (hash, id) pairs ride the shuffle, never
+payloads; the MinHash path shuffles (band, bucket, id, signature) rows
+(signature = 64*8 bytes) and verifies candidates per bucket group, so no
+stage ever needs the full corpus in one place.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from osmquadtreepostgis_ray.functions import text as T
+from osmquadtreepostgis_ray.util import pool_size
+
+
+def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def fp(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist())
+        return batch.append_column("fingerprint", pa.array(T.fingerprint(s), pa.int64()))
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def dedup_exact(ds: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """Keep the min-id representative of each identical text.
+
+    Pre-aggregates (hash -> min id, count) inside each batch before the
+    groupby so the shuffle carries one row per distinct hash per batch,
+    then a tiny grouped min — the partial/combiner pattern."""
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(text_col).to_pylist())
+        df = pd.DataFrame({"fingerprint": T.fingerprint(s),
+                           id_col: batch.column(id_col).to_numpy()})
+        g = df.groupby("fingerprint", sort=False)[id_col].agg(["min", "count"]).reset_index()
+        return pa.table({"fingerprint": g["fingerprint"].to_numpy(),
+                         "keep_id": g["min"].to_numpy(),
+                         "n": g["count"].to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Min, Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("fingerprint")
+              .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dups")))
+
+
+class MinHasher:
+    """Actor stage: caption/text -> minhash signature + LSH band rows
+    (1 row per band per doc).  Coefficients compiled once per actor."""
+
+    def __init__(self, num_hashes: int = 64, bands: int = 16, ngram: int = 9,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        T._minhash_coeffs(num_hashes)  # warm
+        self.num_hashes, self.bands, self.ngram = num_hashes, bands, ngram
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, txt in enumerate(texts):
+            sh = T.char_shingles(txt, self.ngram)
+            sig = T.minhash_signature(sh, self.num_hashes)
+            keys = T.lsh_band_keys(sig, self.bands)
+            sig_bytes = sig.tobytes()
+            for b, key in enumerate(keys):
+                out_id.append(int(ids[i])); out_band.append(b)
+                out_key.append(np.int64(key.astype(np.int64))); out_sig.append(sig_bytes)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int64()),
+            "band_key": pa.array(out_key, pa.int64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
+
+
+def minhash_candidates(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 16,
+                       ngram: int = 9, sim_threshold: float = 0.5,
+                       id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """shingle -> minhash -> band -> bucket groupby -> candidate pairs
+    with estimated Jaccard (signature agreement) >= threshold.
+    Pairs are (a < b), deduped across bands by a final distinct."""
+    banded = ds.map_batches(MinHasher,
+                            fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
+                                                       ngram=ngram, id_col=id_col, text_col=text_col),
+                            batch_format="pyarrow", concurrency=pool_size())
+
+    # bucket the (band, band_key) space so one Ray group holds many LSH
+    # buckets — the inner exact grouping is vectorized pandas (avoids
+    # per-tiny-group task overhead; same results)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (batch.column("band").to_numpy() * 1000003
+             + batch.column("band_key").to_numpy()) % 512
+        return batch.append_column("shard", pa.array(b, pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (_, _), sub in g.groupby(["band", "band_key"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
+            for i in range(len(ids)):
+                agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(agree >= sim_threshold)
+                out_a.extend([ids[i]] * len(hit))
+                out_b.extend(ids[i + 1 + hit].tolist())
+                out_j.extend(agree[hit].tolist())
+        df = pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                           "b": np.array(out_b, dtype=np.int64),
+                           "est_jaccard": np.array(out_j, dtype=np.float64)})
+        return df.drop_duplicates(["a", "b"])
+
+    cand = (banded.map_batches(bucketize, batch_format="pyarrow")
+                  .groupby("shard").map_groups(pairs, batch_format="pandas"))
+
+    def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return cand.groupby("a").map_groups(final_dedupe, batch_format="pandas")
+
+
+def simhash_buckets(ds: ray.data.Dataset, ngram: int = 9, prefix_bits: int = 12,
+                    id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """SimHash each doc; bucket by the top prefix_bits for near-dup
+    blocking (rotation-probing is the scale extension)."""
+    def sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        vals = np.array([T.simhash(T.char_shingles(t, ngram))
+                         for t in batch.column(text_col).to_pylist()], dtype=np.int64)
+        bucket = (vals.astype(np.uint64) >> np.uint64(64 - prefix_bits)).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "simhash": pa.array(vals, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6,
+                        id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Exact word-n-gram Jaccard near-dup pairs, LSH-free: one shared
+    n-gram blocks a candidate pair (rare-gram blocking), verified
+    exactly.  Returns (a, b, jac_permille) — integer permille to stay
+    hash-stable."""
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        out_id, out_g = [], []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            gs = T.word_ngrams(t, n)
+            out_id.extend([int(ids[i])] * len(gs))
+            out_g.extend(gs.astype(np.int64).tolist())
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.int64())})
+
+    exploded = ds.map_batches(grams, batch_format="pyarrow")
+
+    # shard the gram space; exact per-gram pairing is vectorized pandas
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = batch.column("gram").to_numpy() % 512
+        return batch.append_column("shard", pa.array(b, pa.int64()))
+
+    def pair_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("gram", sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            a, b = np.meshgrid(ids, ids)
+            keep = a < b
+            out.append(pd.DataFrame({"a": a[keep], "b": b[keep]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(out).drop_duplicates()
+
+    cand = (exploded.map_batches(bucketize, batch_format="pyarrow")
+                    .groupby("shard").map_groups(pair_in_block, batch_format="pandas"))
+    cand_tbl = cand.to_pandas().drop_duplicates(["a", "b"]) if cand.count() else pd.DataFrame({"a": [], "b": []})
+
+    # verify exactly with a broadcast gram-set lookup (small corpus path;
+    # scale path: join gram sets back by pair key)
+    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(cand_tbl["a"].astype(np.int64), cand_tbl["b"].astype(np.int64)):
+        j = T.jaccard(T.word_ngrams(texts[int(a)], n), T.word_ngrams(texts[int(b)], n))
+        if j >= threshold:
+            out_a.append(int(a)); out_b.append(int(b)); out_j.append(int(round(j * 1000)))
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                     "jac_permille": pa.array(out_j, pa.int64())})

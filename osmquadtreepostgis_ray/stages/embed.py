@@ -1,0 +1,149 @@
+"""Embedding similarity operators: brute-force cosine top-k (baseline),
+IVF-bucketed approximate ANN (scale path), LSH near-dup pairs.
+
+Patterns: the query matrix is broadcast (ray.put once, read in actor
+__init__), the corpus streams through map_batches in Arrow batches with
+a numpy matmul per batch — never materialized.  All math float64 for
+cross-engine determinism; outputs carry (id, rank) not raw floats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from osmquadtreepostgis_ray.util import pool_size
+
+
+def _mat(batch_col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy-ish."""
+    arr = batch_col.combine_chunks() if hasattr(batch_col, "combine_chunks") else batch_col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class CosineTopK:
+    """Partial top-k per batch against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int = 5, id_col: str = "vec_id"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qid = np.asarray(q["ids"], dtype=np.int64)
+        qm = np.asarray(q["mat"], dtype=np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        m = _mat(batch.column("embedding"))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sim = self.qm @ m.T                                   # (nq, nb)
+        sim[ids[None, :] == self.qid[:, None]] = -2.0         # exclude self
+        k = min(self.k, sim.shape[1])
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.qid, k), pa.int64()),
+            "neighbor_id": pa.array(ids[part.ravel()], pa.int64()),
+            "sim": pa.array(np.take_along_axis(sim, part, axis=1).ravel(), pa.float64()),
+        })
+
+
+def knn_embeddings(corpus: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
+                   k: int = 5, id_col: str = "vec_id") -> pa.Table:
+    """Exact brute-force cosine top-k; ranked by (-sim, neighbor_id)."""
+    qref = ray.put({"ids": query_ids, "mat": query_mat})
+    partials = corpus.map_batches(CosineTopK, fn_constructor_args=(qref, k, id_col),
+                                  batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+
+
+def ivf_assign(corpus: ray.data.Dataset, centroids: np.ndarray,
+               id_col: str = "vec_id") -> ray.data.Dataset:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (the bucket column a scale ANN probes by).  Centroids broadcast."""
+    cref = ray.put(centroids / np.linalg.norm(centroids, axis=1, keepdims=True))
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _mat(batch.column("embedding"))
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            lst = np.argmax(self.c @ m.T, axis=0).astype(np.int64)
+            return batch.append_column("ivf_bucket", pa.array(lst, pa.int64()))
+
+    return corpus.map_batches(Assign, batch_format="pyarrow", concurrency=pool_size(0.25))
+
+
+def ivf_knn(corpus: ray.data.Dataset, centroids: np.ndarray, query_ids, query_mat,
+            k: int = 5, nprobe: int = 4, id_col: str = "vec_id") -> pa.Table:
+    """Approximate top-k probing only the nprobe nearest IVF buckets —
+    the 100TB path (bucket = partition key; only probed partitions are
+    scanned)."""
+    assigned = ivf_assign(corpus, centroids, id_col)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qn = np.asarray(query_mat, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    sub = assigned.filter(expr=f"ivf_bucket in {wanted}")
+    return knn_embeddings(sub, np.asarray(query_ids, dtype=np.int64), query_mat, k, id_col)
+
+
+def cosine_neardup_pairs(corpus: ray.data.Dataset, threshold: float = 0.95,
+                         planes: int = 16, id_col: str = "vec_id") -> pa.Table:
+    """Near-dup pairs via random-hyperplane LSH blocking + exact verify
+    within buckets (groupby shuffle carries only (bucket, id, vec))."""
+    first = corpus.take(1)
+    d = len(first[0]["embedding"])
+    H = np.random.RandomState(777).standard_normal((planes, d))
+    href = ray.put(H)
+
+    class Sig:
+        def __init__(self):
+            self.H = ray.get(href)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _mat(batch.column("embedding"))
+            bits = (self.H @ m.T > 0).astype(np.uint64)
+            key = np.zeros(m.shape[0], dtype=np.uint64)
+            for b in range(self.H.shape[0]):
+                key |= bits[b] << np.uint64(b)
+            return batch.append_column("lsh_bucket", pa.array(key.astype(np.int64), pa.int64()))
+
+    bucketed = corpus.map_batches(Sig, batch_format="pyarrow", concurrency=pool_size(0.25))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "sim_permille": pd.Series([], dtype=np.int64)})
+        ids = g[id_col].to_numpy().astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sim = m @ m.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        keep = sim[ii, jj] >= threshold
+        return pd.DataFrame({
+            "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
+            "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
+            "sim_permille": np.round(sim[ii, jj][keep] * 1000).astype(np.int64),
+        })
+
+    pairs = bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+    df = pairs.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                           "b": pd.Series([], dtype=np.int64),
+                           "sim_permille": pd.Series([], dtype=np.int64)})
+    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,154 @@
+"""kNN over geotagged rows — the engine-native replacement for PostGIS
+kNN (<->) queries; two implementations with identical (exact) results:
+
+- brute: broadcast the query set, every batch computes its local top-k
+  against all queries (vectorized int64 distance matrix), then a single
+  tiny reduce merges partials.  Scales with corpus size streaming;
+  query count bounded by broadcast size.
+- cellring: quadtree cell-ring expansion (SURVEY.md §2.5 J5): corpus
+  bucketed by cell; each query scans expanding Chebyshev rings of cells
+  until the k-th best distance is provably closed out.  Exact, and at
+  scale touches only O(k) cells per query instead of the whole corpus.
+
+Distances are squared milli-degree euclid in int64 — exact, and
+total-ordered by (dist, neighbor_id) so results are bit-stable and
+SQL-replicable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from osmquadtreepostgis_ray.functions import quadtree
+from osmquadtreepostgis_ray.functions.geotag import milli_to_fixed
+from osmquadtreepostgis_ray.util import pool_size
+
+
+class PartialTopK:
+    """map_batches stage: per-batch top-k per query (brute path)."""
+
+    def __init__(self, queries_ref, k: int = 5,
+                 id_col: str = "event_id", lon_col: str = "lon_milli", lat_col: str = "lat_milli"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qid = np.asarray(q["id"], dtype=np.int64)
+        self.qx = np.asarray(q["lon_milli"], dtype=np.int64)
+        self.qy = np.asarray(q["lat_milli"], dtype=np.int64)
+        self.k = k
+        self.cols = (id_col, lon_col, lat_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_col, lon_col, lat_col = self.cols
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        x = batch.column(lon_col).to_numpy().astype(np.int64)
+        y = batch.column(lat_col).to_numpy().astype(np.int64)
+        dx = x[None, :] - self.qx[:, None]
+        dy = y[None, :] - self.qy[:, None]
+        dist = dx * dx + dy * dy                      # (nq, nb) int64
+        self_mask = ids[None, :] == self.qid[:, None]
+        dist = np.where(self_mask, np.iinfo(np.int64).max, dist)
+        k = min(self.k, dist.shape[1])
+        part = np.argpartition(dist, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qid, k)
+        nidx = part.ravel()
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(ids[nidx], pa.int64()),
+            "dist": pa.array(np.take_along_axis(dist, part, axis=1).ravel(), pa.int64()),
+        })
+
+
+def finalize_topk(partials: pa.Table, k: int = 5) -> pa.Table:
+    """Merge partial candidates -> exact global top-k per query, ranked by
+    (dist, neighbor_id).  Input is small: queries x k x num_batches."""
+    import pandas as pd
+    df = partials.to_pandas()
+    df = df[df["dist"] < np.iinfo(np.int64).max]
+    df = df.sort_values(["query_id", "dist", "neighbor_id"], kind="stable")
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df[["query_id", "neighbor_id", "dist", "rank"]],
+                                preserve_index=False)
+
+
+def knn_brute(corpus, queries: dict, k: int = 5,
+              id_col: str = "event_id") -> pa.Table:
+    """corpus: Dataset with (id_col, lon_milli, lat_milli)."""
+    qref = ray.put(queries)
+    partials = corpus.map_batches(
+        PartialTopK, fn_constructor_args=(qref, k, id_col),
+        batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+    return finalize_topk(pa.concat_tables(
+        [b for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]), k)
+
+
+class CellRingKNN:
+    """Exact kNN by ring expansion over a cell-bucketed corpus held in the
+    actor (built once from a broadcast ref; the multi-node scale path
+    shards this index by tile across an actor pool)."""
+
+    def __init__(self, corpus_ref, depth: int = 8):
+        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.ids = np.asarray(c["id"], dtype=np.int64)
+        self.x = np.asarray(c["lon_milli"], dtype=np.int64)
+        self.y = np.asarray(c["lat_milli"], dtype=np.int64)
+        self.depth = depth
+        fx, fy = milli_to_fixed(self.x, self.y)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+        cells = quadtree.encode_ixy(ix, iy, depth)
+        order = np.argsort(cells, kind="stable")
+        self.cells_sorted = cells[order]
+        self.order = order
+        # cell width in milli-degrees (lon axis is the wider bound)
+        self.cell_w = 360_000 // (1 << depth) + 1
+
+    def _cell_members(self, cell: int) -> np.ndarray:
+        lo = np.searchsorted(self.cells_sorted, cell, side="left")
+        hi = np.searchsorted(self.cells_sorted, cell, side="right")
+        return self.order[lo:hi]
+
+    def query(self, qid: int, qx: int, qy: int, k: int) -> list[tuple[int, int]]:
+        fx, fy = milli_to_fixed(np.array([qx]), np.array([qy]))
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, self.depth)
+        home = int(quadtree.encode_ixy(ix, iy, self.depth)[0])
+        best: list[tuple[int, int]] = []  # (dist, id)
+        r = 0
+        max_r = (1 << self.depth)
+        while r <= max_r:
+            cells = quadtree.ring(home, r) if r else np.array([home])
+            idxs = np.concatenate([self._cell_members(int(c)) for c in cells]) if len(cells) else np.empty(0, dtype=np.int64)
+            if len(idxs):
+                dx = self.x[idxs] - qx
+                dy = self.y[idxs] - qy
+                d = dx * dx + dy * dy
+                keep = self.ids[idxs] != qid
+                best.extend(zip(d[keep].tolist(), self.ids[idxs][keep].tolist()))
+                best.sort()
+                best = best[:k]
+            # closed out when the k-th best is nearer than the closest
+            # possible point in the next unvisited ring
+            if len(best) >= k:
+                ring_min = (r * (170_000 // (1 << self.depth)))  # nearest edge of next ring (lat axis is tighter)
+                if best[k - 1][0] < ring_min * ring_min:
+                    break
+            r += 1
+        return best[:k]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("id").to_numpy()
+        qx = batch.column("lon_milli").to_numpy()
+        qy = batch.column("lat_milli").to_numpy()
+        k = int(batch.column("k").to_numpy()[0]) if "k" in batch.column_names else 5
+        out_q, out_n, out_d, out_r = [], [], [], []
+        for i in range(len(qids)):
+            res = self.query(int(qids[i]), int(qx[i]), int(qy[i]), k)
+            for rank, (d, nid) in enumerate(res, 1):
+                out_q.append(int(qids[i])); out_n.append(nid)
+                out_d.append(d); out_r.append(rank)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "dist": pa.array(out_d, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        })

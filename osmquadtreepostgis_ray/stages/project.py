@@ -1,0 +1,122 @@
+"""Row projection — the engine's M4/M5: compute each output column from
+its ColumnSource, per batch, vectorized.  This is the Ray-Data
+re-expression of the reference's populate_* switch over ColumnSource
+(src/postgiswriter.cpp:320-604); Arrow *is* the binary format, so the
+separate pg-binary path (M5) collapses into this one stage.
+
+Geometry per routed kind (image-footprint transposition, SURVEY.md §7.0):
+  point   -> mercator point EWKB at the geotag
+  line    -> footprint diagonal linestring EWKB (length = milli perimeter/2)
+  polygon -> footprint box EWKB; way_point = center; way_exterior = ring
+Relation-analog rows (boundary fanout) negate osm_id (M9,
+src/postgiswriter.cpp:525).  length/area are exact integer milli-degree
+measures (SQL-replicable); mercator float measures live in the geometry
+kernels for the non-oracle path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osmquadtreepostgis_ray.config import DEFAULT_FEATURE_KEYS, EngineParams
+from osmquadtreepostgis_ray.functions import ewkb, geotag, mercator
+from osmquadtreepostgis_ray.functions.tags import count_word, hstore_leftover
+from osmquadtreepostgis_ray.spec import ColumnSource, TableSpec
+
+
+def _footprint_mercator(batch: pa.Table):
+    lon_m = batch.column("lon_milli").to_numpy()
+    lat_m = batch.column("lat_milli").to_numpy()
+    w = batch.column("w").to_numpy().astype(np.int64)
+    h = batch.column("h").to_numpy().astype(np.int64)
+    x0m, y0m, x1m, y1m = geotag.footprint_milli(lon_m, lat_m, w, h)
+    lo0, la0 = geotag.milli_to_degrees(x0m, y0m)
+    lo1, la1 = geotag.milli_to_degrees(x1m, y1m)
+    x0, y0 = mercator.forward(lo0, la0)
+    x1, y1 = mercator.forward(lo1, la1)
+    return (x0, y0, x1, y1), (x0m, y0m, x1m, y1m)
+
+
+def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) -> pa.Table:
+    """Routed+cell-encoded rows -> the spec's output schema."""
+    n = batch.num_rows
+    ids = batch.column("doc_id").to_numpy()
+    cap = pd.Series(batch.column("caption").to_pylist())
+    (mx0, my0, mx1, my1), (fx0, fy0, fx1, fy1) = _footprint_mercator(batch) if n else ((np.zeros(0),) * 4, (np.zeros(0, dtype=np.int64),) * 4)
+    cx, cy = mercator.forward(batch.column("lon").to_numpy(), batch.column("lat").to_numpy()) if n else (np.zeros(0), np.zeros(0))
+
+    arrays, names = [], []
+    for col in spec.columns:
+        s = col.source
+        if s is ColumnSource.OSM_ID:
+            a = pa.array(-ids if negate_ids else ids, pa.int64())
+        elif s is ColumnSource.PART:
+            a = pa.array(np.ones(n, dtype=np.int64), pa.int64())
+        elif s is ColumnSource.OBJECT_QUADTREE:
+            a = batch.column("cell")
+        elif s is ColumnSource.BLOCK_QUADTREE:
+            a = batch.column("tile")
+        elif s is ColumnSource.TAG:
+            a = pa.array(count_word(cap, col.tag_key), pa.int64())
+        elif s is ColumnSource.OTHER_TAGS:
+            a = pa.array(hstore_leftover(cap, set(DEFAULT_FEATURE_KEYS)).to_numpy(), pa.string())
+        elif s is ColumnSource.LAYER:
+            a = batch.column("layer")
+        elif s is ColumnSource.Z_ORDER:
+            a = batch.column("z_order")
+        elif s is ColumnSource.MIN_ZOOM:
+            a = batch.column("minzoom")
+        elif s is ColumnSource.LENGTH:
+            # diagonal line: milli-degree L1 half-perimeter (exact int)
+            a = pa.array(((fx1 - fx0) + (fy1 - fy0)).astype(np.float64), pa.float64())
+        elif s is ColumnSource.AREA:
+            a = pa.array(((fx1 - fx0) * (fy1 - fy0)).astype(np.float64), pa.float64())
+        elif s is ColumnSource.GEOMETRY:
+            kind = batch.column("kind").to_numpy() if "kind" in batch.column_names else np.full(n, -1)
+            vals: list[bytes] = [b""] * n
+            for i in range(n):  # mixed-kind branch; each encode is O(1) bytes
+                if kind[i] == 0:
+                    vals[i] = ewkb.point(cx[i], cy[i])
+                elif kind[i] == 1:
+                    vals[i] = ewkb.linestring(np.array([[mx0[i], my0[i]], [mx1[i], my1[i]]]))
+                else:
+                    vals[i] = None  # filled by box fast path below
+            if (kind == 2).all() and n:
+                vals = ewkb.box_polygons_vectorized(mx0, my0, mx1, my1)
+            elif (kind == 2).any():
+                boxes = ewkb.box_polygons_vectorized(mx0, my0, mx1, my1)
+                for i in np.flatnonzero(kind == 2):
+                    vals[i] = boxes[i]
+            if (kind == 0).all() and n:
+                vals = ewkb.points_vectorized(cx, cy)
+            a = pa.array(vals, pa.binary())
+        elif s is ColumnSource.REPRESENTATIVE_POINT_GEOMETRY:
+            a = pa.array(ewkb.points_vectorized(cx, cy) if n else [], pa.binary())
+        elif s is ColumnSource.BOUNDARY_LINE_GEOMETRY:
+            rings = [
+                ewkb.linestring(np.array([
+                    [mx0[i], my0[i]], [mx1[i], my0[i]], [mx1[i], my1[i]],
+                    [mx0[i], my1[i]], [mx0[i], my0[i]],
+                ])) for i in range(n)
+            ]
+            a = pa.array(rings, pa.binary())
+        else:
+            raise KeyError(s)
+        arrays.append(a)
+        names.append(col.name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+class ProjectTable:
+    """Actor-pool stage: spec resolved once per actor (the analog of the
+    reference building its PackCsvBlocksTable per writer thread)."""
+
+    def __init__(self, spec: TableSpec, negate_ids: bool = False,
+                 params: EngineParams | None = None):
+        self.spec = spec
+        self.negate_ids = negate_ids
+        self.params = params or EngineParams()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return project_table(batch, self.spec, self.negate_ids)

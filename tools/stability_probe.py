@@ -1,0 +1,24 @@
+"""Probe: identical results at different parallelism levels (fresh
+process per level). Prints a value hash per query."""
+import hashlib
+import os
+import sys
+
+import pandas as pd
+import ray
+
+ncpu = int(sys.argv[1])
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as E  # noqa: E402
+
+for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg_cells"):
+    res = E.queries()[name](sf)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
+    h = hashlib.sha256(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()[:16]
+    print(f"{name} n={len(df)} hash={h}")
+ray.shutdown()
