@@ -37,6 +37,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_counts": Q.q_flagship_counts,
         "union_lines": Q.q_union_lines,
         "lowzoom_counts": Q.q_lowzoom_counts,
+        # geometry assembly + propagation (A1-A4) and checkpoint/lineage
+        "assembly": Q.q_assembly,
+        "relation_tags": Q.q_relation_tags,
+        "parent_tags": Q.q_parent_tags,
+        "checkpoint": Q.q_checkpoint,
         # relational ops (joins, window, topk, agg, diff-merge dedup)
         "dedup_latest": Q.q_dedup_latest,
         "window_hourly": Q.q_window_hourly,

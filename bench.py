@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Headline benchmark for the Ray-Data engine.
+
+Default: run every __ray_entry__ query over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "headline": {"join_rows_per_s": ..., "tiles_per_s": ...}}
+
+--scaling: run the headline job (spatial-join + tiling, the
+BASELINE.json metric) twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and report both throughputs plus
+scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
+
+--headline-only [--cpus N]: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Stream a result to completion; return row count."""
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_headline(sf_dir: str) -> dict:
+    """The BASELINE.json metric: spatial-join rows/sec + tiles/sec.
+
+    Job = PIP join of the geotagged corpus against the zone polygons
+    (join rows) + the flagship 6-table tiling pipeline (rows grouped
+    into quadtree tiles)."""
+    from osmquadtreepostgis_ray import queries as Q
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+
+    t0 = time.time()
+    join_rows = _consume(Q.q_pip_zones(sf_dir))
+    t_join = time.time() - t0
+
+    t1 = time.time()
+    tile_ids = set()
+    tile_rows = 0
+    for name, ds in output_tables(sf_dir).items():
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            tile_rows += b.num_rows
+            if "tile" in b.schema.names:
+                tile_ids.update(b.column("tile").to_pylist())
+    t_tile = time.time() - t1
+
+    return {
+        "join_rows": join_rows,
+        "join_sec": round(t_join, 3),
+        "join_rows_per_s": round(join_rows / max(t_join, 1e-9), 1),
+        "tile_rows": tile_rows,
+        "tiles": len(tile_ids),
+        "tile_sec": round(t_tile, 3),
+        "tiles_per_s": round(len(tile_ids) / max(t_tile, 1e-9), 1),
+        "rows_per_s": round((join_rows + tile_rows) / max(t_join + t_tile, 1e-9), 1),
+        "sec": round(t_join + t_tile, 3),
+    }
+
+
+def run_all(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    # warmup: spin up workers so the first timed query isn't charged for it
+    import ray.data
+    ray.data.range(1000).map_batches(lambda b: b).count()
+
+    per_query: dict[str, float] = {}
+    total0 = time.time()
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            _consume(fn(sf_dir))
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # pragma: no cover - bench must not die
+            per_query[name] = -1.0
+            print(f"# bench error {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+
+    headline = run_headline(sf_dir)
+    total = time.time() - total0
+
+    import ray
+    ray.shutdown()
+    return {
+        "metric": "all-queries + headline spatial-join/tiling wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "headline": headline,
+    }
+
+
+def run_headline_child(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import ray.data
+    ray.data.range(1000).map_batches(lambda b: b).count()  # warmup
+    h = run_headline(sf_dir)
+    import ray
+    ray.shutdown()
+    return {"num_cpus": num_cpus, **h}
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Fresh process per parallelism level (the sandbox stand-in for the
+    N vs 4N node cluster criterion)."""
+    out = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    thr_lo = out[lo]["rows_per_s"]
+    thr_hi = out[hi]["rows_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (headline rows/s, fresh procs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "lo": out[lo],
+        "hi": out[hi],
+        "queries": {},
+        "num_cpus": hi,
+    }
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = SF_DIR
+    cpus = CPUS
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    if "--cpus" in args:
+        cpus = int(args[args.index("--cpus") + 1])
+    if "--headline-only" in args:
+        res = run_headline_child(sf_dir, cpus)
+    elif "--scaling" in args:
+        res = run_scaling(sf_dir)
+    else:
+        res = run_all(sf_dir, cpus)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

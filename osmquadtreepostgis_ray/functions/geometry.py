@@ -160,6 +160,60 @@ def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
     return r
 
 
+# ------------------------------------------------------------- stitching
+
+def stitch_chains(edges: list[tuple[int, int, int]]) -> list[tuple[bool, list[int]]]:
+    """Reassemble undirected edges (edge_id, node_a, node_b) into maximal
+    chains — the ring/way stitcher behind multipolygon assembly (the A2
+    analog of oqt's relation stitching used at
+    /root/reference/src/processpostgis.cpp:138-141, observed as the
+    serial MultiPolygons stage in docs/output.txt:75).
+
+    Returns [(closed, [node, ...]), ...].  Chains BREAK at junction nodes
+    (degree != 2) — the way-stitching convention — so a ring with a
+    dangling tail yields one closed ring plus one open chain.  Open
+    chains start from the junction/end node with the smallest id; pure
+    cycles start at their smallest node id.  Deterministic regardless of
+    input edge order; ties broken by smallest edge_id.
+    """
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for eid, a, b in edges:
+        adj.setdefault(a, []).append((eid, b))
+        adj.setdefault(b, []).append((eid, a))
+    for v in adj.values():
+        v.sort()
+    used: set[int] = set()
+    chains: list[tuple[bool, list[int]]] = []
+
+    def walk(start: int, eid: int, nxt: int) -> list[int]:
+        """Follow one edge out of `start`, continuing only through
+        degree-2 nodes, until a junction/end or back at `start`."""
+        used.add(eid)
+        path = [start, nxt]
+        while path[-1] != start and len(adj[path[-1]]) == 2:
+            step = next(((e, n) for e, n in adj[path[-1]] if e not in used), None)
+            if step is None:
+                break
+            used.add(step[0])
+            path.append(step[1])
+        return path
+
+    junctions = sorted(n for n, v in adj.items() if len(v) != 2)
+    for start in junctions:
+        for eid, nxt in adj[start]:
+            if eid in used:
+                continue
+            path = walk(start, eid, nxt)
+            chains.append((path[0] == path[-1] and len(path) > 2, path))
+    for start in sorted(adj):  # leftover: pure degree-2 cycles
+        step = next(((e, n) for e, n in adj[start] if e not in used), None)
+        if step is None:
+            continue
+        path = walk(start, *step)
+        chains.append((path[0] == path[-1] and len(path) > 2, path))
+    return chains
+
+
 # ------------------------------------------------------ point-in-polygon
 
 def points_in_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:

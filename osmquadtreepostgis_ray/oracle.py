@@ -211,6 +211,104 @@ def sql_lowzoom_counts(z: int = 12) -> str:
     )"""
 
 
+# ------------------------------------------------------------- assembly (A1-A4)
+
+def assembly_members_cte() -> str:
+    """Twin of stages/assembly.py member_table + part assignment."""
+    ph = geotag.phash_sql("doc_id")
+    hit = count_word_sql("text", "merge")
+    return f"""
+    m0 AS (
+        SELECT doc_id, doc_id // 8 AS group_id, {ph} AS phash, {hit} AS hit
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, group_id, hit,
+               (phash % 360000) AS x, ((phash // 360000) % 170000) AS y,
+               row_number() OVER (PARTITION BY group_id ORDER BY doc_id) - 1 AS seq,
+               count(*) OVER (PARTITION BY group_id) AS k,
+               max(hit) OVER (PARTITION BY group_id) AS maxhit
+        FROM m0
+    ),
+    g AS (
+        SELECT *, (maxhit > 0 AND k >= 3) AS closed,
+               CASE WHEN k >= 6 THEN k // 2 ELSE k END AS half
+        FROM m
+    ),
+    p AS (
+        SELECT *,
+            CASE WHEN closed AND k >= 6 AND seq >= half THEN 2 ELSE 1 END AS part,
+            CASE WHEN closed AND k >= 6 AND seq >= half THEN seq - half ELSE seq END AS pseq,
+            CASE WHEN closed AND k >= 6 THEN
+                 (CASE WHEN seq >= half THEN k - half ELSE half END)
+                 ELSE k END AS psize
+        FROM g
+    )"""
+
+
+def sql_assembly() -> str:
+    return f"""
+    WITH {assembly_members_cte()},
+    pts AS (
+        SELECT group_id, group_id AS osm_id, 'point' AS kind,
+               1 AS part, 1 AS n_points, 0 AS measure2
+        FROM p WHERE k = 1
+    ),
+    lines AS (
+        SELECT a.group_id, a.group_id AS osm_id, 'line' AS kind, 1 AS part,
+               max(a.k) AS n_points,
+               sum(abs(b.x - a.x) + abs(b.y - a.y)) AS measure2
+        FROM p a JOIN p b ON b.group_id = a.group_id AND b.seq = a.seq + 1
+        WHERE NOT a.closed AND a.k >= 2
+        GROUP BY a.group_id
+    ),
+    polys AS (
+        SELECT a.group_id, -a.group_id AS osm_id, 'polygon' AS kind, a.part,
+               max(a.psize) + 1 AS n_points,
+               abs(sum(a.x * b.y - b.x * a.y)) AS measure2
+        FROM p a JOIN p b ON b.group_id = a.group_id AND b.part = a.part
+                          AND b.pseq = (a.pseq + 1) % a.psize
+        WHERE a.closed
+        GROUP BY a.group_id, a.part
+    )
+    SELECT group_id, osm_id, kind, part::BIGINT AS part,
+           n_points::BIGINT AS n_points, measure2::BIGINT AS measure2
+    FROM (SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys)
+    """
+
+
+def sql_relation_tags() -> str:
+    from osmquadtreepostgis_ray.stages.assembly import N_ROUTES, ROUTE_STEP
+    return f"""
+    SELECT doc_id, string_agg(CAST(r AS VARCHAR), ',' ORDER BY r) AS routes
+    FROM documents CROSS JOIN range({N_ROUTES}) t(r)
+    WHERE (doc_id + r) % {ROUTE_STEP} = 0
+    GROUP BY doc_id
+    """
+
+
+def sql_parent_tags() -> str:
+    fast = count_word_sql("text", "fast")
+    slow = count_word_sql("text", "slow")
+    return f"""
+    SELECT doc_id, doc_id // 8 AS group_id,
+           {fast} AS hit_fast, {slow} AS hit_slow,
+           max({fast}) OVER (PARTITION BY doc_id // 8) AS parent_fast,
+           max({slow}) OVER (PARTITION BY doc_id // 8) AS parent_slow
+    FROM documents
+    """
+
+
+def sql_checkpoint() -> str:
+    """Per-partition row counts of the checkpointed flagship point table
+    (partition = tile's depth-4 ancestor: morton >> 2*(8-4), redepthed)."""
+    return f"""
+    WITH {images_cte()}
+    SELECT ((tile // 64) // 256) * 64 + 4 AS part, count(*)::BIGINT AS "rows"
+    FROM imgs WHERE kind = 0 GROUP BY 1
+    """
+
+
 # ------------------------------------------------------------------ documents
 
 def sql_dedup_exact() -> str:
@@ -282,6 +380,10 @@ def build_oracles() -> dict[str, str]:
         "flagship_counts": sql_flagship_counts(),
         "union_lines": sql_union_lines(),
         "lowzoom_counts": sql_lowzoom_counts(),
+        "assembly": sql_assembly(),
+        "relation_tags": sql_relation_tags(),
+        "parent_tags": sql_parent_tags(),
+        "checkpoint": sql_checkpoint(),
         "dedup_exact": sql_dedup_exact(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),

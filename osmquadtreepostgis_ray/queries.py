@@ -273,6 +273,41 @@ def q_lowzoom_counts(sf_dir: str, z: int = 12):
     return pa.Table.from_pylist(rows)
 
 
+# ------------------------------------------------------------- assembly (A1-A4)
+
+def q_assembly(sf_dir: str):
+    """A1/A2: phash-grouped images -> stitched ways / multipolygon parts."""
+    from osmquadtreepostgis_ray.stages.assembly import assemble
+    return assemble(read_table(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .select_columns(["group_id", "osm_id", "kind", "part", "n_points", "measure2"])
+
+
+def q_relation_tags(sf_dir: str):
+    """A3: route-relation refs string-agg'd per member."""
+    from osmquadtreepostgis_ray.stages.assembly import relation_tags
+    return relation_tags(read_table(sf_dir, "documents", columns=["doc_id"])) \
+        .select_columns(["doc_id", "routes"])
+
+
+def q_parent_tags(sf_dir: str):
+    """A4: parent-group tag maxima propagated onto members."""
+    from osmquadtreepostgis_ray.stages.assembly import parent_tags
+    return parent_tags(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_checkpoint(sf_dir: str):
+    """North-rule lineage: resumable partitioned write of the flagship
+    point table; returns the per-partition checkpoint metrics rows."""
+    import tempfile
+
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    from osmquadtreepostgis_ray.state.checkpoint import resumable_write
+    out_dir = tempfile.mkdtemp(prefix="ckpt_", dir="/tmp")
+    metrics = resumable_write(output_tables(sf_dir)["point"], out_dir,
+                              key_col="tile", part_depth=4)
+    return metrics.select(["part", "rows"])
+
+
 # ------------------------------------------------------------------ documents
 
 def q_dedup_exact(sf_dir: str):

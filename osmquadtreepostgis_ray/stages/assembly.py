@@ -1,0 +1,183 @@
+"""Geometry assembly — the Ray-Data re-expression of the reference's
+stateful oqt assembly stages (SURVEY.md §2.4):
+
+  A1 MakeGeometries : member rows -> way linestrings (nodes-in-sequence)
+  A2 MultiPolygons  : closed member groups -> multipolygon rings via
+                      endpoint stitching, one part per ring (M8 split),
+                      relation-derived ids negated (M9)
+  A3 HandleRelations: route-relation refs string-agg'd onto members
+  A4 AddParentTags  : parent-group tag maxima propagated onto members
+
+Domain transposition (SURVEY.md §7.0): a "way/relation group" is the
+run of 8 consecutive images ``group_id = doc_id // 8``; the group's
+nodes are its members' phash geotag points ordered by doc_id; a group is
+*closed* (relation/multipolygon analog) iff any member caption contains
+'merge' and it has >= 3 members.  Groups of >= 6 members form TWO rings
+(members below/above the median seq) — a 2-part ComplicatedPolygon.
+
+Everything the oracle compares is exact int64: doubled shoelace area
+(`area2_milli`), L1 length (`len_l1_milli`), node counts — so DuckDB
+window SQL reproduces it bit-for-bit.
+
+The assembly itself is ONE shuffle: ``groupby(group_id).map_groups`` —
+the same key the reference uses (relation id), with the skew levers of
+stages/skew.py available for giant groups.  Edges are stitched with
+functions.geometry.stitch_chains from deliberately phash-shuffled edge
+order, so correctness never depends on arrival order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from osmquadtreepostgis_ray.functions import geotag
+from osmquadtreepostgis_ray.functions.geometry import stitch_chains
+from osmquadtreepostgis_ray.functions.tags import count_word
+
+GROUP_SIZE = 8
+W_CLOSE = "merge"  # caption word marking a relation/multipolygon group
+
+
+def member_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """documents -> assembly members: group id, geotag node coords, and
+    the close-marker hit count (vectorized; no payloads)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        phash = geotag.phash_of(ids)
+        lon_m, lat_m = geotag.lonlat_milli_from_phash(phash)
+        cap = pd.Series(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "group_id": pa.array(ids // GROUP_SIZE, pa.int64()),
+            "lon_milli": pa.array(lon_m, pa.int64()),
+            "lat_milli": pa.array(lat_m, pa.int64()),
+            "close_hit": pa.array(count_word(cap, W_CLOSE), pa.int64()),
+            "phash": pa.array(phash, pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _ring_area2(xs: np.ndarray, ys: np.ndarray) -> int:
+    """|doubled shoelace| over a closed node cycle (exact int64)."""
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    return int(abs(np.sum(xs * y2 - x2 * ys)))
+
+
+def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("doc_id").reset_index(drop=True)
+    k = len(g)
+    gid = int(g["group_id"].iloc[0])
+    xs = g["lon_milli"].to_numpy(np.int64)
+    ys = g["lat_milli"].to_numpy(np.int64)
+    closed = bool((g["close_hit"] > 0).any()) and k >= 3
+
+    def row(kind, part, n_points, measure2, osm_id):
+        return {"group_id": gid, "osm_id": osm_id, "kind": kind, "part": part,
+                "n_points": n_points, "measure2": measure2}
+
+    if k == 1:
+        return pd.DataFrame([row("point", 1, 1, 0, gid)])
+
+    if not closed:
+        # A1: open way — L1 polyline length over seq order
+        length = int(np.abs(np.diff(xs)).sum() + np.abs(np.diff(ys)).sum())
+        return pd.DataFrame([row("line", 1, k, length, gid)])
+
+    # A2: ring edges per sub-ring, stitched from phash-shuffled order
+    m = k // 2 if k >= 6 else k
+    rings = [np.arange(0, m)] if m == k else [np.arange(0, m), np.arange(m, k)]
+    edges = []  # (edge_id=member seq-shuffled, a, b) node ids = seq
+    for ring_nodes in rings:
+        rk = len(ring_nodes)
+        for j in range(rk):
+            a, b = int(ring_nodes[j]), int(ring_nodes[(j + 1) % rk])
+            edges.append((int(g["phash"].iloc[a]), a, b))
+    edges.sort()  # phash order — decorrelated from seq order on purpose
+    chains = stitch_chains(edges)
+    out = []
+    for is_closed, path in chains:
+        if not is_closed:  # degenerate (2-node ring collapses); drop (F7)
+            continue
+        nodes = np.array(path[:-1], dtype=np.int64)
+        part = 1 if 0 in nodes else 2
+        out.append(row("polygon", part, len(nodes) + 1,
+                       _ring_area2(xs[nodes], ys[nodes]), -gid))
+    out.sort(key=lambda r: r["part"])
+    return pd.DataFrame(out)
+
+
+def assemble(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The A1/A2 stage: one grouped shuffle on group_id."""
+    return (member_table(ds)
+            .groupby("group_id")
+            .map_groups(_assemble_group, batch_format="pandas"))
+
+
+# ------------------------------------------------------------------ A3/A4
+
+N_ROUTES = 16
+ROUTE_STEP = 7
+
+
+def route_membership(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """A3 member table: doc -> each route relation containing it
+    (route r contains doc iff (doc_id + r) % ROUTE_STEP == 0) — the
+    flat_map explode of relation member lists."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        r = np.arange(N_ROUTES, dtype=np.int64)
+        hit = ((ids[:, None] + r[None, :]) % ROUTE_STEP) == 0
+        di, ri = np.nonzero(hit)
+        return pa.table({"doc_id": pa.array(ids[di], pa.int64()),
+                         "route": pa.array(r[ri], pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def relation_tags(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """A3: per-doc comma-joined sorted route refs (bus_routes analog,
+    /root/reference docs/output.txt:6 columns) — grouped string-agg."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        routes = ",".join(str(r) for r in sorted(g["route"]))
+        return pd.DataFrame([{"doc_id": int(g["doc_id"].iloc[0]), "routes": routes}])
+
+    return route_membership(ds).groupby("doc_id").map_groups(agg, batch_format="pandas")
+
+
+def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) -> ray.data.Dataset:
+    """A4: propagate the group-max of each parent key onto every member —
+    combiner aggregate per group, then a broadcast join back (never a
+    row-fanout shuffle; the parent table is tiny relative to members)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        cap = pd.Series(batch.column("text").to_pylist())
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "group_id": pa.array(ids // GROUP_SIZE, pa.int64())}
+        for key in keys:
+            cols[f"hit_{key}"] = pa.array(count_word(cap, key), pa.int64())
+        return pa.table(cols)
+
+    members = ds.map_batches(prep, batch_format="pyarrow")
+    parents = members.groupby("group_id").aggregate(
+        *[Max(f"hit_{k}", alias_name=f"parent_{k}") for k in keys])
+    pdf = parents.to_pandas()  # one row per group: small, broadcastable
+    ref = ray.put(pdf)
+
+    class JoinBack:
+        def __init__(self):
+            self.parents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.parents, on="group_id", how="left")
+
+    return members.map_batches(JoinBack, batch_format="pandas", concurrency=2)

@@ -141,53 +141,113 @@ def simhash_buckets(ds: ray.data.Dataset, ngram: int = 9, prefix_bits: int = 12,
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6,
-                        id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Exact word-n-gram Jaccard near-dup pairs, LSH-free: one shared
-    n-gram blocks a candidate pair (rare-gram blocking), verified
-    exactly.  Returns (a, b, jac_permille) — integer permille to stay
+                        id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Exact word-n-gram Jaccard near-dup pairs via PREFIX FILTERING
+    (the PPJoin family): order each doc's gram set rarest-first (global
+    document frequency); a pair with Jaccard >= t must share a gram in
+    each side's first ``|d| - ceil(t*|d|) + 1`` grams, so only prefix
+    grams are exploded, and candidate pairs are verified exactly.
+
+    Naive one-shared-gram blocking is quadratic in document frequency —
+    at sf0.1 it generates ~10M candidates; the prefix filter keeps only
+    genuinely-rare co-occurrences.
+
+    Sandbox scale note: per-doc gram arrays are collected once and
+    broadcast (ray.put) for the verify stage; at 100 TB that lookup
+    becomes a hash join of gram sets on the pair key, and the df table a
+    groupby — both already expressed here as the dataset-side stages.
+
+    Returns a Dataset of (a, b, jac_permille) — integer permille to stay
     hash-stable."""
-    def grams(batch: pa.Table) -> pa.Table:
+    def gram_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
         out_id, out_g = [], []
         for i, t in enumerate(batch.column(text_col).to_pylist()):
-            gs = T.word_ngrams(t, n)
-            out_id.extend([int(ids[i])] * len(gs))
-            out_g.extend(gs.astype(np.int64).tolist())
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "gram": pa.array(out_g, pa.int64())})
+            gs = np.unique(T.word_ngrams(t, n))
+            out_id.append(np.full(len(gs), ids[i], dtype=np.int64))
+            out_g.append(gs.astype(np.int64))
+        return pa.table({id_col: pa.array(np.concatenate(out_id) if out_id else [], pa.int64()),
+                         "gram": pa.array(np.concatenate(out_g) if out_g else [], pa.int64())})
 
-    exploded = ds.map_batches(grams, batch_format="pyarrow")
+    exploded = ds.map_batches(gram_rows, batch_format="pyarrow")
 
-    # shard the gram space; exact per-gram pairing is vectorized pandas
+    # one streaming pass: per-doc gram arrays (verify side) + global df
+    doc_grams: dict[int, np.ndarray] = {}
+    for b in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
+        df_b = pd.DataFrame({"id": b.column(id_col).to_numpy(), "g": b.column("gram").to_numpy()})
+        for did, sub in df_b.groupby("id", sort=False):
+            arr = sub["g"].to_numpy()
+            doc_grams[int(did)] = (np.concatenate([doc_grams[int(did)], arr])
+                                   if int(did) in doc_grams else arr)
+    doc_grams = {d: np.unique(g) for d, g in doc_grams.items()}
+    all_g = np.concatenate(list(doc_grams.values())) if doc_grams else np.empty(0, np.int64)
+    uniq, df_counts = np.unique(all_g, return_counts=True)
+    # total order rarest-first: (df, gram); rank = position in lexsort
+    order = np.lexsort((uniq, df_counts))
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    rank_ref = ray.put((uniq, rank))
+    grams_ref = ray.put(doc_grams)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        u, r = ray.get(rank_ref)
+        dg = ray.get(grams_ref)
+        out_g, out_d, out_sz = [], [], []
+        for did in batch.column(id_col).to_numpy():
+            gs = dg.get(int(did))
+            if gs is None or not len(gs):
+                continue
+            rk = r[np.searchsorted(u, gs)]
+            p = len(gs) - int(np.ceil(threshold * len(gs))) + 1
+            pref = gs[np.argsort(rk)][:p]
+            out_g.append(pref)
+            out_d.append(np.full(len(pref), did, dtype=np.int64))
+            out_sz.append(np.full(len(pref), len(gs), dtype=np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+        return pa.table({"gram": pa.array(cat(out_g), pa.int64()),
+                         id_col: pa.array(cat(out_d), pa.int64()),
+                         "size": pa.array(cat(out_sz), pa.int64())})
+
+    prefixed = ds.select_columns([id_col]).map_batches(prefix_rows, batch_format="pyarrow")
+
     def bucketize(batch: pa.Table) -> pa.Table:
         b = batch.column("gram").to_numpy() % 512
         return batch.append_column("shard", pa.array(b, pa.int64()))
 
-    def pair_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
+    def pairs_and_verify(g: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(grams_ref)
+        seen: set[tuple[int, int]] = set()
+        out_a, out_b, out_j = [], [], []
         for _, sub in g.groupby("gram", sort=False):
-            ids = np.unique(sub[id_col].to_numpy())
-            if len(ids) < 2:
+            if len(sub) < 2:
                 continue
-            a, b = np.meshgrid(ids, ids)
-            keep = a < b
-            out.append(pd.DataFrame({"a": a[keep], "b": b[keep]}))
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        return pd.concat(out).drop_duplicates()
+            sub = sub.drop_duplicates(id_col).sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            sizes = sub["size"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    # length filter: min size >= t * max size for J >= t
+                    if min(sizes[i], sizes[j]) < threshold * max(sizes[i], sizes[j]):
+                        continue
+                    key = (int(ids[i]), int(ids[j]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    ga, gb = dg[key[0]], dg[key[1]]
+                    inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                    jac = inter / (len(ga) + len(gb) - inter)
+                    if jac >= threshold:
+                        out_a.append(key[0]); out_b.append(key[1])
+                        out_j.append(int(round(jac * 1000)))
+        return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
+                             "b": np.array(out_b, dtype=np.int64),
+                             "jac_permille": np.array(out_j, dtype=np.int64)})
 
-    cand = (exploded.map_batches(bucketize, batch_format="pyarrow")
-                    .groupby("shard").map_groups(pair_in_block, batch_format="pandas"))
-    cand_tbl = cand.to_pandas().drop_duplicates(["a", "b"]) if cand.count() else pd.DataFrame({"a": [], "b": []})
+    verified = (prefixed.map_batches(bucketize, batch_format="pyarrow")
+                .groupby("shard").map_groups(pairs_and_verify, batch_format="pandas"))
 
-    # verify exactly with a broadcast gram-set lookup (small corpus path;
-    # scale path: join gram sets back by pair key)
-    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand_tbl["a"].astype(np.int64), cand_tbl["b"].astype(np.int64)):
-        j = T.jaccard(T.word_ngrams(texts[int(a)], n), T.word_ngrams(texts[int(b)], n))
-        if j >= threshold:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(int(round(j * 1000)))
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                     "jac_permille": pa.array(out_j, pa.int64())})
+    # a pair can surface in two shards (one per side's prefix): final dedup
+    def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    return verified.groupby("a").map_groups(final_dedupe, batch_format="pandas")

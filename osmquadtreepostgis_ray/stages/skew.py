@@ -1,0 +1,90 @@
+"""Skew-aware repartitioning — the engine's fix for the reference's
+worst bottleneck (serial MultiPolygons stalling on giant coastline
+tiles, /root/reference/docs/output.txt:75; SURVEY.md §4 'skew: none').
+
+Two tools, both producing keys that stay PURE FUNCTIONS of the row
+(bit-stability requirement, SURVEY.md §7.3):
+
+- split_hot_cells: cells whose row count exceeds `max_rows` are replaced
+  by their child cell `depth_delta` levels deeper (quadtree subdivision,
+  exactly how the reference's oqt splits crowded tiles when building the
+  block index).  Two passes: a cheap combiner count (partial per batch →
+  tiny groupby) finds the hot set, which is broadcast via ray.put; the
+  second pass rewrites only hot rows' keys from their own lon/lat.
+
+- salt_keys: generic fallback for non-spatial keys — hot keys get a
+  deterministic salt derived from the row id, bounding any one group at
+  ~1/salt_mod of the hot key's rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from osmquadtreepostgis_ray.functions import quadtree
+
+
+def cell_counts(ds: ray.data.Dataset, cell_col: str = "cell") -> ray.data.Dataset:
+    """Combiner-style per-cell counts: partial inside each batch, then a
+    groupby over (cell, partial) rows only — the shuffle carries one row
+    per distinct cell per batch, never data rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch.column(cell_col).to_numpy(), return_counts=True)
+        return pa.table({cell_col: pa.array(cells, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(cell_col).aggregate(Sum("n", alias_name="n")))
+
+
+def hot_cells(ds: ray.data.Dataset, max_rows: int, cell_col: str = "cell") -> np.ndarray:
+    counts = cell_counts(ds, cell_col)
+    hot = counts.filter(lambda r: r["n"] > max_rows)
+    return np.array([r[cell_col] for r in hot.take_all()], dtype=np.int64)
+
+
+def split_hot_cells(ds: ray.data.Dataset, max_rows: int, depth_delta: int = 2,
+                    cell_col: str = "cell", out_col: str = "group_cell",
+                    lon_col: str = "lon_milli", lat_col: str = "lat_milli") -> ray.data.Dataset:
+    """Append `out_col`: the cell id, except rows in hot cells carry the
+    child cell `depth_delta` deeper (recomputed from the row's own
+    fixed-point coords, so the result is executor-independent)."""
+    hot = hot_cells(ds, max_rows, cell_col)
+    hot_ref = ray.put(np.sort(hot))
+
+    class Rewrite:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cells = batch.column(cell_col).to_numpy()
+            out = cells.copy()
+            if len(self.hot):
+                mask = np.isin(cells, self.hot)
+                if mask.any():
+                    from osmquadtreepostgis_ray.functions import geotag
+                    depth = int(cells[mask][0] & 63) + depth_delta
+                    lon_f, lat_f = geotag.milli_to_fixed(
+                        batch.column(lon_col).to_numpy()[mask],
+                        batch.column(lat_col).to_numpy()[mask])
+                    ix, iy = quadtree.fixed_to_ixy(lon_f, lat_f, depth)
+                    out[mask] = quadtree.encode_ixy(ix, iy, depth)
+            return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(Rewrite, batch_format="pyarrow", concurrency=2)
+
+
+def salt_keys(keys: np.ndarray, ids: np.ndarray, hot: np.ndarray,
+              salt_mod: int = 16) -> np.ndarray:
+    """Deterministic salted key: hot keys spread over salt_mod shards by
+    the row id (key*salt_mod + salt fits int64 for key < 2^59)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    out = keys * salt_mod
+    if len(hot):
+        mask = np.isin(keys, np.asarray(hot, dtype=np.int64))
+        out[mask] += (np.asarray(ids, dtype=np.int64)[mask] % salt_mod)
+    return out

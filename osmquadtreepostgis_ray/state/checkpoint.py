@@ -1,0 +1,154 @@
+"""Checkpointed, resumable partitioned output — the engine's answer to
+the reference's lack of any resume path (a failed 6h planet run restarts
+from scratch; SURVEY.md §4 'checkpoint/resume: none').
+
+Layout of a checkpointed output::
+
+    out_dir/
+      data/part=<pid>/part-<pid>.parquet   one file per partition (idempotent name)
+      _manifest/<pid>.json                 lineage+metrics record, written
+                                           atomically AFTER the partition's data
+
+A partition is "done" iff its manifest record exists; the data file is
+written first and the manifest renamed into place second, so a kill at
+any instant leaves either (a) nothing, (b) data without manifest — both
+recomputed on resume (the deterministic file name makes the rewrite
+idempotent).  Completed partitions are filtered out BEFORE any compute,
+so a resumed run skips their work entirely (north-rule resumability).
+
+The write itself is a `groupby(part).map_groups` — the partition is
+co-located once (one shuffle) and each group's worker writes its own
+file + manifest, returning a metrics row.  The resulting lineage+metrics
+table (one row per partition: rows, bytes, key range, wall, run id) is
+both the checkpoint state and the per-partition metrics feed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from osmquadtreepostgis_ray.functions import quadtree
+
+MANIFEST_DIR = "_manifest"
+DATA_DIR = "data"
+
+METRICS_SCHEMA = pa.schema([
+    ("part", pa.int64()),
+    ("rows", pa.int64()),
+    ("bytes", pa.int64()),
+    ("files", pa.int64()),
+    ("key_min", pa.int64()),
+    ("key_max", pa.int64()),
+    ("wall_s", pa.float64()),
+    ("status", pa.string()),
+    ("run_id", pa.string()),
+])
+
+
+def completed_partitions(out_dir: str) -> dict[int, dict]:
+    """part id -> manifest record for every completed partition."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return done
+    for f in os.listdir(mdir):
+        if f.endswith(".json") and not f.startswith("_"):
+            with open(os.path.join(mdir, f)) as fh:
+                rec = json.load(fh)
+            done[int(rec["part"])] = rec
+    return done
+
+
+def read_manifest(out_dir: str) -> pa.Table:
+    """The checkpoint/lineage table as Arrow (one row per done partition)."""
+    recs = sorted(completed_partitions(out_dir).values(), key=lambda r: r["part"])
+    if not recs:
+        return METRICS_SCHEMA.empty_table()
+    return pa.Table.from_pylist(
+        [{k: r.get(k) for k in METRICS_SCHEMA.names} for r in recs], schema=METRICS_SCHEMA)
+
+
+def read_data(out_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(out_dir, DATA_DIR))
+
+
+def _partition_writer(out_dir: str, key_col: str, run_id: str):
+    """map_groups UDF: write one partition's data + manifest, emit metrics."""
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        pid = int(group.column("__part")[0].as_py())
+        body = group.drop_columns(["__part"])
+        ddir = os.path.join(out_dir, DATA_DIR, f"part={pid}")
+        os.makedirs(ddir, exist_ok=True)
+        fpath = os.path.join(ddir, f"part-{pid}.parquet")
+        pq.write_table(body, fpath)
+        keys = group.column(key_col).to_numpy()
+        rec = {
+            "part": pid,
+            "rows": int(body.num_rows),
+            "bytes": int(os.path.getsize(fpath)),
+            "files": 1,
+            "key_min": int(keys.min()) if len(keys) else None,
+            "key_max": int(keys.max()) if len(keys) else None,
+            "wall_s": round(time.time() - t0, 6),
+            "status": "done",
+            "run_id": run_id,
+        }
+        mdir = os.path.join(out_dir, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f"_tmp-{pid}-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, os.path.join(mdir, f"{pid}.json"))  # atomic commit
+        return pa.Table.from_pylist([rec], schema=METRICS_SCHEMA)
+
+    return write_partition
+
+
+def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
+                    part_depth: int = 4, run_id: str | None = None) -> pa.Table:
+    """Write `ds` partitioned by quadtree ancestor of `key_col` at
+    `part_depth`, skipping partitions already checkpointed in `out_dir`.
+
+    Returns the full lineage+metrics table: freshly written partitions
+    with this run's id plus previously-done ones marked 'skipped'.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done = completed_partitions(out_dir)
+
+    def addpart(batch: pa.Table) -> pa.Table:
+        part = quadtree.at_depth(batch.column(key_col).to_numpy(), part_depth)
+        return batch.append_column("__part", pa.array(part, pa.int64()))
+
+    ds2 = ds.map_batches(addpart, batch_format="pyarrow")
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            mask = ~np.isin(batch.column("__part").to_numpy(), done_arr)
+            return batch.filter(pa.array(mask))
+
+        ds2 = ds2.map_batches(drop_done, batch_format="pyarrow")
+
+    metrics = ds2.groupby("__part").map_groups(
+        _partition_writer(out_dir, key_col, run_id), batch_format="pyarrow")
+    fresh = pa.concat_tables(
+        list(metrics.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        or [METRICS_SCHEMA.empty_table()])
+
+    skipped = [dict(r, status="skipped") for r in done.values()]
+    if skipped:
+        skipped_t = pa.Table.from_pylist(
+            [{k: r.get(k) for k in METRICS_SCHEMA.names} for r in skipped],
+            schema=METRICS_SCHEMA)
+        fresh = pa.concat_tables([fresh, skipped_t])
+    return fresh.sort_by("part")

@@ -1,0 +1,177 @@
+"""Tests for geometry assembly (A1-A4), checkpoint/resume lineage, and
+skew-aware repartitioning."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from osmquadtreepostgis_ray.functions.geometry import stitch_chains
+from osmquadtreepostgis_ray.stages.assembly import _assemble_group
+
+
+# ------------------------------------------------------------- stitching
+
+def test_stitch_open_chain_any_order():
+    # path 0-1-2-3 given as shuffled undirected edges
+    edges = [(11, 2, 3), (7, 1, 0), (5, 2, 1)]
+    chains = stitch_chains(edges)
+    assert len(chains) == 1
+    closed, path = chains[0]
+    assert not closed
+    assert path in ([0, 1, 2, 3], [3, 2, 1, 0])
+    assert path[0] == 0  # starts at smallest degree-1 node
+
+
+def test_stitch_two_rings_mixed():
+    # ring A: 0-1-2-0, ring B: 5-6-7-8-5, shuffled together
+    edges = [(9, 6, 5), (1, 1, 0), (4, 2, 1), (3, 8, 5), (2, 0, 2),
+             (8, 7, 6), (6, 8, 7)]
+    chains = stitch_chains(edges)
+    rings = [set(p[:-1]) for c, p in chains if c]
+    assert len(chains) == 2 and all(c for c, _ in chains)
+    assert {frozenset(r) for r in rings} == {frozenset({0, 1, 2}), frozenset({5, 6, 7, 8})}
+    # rings start at their smallest node and close
+    for c, p in chains:
+        assert p[0] == min(p) and p[0] == p[-1]
+
+
+def test_stitch_ring_plus_tail():
+    # ring 0-1-2-0 with a dangling tail 2-9
+    edges = [(1, 0, 1), (2, 1, 2), (3, 2, 0), (4, 2, 9)]
+    chains = stitch_chains(edges)
+    kinds = sorted((c, len(p)) for c, p in chains)
+    assert len(chains) == 2
+    assert any(not c for c, _ in chains) and any(c for c, _ in chains)
+
+
+# -------------------------------------------------------------- assembly
+
+def _group_df(ids, texts):
+    from osmquadtreepostgis_ray.functions import geotag
+    ids = np.asarray(ids, dtype=np.int64)
+    ph = geotag.phash_of(ids)
+    lon, lat = geotag.lonlat_milli_from_phash(ph)
+    return pd.DataFrame({
+        "doc_id": ids, "group_id": ids // 8, "lon_milli": lon, "lat_milli": lat,
+        "close_hit": [t.count("merge") for t in texts], "phash": ph,
+    })
+
+
+def test_assemble_open_line_order_invariant():
+    g = _group_df([16, 17, 18, 19], ["a", "b", "c", "d"])
+    out1 = _assemble_group(g)
+    out2 = _assemble_group(g.sample(frac=1, random_state=7))
+    assert out1.iloc[0]["kind"] == "line"
+    assert out1.iloc[0]["n_points"] == 4
+    pd.testing.assert_frame_equal(out1.reset_index(drop=True), out2.reset_index(drop=True))
+
+
+def test_assemble_closed_two_rings():
+    ids = list(range(24, 32))  # k=8 -> two rings of 4
+    g = _group_df(ids, ["merge"] + ["x"] * 7)
+    out = _assemble_group(g)
+    assert list(out["kind"]) == ["polygon", "polygon"]
+    assert list(out["part"]) == [1, 2]
+    assert list(out["n_points"]) == [5, 5]
+    assert (out["osm_id"] == -3).all()  # M9 negation
+    assert (out["measure2"] >= 0).all()
+
+
+def test_assemble_small_closed_single_ring():
+    ids = [40, 41, 42]
+    g = _group_df(ids, ["merge", "y", "z"])
+    out = _assemble_group(g)
+    assert list(out["kind"]) == ["polygon"]
+    assert out.iloc[0]["n_points"] == 4
+
+
+def test_assemble_singleton_point():
+    out = _assemble_group(_group_df([80], ["solo"]))
+    assert out.iloc[0]["kind"] == "point" and out.iloc[0]["measure2"] == 0
+
+
+# ------------------------------------------------------------ checkpoint
+
+def test_resumable_write_and_resume(tmp_path):
+    from osmquadtreepostgis_ray.state import checkpoint as C
+
+    n = 400
+    rng = np.random.RandomState(3)
+    tile = ((rng.randint(0, 4 ** 8, n).astype(np.int64)) << 6) | 8
+    ds = ray.data.from_arrow(pa.table({
+        "tile": pa.array(tile, pa.int64()),
+        "val": pa.array(np.arange(n), pa.int64()),
+    }))
+    out = str(tmp_path / "ck")
+    m1 = C.resumable_write(ds, out, key_col="tile", part_depth=2, run_id="r1")
+    assert (pa.compute.sum(m1.column("rows")).as_py()) == n
+    assert set(m1.column("status").to_pylist()) == {"done"}
+    parts = m1.column("part").to_pylist()
+    assert len(parts) == len(set(parts))
+
+    # data on disk matches
+    back = C.read_data(out)
+    assert back.count() == n
+
+    # simulate a killed run: delete one manifest (its data dir survives)
+    victim = parts[0]
+    os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+    m2 = C.resumable_write(ds, out, key_col="tile", part_depth=2, run_id="r2")
+    st = {r["part"]: r["status"] for r in m2.to_pylist()}
+    assert st[victim] == "done"  # recomputed
+    assert all(s == "skipped" for p, s in st.items() if p != victim)
+    rid = {r["part"]: r["run_id"] for r in m2.to_pylist()}
+    assert rid[victim] == "r2"
+    # total rows unchanged after resume (idempotent rewrite)
+    assert C.read_data(out).count() == n
+    man = C.read_manifest(out)
+    assert pa.compute.sum(man.column("rows")).as_py() == n
+
+
+# ------------------------------------------------------------------ skew
+
+def test_split_hot_cells_bounds_groups():
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+    from osmquadtreepostgis_ray.stages.skew import split_hot_cells
+
+    # 900 rows in one cell's area, 50 spread out
+    rng = np.random.RandomState(1)
+    lon_hot = 180_000 + rng.randint(0, 40, 900)   # tight cluster
+    lat_hot = 80_000 + rng.randint(0, 40, 900)
+    lon_cold = rng.randint(0, 360_000, 50)
+    lat_cold = rng.randint(0, 170_000, 50)
+    lon = np.r_[lon_hot, lon_cold].astype(np.int64)
+    lat = np.r_[lat_hot, lat_cold].astype(np.int64)
+    fx, fy = geotag.milli_to_fixed(lon, lat)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, 10)
+    cell = quadtree.encode_ixy(ix, iy, 10)
+    ds = ray.data.from_arrow(pa.table({
+        "lon_milli": pa.array(lon), "lat_milli": pa.array(lat),
+        "cell": pa.array(cell, pa.int64()),
+    }))
+    out = split_hot_cells(ds, max_rows=100, depth_delta=3, cell_col="cell")
+    df = out.to_pandas()
+    # cold rows keep their cell; hot rows get deeper cells
+    hot_cells_in = set(cell[:900].tolist())
+    got = df["group_cell"].to_numpy()
+    depths = got & 63
+    assert (depths[df["cell"].isin(hot_cells_in)] == 13).all()
+    # group_cell is a pure function of the row: recompute independently
+    fx2, fy2 = geotag.milli_to_fixed(df["lon_milli"].to_numpy(), df["lat_milli"].to_numpy())
+    mask = depths == 13
+    ix2, iy2 = quadtree.fixed_to_ixy(fx2[mask], fy2[mask], 13)
+    assert (quadtree.encode_ixy(ix2, iy2, 13) == got[mask]).all()
+
+
+def test_salt_keys_deterministic():
+    from osmquadtreepostgis_ray.stages.skew import salt_keys
+    keys = np.array([5, 5, 5, 9, 9], dtype=np.int64)
+    ids = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    hot = np.array([5], dtype=np.int64)
+    out = salt_keys(keys, ids, hot, salt_mod=4)
+    assert out.tolist() == [20, 21, 22, 36, 36]
