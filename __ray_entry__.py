@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_tags": Q.q_relation_tags,
         "parent_tags": Q.q_parent_tags,
         "checkpoint": Q.q_checkpoint,
+        "json_props": Q.q_json_props,
+        "simplify_ways": Q.q_simplify_ways,
         # relational ops (joins, window, topk, agg, diff-merge dedup)
         "dedup_latest": Q.q_dedup_latest,
         "window_hourly": Q.q_window_hourly,

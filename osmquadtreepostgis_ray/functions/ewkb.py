@@ -94,6 +94,22 @@ def box_polygons_vectorized(x0, y0, x1, y1) -> list[bytes]:
     return [flat[i * row:(i + 1) * row].tobytes() for i in range(n)]
 
 
+def lines_vectorized(coords: np.ndarray) -> list[bytes]:
+    """Batch linestring EWKB for a fixed vertex count: (n, k, 2) float64
+    -> n encodings.  One contiguous big-endian pack, split per row."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n, k = coords.shape[0], coords.shape[1]
+    head = _hdr(WKB_LINESTRING) + struct.pack(">I", k)
+    hlen = len(head)
+    row = hlen + k * 16
+    buf = np.empty((n, row), dtype=np.uint8)
+    buf[:, :hlen] = np.frombuffer(head, dtype=np.uint8)
+    be = coords.astype(">f8").reshape(n, k * 2)
+    buf[:, hlen:] = be.view(np.uint8).reshape(n, k * 16)
+    flat = buf.reshape(-1)
+    return [flat[i * row:(i + 1) * row].tobytes() for i in range(n)]
+
+
 def parse(wkb: bytes):
     """Minimal EWKB reader for tests: returns (type, srid, coords-struct)."""
     assert wkb[0] == 0, "big-endian expected"

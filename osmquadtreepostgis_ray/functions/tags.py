@@ -29,6 +29,36 @@ def count_word(texts: pd.Series, word: str) -> np.ndarray:
     return texts.str.count(pat).to_numpy(dtype=np.int64)
 
 
+def count_words_multi(texts, keys: tuple[str, ...]) -> np.ndarray:
+    """Per-row occurrence counts for MANY whole words in one pass:
+    returns an (n_rows, n_keys) int64 matrix.
+
+    Tokenize once (pyarrow C kernel), map tokens to key indices
+    (pc.index_in), scatter-add.  Identical to count_word for the
+    whitespace-separated alphanumeric caption corpus (a token equals the
+    word iff the \\b-regex matches), at ~1/len(keys) the cost — this is
+    the hot kernel of routing + tag projection.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(
+        texts.to_numpy() if hasattr(texts, "to_numpy") else texts, pa.string())
+    n = len(arr)
+    out = np.zeros((n, len(keys)), dtype=np.int64)
+    if n == 0:
+        return out
+    lists = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    codes = pc.index_in(flat, value_set=pa.array(list(keys))).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hit = codes >= 0
+    np.add.at(out, (rows[hit], codes[hit]), 1)
+    return out
+
+
 def count_word_sql(text_expr: str, word: str) -> str:
     pat = r"\b" + re.escape(word) + r"\b"
     return (f"((length({text_expr}) - length(regexp_replace({text_expr}, '{pat}', '', 'g'))) / {len(word)})::BIGINT"
@@ -52,6 +82,51 @@ def hstore_leftover(texts: pd.Series, feature_keys: set[str]) -> pd.Series:
     wc["kv"] = '"' + wc["word"] + '"=>"' + wc["cnt"].astype(str) + '"'
     agg = wc.groupby("row", sort=False)["kv"].agg(", ".join)
     return agg.reindex(texts.index, fill_value="")
+
+
+def hstore_leftover_arrow(texts, feature_keys: set[str]) -> np.ndarray:
+    """Arrow/numpy fast path of hstore_leftover (identical output):
+    tokenize once, dictionary-encode tokens, run-length count (row,word)
+    pairs on sorted int codes, render per-pair kv strings vectorized,
+    join per row.  No per-token Python objects until the reduced unique
+    pairs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(
+        texts.to_numpy() if hasattr(texts, "to_numpy") else texts, pa.string())
+    n = len(arr)
+    out = np.full(n, "", dtype=object)
+    if n == 0:
+        return out
+    lists = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return out
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = ~np.isin(words, list(feature_keys))[codes]
+    rows, codes = rows[keep], codes[keep]
+    if not len(rows):
+        return out
+    order = np.lexsort((codes, rows))
+    r, c = rows[order], codes[order]
+    bound = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+    idx = np.flatnonzero(bound)
+    ur, uc = r[idx], c[idx]
+    cnt = np.diff(np.r_[idx, len(r)])
+    uw = words[uc]
+    order2 = np.lexsort((uw, ur))  # hstore keys sorted by word per row
+    ur, uw, cnt = ur[order2], uw[order2], cnt[order2]
+    kv = ('"' + uw + '"=>"').astype(object) + cnt.astype(str).astype(object) + '"'
+    kvl = kv.tolist()
+    b = np.r_[0, np.flatnonzero(ur[1:] != ur[:-1]) + 1, len(ur)]
+    for i in range(len(b) - 1):
+        out[ur[b[i]]] = ", ".join(kvl[b[i]:b[i + 1]])
+    return out
 
 
 def hstore_leftover_sql(table: str, id_col: str, text_col: str, feature_keys: tuple[str, ...]) -> str:

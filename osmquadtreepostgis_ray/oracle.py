@@ -359,6 +359,11 @@ def sql_embed_knn(k: int = 5, nq: int = 5) -> str:
     """
 
 
+def _sql_json_props() -> str:
+    from osmquadtreepostgis_ray.stages.jsonview import json_props_sql
+    return json_props_sql()
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -380,6 +385,7 @@ def build_oracles() -> dict[str, str]:
         "flagship_counts": sql_flagship_counts(),
         "union_lines": sql_union_lines(),
         "lowzoom_counts": sql_lowzoom_counts(),
+        "json_props": _sql_json_props(),
         "assembly": sql_assembly(),
         "relation_tags": sql_relation_tags(),
         "parent_tags": sql_parent_tags(),

@@ -24,28 +24,34 @@ from osmquadtreepostgis_ray.sources.images import read_images
 from osmquadtreepostgis_ray.spec import build_table_specs
 from osmquadtreepostgis_ray.stages.cells import encode_cells_batch
 from osmquadtreepostgis_ray.stages.project import ProjectTable
-from osmquadtreepostgis_ray.stages.routing import route_batch, table_filter
+from osmquadtreepostgis_ray.stages.routing import route_batch
 
 
-def routed_corpus(sf_dir: str, params: EngineParams | None = None) -> ray.data.Dataset:
+def routed_corpus(sf_dir: str, params: EngineParams | None = None,
+                  repeat: int = 1) -> ray.data.Dataset:
     """Corpus with cells + routing columns (shared upstream)."""
     p = params or EngineParams()
 
     def prep(batch):
         return route_batch(encode_cells_batch(batch, p), p)
 
-    return read_images(sf_dir, with_bytes=False).map_batches(
+    return read_images(sf_dir, with_bytes=False, repeat=repeat).map_batches(
         prep, batch_format="pyarrow", batch_size=p.batch_size)
 
 
-def output_tables(sf_dir: str, params: EngineParams | None = None) -> dict[str, ray.data.Dataset]:
-    """name -> lazy Dataset of the projected output table."""
+def output_tables(sf_dir: str, params: EngineParams | None = None,
+                  alloc=None) -> dict[str, ray.data.Dataset]:
+    """name -> lazy Dataset of the projected output table.  ``alloc``
+    is the M3 hook: 'default' / 'extended' / callable(name, batch)->mask."""
+    from osmquadtreepostgis_ray.stages.routing import resolve_alloc
     p = params or EngineParams()
     specs = build_table_specs(p.style, extended=p.extended)
     routed = routed_corpus(sf_dir, p)
+    alloc_fn = resolve_alloc(alloc if alloc is not None
+                             else ("extended" if p.extended else "default"))
     out: dict[str, ray.data.Dataset] = {}
     for name, spec in specs.items():
-        filt = table_filter(name, extended=p.extended)
+        filt = alloc_fn(name)
         negate = name == "boundary"
 
         def branch(batch, _filt=filt, _spec=spec, _neg=negate):
@@ -63,6 +69,58 @@ def output_tables(sf_dir: str, params: EngineParams | None = None) -> dict[str, 
         out[name] = routed.map_batches(branch, batch_format="pyarrow",
                                        batch_size=p.batch_size)
     return out
+
+
+def all_tables_union(sf_dir: str, params: EngineParams | None = None,
+                     repeat: int = 1) -> ray.data.Dataset:
+    """SINGLE-PASS variant: one Dataset carrying every routed output row
+    with a `tbl` tag column over the union schema (missing columns
+    null).  The per-table branch graphs in `output_tables` each re-read
+    and re-route the corpus — fine for lazy per-table consumers, wrong
+    for a full export at 100 TB.  This is the full-export path: read and
+    route ONCE, project all 6 tables per batch, concat with nulls.
+    Mirrors the reference's CsvBlock (one encoded batch holding all
+    tables' rows, src/postgiswriter.hpp:35-81)."""
+    import pyarrow as pa
+
+    from osmquadtreepostgis_ray.stages.routing import table_filter
+
+    p = params or EngineParams()
+    specs = build_table_specs(p.style, extended=p.extended)
+    union_names: list[str] = ["tbl"]
+    union_fields: dict[str, object] = {}
+    for spec in specs.values():
+        for f in spec.arrow_schema():
+            if f.name not in union_fields:
+                union_fields[f.name] = f.type
+                union_names.append(f.name)
+    union_schema = pa.schema([("tbl", pa.string())] +
+                             [(n, union_fields[n]) for n in union_names[1:]])
+
+    def project_all(batch: pa.Table) -> pa.Table:
+        outs = []
+        for name, spec in specs.items():
+            filt = table_filter(name, extended=p.extended)
+            sel = filt(batch)
+            negate = name == "boundary"
+            if spec.name in ("polygon", "building") and sel.num_rows:
+                import pyarrow.compute as pc
+                bnd = sel.column("is_boundary")
+                proj = pa.concat_tables([
+                    ProjectTable(spec, False)(sel.filter(pc.invert(bnd))),
+                    ProjectTable(spec, True)(sel.filter(bnd)),
+                ])
+            else:
+                proj = ProjectTable(spec, negate)(sel)
+            cols = [pa.array([name] * proj.num_rows, pa.string())]
+            for n in union_names[1:]:
+                cols.append(proj.column(n) if n in proj.column_names
+                            else pa.nulls(proj.num_rows, union_fields[n]))
+            outs.append(pa.Table.from_arrays(cols, schema=union_schema))
+        return pa.concat_tables(outs)
+
+    return routed_corpus(sf_dir, p, repeat=repeat).map_batches(
+        project_all, batch_format="pyarrow", batch_size=p.batch_size)
 
 
 def write_outputs(sf_dir: str, out_dir: str, params: EngineParams | None = None) -> dict[str, int]:

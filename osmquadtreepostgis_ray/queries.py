@@ -29,7 +29,8 @@ TILE_DEPTH = 8
 
 # ------------------------------------------------------------------ events geo
 
-def prep_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def prep_events(sf_dir: str, columns: list[str] | None = None,
+                repeat: int = 1) -> ray.data.Dataset:
     """events + geotag + cell/tile columns (vectorized, exact ints)."""
     cols = columns or ["event_id", "user_id"]
 
@@ -48,7 +49,19 @@ def prep_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Datas
             batch = batch.append_column(name, pa.array(arr, typ))
         return batch
 
-    return read_table(sf_dir, "events", columns=cols).map_batches(enc, batch_format="pyarrow")
+    return read_table(sf_dir, "events", columns=cols, repeat=repeat) \
+        .map_batches(enc, batch_format="pyarrow")
+
+
+def pip_zones_ds(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """The headline spatial join, parameterized for benchmarking.
+    Task-based with a per-worker index cache — the zone side is tiny, so
+    actor spawn would dominate (see stages/pip_join.py)."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_fn
+    zref = ray.put(zones_table())
+    return prep_events(sf_dir, repeat=repeat).map_batches(
+        pip_join_fn(zref), batch_format="pyarrow", batch_size=8192)
 
 
 def q_cell_histogram(sf_dir: str):
@@ -75,12 +88,7 @@ def q_agg_cells(sf_dir: str):
 
 
 def q_pip_zones(sf_dir: str):
-    from osmquadtreepostgis_ray.sources.zones import zones_table
-    from osmquadtreepostgis_ray.stages.pip_join import PipJoin
-    zref = ray.put(zones_table())
-    return prep_events(sf_dir).map_batches(
-        PipJoin, fn_constructor_args=(zref,),
-        batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+    return pip_zones_ds(sf_dir)
 
 
 def _event_queries(sf_dir: str, nq: int = 10) -> dict:
@@ -306,6 +314,43 @@ def q_checkpoint(sf_dir: str):
     metrics = resumable_write(output_tables(sf_dir)["point"], out_dir,
                               key_col="tile", part_depth=4)
     return metrics.select(["part", "rows"])
+
+
+def q_json_props(sf_dir: str):
+    """V3 JSON property view (jsonb_strip_nulls analog)."""
+    from osmquadtreepostgis_ray.stages.jsonview import json_props
+    return json_props(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_simplify_ways(sf_dir: str, tol: float = 20000.0):
+    """V1 lowzoom generalization: Douglas-Peucker simplify (F10) of the
+    assembled open ways; returns per-way vertex counts before/after.
+    Deterministic but not SQL-expressible (rows-only check)."""
+    from osmquadtreepostgis_ray.functions.geometry import simplify
+    from osmquadtreepostgis_ray.stages.assembly import member_table
+
+    from osmquadtreepostgis_ray.functions.geometry import simplify_ring
+
+    def simp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"group_id": pd.Series([], dtype=np.int64),
+                                 "n_before": pd.Series([], dtype=np.int64),
+                                 "n_after": pd.Series([], dtype=np.int64)})
+        coords = np.stack([g["lon_milli"].to_numpy(np.float64),
+                           g["lat_milli"].to_numpy(np.float64)], axis=1)
+        closed = (g["close_hit"] > 0).any() and len(g) >= 3
+        if closed:  # ring simplify keeps closure (points pass through in V1)
+            ring = np.vstack([coords, coords[:1]])
+            out = simplify_ring(ring, tol)
+        else:
+            out = simplify(coords, tol)
+        return pd.DataFrame({"group_id": [int(g["group_id"].iloc[0])],
+                             "n_before": [len(coords) + (1 if closed else 0)],
+                             "n_after": [len(out)]})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return member_table(docs).groupby("group_id").map_groups(simp, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ documents

@@ -1,0 +1,79 @@
+"""Compat sinks — the reference's CSV surfaces re-expressed.
+
+S3 gz-CSV file sink (CsvWriter, /root/reference
+osmquadtreepostgis/__init__.py:518-557 and the C++ twin
+src/postgis_python.cpp:168-203): one ``<prefix><table>.csv.gz`` per
+output table, header row once, rows rendered with the reference's COPY
+framing — quote ``\\x01``, delimiter ``\\x02`` (consts at
+src/postgiswriter.cpp:49-50), geometry as lowercase hex EWKB (as_hex,
+src/postgiswriter.cpp:232-240), doubles fixed 1-dp (double_string,
+src/postgiswriter.cpp:84-100).
+
+S4 null sink / counter (CsvBlockCount, src/postgiswriter.cpp:1338-1360):
+row+byte totals per table without writing.
+
+These are single-writer streaming consumers by design (so was the
+reference's); the scale sink is parquet via state/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+QUOTE = "\x01"
+DELIM = "\x02"
+
+
+def _render_cell(val, typ: pa.DataType) -> str:
+    if val is None:
+        return ""
+    if pa.types.is_binary(typ):
+        return val.hex()
+    if pa.types.is_floating(typ):
+        return f"{val:.1f}"
+    if pa.types.is_string(typ):
+        return QUOTE + str(val).replace("\n", "\\n") + QUOTE
+    return str(val)
+
+
+def render_csv_rows(batch: pa.Table) -> list[str]:
+    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+    types = [f.type for f in batch.schema]
+    return [DELIM.join(_render_cell(c[r], t) for c, t in zip(cols, types))
+            for r in range(batch.num_rows)]
+
+
+def write_csv_gz(tables: dict[str, ray.data.Dataset], out_prefix: str,
+                 header: bool = True) -> dict[str, int]:
+    """One .csv.gz per table; returns per-table row counts."""
+    counts: dict[str, int] = {}
+    for name, ds in tables.items():
+        n = 0
+        with gzip.open(f"{out_prefix}{name}.csv.gz", "wt", encoding="utf-8") as fh:
+            first = True
+            for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+                if first and header:
+                    fh.write(DELIM.join(batch.schema.names) + "\n")
+                first = False
+                for row in render_csv_rows(batch):
+                    fh.write(row + "\n")
+                n += batch.num_rows
+        counts[name] = n
+    return counts
+
+
+def null_sink_counts(tables: dict[str, ray.data.Dataset]) -> dict[str, tuple[int, int]]:
+    """S4 dry-run: (rows, approx bytes) per table, nothing written."""
+    out: dict[str, tuple[int, int]] = {}
+    for name, ds in tables.items():
+        rows = 0
+        nbytes = 0
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            rows += batch.num_rows
+            nbytes += batch.nbytes
+        out[name] = (rows, nbytes)
+    return out

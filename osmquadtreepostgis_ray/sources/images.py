@@ -50,7 +50,7 @@ def synth_images_batch(batch: pa.Table) -> pa.Table:
         for p, wi, hi, f in zip(phash, w, h, fmts)
     ]
     return pa.table({
-        "image_id": pa.array([f"img{int(i):012d}" for i in ids], pa.string()),
+        "image_id": pa.array(np.char.mod("img%012d", ids), pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
         "bytes": pa.array(payload, pa.binary()),
         "w": pa.array(w, pa.int32()),
@@ -61,11 +61,11 @@ def synth_images_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_images(sf_dir: str, with_bytes: bool = True) -> ray.data.Dataset:
+def read_images(sf_dir: str, with_bytes: bool = True, repeat: int = 1) -> ray.data.Dataset:
     """The corpus Dataset.  ``with_bytes=False`` skips pixel synthesis —
     the projection analog of not shipping image payloads through shuffles
     (SURVEY.md §7.3 'wide rows with binary payloads')."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"], repeat=repeat)
     if with_bytes:
         return docs.map_batches(synth_images_batch, batch_format="pyarrow")
     return docs.map_batches(_synth_meta_batch, batch_format="pyarrow")
@@ -75,7 +75,7 @@ def _synth_meta_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_numpy()
     w, h = dims_of(ids)
     return pa.table({
-        "image_id": pa.array([f"img{int(i):012d}" for i in ids], pa.string()),
+        "image_id": pa.array(np.char.mod("img%012d", ids), pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
         "w": pa.array(w, pa.int32()),
         "h": pa.array(h, pa.int32()),

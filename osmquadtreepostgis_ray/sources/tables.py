@@ -13,10 +13,14 @@ import os
 import ray.data
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Pruned read — only requested columns leave storage."""
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               repeat: int = 1) -> ray.data.Dataset:
+    """Pruned read — only requested columns leave storage.  ``repeat``
+    lists the file N times (independent read tasks) to scale the stream
+    for throughput benchmarking on fixed-size sample data."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet([path] * repeat if repeat > 1 else path,
+                                 columns=columns)
 
 
 def merge_latest(base: ray.data.Dataset, changes: ray.data.Dataset,

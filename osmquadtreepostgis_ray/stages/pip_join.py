@@ -41,7 +41,11 @@ class PipJoin:
                  lon_col: str = "lon", lat_col: str = "lat"):
         zt = ray.get(zones_ref) if zones_ref is not None else zones_table()
         self.index = build_zone_index(zt)
-        self.kinds = {int(r["zone_id"]): r["kind"] for r in zt.to_pylist()}
+        # zone_id -> kind as sorted arrays (vectorized searchsorted lookup)
+        zids = zt.column("zone_id").to_numpy()
+        order = np.argsort(zids)
+        self.kind_ids = zids[order]
+        self.kind_vals = np.asarray(zt.column("kind").to_pylist(), dtype=object)[order]
         self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -49,8 +53,31 @@ class PipJoin:
                         batch.column(self.lat_col).to_numpy()], axis=1)
         pi, zi = self.index.query(pts)
         ids = batch.column(self.id_col).to_numpy()[pi]
+        kinds = self.kind_vals[np.searchsorted(self.kind_ids, zi)]
         return pa.table({
             self.id_col: pa.array(ids),
             "zone_id": pa.array(zi, pa.int64()),
-            "kind": pa.array([self.kinds[int(z)] for z in zi], pa.string()),
+            "kind": pa.array(kinds, pa.string()),
         })
+
+
+_TASK_CACHE: dict = {}
+
+
+def pip_join_fn(zones_ref=None, **kwargs):
+    """Task-based form: a plain map_batches fn with a per-worker-process
+    cache of the built index.  The zone side here is tiny (hundreds of
+    rectangles, ~ms build), so actor-pool processes cost more to spawn
+    than they save; Ray reuses task workers, so the module cache gives
+    the same build-once amortization.  Use the PipJoin class form when
+    the polygon side is big enough that actors pay off."""
+    key = (zones_ref.hex() if zones_ref is not None else "default",
+           tuple(sorted(kwargs.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        join = _TASK_CACHE.get(key)
+        if join is None:
+            join = _TASK_CACHE[key] = PipJoin(zones_ref, **kwargs)
+        return join(batch)
+
+    return fn

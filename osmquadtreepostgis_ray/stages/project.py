@@ -42,7 +42,12 @@ def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) ->
     """Routed+cell-encoded rows -> the spec's output schema."""
     n = batch.num_rows
     ids = batch.column("doc_id").to_numpy()
-    cap = pd.Series(batch.column("caption").to_pylist())
+    _cap_cache: list = []
+
+    def cap() -> pd.Series:  # lazy: only materialized on fallback paths
+        if not _cap_cache:
+            _cap_cache.append(pd.Series(batch.column("caption").to_pylist()))
+        return _cap_cache[0]
     (mx0, my0, mx1, my1), (fx0, fy0, fx1, fy1) = _footprint_mercator(batch) if n else ((np.zeros(0),) * 4, (np.zeros(0, dtype=np.int64),) * 4)
     cx, cy = mercator.forward(batch.column("lon").to_numpy(), batch.column("lat").to_numpy()) if n else (np.zeros(0), np.zeros(0))
 
@@ -58,9 +63,14 @@ def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) ->
         elif s is ColumnSource.BLOCK_QUADTREE:
             a = batch.column("tile")
         elif s is ColumnSource.TAG:
-            a = pa.array(count_word(cap, col.tag_key), pa.int64())
+            # routing precomputes kv_<key> in one tokenize pass; fall
+            # back to the regex kernel for standalone use
+            pre = f"kv_{col.tag_key}"
+            a = (batch.column(pre) if pre in batch.column_names
+                 else pa.array(count_word(cap(), col.tag_key), pa.int64()))
         elif s is ColumnSource.OTHER_TAGS:
-            a = pa.array(hstore_leftover(cap, set(DEFAULT_FEATURE_KEYS)).to_numpy(), pa.string())
+            a = (batch.column("tags") if "tags" in batch.column_names
+                 else pa.array(hstore_leftover(cap(), set(DEFAULT_FEATURE_KEYS)).to_numpy(), pa.string()))
         elif s is ColumnSource.LAYER:
             a = batch.column("layer")
         elif s is ColumnSource.Z_ORDER:
@@ -73,34 +83,32 @@ def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) ->
         elif s is ColumnSource.AREA:
             a = pa.array(((fx1 - fx0) * (fy1 - fy0)).astype(np.float64), pa.float64())
         elif s is ColumnSource.GEOMETRY:
+            # fully vectorized, mask-merged per kind (no per-row loop)
             kind = batch.column("kind").to_numpy() if "kind" in batch.column_names else np.full(n, -1)
-            vals: list[bytes] = [b""] * n
-            for i in range(n):  # mixed-kind branch; each encode is O(1) bytes
-                if kind[i] == 0:
-                    vals[i] = ewkb.point(cx[i], cy[i])
-                elif kind[i] == 1:
-                    vals[i] = ewkb.linestring(np.array([[mx0[i], my0[i]], [mx1[i], my1[i]]]))
-                else:
-                    vals[i] = None  # filled by box fast path below
-            if (kind == 2).all() and n:
-                vals = ewkb.box_polygons_vectorized(mx0, my0, mx1, my1)
-            elif (kind == 2).any():
-                boxes = ewkb.box_polygons_vectorized(mx0, my0, mx1, my1)
-                for i in np.flatnonzero(kind == 2):
-                    vals[i] = boxes[i]
-            if (kind == 0).all() and n:
-                vals = ewkb.points_vectorized(cx, cy)
-            a = pa.array(vals, pa.binary())
+            out = np.empty(n, dtype=object)
+            for kv, enc in (
+                (0, lambda m: ewkb.points_vectorized(cx[m], cy[m])),
+                (1, lambda m: ewkb.lines_vectorized(np.stack(
+                    [np.stack([mx0[m], my0[m]], axis=1),
+                     np.stack([mx1[m], my1[m]], axis=1)], axis=1))),
+                (2, lambda m: ewkb.box_polygons_vectorized(mx0[m], my0[m], mx1[m], my1[m])),
+            ):
+                m = kind == kv
+                if m.any():
+                    tmp = np.empty(int(m.sum()), dtype=object)
+                    tmp[:] = enc(m)
+                    out[m] = tmp
+            a = pa.array(out.tolist(), pa.binary())
         elif s is ColumnSource.REPRESENTATIVE_POINT_GEOMETRY:
             a = pa.array(ewkb.points_vectorized(cx, cy) if n else [], pa.binary())
         elif s is ColumnSource.BOUNDARY_LINE_GEOMETRY:
-            rings = [
-                ewkb.linestring(np.array([
-                    [mx0[i], my0[i]], [mx1[i], my0[i]], [mx1[i], my1[i]],
-                    [mx0[i], my1[i]], [mx0[i], my0[i]],
-                ])) for i in range(n)
-            ]
-            a = pa.array(rings, pa.binary())
+            ring = np.empty((n, 5, 2), dtype=np.float64)
+            ring[:, 0, 0] = mx0; ring[:, 0, 1] = my0
+            ring[:, 1, 0] = mx1; ring[:, 1, 1] = my0
+            ring[:, 2, 0] = mx1; ring[:, 2, 1] = my1
+            ring[:, 3, 0] = mx0; ring[:, 3, 1] = my1
+            ring[:, 4, 0] = mx0; ring[:, 4, 1] = my0
+            a = pa.array(ewkb.lines_vectorized(ring) if n else [], pa.binary())
         else:
             raise KeyError(s)
         arrays.append(a)

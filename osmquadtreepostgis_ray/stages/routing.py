@@ -35,7 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from osmquadtreepostgis_ray.config import EngineParams
-from osmquadtreepostgis_ray.functions.tags import count_word
+from osmquadtreepostgis_ray.functions.tags import (count_word, count_words_multi,
+                                                   hstore_leftover_arrow)
 
 KINDS = ("point", "line", "polygon")
 
@@ -48,20 +49,35 @@ def kind_of(phash: np.ndarray) -> np.ndarray:
 
 
 def route_batch(batch: pa.Table, params: EngineParams | None = None) -> pa.Table:
-    """Append kind/z_order/layer/minzoom/route flags. Vectorized."""
+    """Append kind/z_order/layer/minzoom/route flags + per-feature-key
+    counts + the hstore leftover — ONE tokenize pass for all of them
+    (count_words_multi), computed once here so the per-table projection
+    never re-scans the caption."""
     p = params or EngineParams()
     phash = batch.column("phash").to_numpy()
-    cap = pd.Series(batch.column("caption").to_pylist())
+    cap_arr = batch.column("caption")
+    if cap_arr.num_chunks == 1:
+        cap_arr = cap_arr.chunk(0)
+    else:
+        cap_arr = pa.concat_arrays([c for c in cap_arr.chunks]) if cap_arr.num_chunks else pa.array([], pa.string())
+    # dedupe: routing words may also be feature keys; index_in maps each
+    # token to ONE slot, so count unique words once and look up by name
+    uniq = tuple(dict.fromkeys(
+        (W_ZORDER, W_LAYER, W_BUILDING, W_BOUNDARY) + tuple(p.style.feature_keys)))
+    counts = count_words_multi(cap_arr, uniq)
+    col = {k: counts[:, i] for i, k in enumerate(uniq)}
     kind = kind_of(phash)
-    z_order = 10 * count_word(cap, W_ZORDER)
-    layer = count_word(cap, W_LAYER)
-    feature_hits = np.zeros(len(cap), dtype=np.int64)
-    for k in p.style.feature_keys:
-        feature_hits += count_word(cap, k)
+    z_order = 10 * col[W_ZORDER]
+    layer = col[W_LAYER]
+    feature_hits = np.sum([col[k] for k in p.style.feature_keys], axis=0)
     minzoom = 20 - np.minimum(feature_hits, 14)
-    is_building = (kind == 2) & (count_word(cap, W_BUILDING) > 0)
-    is_boundary = (kind == 2) & (count_word(cap, W_BOUNDARY) > 0)
+    is_building = (kind == 2) & (col[W_BUILDING] > 0)
+    is_boundary = (kind == 2) & (col[W_BOUNDARY] > 0)
     is_highway = (kind == 1) & (z_order > 0)
+    for k in p.style.feature_keys:
+        batch = batch.append_column(f"kv_{k}", pa.array(col[k], pa.int64()))
+    batch = batch.append_column(
+        "tags", pa.array(hstore_leftover_arrow(cap_arr, set(p.style.feature_keys)), pa.string()))
     for name, arr, typ in (
         ("kind", kind, pa.int64()), ("z_order", z_order, pa.int64()),
         ("layer", layer, pa.int64()), ("minzoom", minzoom, pa.int64()),
@@ -99,6 +115,25 @@ def table_filter(table_name: str, extended: bool = True) -> Callable[[pa.Table],
         return t.filter(mask)
 
     return _f
+
+
+def resolve_alloc(alloc) -> Callable[[str, bool], Callable[[pa.Table], pa.Table]]:
+    """M3 pluggable routing (the reference's settable alloc_func,
+    src/postgis_python.cpp:271-296): 'default' -> 3-table geometry-kind
+    routing (M1), 'extended' -> predicate routing (M2), or a user
+    callable ``(table_name, batch) -> boolean mask`` applied after the
+    routing columns are appended."""
+    if alloc in (None, "extended"):
+        return lambda name, ext=True: table_filter(name, extended=True)
+    if alloc == "default":
+        return lambda name, ext=False: table_filter(name, extended=False)
+    if callable(alloc):
+        def wrap(name, ext=True):
+            def _f(t: pa.Table) -> pa.Table:
+                return t.filter(pa.array(np.asarray(alloc(name, t), dtype=bool)))
+            return _f
+        return wrap
+    raise ValueError(f"alloc must be 'default', 'extended' or callable, got {alloc!r}")
 
 
 def route_sql_exprs(caption_expr: str = "text", phash_expr: str = "phash") -> dict[str, str]:

@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from osmquadtreepostgis_ray.functions import quadtree
+from osmquadtreepostgis_ray.functions import geotag, quadtree
 
 
 def cell_counts(ds: ray.data.Dataset, cell_col: str = "cell") -> ray.data.Dataset:
@@ -66,7 +66,6 @@ def split_hot_cells(ds: ray.data.Dataset, max_rows: int, depth_delta: int = 2,
             if len(self.hot):
                 mask = np.isin(cells, self.hot)
                 if mask.any():
-                    from osmquadtreepostgis_ray.functions import geotag
                     depth = int(cells[mask][0] & 63) + depth_delta
                     lon_f, lat_f = geotag.milli_to_fixed(
                         batch.column(lon_col).to_numpy()[mask],
