@@ -364,6 +364,16 @@ def _sql_json_props() -> str:
     return json_props_sql()
 
 
+def sql_embed_neardup() -> str:
+    """Twin of queries.q_embed_neardup: the corpus is random (max cosine
+    ~0.5 << 0.9), so only the injected exact-duplicate twins pair up."""
+    from osmquadtreepostgis_ray.queries import NEARDUP_TWIN_OFFSET, NEARDUP_TWIN_STEP
+    return f"""
+    SELECT vec_id AS a, vec_id + {NEARDUP_TWIN_OFFSET} AS b, 1000::BIGINT AS sim_permille
+    FROM embeddings WHERE vec_id % {NEARDUP_TWIN_STEP} = 0
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -396,4 +406,5 @@ def build_oracles() -> dict[str, str]:
         "hstore_tags": sql_hstore_tags(),
         "token_totals": sql_token_totals(),
         "embed_knn": sql_embed_knn(),
+        "embed_neardup": sql_embed_neardup(),
     }

@@ -176,8 +176,17 @@ def q_join_orders_customer(sf_dir: str):
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, on="o_custkey")
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+
+    # combiner: collapse each joined batch to per-segment partials so the
+    # groupby shuffle carries ~5 rows per batch, not the join output
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("c_mktsegment", sort=False).agg(
+            n=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")).reset_index()
+        return g
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
 
     def rnd(batch: pa.Table) -> pa.Table:
         sv = np.round(batch.column("sum_price").to_numpy(), 2)
@@ -196,8 +205,15 @@ def q_join_lineitem_part(sf_dir: str):
                      batch_format="pyarrow")
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
     joined = bucket_hash_join(li, part, on="p_partkey")
-    out = joined.groupby("p_brand").aggregate(
-        Count(alias_name="n"), Sum("l_extendedprice", alias_name="sum_price"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_brand", sort=False).agg(
+            n=("l_extendedprice", "size"),
+            sum_price=("l_extendedprice", "sum")).reset_index()
+
+    out = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("p_brand")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
 
     def rnd(batch: pa.Table) -> pa.Table:
         sv = np.round(batch.column("sum_price").to_numpy(), 2)
@@ -255,10 +271,30 @@ def q_flagship_point(sf_dir: str):
 
 
 def q_flagship_counts(sf_dir: str):
-    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
-    rows = [{"tbl": name, "n": ds.count()}
-            for name, ds in sorted(output_tables(sf_dir).items())]
-    return pa.Table.from_pylist(rows)
+    """S4 counting sink over the single-pass union pipeline: one read,
+    per-batch partial counts, tiny groupby."""
+    from osmquadtreepostgis_ray.pipelines.flagship import all_tables_union
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pd.Series(b.column("tbl").to_pylist()).value_counts()
+        return pa.table({"tbl": pa.array(t.index.to_numpy(), pa.string()),
+                         "n": pa.array(t.to_numpy().astype(np.int64), pa.int64())})
+
+    agg = (all_tables_union(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("tbl").aggregate(Sum("n", alias_name="n")))
+    return _fill_missing_tables(agg)
+
+
+def _fill_missing_tables(agg) -> pa.Table:
+    """Tables with zero routed rows still get an n=0 row (the oracle
+    enumerates all six)."""
+    df = agg.to_pandas()[["tbl", "n"]]
+    names = ["point", "line", "highway", "polygon", "building", "boundary"]
+    missing = [t for t in names if t not in set(df["tbl"])]
+    if missing:
+        df = pd.concat([df, pd.DataFrame({"tbl": missing, "n": 0})], ignore_index=True)
+    df["n"] = df["n"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def q_union_lines(sf_dir: str):
@@ -270,15 +306,19 @@ def q_union_lines(sf_dir: str):
 
 
 def q_lowzoom_counts(sf_dir: str, z: int = 12):
-    """V1/V2 analog: per-table row count at minzoom <= z."""
-    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
-    rows = []
-    for name, ds in sorted(output_tables(sf_dir).items()):
-        n = ds.map_batches(
-            lambda t: t.filter(pa.compute.less_equal(t.column("minzoom"), z)),
-            batch_format="pyarrow").count()
-        rows.append({"tbl": name, "n": n})
-    return pa.Table.from_pylist(rows)
+    """V1/V2 analog: per-table row count at minzoom <= z (single-pass
+    union + minzoom predicate + partial counts)."""
+    from osmquadtreepostgis_ray.pipelines.flagship import all_tables_union
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.compute.less_equal(b.column("minzoom"), z))
+        t = pd.Series(b.column("tbl").to_pylist()).value_counts()
+        return pa.table({"tbl": pa.array(t.index.to_numpy(), pa.string()),
+                         "n": pa.array(t.to_numpy().astype(np.int64), pa.int64())})
+
+    agg = (all_tables_union(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("tbl").aggregate(Sum("n", alias_name="n")))
+    return _fill_missing_tables(agg)
 
 
 # ------------------------------------------------------------- assembly (A1-A4)
@@ -427,9 +467,31 @@ def q_embed_knn_ivf(sf_dir: str, k: int = 5):
     return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=6)
 
 
+NEARDUP_TWIN_STEP = 50
+NEARDUP_TWIN_OFFSET = 1_000_000
+
+
 def q_embed_neardup(sf_dir: str):
+    """Near-dup pairs over the corpus plus deterministic exact-duplicate
+    twins (vec_id % 50 == 0 -> twin at vec_id + 1e6): the driver corpus
+    is random (max cosine ~0.5), so the twins give the operator a known,
+    SQL-expressible answer set — every (id, id+1e6) pair at sim 1000,
+    nothing else at threshold 0.9."""
     from osmquadtreepostgis_ray.stages.embed import cosine_neardup_pairs
-    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def add_twins(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        m = ids % NEARDUP_TWIN_STEP == 0
+        if not m.any():
+            return batch
+        twins = batch.filter(pa.array(m))
+        twins = twins.set_column(
+            twins.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(twins.column("vec_id").to_numpy() + NEARDUP_TWIN_OFFSET, pa.int64()))
+        return pa.concat_tables([batch, twins])
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(add_twins, batch_format="pyarrow")
     return cosine_neardup_pairs(corpus, threshold=0.9)
 
 

@@ -42,34 +42,36 @@ def _bucket(keys: np.ndarray, buckets: int) -> np.ndarray:
 def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      buckets: int = BUCKETS) -> ray.data.Dataset:
     """Partitioned hash join on an int64 key.  Each side is tagged with
-    its bucket and a side marker, unioned, grouped by bucket once (a
-    single shuffle), and merged per bucket."""
+    its bucket and a side marker, aligned to the TYPED union schema
+    (Arrow nulls, never pandas object columns), unioned, grouped by
+    bucket once (a single shuffle), and merged per bucket."""
+    import pyarrow as _pa
 
-    def tag(side: str):
+    lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
+    rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
+    union_fields: dict[str, _pa.DataType] = {}
+    for sch in (lschema, rschema):
+        for f in sch:
+            union_fields.setdefault(f.name, f.type)
+    names = list(union_fields)
+    lcols, rcols = set(lschema.names), set(rschema.names)
+
+    def tag_align(side: int):
         def _t(batch: pa.Table) -> pa.Table:
             b = _bucket(batch.column(on).to_numpy(), buckets)
-            batch = batch.append_column("__bucket", pa.array(b, pa.int64()))
-            return batch.append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
+            arrays = [batch.column(c) if c in batch.column_names
+                      else pa.nulls(batch.num_rows, union_fields[c]) for c in names]
+            arrays.append(pa.array(b, pa.int64()))
+            arrays.append(pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()))
+            return pa.Table.from_arrays(arrays, names=names + ["__bucket", "__side"])
         return _t
 
-    lt = left.map_batches(tag("l"), batch_format="pyarrow")
-    rt = right.map_batches(tag("r"), batch_format="pyarrow")
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    u = left.map_batches(tag_align(0), batch_format="pyarrow").union(
+        right.map_batches(tag_align(1), batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][[c for c in lcols if c in g.columns]]
-        rg = g[g["__side"] == "r"][[c for c in rcols if c in g.columns]]
-        out = lg.merge(rg, on=on, how="inner")
-        return out
+        lg = g[g["__side"] == 0][[c for c in names if c in lcols]]
+        rg = g[g["__side"] == 1][[c for c in names if c in rcols]]
+        return lg.merge(rg, on=on, how="inner")
 
-    # union of mismatched schemas: align by adding missing cols as null
-    def align(batch: pd.DataFrame) -> pd.DataFrame:
-        for c in set(lcols) | set(rcols):
-            if c not in batch.columns:
-                batch[c] = pd.NA
-        return batch
-
-    u = lt.map_batches(align, batch_format="pandas").union(
-        rt.map_batches(align, batch_format="pandas"))
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
