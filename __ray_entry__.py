@@ -65,8 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": Q.q_embed_knn,
         "embed_knn_ivf": Q.q_embed_knn_ivf,
         "embed_neardup": Q.q_embed_neardup,
-        # multimodal decode path
+        # multimodal decode paths
         "image_decode": Q.q_image_decode,
+        "frame_sample": Q.q_frame_sample,
     }
 
 

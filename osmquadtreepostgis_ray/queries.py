@@ -106,25 +106,11 @@ def q_knn_brute(sf_dir: str, k: int = 5):
 
 
 def q_knn_cellring(sf_dir: str, k: int = 5):
-    from osmquadtreepostgis_ray.stages.knn import CellRingKNN
-    ev = prep_events(sf_dir).select_columns(["event_id", "lon_milli", "lat_milli"])
-    corpus = {"id": [], "lon_milli": [], "lat_milli": []}
-    for b in ev.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        corpus["id"].append(b.column("event_id").to_numpy())
-        corpus["lon_milli"].append(b.column("lon_milli").to_numpy())
-        corpus["lat_milli"].append(b.column("lat_milli").to_numpy())
-    corpus = {k2: np.concatenate(v) for k2, v in corpus.items()}
-    cref = ray.put(corpus)
-    q = _event_queries(sf_dir)
-    qds = ray.data.from_arrow(pa.table({
-        "id": pa.array(q["id"], pa.int64()),
-        "lon_milli": pa.array(q["lon_milli"], pa.int64()),
-        "lat_milli": pa.array(q["lat_milli"], pa.int64()),
-        "k": pa.array(np.full(len(q["id"]), k), pa.int64()),
-    }))
-    out = qds.map_batches(CellRingKNN, fn_constructor_args=(cref,),
-                          batch_format="pyarrow", concurrency=pool_size(0.25))
-    return out
+    """Distributed exact cell-ring kNN: partition-pruned streaming rounds
+    (no corpus broadcast; see stages/knn.knn_cellring_pruned)."""
+    from osmquadtreepostgis_ray.stages.knn import knn_cellring_pruned
+    ev = prep_events(sf_dir).select_columns(["event_id", "lon_milli", "lat_milli", "cell"])
+    return knn_cellring_pruned(ev, _event_queries(sf_dir), k=k)
 
 
 def q_dedup_latest(sf_dir: str):
@@ -521,6 +507,18 @@ def q_fingerprints(sf_dir: str):
 
 
 # ------------------------------------------------------------------ images
+
+def q_frame_sample(sf_dir: str, stride: int = 2):
+    """Multimodal video path: synth multi-frame payloads -> actor-pool
+    frame sampling (1->N explode) with per-frame features.  Frame count
+    is SQL-expressible; pixel features are rows-only."""
+    from osmquadtreepostgis_ray.stages.images import FrameSample, synth_videos_batch
+    vids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth_videos_batch, batch_format="pyarrow")
+    return vids.map_batches(FrameSample, fn_constructor_kwargs=dict(stride=stride),
+                            batch_format="pyarrow", batch_size=512,
+                            concurrency=pool_size(0.25))
+
 
 def q_image_decode(sf_dir: str):
     """Multimodal decode path: actor-pool decode + PSNR invariant +

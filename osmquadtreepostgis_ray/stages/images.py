@@ -64,6 +64,66 @@ class DecodeStats:
         })
 
 
+def synth_videos_batch(batch: pa.Table) -> pa.Table:
+    """documents -> synthetic 'video' rows: F = (doc_id % 4) + 2 raw
+    frames concatenated in one opaque binary payload (frame f pixels =
+    synth_pixels(phash + f)).  The video analog of sources/images.py."""
+    from osmquadtreepostgis_ray.functions import geotag
+
+    ids = batch.column("doc_id").to_numpy()
+    phash = geotag.phash_of(ids)
+    w = np.full(len(ids), 16, dtype=np.int32)
+    h = np.full(len(ids), 16, dtype=np.int32)
+    nframes = (ids % 4 + 2).astype(np.int64)
+    payload = [
+        b"".join(codecs.encode_raw(codecs.synth_pixels(int(p) + f, int(wi), int(hi)))
+                 for f in range(int(nf)))
+        for p, wi, hi, nf in zip(phash, w, h, nframes)
+    ]
+    return pa.table({
+        "video_id": pa.array(ids, pa.int64()),
+        "bytes": pa.array(payload, pa.binary()),
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(h, pa.int32()),
+        "n_frames": pa.array(nframes, pa.int64()),
+        "fmt": pa.array(["rawv"] * len(ids), pa.string()),
+    })
+
+
+class FrameSample:
+    """Actor-pool video stage: split the opaque payload into frames,
+    keep every `stride`-th frame, emit one row per sampled frame with
+    per-frame features — the 1->N multimodal explode (flat_map shape).
+    External containers (mp4 etc.) would slot in here; in-sandbox the
+    'rawv' concatenated-raw format is real and byte-exact."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_f, out_mean = [], [], []
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        nf = batch.column("n_frames").to_numpy()
+        vids = batch.column("video_id").to_numpy()
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(batch.num_rows):
+            if fmts[i] != "rawv":
+                raise NotImplementedError(f"video container {fmts[i]!r} not available in sandbox")
+            frame_bytes = int(w[i]) * int(h[i])
+            for f in range(0, int(nf[i]), self.stride):
+                frame = codecs.decode_raw(
+                    data[i][f * frame_bytes:(f + 1) * frame_bytes], int(w[i]), int(h[i]))
+                out_id.append(int(vids[i])); out_f.append(f)
+                out_mean.append(int(frame.mean()))
+        return pa.table({
+            "video_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_f, pa.int64()),
+            "mean_pixel": pa.array(out_mean, pa.int64()),
+        })
+
+
 class ResizeStage:
     """Pure resize actor stage: bytes -> resized bytes (raw format out)."""
 

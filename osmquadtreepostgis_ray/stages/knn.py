@@ -83,6 +83,97 @@ def knn_brute(corpus, queries: dict, k: int = 5,
         [b for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]), k)
 
 
+def knn_cellring_pruned(corpus, queries: dict, k: int = 5, depth: int = 8,
+                        id_col: str = "event_id") -> pa.Table:
+    """Fully-distributed exact cell-ring kNN: NO corpus broadcast.
+
+    Iterative partition pruning (the flat_map-to-neighbor-cells design of
+    SURVEY.md §7.1 step 4): each round streams ONLY the corpus rows whose
+    cell falls inside the unresolved queries' Chebyshev disks (a
+    vectorized per-batch mask — at scale, cell-partitioned input turns
+    this into a file/row-group prune), brute-forces those candidates
+    against the broadcast query set, and closes out every query whose
+    k-th distance beats the nearest possible point of the first
+    unvisited ring.  Radius doubles per round; exact for any corpus.
+    """
+    qid = np.asarray(queries["id"], dtype=np.int64)
+    qx = np.asarray(queries["lon_milli"], dtype=np.int64)
+    qy = np.asarray(queries["lat_milli"], dtype=np.int64)
+    fx, fy = milli_to_fixed(qx, qy)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+    home = quadtree.encode_ixy(ix, iy, depth)
+    min_w = 180_000 // (1 << depth)  # lat axis is the tighter cell span
+
+    best: dict[int, list[tuple[int, int]]] = {int(q): [] for q in qid}
+    unresolved = np.ones(len(qid), dtype=bool)
+    r = 1
+    max_r = 1 << depth
+    while unresolved.any() and r <= max_r:
+        cand = np.unique(np.concatenate([
+            quadtree.disk(int(h), r) for h in home[unresolved]]))
+        sub_q = {"id": qid[unresolved], "lon_milli": qx[unresolved],
+                 "lat_milli": qy[unresolved]}
+        qref = ray.put(sub_q)
+        cand_ref = ray.put(cand)
+
+        def prune_then_topk(batch: pa.Table) -> pa.Table:
+            cells = _batch_cells(batch, depth)
+            mask = np.isin(cells, ray.get(cand_ref))
+            if not mask.any():
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            return PartialTopK(ray.get(qref), k, id_col)(batch.filter(pa.array(mask)))
+
+        partials = corpus.map_batches(prune_then_topk, batch_format="pyarrow",
+                                      batch_size=16384)
+        merged = finalize_topk(pa.concat_tables(
+            list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+            or [pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})]), k)
+        for row in merged.to_pylist():
+            q = int(row["query_id"])
+            best[q].append((int(row["dist"]), int(row["neighbor_id"])))
+        closed = np.zeros(len(qid), dtype=bool)
+        for i, q in enumerate(qid):
+            cand_list = sorted(set(best[int(q)]))[:k]
+            best[int(q)] = cand_list
+            if len(cand_list) >= k and cand_list[k - 1][0] < (r * min_w) ** 2:
+                closed[i] = True
+        unresolved &= ~closed
+        r *= 2
+
+    out_q, out_n, out_d, out_r = [], [], [], []
+    for q in qid:
+        for rank, (d, nid) in enumerate(best[int(q)][:k], 1):
+            out_q.append(int(q)); out_n.append(nid); out_d.append(d); out_r.append(rank)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+        "dist": pa.array(out_d, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+    })
+
+
+def _batch_cells(batch: pa.Table, depth: int) -> np.ndarray:
+    """Cell ids at `depth` for a batch: reuse/redepth an existing cell
+    column when possible, else encode from the milli coords."""
+    if "cell" in batch.column_names:
+        c = batch.column("cell").to_numpy()
+        if len(c) == 0:
+            return c
+        have = int(c[0] & 63)
+        if have == depth:
+            return c
+        if have > depth:
+            return quadtree.at_depth(c, depth)
+    fx, fy = milli_to_fixed(batch.column("lon_milli").to_numpy(),
+                            batch.column("lat_milli").to_numpy())
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+    return quadtree.encode_ixy(ix, iy, depth)
+
+
 class CellRingKNN:
     """Exact kNN by ring expansion over a cell-bucketed corpus held in the
     actor (built once from a broadcast ref; the multi-node scale path

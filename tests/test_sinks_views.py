@@ -73,3 +73,21 @@ def test_simplify_ways(sf_dir):
     assert len(df) > 0
     assert (df["n_after"] <= df["n_before"]).all()
     assert (df["n_after"] >= 2).all()
+
+
+def test_frame_sample(sf_dir):
+    import pyarrow.compute as pc
+    from osmquadtreepostgis_ray.functions import codecs, geotag
+    from osmquadtreepostgis_ray.queries import q_frame_sample
+    out = q_frame_sample(sf_dir, stride=2).to_pandas()
+    assert len(out) > 0
+    # frame structure: video doc_id has (doc_id % 4) + 2 frames, stride 2
+    for vid, sub in out.groupby("video_id"):
+        nf = int(vid) % 4 + 2
+        assert sorted(sub["frame_idx"]) == list(range(0, nf, 2))
+    # feature value: recompute one frame's mean independently
+    row = out[(out["video_id"] == 0) & (out["frame_idx"] == 2)]
+    if len(row):
+        ph = int(geotag.phash_of(np.array([0]))[0])
+        ref = codecs.synth_pixels(ph + 2, 16, 16)
+        assert int(row["mean_pixel"].iloc[0]) == int(ref.mean())
