@@ -515,9 +515,9 @@ def q_frame_sample(sf_dir: str, stride: int = 2):
     from osmquadtreepostgis_ray.stages.images import FrameSample, synth_videos_batch
     vids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         synth_videos_batch, batch_format="pyarrow")
-    return vids.map_batches(FrameSample, fn_constructor_kwargs=dict(stride=stride),
-                            batch_format="pyarrow", batch_size=512,
-                            concurrency=pool_size(0.25))
+    from osmquadtreepostgis_ray.util import worker_cached
+    return vids.map_batches(worker_cached(lambda: FrameSample(stride=stride)),
+                            batch_format="pyarrow", batch_size=512)
 
 
 def q_image_decode(sf_dir: str):
@@ -525,6 +525,7 @@ def q_image_decode(sf_dir: str):
     feature extraction. Returns integer stats (psnr floor, mean pixel)."""
     from osmquadtreepostgis_ray.stages.images import DecodeStats
     from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.util import worker_cached
     return read_images(sf_dir, with_bytes=True).map_batches(
-        DecodeStats, batch_format="pyarrow", batch_size=512, concurrency=pool_size()) \
+        worker_cached(DecodeStats), batch_format="pyarrow", batch_size=512) \
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])

@@ -180,4 +180,5 @@ def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.parents, on="group_id", how="left")
 
-    return members.map_batches(JoinBack, batch_format="pandas", concurrency=2)
+    from osmquadtreepostgis_ray.util import worker_cached
+    return members.map_batches(worker_cached(JoinBack), batch_format="pandas")

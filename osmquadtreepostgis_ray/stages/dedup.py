@@ -85,10 +85,11 @@ def minhash_candidates(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 
     """shingle -> minhash -> band -> bucket groupby -> candidate pairs
     with estimated Jaccard (signature agreement) >= threshold.
     Pairs are (a < b), deduped across bands by a final distinct."""
-    banded = ds.map_batches(MinHasher,
-                            fn_constructor_kwargs=dict(num_hashes=num_hashes, bands=bands,
-                                                       ngram=ngram, id_col=id_col, text_col=text_col),
-                            batch_format="pyarrow", concurrency=pool_size())
+    from osmquadtreepostgis_ray.util import worker_cached
+    banded = ds.map_batches(
+        worker_cached(lambda: MinHasher(num_hashes=num_hashes, bands=bands, ngram=ngram,
+                                        id_col=id_col, text_col=text_col)),
+        batch_format="pyarrow")
 
     # bucket the (band, band_key) space so one Ray group holds many LSH
     # buckets — the inner exact grouping is vectorized pandas (avoids

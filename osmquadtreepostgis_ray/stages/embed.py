@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from osmquadtreepostgis_ray.util import pool_size
+from osmquadtreepostgis_ray.util import pool_size, worker_cached
 
 
 def _mat(batch_col) -> np.ndarray:
@@ -55,8 +55,8 @@ def knn_embeddings(corpus: ray.data.Dataset, query_ids: np.ndarray, query_mat: n
                    k: int = 5, id_col: str = "vec_id") -> pa.Table:
     """Exact brute-force cosine top-k; ranked by (-sim, neighbor_id)."""
     qref = ray.put({"ids": query_ids, "mat": query_mat})
-    partials = corpus.map_batches(CosineTopK, fn_constructor_args=(qref, k, id_col),
-                                  batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+    partials = corpus.map_batches(worker_cached(lambda: CosineTopK(qref, k, id_col)),
+                                  batch_format="pyarrow", batch_size=8192)
     df = partials.to_pandas()
     df = df.sort_values(["query_id", "sim", "neighbor_id"],
                         ascending=[True, False, True], kind="stable")
@@ -81,7 +81,7 @@ def ivf_assign(corpus: ray.data.Dataset, centroids: np.ndarray,
             lst = np.argmax(self.c @ m.T, axis=0).astype(np.int64)
             return batch.append_column("ivf_bucket", pa.array(lst, pa.int64()))
 
-    return corpus.map_batches(Assign, batch_format="pyarrow", concurrency=pool_size(0.25))
+    return corpus.map_batches(worker_cached(Assign), batch_format="pyarrow")
 
 
 def ivf_knn(corpus: ray.data.Dataset, centroids: np.ndarray, query_ids, query_mat,
@@ -120,7 +120,7 @@ def cosine_neardup_pairs(corpus: ray.data.Dataset, threshold: float = 0.95,
                 key |= bits[b] << np.uint64(b)
             return batch.append_column("lsh_bucket", pa.array(key.astype(np.int64), pa.int64()))
 
-    bucketed = corpus.map_batches(Sig, batch_format="pyarrow", concurrency=pool_size(0.25))
+    bucketed = corpus.map_batches(worker_cached(Sig), batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from osmquadtreepostgis_ray.util import pool_size
+from osmquadtreepostgis_ray.util import pool_size, worker_cached
 
 
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on: str,
@@ -28,7 +28,7 @@ def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on: str,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return big.map_batches(Join, batch_format="pandas", concurrency=pool_size())
+    return big.map_batches(worker_cached(Join), batch_format="pandas")
 
 
 BUCKETS = 32

@@ -23,7 +23,7 @@ import ray
 
 from osmquadtreepostgis_ray.functions import quadtree
 from osmquadtreepostgis_ray.functions.geotag import milli_to_fixed
-from osmquadtreepostgis_ray.util import pool_size
+from osmquadtreepostgis_ray.util import pool_size, worker_cached
 
 
 class PartialTopK:
@@ -77,8 +77,8 @@ def knn_brute(corpus, queries: dict, k: int = 5,
     """corpus: Dataset with (id_col, lon_milli, lat_milli)."""
     qref = ray.put(queries)
     partials = corpus.map_batches(
-        PartialTopK, fn_constructor_args=(qref, k, id_col),
-        batch_format="pyarrow", batch_size=8192, concurrency=pool_size())
+        worker_cached(lambda: PartialTopK(qref, k, id_col)),
+        batch_format="pyarrow", batch_size=8192)
     return finalize_topk(pa.concat_tables(
         [b for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]), k)
 

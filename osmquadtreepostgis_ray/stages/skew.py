@@ -74,7 +74,8 @@ def split_hot_cells(ds: ray.data.Dataset, max_rows: int, depth_delta: int = 2,
                     out[mask] = quadtree.encode_ixy(ix, iy, depth)
             return batch.append_column(out_col, pa.array(out, pa.int64()))
 
-    return ds.map_batches(Rewrite, batch_format="pyarrow", concurrency=2)
+    from osmquadtreepostgis_ray.util import worker_cached
+    return ds.map_batches(worker_cached(Rewrite), batch_format="pyarrow")
 
 
 def salt_keys(keys: np.ndarray, ids: np.ndarray, hot: np.ndarray,
