@@ -108,7 +108,8 @@ def hstore_leftover_arrow(texts, feature_keys: set[str]) -> np.ndarray:
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     words = np.asarray(d.dictionary.to_pylist(), dtype=object)
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    keep = ~np.isin(words, list(feature_keys))[codes]
+    # utf8_split_whitespace("") yields one empty token; drop those too
+    keep = ~np.isin(words, list(feature_keys) + [""])[codes]
     rows, codes = rows[keep], codes[keep]
     if not len(rows):
         return out

@@ -311,8 +311,12 @@ def q_lowzoom_counts(sf_dir: str, z: int = 12):
 
 def q_assembly(sf_dir: str):
     """A1/A2: phash-grouped images -> stitched ways / multipolygon parts."""
+    import pyarrow.compute as pc
+
     from osmquadtreepostgis_ray.stages.assembly import assemble
     return assemble(read_table(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .map_batches(lambda t: t.filter(pc.not_equal(t.column("kind"), "error")),
+                     batch_format="pyarrow") \
         .select_columns(["group_id", "osm_id", "kind", "part", "n_points", "measure2"])
 
 

@@ -101,7 +101,12 @@ def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
     chains = stitch_chains(edges)
     out = []
     for is_closed, path in chains:
-        if not is_closed:  # degenerate (2-node ring collapses); drop (F7)
+        if not is_closed:
+            # G2 error channel (mperrorvec analog, /root/reference
+            # src/processpostgis.cpp:121-146): a ring that failed to
+            # close becomes an error row, filtered to the side dataset
+            # by assemble(); never occurs for well-formed groups.
+            out.append(row("error", 0, len(path), 0, -gid))
             continue
         nodes = np.array(path[:-1], dtype=np.int64)
         part = 1 if 0 in nodes else 2
@@ -112,10 +117,20 @@ def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def assemble(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """The A1/A2 stage: one grouped shuffle on group_id."""
+    """The A1/A2 stage: one grouped shuffle on group_id.  Rows with
+    kind='error' (unclosed rings) are the G2 error channel — use
+    `assembly_errors` to branch them off."""
     return (member_table(ds)
             .groupby("group_id")
             .map_groups(_assemble_group, batch_format="pandas"))
+
+
+def assembly_errors(assembled: ray.data.Dataset) -> ray.data.Dataset:
+    """The error side-channel of assemble() (G2 mperrorvec analog)."""
+    import pyarrow.compute as pc
+    return assembled.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "error")),
+        batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ A3/A4
