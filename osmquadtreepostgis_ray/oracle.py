@@ -364,6 +364,37 @@ def _sql_json_props() -> str:
     return json_props_sql()
 
 
+def sql_ngram_dups(n: int = 3, t_permille: int = 600) -> str:
+    """Twin of stages/dedup.ngram_jaccard_pairs: gram identity is the
+    space-joined word n-gram string (the Ray side hashes it FNV-64;
+    equality of hashes == equality of strings modulo negligible
+    collision), Jaccard compared and floored in exact integers."""
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - {n - 2}),
+             i -> {" || ' ' || ".join(f"w[i + {j}]" for j in range(n))})) AS gram
+      FROM t WHERE len(w) >= {n}
+      UNION ALL
+      SELECT doc_id, concat_ws(' ', {", ".join(f"coalesce(w[{j + 1}], '')" for j in range(n))})
+      FROM t WHERE len(w) < {n}
+    ),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM gd GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS i
+      FROM gd a JOIN gd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, ((1000 * p.i) // (sa.n + sb.n - p.i))::BIGINT AS jac_permille
+    FROM pairs p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+    WHERE 1000 * p.i >= {t_permille} * (sa.n + sb.n - p.i)
+    """
+
+
 def sql_embed_neardup() -> str:
     """Twin of queries.q_embed_neardup: the corpus is random (max cosine
     ~0.5 << 0.9), so only the injected exact-duplicate twins pair up."""
@@ -407,4 +438,5 @@ def build_oracles() -> dict[str, str]:
         "token_totals": sql_token_totals(),
         "embed_knn": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
+        "ngram_dups": sql_ngram_dups(),
     }

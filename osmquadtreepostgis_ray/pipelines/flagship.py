@@ -123,6 +123,17 @@ def all_tables_union(sf_dir: str, params: EngineParams | None = None,
         project_all, batch_format="pyarrow", batch_size=p.batch_size)
 
 
+def export_resumable(sf_dir: str, out_dir: str, params: EngineParams | None = None,
+                     part_depth: int = 4):
+    """The production export: read+route+project ONCE (all_tables_union),
+    write quadtree-partitioned parquet with per-partition lineage +
+    metrics manifests — a killed run resumes skipping completed
+    partitions (state/checkpoint.py).  Returns the metrics table."""
+    from osmquadtreepostgis_ray.state.checkpoint import resumable_write
+    return resumable_write(all_tables_union(sf_dir, params), out_dir,
+                           key_col="tile", part_depth=part_depth)
+
+
 def write_outputs(sf_dir: str, out_dir: str, params: EngineParams | None = None) -> dict[str, int]:
     """Materialize every table to partitioned parquet; returns row counts
     (the CsvBlockCount analog, src/postgiswriter.cpp:1338-1360)."""

@@ -65,8 +65,15 @@ def pip_zones_ds(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
 
 
 def q_cell_histogram(sf_dir: str):
-    return (prep_events(sf_dir)
-            .groupby("cell").aggregate(Count(alias_name="n"))
+    """Per-cell counts with the combiner pattern: the shuffle carries one
+    (cell, partial-count) row per distinct cell per batch, never events."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch.column("cell").to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    return (prep_events(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("cell").aggregate(Sum("n", alias_name="n"))
             .select_columns(["cell", "n"]))
 
 
@@ -76,8 +83,14 @@ def q_tile_assign(sf_dir: str):
 
 def q_agg_cells(sf_dir: str):
     ds = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
-    out = ds.groupby("tile").aggregate(Count(alias_name="n"),
-                                       Sum("value", alias_name="sum_value"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("tile", sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("tile").aggregate(Sum("n", alias_name="n"),
+                                      Sum("sum_value", alias_name="sum_value")))
 
     def rnd(batch: pa.Table) -> pa.Table:
         sv = np.round(batch.column("sum_value").to_numpy(), 2)
@@ -140,9 +153,14 @@ def q_window_hourly(sf_dir: str):
         ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
         return batch.append_column("hour", pa.array(ts // 3_600_000_000, pa.int64()))
 
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "hour"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+
     out = (ds.map_batches(hour, batch_format="pyarrow")
+             .map_batches(partial, batch_format="pandas")
              .groupby(["user_id", "hour"])
-             .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+             .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")))
 
     def rnd(batch: pa.Table) -> pa.Table:
         sv = np.round(batch.column("sum_value").to_numpy(), 2)

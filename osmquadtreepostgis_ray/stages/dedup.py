@@ -236,10 +236,11 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6
                     seen.add(key)
                     ga, gb = dg[key[0]], dg[key[1]]
                     inter = len(np.intersect1d(ga, gb, assume_unique=True))
-                    jac = inter / (len(ga) + len(gb) - inter)
-                    if jac >= threshold:
+                    union = len(ga) + len(gb) - inter
+                    # integer-exact: 1000*i >= t_permille*u, floor permille
+                    if 1000 * inter >= int(round(threshold * 1000)) * union:
                         out_a.append(key[0]); out_b.append(key[1])
-                        out_j.append(int(round(jac * 1000)))
+                        out_j.append((1000 * inter) // union)
         return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
                              "b": np.array(out_b, dtype=np.int64),
                              "jac_permille": np.array(out_j, dtype=np.int64)})
