@@ -115,9 +115,19 @@ def _partition_writer(out_dir: str, key_col: str, run_id: str):
 
 
 def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
-                    part_depth: int = 4, run_id: str | None = None) -> pa.Table:
+                    part_depth: int = 4, run_id: str | None = None,
+                    max_rows_per_part: int | None = None,
+                    skew_depth_delta: int = 2) -> pa.Table:
     """Write `ds` partitioned by quadtree ancestor of `key_col` at
     `part_depth`, skipping partitions already checkpointed in `out_dir`.
+
+    With `max_rows_per_part`, hot partitions are subdivided to
+    `part_depth + skew_depth_delta` (quadtree child cells) BEFORE the
+    shuffle — the skew-aware repartitioning of the north rule: the
+    partition id stays a pure function of the row's key, so resume and
+    bit-stability are unaffected, and no single writer group exceeds
+    ~max_rows (the reference's serial-MultiPolygons failure mode,
+    /root/reference/docs/output.txt:75).
 
     Returns the full lineage+metrics table: freshly written partitions
     with this run's id plus previously-done ones marked 'skipped'.
@@ -125,8 +135,31 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
     run_id = run_id or uuid.uuid4().hex[:12]
     done = completed_partitions(out_dir)
 
+    hot: np.ndarray = np.empty(0, dtype=np.int64)
+    if max_rows_per_part is not None:
+        from ray.data.aggregate import Sum
+
+        def pcount(batch: pa.Table) -> pa.Table:
+            part = quadtree.at_depth(batch.column(key_col).to_numpy(), part_depth)
+            u, c = np.unique(part, return_counts=True)
+            return pa.table({"p": pa.array(u, pa.int64()),
+                             "n": pa.array(c.astype(np.int64), pa.int64())})
+
+        counts = (ds.map_batches(pcount, batch_format="pyarrow")
+                  .groupby("p").aggregate(Sum("n", alias_name="n")))
+        hot = np.sort(np.array(
+            [r["p"] for r in counts.take_all() if r["n"] > max_rows_per_part],
+            dtype=np.int64))
+
     def addpart(batch: pa.Table) -> pa.Table:
-        part = quadtree.at_depth(batch.column(key_col).to_numpy(), part_depth)
+        keys = batch.column(key_col).to_numpy()
+        part = quadtree.at_depth(keys, part_depth)
+        if len(hot):
+            m = np.isin(part, hot)
+            if m.any():
+                deep = min(part_depth + skew_depth_delta, int(keys[m][0] & 63))
+                part = part.copy()
+                part[m] = quadtree.at_depth(keys[m], deep)
         return batch.append_column("__part", pa.array(part, pa.int64()))
 
     ds2 = ds.map_batches(addpart, batch_format="pyarrow")

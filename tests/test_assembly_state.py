@@ -199,3 +199,36 @@ def test_export_resumable_roundtrip(tmp_path, sf_dir):
     # resume is a no-op
     m2 = export_resumable(sf_dir, out)
     assert set(m2.column("status").to_pylist()) == {"skipped"}
+
+
+def test_resumable_write_skew_split(tmp_path):
+    from osmquadtreepostgis_ray.functions import quadtree
+    from osmquadtreepostgis_ray.state import checkpoint as C
+
+    # 900 rows in ONE deep tile (hot), 100 spread over others
+    rng = np.random.RandomState(5)
+    hot_ix, hot_iy = 37, 22
+    hot_child = rng.randint(0, 4, (900, 2))  # children of the hot depth-2 part
+    ix = hot_ix * 64 + hot_child[:, 0] * 16 + rng.randint(0, 16, 900)
+    iy = hot_iy * 64 + hot_child[:, 1] * 16 + rng.randint(0, 16, 900)
+    cold_ix = rng.randint(0, 256, 100)
+    cold_iy = rng.randint(0, 256, 100)
+    tiles = np.r_[quadtree.encode_ixy(ix, iy, 8),
+                  quadtree.encode_ixy(cold_ix, cold_iy, 8)]
+    ds = ray.data.from_arrow(pa.table({
+        "tile": pa.array(tiles, pa.int64()),
+        "v": pa.array(np.arange(1000), pa.int64()),
+    }))
+    out = str(tmp_path / "skew")
+    m = C.resumable_write(ds, out, key_col="tile", part_depth=2,
+                          max_rows_per_part=200, skew_depth_delta=2)
+    rows = {r["part"]: r["rows"] for r in m.to_pylist()}
+    assert sum(rows.values()) == 1000
+    depths = {p & 63 for p in rows}
+    assert 4 in depths          # hot part subdivided to depth 4
+    assert max(rows.values()) <= 200 + 900 // 4  # bounded groups
+    # resume: identical partitioning, everything skipped
+    m2 = C.resumable_write(ds, out, key_col="tile", part_depth=2,
+                           max_rows_per_part=200, skew_depth_delta=2)
+    assert set(m2.column("status").to_pylist()) == {"skipped"}
+    assert sorted(m2.column("part").to_pylist()) == sorted(rows)
