@@ -211,6 +211,45 @@ def sql_lowzoom_counts(z: int = 12) -> str:
     )"""
 
 
+def sql_tile_cover() -> str:
+    """Twin of queries.q_tile_cover (raster<->vector cover explode)."""
+    from osmquadtreepostgis_ray.queries import COVER_DEPTH
+    d = COVER_DEPTH
+    n = 1 << d
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql("phash")
+
+    def ix_of(mexpr: str) -> str:
+        return f"((({mexpr}) * 10000 * {n}) // {quadtree.LON_SPAN})"
+
+    def iy_of(mexpr: str) -> str:
+        return f"(((({mexpr}) + 5000) * 10000 * {n}) // {quadtree.LAT_SPAN})"
+
+    return f"""
+    WITH i0 AS (
+      SELECT doc_id, {ph} AS phash,
+             CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+             CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             greatest({lon} - w, 0) AS x0, least({lon} + w, {geotag.LON_MOD - 1}) AS x1,
+             greatest({lat} - h, 0) AS y0, least({lat} + h, {geotag.LAT_MOD - 1}) AS y1
+      FROM i0
+    ),
+    c AS (
+      SELECT doc_id,
+             {ix_of('x0')} AS ix0, {ix_of('x1')} AS ix1,
+             {iy_of('y0')} AS iy0, {iy_of('y1')} AS iy1
+      FROM f
+    ),
+    ex AS (SELECT doc_id, unnest(range(ix0, ix1 + 1)) AS ix, iy0, iy1 FROM c),
+    ey AS (SELECT doc_id, ix, unnest(range(iy0, iy1 + 1)) AS iy FROM ex)
+    SELECT doc_id, {quadtree.interleave_sql('ix', 'iy', d)} AS cover_cell FROM ey
+    """
+
+
 # ------------------------------------------------------------- assembly (A1-A4)
 
 def assembly_members_cte() -> str:
@@ -426,6 +465,7 @@ def build_oracles() -> dict[str, str]:
         "flagship_counts": sql_flagship_counts(),
         "union_lines": sql_union_lines(),
         "lowzoom_counts": sql_lowzoom_counts(),
+        "tile_cover": sql_tile_cover(),
         "json_props": _sql_json_props(),
         "assembly": sql_assembly(),
         "relation_tags": sql_relation_tags(),

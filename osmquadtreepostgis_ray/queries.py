@@ -325,6 +325,43 @@ def q_lowzoom_counts(sf_dir: str, z: int = 12):
     return _fill_missing_tables(agg)
 
 
+COVER_DEPTH = 10
+
+
+def q_tile_cover(sf_dir: str, depth: int = COVER_DEPTH):
+    """Raster<->vector tile assignment (north-star op): each image
+    footprint box is exploded to every raster cell it intersects at
+    `depth` — a vectorized 1->N flat_map in exact integer math."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    def cover(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        lon_m, lat_m = geotag.lonlat_milli_from_phash(batch.column("phash").to_numpy())
+        w = batch.column("w").to_numpy().astype(np.int64)
+        h = batch.column("h").to_numpy().astype(np.int64)
+        x0, y0, x1, y1 = geotag.footprint_milli(lon_m, lat_m, w, h)
+        fx0, fy0 = geotag.milli_to_fixed(x0, y0)
+        fx1, fy1 = geotag.milli_to_fixed(x1, y1)
+        ix0, iy0 = quadtree.fixed_to_ixy(fx0, fy0, depth)
+        ix1, iy1 = quadtree.fixed_to_ixy(fx1, fy1, depth)
+        nx = (ix1 - ix0 + 1)
+        ny = (iy1 - iy0 + 1)
+        reps = nx * ny
+        rid = np.repeat(np.arange(len(ids)), reps)
+        # per-row local offsets 0..nx*ny-1 -> (dx, dy)
+        local = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, np.int64)
+        nxr = np.repeat(nx, reps)
+        dx = local % nxr
+        dy = local // nxr
+        ix = ix0[rid] + dx
+        iy = iy0[rid] + dy
+        cell = quadtree.encode_ixy(ix, iy, depth)
+        return pa.table({"doc_id": pa.array(ids[rid], pa.int64()),
+                         "cover_cell": pa.array(cell, pa.int64())})
+
+    return read_images(sf_dir, with_bytes=False).map_batches(cover, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- assembly (A1-A4)
 
 def q_assembly(sf_dir: str):
