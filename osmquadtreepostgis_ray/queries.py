@@ -84,11 +84,14 @@ def q_tile_assign(sf_dir: str):
 def q_agg_cells(sf_dir: str):
     ds = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("tile", sort=False).agg(
+    def partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        g = b.groupby("tile", sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)  # arrow out: Ray's
+        # sort-based Aggregate is ~20x slower on pandas blocks
 
-    out = (ds.map_batches(partial, batch_format="pandas")
+    out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("tile").aggregate(Sum("n", alias_name="n"),
                                       Sum("sum_value", alias_name="sum_value")))
 
@@ -131,12 +134,13 @@ def q_dedup_latest(sf_dir: str):
     ties broken by max event_id."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.sort_values(["ts", "event_id"], kind="stable")
-        return batch.groupby(["user_id", "event_type"], sort=False).tail(1)
+    def partial(t: pa.Table) -> pa.Table:
+        batch = t.to_pandas().sort_values(["ts", "event_id"], kind="stable")
+        keep = batch.groupby(["user_id", "event_type"], sort=False).tail(1)
+        return pa.Table.from_pandas(keep, preserve_index=False)
 
     # partial per batch, then grouped exact final pick — two-level combiner
-    part = ds.map_batches(partial, batch_format="pandas")
+    part = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
@@ -153,12 +157,13 @@ def q_window_hourly(sf_dir: str):
         ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds
         return batch.append_column("hour", pa.array(ts // 3_600_000_000, pa.int64()))
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(["user_id", "hour"], sort=False).agg(
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["user_id", "hour"], sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ds.map_batches(hour, batch_format="pyarrow")
-             .map_batches(partial, batch_format="pandas")
+             .map_batches(partial, batch_format="pyarrow")
              .groupby(["user_id", "hour"])
              .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")))
 
@@ -183,12 +188,12 @@ def q_join_orders_customer(sf_dir: str):
 
     # combiner: collapse each joined batch to per-segment partials so the
     # groupby shuffle carries ~5 rows per batch, not the join output
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("c_mktsegment", sort=False).agg(
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("c_mktsegment", sort=False).agg(
             n=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")).reset_index()
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (joined.map_batches(partial, batch_format="pandas")
+    out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("c_mktsegment")
            .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
 
@@ -210,12 +215,13 @@ def q_join_lineitem_part(sf_dir: str):
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
     joined = bucket_hash_join(li, part, on="p_partkey")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("p_brand", sort=False).agg(
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("p_brand", sort=False).agg(
             n=("l_extendedprice", "size"),
             sum_price=("l_extendedprice", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (joined.map_batches(partial, batch_format="pandas")
+    out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("p_brand")
            .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
 
