@@ -91,3 +91,22 @@ def test_frame_sample(sf_dir):
         ph = int(geotag.phash_of(np.array([0]))[0])
         ref = codecs.synth_pixels(ph + 2, 16, 16)
         assert int(row["mean_pixel"].iloc[0]) == int(ref.mean())
+
+
+def test_merge_latest_diff_semantics():
+    """S1 diff-merge: union of base + change sets, latest version wins."""
+    from osmquadtreepostgis_ray.sources.tables import merge_latest
+    base = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "ver": pa.array([1, 1, 1], pa.int64()),
+        "val": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    changes = ray.data.from_arrow(pa.table({
+        "id": pa.array([2, 4], pa.int64()),
+        "ver": pa.array([2, 1], pa.int64()),
+        "val": pa.array(["B", "d"], pa.string()),
+    }))
+    out = merge_latest(base, changes, key="id", version="ver").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2, 3, 4]
+    assert out["val"].tolist() == ["a", "B", "c", "d"]
