@@ -1,0 +1,58 @@
+"""Top-level user API — signature-parity with the reference's driver
+entry points (/root/reference osmquadtreepostgis/__init__.py:465-516 and
+:560-591), re-targeted at directory-of-parquet outputs:
+
+  write_to_table_dir  <->  write_to_postgis(prfx, box, connstr, ...)
+  write_to_csvfile    <->  write_to_csvfile(prfx, box, outfnprfx, ...)
+
+`sf_dir` plays the role of the reference's pbf prefix (the input corpus
+location); the PostGIS connection becomes an output directory of
+checkpointed parquet (state/checkpoint.py); `connstring='null'` keeps
+the reference's dry-run counting semantics (S4).
+"""
+
+from __future__ import annotations
+
+from osmquadtreepostgis_ray.config import EngineParams, Style
+
+
+def _params(stylefn: Style | None, extended: bool, split_multipolygons: bool,
+            validate_geometry: bool) -> EngineParams:
+    return EngineParams(style=stylefn or Style(), extended=extended,
+                        split_multipolygons=split_multipolygons,
+                        validate_geometry=validate_geometry)
+
+
+def write_to_table_dir(sf_dir: str, out_dir: str | None = None, *,
+                       stylefn: Style | None = None, extended: bool = True,
+                       split_multipolygons: bool = True, validate_geometry: bool = True,
+                       part_depth: int = 4, max_rows_per_part: int | None = None):
+    """The write_to_postgis analog: route+project the corpus into the 6
+    extended tables and write checkpointed, resumable partitioned
+    parquet.  ``out_dir=None`` (== the reference's ``connstring='null'``)
+    runs the dry-run counting sink instead and returns per-table
+    (rows, bytes).  Returns the lineage+metrics table otherwise."""
+    p = _params(stylefn, extended, split_multipolygons, validate_geometry)
+    if out_dir is None:
+        from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+        from osmquadtreepostgis_ray.sinks import null_sink_counts
+        return null_sink_counts(output_tables(sf_dir, p))
+    from osmquadtreepostgis_ray.pipelines.flagship import export_resumable
+    return export_resumable(sf_dir, out_dir, p, part_depth=part_depth)
+
+
+def write_to_csvfile(sf_dir: str, outfnprfx: str | None = None, *,
+                     stylefn: Style | None = None, extended: bool = True,
+                     split_multipolygons: bool = True, validate_geometry: bool = True,
+                     header: bool = True):
+    """The write_to_csvfile analog (S3): one <prfx><table>.csv.gz per
+    routed output table, reference COPY framing (sinks.py).
+    ``outfnprfx=None`` mirrors the reference's block-capture mode and
+    returns the materialized tables instead of writing."""
+    p = _params(stylefn, extended, split_multipolygons, validate_geometry)
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    tables = output_tables(sf_dir, p)
+    if outfnprfx is None:
+        return {name: ds.to_pandas() for name, ds in tables.items()}  # S7 capture
+    from osmquadtreepostgis_ray.sinks import write_csv_gz
+    return write_csv_gz(tables, outfnprfx, header=header)

@@ -110,3 +110,28 @@ def test_merge_latest_diff_semantics():
         .sort_values("id").reset_index(drop=True)
     assert out["id"].tolist() == [1, 2, 3, 4]
     assert out["val"].tolist() == ["a", "B", "c", "d"]
+
+
+def test_api_surface(tmp_path, sf_dir):
+    """Reference-parity entry points (write_to_postgis/write_to_csvfile
+    analogs, /root/reference osmquadtreepostgis/__init__.py:465-591)."""
+    from osmquadtreepostgis_ray import api
+
+    # dry-run counting sink (connstring='null' analog)
+    counts = api.write_to_table_dir(sf_dir, None)
+    assert set(counts) == {"point", "line", "polygon", "highway", "building", "boundary"}
+    assert all(isinstance(v, tuple) for v in counts.values())
+
+    # full export with lineage
+    metrics = api.write_to_table_dir(sf_dir, str(tmp_path / "pg"))
+    assert pa.compute.sum(metrics.column("rows")).as_py() > 0
+
+    # csv.gz sink
+    out = api.write_to_csvfile(sf_dir, str(tmp_path) + "/csv_")
+    assert out["point"] > 0
+    import glob
+    assert len(glob.glob(str(tmp_path) + "/csv_*.csv.gz")) == 6
+
+    # block-capture mode
+    cap = api.write_to_csvfile(sf_dir, None)
+    assert len(cap["point"]) == out["point"]
