@@ -19,13 +19,39 @@ QLOSSY_LEVELS = 64
 _STEP = 256 // QLOSSY_LEVELS  # 4
 
 
-def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
-    """Deterministic per-row image: gradient + seeded noise (uint8)."""
-    rs = np.random.RandomState(seed % (2 ** 31))
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (counter-based PRNG core)."""
+    v = (v + _MIX1)
+    v = (v ^ (v >> np.uint64(30))) * _MIX2
+    v = (v ^ (v >> np.uint64(27))) * _MIX3
+    return v ^ (v >> np.uint64(31))
+
+
+def synth_pixels_batch(seeds: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic images for MANY seeds at once: gradient + counter-
+    hashed noise, fully vectorized -> (n, h, w) uint8.  The counter PRNG
+    (splitmix64 over seed*stride+pixel-index) makes every pixel a pure
+    function of (seed, x, y) with no per-row generator state."""
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    n = len(seeds)
     gx = np.linspace(0, 255, w, dtype=np.float64)[None, :]
     gy = np.linspace(0, 255, h, dtype=np.float64)[:, None]
-    img = (gx + gy) / 2.0 + rs.randint(-16, 17, size=(h, w))
+    grad = (gx + gy) / 2.0  # (h, w)
+    idx = np.arange(h * w, dtype=np.uint64)
+    mixed = _splitmix(seeds[:, None] * np.uint64(0x100000001B3) + idx[None, :])
+    noise = (mixed % np.uint64(33)).astype(np.int64) - 16  # [-16, 16]
+    img = grad.reshape(1, h, w) + noise.reshape(n, h, w)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Single-image form of synth_pixels_batch (same pixels)."""
+    return synth_pixels_batch(np.array([seed], dtype=np.uint64), w, h)[0]
 
 
 def encode_raw(img: np.ndarray) -> bytes:

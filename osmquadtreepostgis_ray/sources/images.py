@@ -37,18 +37,31 @@ def fmt_of(doc_ids: np.ndarray) -> np.ndarray:
 
 
 def synth_images_batch(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, text) -> image rows.  Pixel synthesis is the only
-    per-row loop (inherent: ragged byte payloads) but each row's work is
-    a numpy kernel."""
+    """documents(doc_id, text) -> image rows.  Pixels are synthesized
+    per (dims, fmt) GROUP with the vectorized counter-PRNG
+    (codecs.synth_pixels_batch) — no per-row generator; the only row
+    loop is the final ragged bytes split."""
+    import numpy as _np
+
     ids = batch.column("doc_id").to_numpy()
     texts = batch.column("text").to_pylist()
     w, h = dims_of(ids)
     fmts = fmt_of(ids)
     phash = geotag.phash_of(ids)
-    payload = [
-        codecs.encode(codecs.synth_pixels(int(p), int(wi), int(hi)), str(f))
-        for p, wi, hi, f in zip(phash, w, h, fmts)
-    ]
+    payload = _np.empty(len(ids), dtype=object)
+    for wi, hi in zip(_W_CHOICES, _H_CHOICES):
+        for f in ("raw", "qlossy"):
+            m = (w == wi) & (h == hi) & (fmts == f)
+            if not m.any():
+                continue
+            imgs = codecs.synth_pixels_batch(phash[m], int(wi), int(hi))
+            flat = imgs.reshape(len(imgs), -1)
+            if f == "qlossy":
+                flat = flat // codecs._STEP
+            tmp = _np.empty(int(m.sum()), dtype=object)
+            tmp[:] = [row.tobytes() for row in flat]
+            payload[m] = tmp
+    payload = payload.tolist()
     return pa.table({
         "image_id": pa.array(np.char.mod("img%012d", ids), pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
