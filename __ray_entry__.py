@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cells": Q.q_agg_cells,
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,
+        "pip_zones_partitioned": Q.q_pip_zones_partitioned,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,
         # flagship routing/projection/unions/lowzoom

@@ -453,6 +453,7 @@ def build_oracles() -> dict[str, str]:
         "tile_assign": sql_tile_assign(),
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
+        "pip_zones_partitioned": sql_pip_zones(),
         "knn_brute": sql_knn(),
         "knn_cellring": sql_knn(),
         "dedup_latest": sql_dedup_latest(),

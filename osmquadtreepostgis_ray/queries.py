@@ -107,6 +107,18 @@ def q_pip_zones(sf_dir: str):
     return pip_zones_ds(sf_dir)
 
 
+def q_pip_zones_partitioned(sf_dir: str):
+    """Co-partitioned PIP join (groupby-on-cell shuffle, per-partition
+    GridIndex) — the big-polygon-side scale path; same oracle as the
+    broadcast variant."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_copartitioned
+    pts = prep_events(sf_dir).select_columns(
+        ["event_id", "lon_milli", "lat_milli", "lon", "lat"])
+    return pip_join_copartitioned(pts, zones_table()) \
+        .select_columns(["event_id", "zone_id", "kind"])
+
+
 def _event_queries(sf_dir: str, nq: int = 10) -> dict:
     import duckdb
     con = duckdb.connect()

@@ -61,6 +61,96 @@ class PipJoin:
         })
 
 
+def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
+                           id_col: str = "event_id",
+                           lon_col: str = "lon", lat_col: str = "lat"):
+    """The north-star big-polygon-side PIP join: a groupby-on-cell
+    shuffle co-locates each quadtree partition's points WITH the zone
+    polygons overlapping it (polygons replicated to every cell their
+    bbox covers), then each partition builds its own GridIndex and joins
+    locally — no broadcast of the polygon side, so it scales to polygon
+    sets that don't fit one worker.  Identical output to the broadcast
+    PipJoin (each point is tested exactly once, in its home cell).
+    """
+    import pandas as pd
+
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+
+    # polygon side: explode each zone's half-open milli bbox to the cells
+    # it covers at `depth` (zones are small per-cell; the count of
+    # replicas is bbox_cells x zones)
+    z = {c: zones.column(c).to_numpy() for c in ("zone_id", "lon0", "lat0", "lon1", "lat1")}
+    kinds = np.asarray(zones.column("kind").to_pylist(), dtype=object)
+    fx0, fy0 = geotag.milli_to_fixed(z["lon0"], z["lat0"])
+    fx1, fy1 = geotag.milli_to_fixed(z["lon1"] - 1, z["lat1"] - 1)  # half-open
+    ix0, iy0 = quadtree.fixed_to_ixy(fx0, fy0, depth)
+    ix1, iy1 = quadtree.fixed_to_ixy(fx1, fy1, depth)
+    reps = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    rid = np.repeat(np.arange(len(reps)), reps)
+    local = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, np.int64)
+    nxr = np.repeat(ix1 - ix0 + 1, reps)
+    cell = quadtree.encode_ixy(ix0[rid] + local % nxr, iy0[rid] + local // nxr, depth)
+    zrep = pa.table({
+        "__cell": pa.array(cell, pa.int64()),
+        "__side": pa.array(np.zeros(len(rid), np.int8), pa.int8()),
+        "zone_id": pa.array(z["zone_id"][rid], pa.int64()),
+        "kind": pa.array(kinds[rid], pa.string()),
+        "lon0": pa.array(z["lon0"][rid], pa.int64()),
+        "lat0": pa.array(z["lat0"][rid], pa.int64()),
+        "lon1": pa.array(z["lon1"][rid], pa.int64()),
+        "lat1": pa.array(z["lat1"][rid], pa.int64()),
+        id_col: pa.array(np.zeros(len(rid), np.int64), pa.int64()),
+        lon_col: pa.array(np.zeros(len(rid)), pa.float64()),
+        lat_col: pa.array(np.zeros(len(rid)), pa.float64()),
+    })
+    import ray.data as rd
+    zds = rd.from_arrow(zrep)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        lon_m = batch.column("lon_milli").to_numpy()
+        lat_m = batch.column("lat_milli").to_numpy()
+        fx, fy = geotag.milli_to_fixed(lon_m, lat_m)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+        pcell = quadtree.encode_ixy(ix, iy, depth)
+        n = batch.num_rows
+        return pa.table({
+            "__cell": pa.array(pcell, pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "zone_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "kind": pa.array([""] * n, pa.string()),
+            "lon0": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "lat0": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "lon1": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "lat1": pa.array(np.zeros(n, np.int64), pa.int64()),
+            id_col: batch.column(id_col),
+            lon_col: batch.column(lon_col),
+            lat_col: batch.column(lat_col),
+        })
+
+    u = zds.union(points.map_batches(tag_points, batch_format="pyarrow"))
+
+    def local_pip(g: pd.DataFrame) -> pd.DataFrame:
+        zg = g[g["__side"] == 0]
+        pg = g[g["__side"] == 1]
+        if not len(zg) or not len(pg):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "zone_id": pd.Series([], dtype=np.int64),
+                                 "kind": pd.Series([], dtype=object)})
+        zg = zg.drop_duplicates("zone_id")
+        polys = [(int(r.zone_id), zone_rings({"lon0": r.lon0, "lat0": r.lat0,
+                                              "lon1": r.lon1, "lat1": r.lat1}))
+                 for r in zg.itertuples()]
+        kind_of = dict(zip(zg["zone_id"].astype(np.int64), zg["kind"]))
+        idx = GridIndex(polys, nx=8, ny=8)
+        pts = np.stack([pg[lon_col].to_numpy(), pg[lat_col].to_numpy()], axis=1)
+        pi, zi = idx.query(pts)
+        return pd.DataFrame({id_col: pg[id_col].to_numpy()[pi],
+                             "zone_id": zi,
+                             "kind": [kind_of[int(x)] for x in zi]})
+
+    return u.groupby("__cell").map_groups(local_pip, batch_format="pandas")
+
+
 _TASK_CACHE: dict = {}
 
 
