@@ -49,7 +49,8 @@ def sql_tile_assign() -> str:
 
 def sql_agg_cells() -> str:
     return (f"WITH {events_geo_cte()} SELECT tile, count(*)::BIGINT AS n, "
-            f"round(sum(value), 2) AS sum_value FROM ev GROUP BY tile")
+            f"sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents "
+            f"FROM ev GROUP BY tile")
 
 
 def sql_pip_zones() -> str:
@@ -94,14 +95,16 @@ def sql_dedup_latest() -> str:
 def sql_window_hourly() -> str:
     return """
     SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS hour,
-           count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+           count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
     FROM events GROUP BY user_id, hour
     """
 
 
 def sql_join_orders_customer() -> str:
     return """
-    SELECT c_mktsegment, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price
+    SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_price_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """
@@ -109,7 +112,8 @@ def sql_join_orders_customer() -> str:
 
 def sql_join_lineitem_part() -> str:
     return """
-    SELECT p_brand, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS sum_price
+    SELECT p_brand, count(*)::BIGINT AS n,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """
@@ -123,9 +127,10 @@ def sql_topk_orders() -> str:
 def sql_lineitem_pricing() -> str:
     return """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_e4,
            count(*)::BIGINT AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """

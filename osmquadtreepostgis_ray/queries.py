@@ -4,9 +4,11 @@ Each function takes sf_dir and returns a Dataset / pyarrow Table whose
 columns match the DuckDB oracle in osmquadtreepostgis_ray/oracle.py
 name-for-name and value-for-value (driver compares order-insensitively).
 
-Float discipline: aggregate floats are rounded to the decimal precision
-of the exact underlying value (2dp money, 4dp revenue) so both engines
-land on the identical double; everything else is int64.
+Numeric discipline: money/value aggregates are computed in EXACT int64
+(2dp columns -> cents, revenue -> 1e-4 units) on both engines — float
+partial sums are not associativity-stable across block boundaries at
+scale (lineitem_pricing diverged from DuckDB at sf0.1 before this).
+Everything the oracle compares is int64 or exact-int-derived.
 """
 
 from __future__ import annotations
@@ -85,22 +87,17 @@ def q_agg_cells(sf_dir: str):
     ds = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        b = t.to_pandas()
+        b = t.to_pandas()  # arrow out below: Ray's sort-based Aggregate is
+        # ~20x slower on pandas blocks; cents ints keep sums exact
+        b["sum_value_cents"] = np.rint(b["value"] * 100).astype(np.int64)
         g = b.groupby("tile", sort=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)  # arrow out: Ray's
-        # sort-based Aggregate is ~20x slower on pandas blocks
+            n=("sum_value_cents", "size"), sum_value_cents=("sum_value_cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("tile").aggregate(Sum("n", alias_name="n"),
-                                      Sum("sum_value", alias_name="sum_value")))
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        sv = np.round(batch.column("sum_value").to_numpy(), 2)
-        return batch.set_column(batch.schema.get_field_index("sum_value"),
-                                "sum_value", pa.array(sv, pa.float64()))
-
-    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["tile", "n", "sum_value"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("tile").aggregate(Sum("n", alias_name="n"),
+                                       Sum("sum_value_cents", alias_name="sum_value_cents"))
+            .select_columns(["tile", "n", "sum_value_cents"]))
 
 
 def q_pip_zones(sf_dir: str):
@@ -170,22 +167,18 @@ def q_window_hourly(sf_dir: str):
         return batch.append_column("hour", pa.array(ts // 3_600_000_000, pa.int64()))
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby(["user_id", "hour"], sort=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")).reset_index()
+        df = t.to_pandas()
+        df["sum_value_cents"] = np.rint(df["value"] * 100).astype(np.int64)
+        g = df.groupby(["user_id", "hour"], sort=False).agg(
+            n=("sum_value_cents", "size"), sum_value_cents=("sum_value_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(hour, batch_format="pyarrow")
-             .map_batches(partial, batch_format="pyarrow")
-             .groupby(["user_id", "hour"])
-             .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")))
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        sv = np.round(batch.column("sum_value").to_numpy(), 2)
-        return batch.set_column(batch.schema.get_field_index("sum_value"),
-                                "sum_value", pa.array(sv, pa.float64()))
-
-    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
-        ["user_id", "hour", "n", "sum_value"])
+    return (ds.map_batches(hour, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "hour"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value_cents", alias_name="sum_value_cents"))
+            .select_columns(["user_id", "hour", "n", "sum_value_cents"]))
 
 
 # --------------------------------------------------------------- TPC-H-ish
@@ -201,21 +194,17 @@ def q_join_orders_customer(sf_dir: str):
     # combiner: collapse each joined batch to per-segment partials so the
     # groupby shuffle carries ~5 rows per batch, not the join output
     def partial(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby("c_mktsegment", sort=False).agg(
-            n=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")).reset_index()
+        df = t.to_pandas()
+        df["sum_price_cents"] = np.rint(df["o_totalprice"] * 100).astype(np.int64)
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n=("sum_price_cents", "size"), sum_price_cents=("sum_price_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (joined.map_batches(partial, batch_format="pyarrow")
-           .groupby("c_mktsegment")
-           .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        sv = np.round(batch.column("sum_price").to_numpy(), 2)
-        return batch.set_column(batch.schema.get_field_index("sum_price"),
-                                "sum_price", pa.array(sv, pa.float64()))
-
-    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
-        ["c_mktsegment", "n", "sum_price"])
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_price_cents", alias_name="sum_price_cents"))
+            .select_columns(["c_mktsegment", "n", "sum_price_cents"]))
 
 
 def q_join_lineitem_part(sf_dir: str):
@@ -228,22 +217,18 @@ def q_join_lineitem_part(sf_dir: str):
     joined = bucket_hash_join(li, part, on="p_partkey")
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.to_pandas().groupby("p_brand", sort=False).agg(
-            n=("l_extendedprice", "size"),
-            sum_price=("l_extendedprice", "sum")).reset_index()
+        df = t.to_pandas()
+        df["sum_price_cents"] = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+        g = df.groupby("p_brand", sort=False).agg(
+            n=("sum_price_cents", "size"),
+            sum_price_cents=("sum_price_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (joined.map_batches(partial, batch_format="pyarrow")
-           .groupby("p_brand")
-           .aggregate(Sum("n", alias_name="n"), Sum("sum_price", alias_name="sum_price")))
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        sv = np.round(batch.column("sum_price").to_numpy(), 2)
-        return batch.set_column(batch.schema.get_field_index("sum_price"),
-                                "sum_price", pa.array(sv, pa.float64()))
-
-    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
-        ["p_brand", "n", "sum_price"])
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_price_cents", alias_name="sum_price_cents"))
+            .select_columns(["p_brand", "n", "sum_price_cents"]))
 
 
 def q_topk_orders(sf_dir: str):
@@ -258,29 +243,27 @@ def q_lineitem_pricing(sf_dir: str):
                              "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # exact integer money: 2dp columns -> cents; revenue in 1e-4 units.
+        # float partial sums are NOT associativity-stable across block
+        # boundaries at 600k+ rows, so both engines aggregate int64.
         df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["sum_qty"] = np.rint(df["l_quantity"]).astype(np.int64)
+        df["sum_price_cents"] = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+        df["revenue_e4"] = df["sum_price_cents"] * (
+            100 - np.rint(df["l_discount"] * 100).astype(np.int64))
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"),
-            revenue=("revenue", "sum"), n=("l_quantity", "size")).reset_index()
+            sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"),
+            revenue_e4=("revenue_e4", "sum"), n=("sum_qty", "size")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(["l_returnflag", "l_linestatus"])
-             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                        Sum("sum_price", alias_name="sum_price"),
-                        Sum("revenue", alias_name="revenue"),
-                        Sum("n", alias_name="n")))
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        for col, dec in (("sum_qty", 2), ("sum_price", 2), ("revenue", 4)):
-            v = np.round(batch.column(col).to_numpy(), dec)
-            batch = batch.set_column(batch.schema.get_field_index(col), col,
-                                     pa.array(v, pa.float64()))
-        return batch
-
-    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
-        ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "revenue", "n"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_price_cents", alias_name="sum_price_cents"),
+                       Sum("revenue_e4", alias_name="revenue_e4"),
+                       Sum("n", alias_name="n"))
+            .select_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                             "sum_price_cents", "revenue_e4", "n"]))
 
 
 # ------------------------------------------------------------------ flagship
