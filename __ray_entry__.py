@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": Q.q_join_orders_customer,
         "join_lineitem_part": Q.q_join_lineitem_part,
         "topk_orders": Q.q_topk_orders,
+        "distinct_users": Q.q_distinct_users,
+        "topk_per_segment": Q.q_topk_per_segment,
         "lineitem_pricing": Q.q_lineitem_pricing,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,

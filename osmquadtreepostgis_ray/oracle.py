@@ -119,6 +119,22 @@ def sql_join_lineitem_part() -> str:
     """
 
 
+def sql_distinct_users() -> str:
+    return ("SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type")
+
+
+def sql_topk_per_segment(k: int = 3) -> str:
+    return f"""
+    SELECT c_mktsegment, o_orderkey, rank FROM (
+        SELECT c_mktsegment, o_orderkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC)::BIGINT AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= {k}
+    """
+
+
 def sql_topk_orders() -> str:
     return ("SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10")
@@ -466,6 +482,8 @@ def build_oracles() -> dict[str, str]:
         "join_orders_customer": sql_join_orders_customer(),
         "join_lineitem_part": sql_join_lineitem_part(),
         "topk_orders": sql_topk_orders(),
+        "distinct_users": sql_distinct_users(),
+        "topk_per_segment": sql_topk_per_segment(),
         "lineitem_pricing": sql_lineitem_pricing(),
         "flagship_point": sql_flagship_point(),
         "flagship_counts": sql_flagship_counts(),

@@ -231,6 +231,50 @@ def q_join_lineitem_part(sf_dir: str):
             .select_columns(["p_brand", "n", "sum_price_cents"]))
 
 
+def q_distinct_users(sf_dir: str):
+    """Distinct-count via the combiner pattern: per-batch unique pairs,
+    grouped unique, final count — the shuffle carries distinct pairs
+    only (a `unique` that never materializes raw rows)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["event_type", "user_id"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"event_type": g["event_type"].iloc[0],
+                              "n_users": int(g["user_id"].nunique())}])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(count_group, batch_format="pandas"))
+
+
+def q_topk_per_segment(sf_dir: str, k: int = 3):
+    """Windowed rank analog: top-k orders by price per market segment
+    (grouped sort + head; ties broken by o_orderkey desc)."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    # combiner: per-batch local top-k per segment, then exact grouped top-k
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["o_totalprice", "o_orderkey"],
+                                       ascending=[False, False], kind="stable")
+        return pa.Table.from_pandas(df.groupby("c_mktsegment", sort=False).head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, False], kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["c_mktsegment", "o_orderkey", "rank"]]
+
+    return (joined.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("c_mktsegment").map_groups(final_topk, batch_format="pandas"))
+
+
 def q_topk_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
