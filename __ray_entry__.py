@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_lineitem_part": Q.q_join_lineitem_part,
         "topk_orders": Q.q_topk_orders,
         "distinct_users": Q.q_distinct_users,
+        "sessionize": Q.q_sessionize,
         "topk_per_segment": Q.q_topk_per_segment,
         "lineitem_pricing": Q.q_lineitem_pricing,
         # training-data text ops

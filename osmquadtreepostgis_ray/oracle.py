@@ -119,6 +119,28 @@ def sql_join_lineitem_part() -> str:
     """
 
 
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                    OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session
+        FROM e
+    )
+    SELECT user_id, session::BIGINT AS session, count(*)::BIGINT AS n_events,
+           (max(ts) - min(ts))::BIGINT AS span_us
+    FROM s GROUP BY user_id, session
+    """
+
+
 def sql_distinct_users() -> str:
     return ("SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type")
@@ -483,6 +505,7 @@ def build_oracles() -> dict[str, str]:
         "join_lineitem_part": sql_join_lineitem_part(),
         "topk_orders": sql_topk_orders(),
         "distinct_users": sql_distinct_users(),
+        "sessionize": sql_sessionize(),
         "topk_per_segment": sql_topk_per_segment(),
         "lineitem_pricing": sql_lineitem_pricing(),
         "flagship_point": sql_flagship_point(),

@@ -231,6 +231,29 @@ def q_join_lineitem_part(sf_dir: str):
             .select_columns(["p_brand", "n", "sum_price_cents"]))
 
 
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Streaming session windows: per user, a gap > gap_minutes starts a
+    new session.  groupby(user) -> per-group sort + gap cumsum (the
+    stateful-window shape; partition key = user, state never crosses
+    users).  Output: per-session (user_id, session, n_events,
+    span_us)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].astype("int64").to_numpy()
+        new = np.r_[True, np.diff(ts) > gap_us]
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"ts": ts, "session": sid}).groupby("session").agg(
+            n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max")).reset_index()
+        out["user_id"] = int(g["user_id"].iloc[0])
+        out["span_us"] = out["end"] - out["start"]
+        return out[["user_id", "session", "n_events", "span_us"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def q_distinct_users(sf_dir: str):
     """Distinct-count via the combiner pattern: per-batch unique pairs,
     grouped unique, final count — the shuffle carries distinct pairs
