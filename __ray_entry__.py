@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings (similarity search / near-dup)
         "embed_knn": Q.q_embed_knn,
         "embed_knn_ivf": Q.q_embed_knn_ivf,
+        "embed_knn_ivf_exhaustive": Q.q_embed_knn_ivf_exhaustive,
         "embed_neardup": Q.q_embed_neardup,
         # multimodal decode paths
         "image_decode": Q.q_image_decode,

@@ -524,6 +524,7 @@ def build_oracles() -> dict[str, str]:
         "hstore_tags": sql_hstore_tags(),
         "token_totals": sql_token_totals(),
         "embed_knn": sql_embed_knn(),
+        "embed_knn_ivf_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "ngram_dups": sql_ngram_dups(),
     }

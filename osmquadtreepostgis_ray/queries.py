@@ -584,6 +584,22 @@ NEARDUP_TWIN_STEP = 50
 NEARDUP_TWIN_OFFSET = 1_000_000
 
 
+def q_embed_knn_ivf_exhaustive(sf_dir: str, k: int = 5):
+    """IVF with nprobe = all buckets: must equal the brute-force top-k
+    bit-for-bit — the correctness gate for the IVF assignment/probe
+    machinery (the nprobe<buckets query demonstrates the pruned path)."""
+    from osmquadtreepostgis_ray.stages.embed import ivf_knn
+    ids, mat = _query_vectors(sf_dir)
+    import duckdb
+    con = duckdb.connect()
+    cdf = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                  f"WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16").df()
+    centroids = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=len(centroids)) \
+        .select(["query_id", "neighbor_id", "rank"])
+
+
 def q_embed_neardup(sf_dir: str):
     """Near-dup pairs over the corpus plus deterministic exact-duplicate
     twins (vec_id % 50 == 0 -> twin at vec_id + 1e6): the driver corpus
