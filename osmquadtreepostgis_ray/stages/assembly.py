@@ -68,7 +68,7 @@ def _ring_area2(xs: np.ndarray, ys: np.ndarray) -> int:
     return int(abs(np.sum(xs * y2 - x2 * ys)))
 
 
-def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
+def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
     g = g.sort_values("doc_id").reset_index(drop=True)
     k = len(g)
     gid = int(g["group_id"].iloc[0])
@@ -113,16 +113,31 @@ def _assemble_group(g: pd.DataFrame) -> pd.DataFrame:
         out.append(row("polygon", part, len(nodes) + 1,
                        _ring_area2(xs[nodes], ys[nodes]), -gid))
     out.sort(key=lambda r: r["part"])
+    if not split_parts:
+        # M8 off-mode: one row per multipolygon (parts merged; the
+        # reference's !split_multipolygons path, src/postgiswriter.cpp:1125)
+        polys = [r for r in out if r["kind"] == "polygon"]
+        rest = [r for r in out if r["kind"] != "polygon"]
+        if polys:
+            merged = dict(polys[0], part=1,
+                          n_points=sum(r["n_points"] for r in polys),
+                          measure2=sum(r["measure2"] for r in polys))
+            out = rest + [merged]
     return pd.DataFrame(out)
 
 
-def assemble(ds: ray.data.Dataset) -> ray.data.Dataset:
+def assemble(ds: ray.data.Dataset, split_parts: bool = True) -> ray.data.Dataset:
     """The A1/A2 stage: one grouped shuffle on group_id.  Rows with
     kind='error' (unclosed rings) are the G2 error channel — use
-    `assembly_errors` to branch them off."""
+    `assembly_errors` to branch them off.  ``split_parts=False`` mirrors
+    the reference's `split_multipolygons=False` (one row per whole
+    multipolygon)."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _assemble_group(g, split_parts)
+
     return (member_table(ds)
             .groupby("group_id")
-            .map_groups(_assemble_group, batch_format="pandas"))
+            .map_groups(fn, batch_format="pandas"))
 
 
 def assembly_errors(assembled: ray.data.Dataset) -> ray.data.Dataset:

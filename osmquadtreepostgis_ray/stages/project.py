@@ -38,8 +38,11 @@ def _footprint_mercator(batch: pa.Table):
     return (x0, y0, x1, y1), (x0m, y0m, x1m, y1m)
 
 
-def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) -> pa.Table:
-    """Routed+cell-encoded rows -> the spec's output schema."""
+def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False,
+                  round_geometry: bool = False) -> pa.Table:
+    """Routed+cell-encoded rows -> the spec's output schema.
+    ``round_geometry`` rounds length/area to 0.1 (F5, the reference's
+    binary-path `round_geometry`, src/postgiswriter.cpp:893, :943)."""
     n = batch.num_rows
     ids = batch.column("doc_id").to_numpy()
     _cap_cache: list = []
@@ -79,9 +82,11 @@ def project_table(batch: pa.Table, spec: TableSpec, negate_ids: bool = False) ->
             a = batch.column("minzoom")
         elif s is ColumnSource.LENGTH:
             # diagonal line: milli-degree L1 half-perimeter (exact int)
-            a = pa.array(((fx1 - fx0) + (fy1 - fy0)).astype(np.float64), pa.float64())
+            v = ((fx1 - fx0) + (fy1 - fy0)).astype(np.float64)
+            a = pa.array(np.round(v, 1) if round_geometry else v, pa.float64())
         elif s is ColumnSource.AREA:
-            a = pa.array(((fx1 - fx0) * (fy1 - fy0)).astype(np.float64), pa.float64())
+            v = ((fx1 - fx0) * (fy1 - fy0)).astype(np.float64)
+            a = pa.array(np.round(v, 1) if round_geometry else v, pa.float64())
         elif s is ColumnSource.GEOMETRY:
             # fully vectorized, mask-merged per kind (no per-row loop)
             kind = batch.column("kind").to_numpy() if "kind" in batch.column_names else np.full(n, -1)
@@ -127,4 +132,5 @@ class ProjectTable:
         self.params = params or EngineParams()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return project_table(batch, self.spec, self.negate_ids)
+        return project_table(batch, self.spec, self.negate_ids,
+                             round_geometry=self.params.round_geometry)

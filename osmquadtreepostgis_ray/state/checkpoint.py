@@ -90,7 +90,19 @@ def _partition_writer(out_dir: str, key_col: str, run_id: str):
         ddir = os.path.join(out_dir, DATA_DIR, f"part={pid}")
         os.makedirs(ddir, exist_ok=True)
         fpath = os.path.join(ddir, f"part-{pid}.parquet")
-        pq.write_table(body, fpath)
+        try:
+            pq.write_table(body, fpath)
+        except Exception:
+            # S6 crash forensics (reference dumps the failing CsvBlock,
+            # src/postgiswriter.cpp:1159-1191): quarantine the partition
+            # payload for offline inspection, then fail the task
+            qdir = os.path.join(out_dir, "_quarantine")
+            os.makedirs(qdir, exist_ok=True)
+            try:
+                pq.write_table(body, os.path.join(qdir, f"part-{pid}-{uuid.uuid4().hex}.parquet"))
+            except Exception:
+                pass  # quarantine is best-effort
+            raise
         keys = group.column(key_col).to_numpy()
         rec = {
             "part": pid,

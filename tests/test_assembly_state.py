@@ -232,3 +232,61 @@ def test_resumable_write_skew_split(tmp_path):
                            max_rows_per_part=200, skew_depth_delta=2)
     assert set(m2.column("status").to_pylist()) == {"skipped"}
     assert sorted(m2.column("part").to_pylist()) == sorted(rows)
+
+
+def test_assemble_no_split_merges_parts():
+    ids = list(range(24, 32))  # k=8 closed -> two rings
+    g = _group_df(ids, ["merge"] + ["x"] * 7)
+    split = _assemble_group(g, split_parts=True)
+    merged = _assemble_group(g, split_parts=False)
+    assert len(split) == 2 and len(merged) == 1
+    assert merged.iloc[0]["part"] == 1
+    assert merged.iloc[0]["n_points"] == split["n_points"].sum()
+    assert merged.iloc[0]["measure2"] == split["measure2"].sum()
+
+
+def test_round_geometry_flag():
+    import pyarrow.parquet as pq
+
+    from osmquadtreepostgis_ray.config import EngineParams
+    from osmquadtreepostgis_ray.sources.images import _synth_meta_batch
+    from osmquadtreepostgis_ray.spec import build_table_specs
+    from osmquadtreepostgis_ray.stages.cells import encode_cells_batch
+    from osmquadtreepostgis_ray.stages.project import ProjectTable
+    from osmquadtreepostgis_ray.stages.routing import route_batch, table_filter
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    p = EngineParams(round_geometry=True)
+    r = route_batch(encode_cells_batch(_synth_meta_batch(t), p), p)
+    spec = build_table_specs(p.style, extended=True)["line"]
+    sel = table_filter("line")(r)
+    out = ProjectTable(spec, params=p)(sel)
+    lengths = out.column("length").to_numpy()
+    assert np.allclose(lengths, np.round(lengths, 1))
+
+
+def test_quarantine_on_write_failure(tmp_path, monkeypatch):
+    # exercise the writer UDF directly (a Ray worker would not see the
+    # monkeypatch): primary write fails -> quarantine dump, no manifest
+    from osmquadtreepostgis_ray.state import checkpoint as C
+    out = str(tmp_path / "qr")
+    group = pa.table({
+        "tile": pa.array([(7 << 6) | 8] * 3, pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+        "__part": pa.array([7 << 6 | 2] * 3, pa.int64()),
+    })
+    orig = C.pq.write_table
+
+    def flaky(table, path, **kw):
+        if "part=" in str(path):
+            raise OSError("disk full (simulated)")
+        return orig(table, path, **kw)
+
+    monkeypatch.setattr(C.pq, "write_table", flaky)
+    fn = C._partition_writer(out, "tile", "r1")
+    with pytest.raises(OSError):
+        fn(group)
+    monkeypatch.undo()
+    import glob
+    assert glob.glob(out + "/_quarantine/part-*.parquet")  # S6 dump exists
+    assert not C.completed_partitions(out)  # nothing falsely committed
