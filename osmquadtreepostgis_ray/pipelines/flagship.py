@@ -35,7 +35,8 @@ def routed_corpus(sf_dir: str, params: EngineParams | None = None,
     def prep(batch):
         return route_batch(encode_cells_batch(batch, p), p)
 
-    return read_images(sf_dir, with_bytes=False, repeat=repeat).map_batches(
+    return read_images(sf_dir, with_bytes=False, repeat=repeat,
+                       parallelism=p.read_parallelism).map_batches(
         prep, batch_format="pyarrow", batch_size=p.batch_size)
 
 

@@ -74,11 +74,13 @@ def synth_images_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def read_images(sf_dir: str, with_bytes: bool = True, repeat: int = 1) -> ray.data.Dataset:
+def read_images(sf_dir: str, with_bytes: bool = True, repeat: int = 1,
+                parallelism: int | None = None) -> ray.data.Dataset:
     """The corpus Dataset.  ``with_bytes=False`` skips pixel synthesis —
     the projection analog of not shipping image payloads through shuffles
     (SURVEY.md §7.3 'wide rows with binary payloads')."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"], repeat=repeat)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      repeat=repeat, parallelism=parallelism)
     if with_bytes:
         return docs.map_batches(synth_images_batch, batch_format="pyarrow")
     return docs.map_batches(_synth_meta_batch, batch_format="pyarrow")
