@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": Q.q_topk_orders,
         "distinct_users": Q.q_distinct_users,
         "sessionize": Q.q_sessionize,
+        "sample_events": Q.q_sample_events,
+        "sample_stratified": Q.q_sample_stratified,
         "topk_per_segment": Q.q_topk_per_segment,
         "lineitem_pricing": Q.q_lineitem_pricing,
         # training-data text ops

@@ -119,6 +119,24 @@ def sql_join_lineitem_part() -> str:
     """
 
 
+def sql_sample_events(permille: int = 100) -> str:
+    from osmquadtreepostgis_ray.queries import SAMPLE_MOD, SAMPLE_MULT
+    return (f"SELECT event_id, user_id FROM events "
+            f"WHERE (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {permille}")
+
+
+def sql_sample_stratified(per_group: int = 20) -> str:
+    from osmquadtreepostgis_ray.queries import SAMPLE_MOD, SAMPLE_MULT
+    hk = f"((event_id * {SAMPLE_MULT}) % {SAMPLE_MOD}) * 10000000 + event_id"
+    return f"""
+    SELECT event_type, event_id FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY {hk}) AS rn
+        FROM events
+    ) WHERE rn <= {per_group}
+    """
+
+
 def sql_sessionize(gap_minutes: int = 30) -> str:
     gap_us = gap_minutes * 60_000_000
     return f"""
@@ -506,6 +524,8 @@ def build_oracles() -> dict[str, str]:
         "topk_orders": sql_topk_orders(),
         "distinct_users": sql_distinct_users(),
         "sessionize": sql_sessionize(),
+        "sample_events": sql_sample_events(),
+        "sample_stratified": sql_sample_stratified(),
         "topk_per_segment": sql_topk_per_segment(),
         "lineitem_pricing": sql_lineitem_pricing(),
         "flagship_point": sql_flagship_point(),

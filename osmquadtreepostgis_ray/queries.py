@@ -231,6 +231,45 @@ def q_join_lineitem_part(sf_dir: str):
             .select_columns(["p_brand", "n", "sum_price_cents"]))
 
 
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 1000
+
+
+def q_sample_events(sf_dir: str, permille: int = 100):
+    """Deterministic hash sampling (training-data subsetting): keep rows
+    whose Knuth-hashed id lands under the rate — a pure row predicate,
+    stable across parallelism and re-runs (unlike ds.random_sample)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        keep = (ids * SAMPLE_MULT) % SAMPLE_MOD < permille
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+def q_sample_stratified(sf_dir: str, per_group: int = 20):
+    """Stratified deterministic sample: per event_type, the `per_group`
+    rows with the smallest hashed id (uniform within stratum, reproducible).
+    Local top-k combiner -> exact grouped head, like topk_per_segment."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hk"] = (df["event_id"].to_numpy() * SAMPLE_MULT) % SAMPLE_MOD * 10_000_000 \
+            + df["event_id"].to_numpy()  # total order: (hash, id)
+        df = df.sort_values("hk", kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=False).head(per_group), preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("hk", kind="stable").head(per_group)[["event_type", "event_id"]]
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("event_type").map_groups(final, batch_format="pandas"))
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Streaming session windows: per user, a gap > gap_minutes starts a
     new session.  groupby(user) -> per-group sort + gap cumsum (the
