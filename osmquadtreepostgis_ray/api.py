@@ -41,6 +41,26 @@ def write_to_table_dir(sf_dir: str, out_dir: str | None = None, *,
     return export_resumable(sf_dir, out_dir, p, part_depth=part_depth)
 
 
+def validate_geometry(rings, round_2dp: bool = False):
+    """One-shot geometry oracle — the analog of the reference's pybind
+    `validate_geometry(ele, round)` helper
+    (/root/reference/src/postgis_python.cpp:396-402): repair rings (F7),
+    optionally round coords to 2dp (F6), and return
+    ``(polygon_ewkb, point_on_surface_ewkb)``."""
+    import numpy as np
+
+    from osmquadtreepostgis_ray.functions import ewkb
+    from osmquadtreepostgis_ray.functions.geometry import point_on_surface, validate_rings
+
+    fixed = validate_rings([np.asarray(r, dtype=np.float64) for r in rings])
+    if round_2dp:
+        fixed = [np.round(r, 2) for r in fixed]
+    if not fixed:
+        return None, None
+    pos = point_on_surface(fixed)
+    return ewkb.polygon(fixed), ewkb.point(float(pos[0]), float(pos[1]))
+
+
 def write_to_csvfile(sf_dir: str, outfnprfx: str | None = None, *,
                      stylefn: Style | None = None, extended: bool = True,
                      split_multipolygons: bool = True, validate_geometry: bool = True,

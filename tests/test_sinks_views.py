@@ -135,3 +135,34 @@ def test_api_surface(tmp_path, sf_dir):
     # block-capture mode
     cap = api.write_to_csvfile(sf_dir, None)
     assert len(cap["point"]) == out["point"]
+
+
+def test_validate_geometry_helper():
+    from osmquadtreepostgis_ray import api
+    from osmquadtreepostgis_ray.functions import ewkb
+    # open, duplicated-vertex, CW-wound ring -> repaired closed CCW
+    ring = [[0, 0], [0, 4], [0, 4], [4, 4], [4, 0]]
+    wkb, pt = api.validate_geometry([ring])
+    gtype, srid, rings = ewkb.parse(wkb)
+    assert gtype == ewkb.WKB_POLYGON and srid == 3857
+    r = rings[0]
+    assert (r[0] == r[-1]).all()          # closed
+    from osmquadtreepostgis_ray.functions.geometry import ring_signed_area
+    assert ring_signed_area(r) > 0        # outer CCW
+    ptype, _, p = ewkb.parse(pt)
+    assert ptype == ewkb.WKB_POINT
+    assert 0 < p[0] < 4 and 0 < p[1] < 4  # interior
+    # degenerate input -> (None, None)
+    assert api.validate_geometry([[[0, 0], [1, 1]]]) == (None, None)
+
+
+def test_custom_style_flows_to_schema_and_projection(sf_dir):
+    from osmquadtreepostgis_ray.config import EngineParams, Style
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    style = Style(feature_keys=("spark", "vector"))
+    p = EngineParams(style=style)
+    tabs = output_tables(sf_dir, p)
+    names = tabs["point"].schema().names
+    assert "kv_spark" in names and "kv_vector" in names and "kv_the" not in names
+    df = tabs["point"].to_pandas()
+    assert (df["kv_spark"] >= 0).all()
