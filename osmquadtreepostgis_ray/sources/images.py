@@ -63,7 +63,7 @@ def synth_images_batch(batch: pa.Table) -> pa.Table:
             payload[m] = tmp
     payload = payload.tolist()
     return pa.table({
-        "image_id": pa.array(np.char.mod("img%012d", ids), pa.string()),
+        "image_id": pa.array(np.char.mod("img%012d", ids) if len(ids) else [], pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
         "bytes": pa.array(payload, pa.binary()),
         "w": pa.array(w, pa.int32()),
@@ -90,7 +90,7 @@ def _synth_meta_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_numpy()
     w, h = dims_of(ids)
     return pa.table({
-        "image_id": pa.array(np.char.mod("img%012d", ids), pa.string()),
+        "image_id": pa.array(np.char.mod("img%012d", ids) if len(ids) else [], pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
         "w": pa.array(w, pa.int32()),
         "h": pa.array(h, pa.int32()),

@@ -78,3 +78,34 @@ def test_entry_smoke():
     df = ds.to_pandas()
     assert len(df) >= 0
     assert "osm_id" in df.columns
+
+
+def test_empty_input_through_stages(tmp_path):
+    """Empty batches must flow through route/project/assembly/checkpoint
+    without errors (stage guards, not crashes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osmquadtreepostgis_ray.config import EngineParams
+    from osmquadtreepostgis_ray.sources.images import _synth_meta_batch
+    from osmquadtreepostgis_ray.spec import build_table_specs
+    from osmquadtreepostgis_ray.stages.cells import encode_cells_batch
+    from osmquadtreepostgis_ray.stages.project import ProjectTable
+    from osmquadtreepostgis_ray.stages.routing import route_batch, table_filter
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    p = EngineParams()
+    r = route_batch(encode_cells_batch(_synth_meta_batch(empty), p), p)
+    assert r.num_rows == 0
+    for name, spec in build_table_specs(p.style).items():
+        out = ProjectTable(spec, name == "boundary")(table_filter(name)(r))
+        assert out.num_rows == 0 and out.num_columns == len(spec.columns)
+
+    # checkpoint of an empty dataset: no partitions, empty metrics
+    from osmquadtreepostgis_ray.state.checkpoint import resumable_write
+    ds = ray.data.from_arrow(pa.table({"tile": pa.array([], pa.int64()),
+                                       "v": pa.array([], pa.int64())}))
+    m = resumable_write(ds, str(tmp_path / "e"), key_col="tile", part_depth=2)
+    assert m.num_rows == 0
