@@ -75,3 +75,79 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return lg.merge(rg, on=on, how="inner")
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def salted_bucket_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                       hot_keys: np.ndarray, salt_mod: int = 8,
+                       buckets: int = BUCKETS) -> ray.data.Dataset:
+    """Skew-aware hash join: rows of the BIG (left) side whose key is in
+    `hot_keys` are spread across `salt_mod` sub-buckets by row position;
+    the small (right) side's hot-key rows are REPLICATED into every salt
+    so each sub-bucket joins locally.  Bounds any one join group at
+    ~1/salt_mod of a hot key's rows — the salted-join treatment of the
+    reference's giant-relation bottleneck (docs/output.txt:75).  Output
+    rows identical to bucket_hash_join."""
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        keys = batch.column(on).to_numpy()
+        salt = np.zeros(len(keys), dtype=np.int64)
+        m = np.isin(keys, hot)
+        if m.any():  # deterministic spread: position of the row's key value
+            salt[m] = (keys[m] * 40503 + np.flatnonzero(m)) % salt_mod
+        return batch.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        keys = batch.column(on).to_numpy()
+        m = np.isin(keys, hot)
+        cold = batch.filter(pa.array(~m)).append_column(
+            "__salt", pa.array(np.zeros(int((~m).sum()), np.int64), pa.int64()))
+        if not m.any():
+            return cold
+        hot_rows = batch.filter(pa.array(m))
+        reps = [hot_rows.append_column("__salt", pa.array(
+            np.full(hot_rows.num_rows, s, np.int64), pa.int64()))
+            for s in range(salt_mod)]
+        return pa.concat_tables([cold] + reps)
+
+    lt = left.map_batches(salt_left, batch_format="pyarrow")
+    rt = right.map_batches(replicate_right, batch_format="pyarrow")
+    return bucket_hash_join_on_cols(lt, rt, on=on, extra_key="__salt", buckets=buckets)
+
+
+def bucket_hash_join_on_cols(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                             extra_key: str, buckets: int = BUCKETS) -> ray.data.Dataset:
+    """bucket_hash_join keyed on (on, extra_key) composite; the extra key
+    participates in bucketing and the per-group merge."""
+    import pyarrow as _pa
+
+    lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
+    rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
+    union_fields: dict[str, _pa.DataType] = {}
+    for sch in (lschema, rschema):
+        for f in sch:
+            union_fields.setdefault(f.name, f.type)
+    names = list(union_fields)
+    lcols, rcols = set(lschema.names), set(rschema.names)
+
+    def tag_align(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = _bucket(batch.column(on).to_numpy() * 31
+                        + batch.column(extra_key).to_numpy(), buckets)
+            arrays = [batch.column(c) if c in batch.column_names
+                      else pa.nulls(batch.num_rows, union_fields[c]) for c in names]
+            arrays.append(pa.array(b, pa.int64()))
+            arrays.append(pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()))
+            return pa.Table.from_arrays(arrays, names=names + ["__bucket", "__side"])
+        return _t
+
+    u = left.map_batches(tag_align(0), batch_format="pyarrow").union(
+        right.map_batches(tag_align(1), batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][[c for c in names if c in lcols]]
+        rg = g[g["__side"] == 1][[c for c in names if c in rcols]]
+        out = lg.merge(rg, on=[on, extra_key], how="inner")
+        return out.drop(columns=[extra_key])
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -166,3 +166,25 @@ def test_custom_style_flows_to_schema_and_projection(sf_dir):
     assert "kv_spark" in names and "kv_vector" in names and "kv_the" not in names
     df = tabs["point"].to_pandas()
     assert (df["kv_spark"] >= 0).all()
+
+
+def test_salted_join_matches_plain():
+    """Salted skew join must produce exactly the plain join's rows."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join, salted_bucket_join
+    rng = np.random.RandomState(11)
+    # heavy skew: 80% of left rows hit key 7
+    lk = np.where(rng.rand(5000) < 0.8, 7, rng.randint(0, 50, 5000)).astype(np.int64)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "lv": pa.array(np.arange(5000), pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64), pa.int64()),
+        "rv": pa.array(np.arange(50) * 10, pa.int64()),
+    }))
+    plain = bucket_hash_join(left, right, on="k").to_pandas() \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    salted = salted_bucket_join(left, right, on="k",
+                                hot_keys=np.array([7]), salt_mod=8).to_pandas() \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain[["k", "lv", "rv"]], salted[["k", "lv", "rv"]])
