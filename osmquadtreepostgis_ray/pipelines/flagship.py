@@ -74,6 +74,14 @@ def output_tables(sf_dir: str, params: EngineParams | None = None,
 
 def all_tables_union(sf_dir: str, params: EngineParams | None = None,
                      repeat: int = 1) -> ray.data.Dataset:
+    """See tables_union_of — this form reads the corpus from sf_dir."""
+    p = params or EngineParams()
+    return tables_union_of(
+        read_images(sf_dir, with_bytes=False, repeat=repeat,
+                    parallelism=p.read_parallelism), p)
+
+
+def tables_union_of(docs: ray.data.Dataset, params: EngineParams | None = None) -> ray.data.Dataset:
     """SINGLE-PASS variant: one Dataset carrying every routed output row
     with a `tbl` tag column over the union schema (missing columns
     null).  The per-table branch graphs in `output_tables` each re-read
@@ -120,8 +128,11 @@ def all_tables_union(sf_dir: str, params: EngineParams | None = None,
             outs.append(pa.Table.from_arrays(cols, schema=union_schema))
         return pa.concat_tables(outs)
 
-    return routed_corpus(sf_dir, p, repeat=repeat).map_batches(
-        project_all, batch_format="pyarrow", batch_size=p.batch_size)
+    def prep(batch):
+        return route_batch(encode_cells_batch(batch, p), p)
+
+    return docs.map_batches(prep, batch_format="pyarrow", batch_size=p.batch_size) \
+        .map_batches(project_all, batch_format="pyarrow", batch_size=p.batch_size)
 
 
 def export_resumable(sf_dir: str, out_dir: str, params: EngineParams | None = None,

@@ -290,3 +290,53 @@ def test_quarantine_on_write_failure(tmp_path, monkeypatch):
     import glob
     assert glob.glob(out + "/_quarantine/part-*.parquet")  # S6 dump exists
     assert not C.completed_partitions(out)  # nothing falsely committed
+
+
+def test_incremental_update_matches_fresh_export(tmp_path, sf_dir):
+    """Upsert 3 docs -> only their partitions recompute; result equals a
+    from-scratch export of the merged corpus."""
+    import duckdb
+    import pyarrow.parquet as pqt
+
+    from osmquadtreepostgis_ray.pipelines.flagship import tables_union_of
+    from osmquadtreepostgis_ray.sources.images import _synth_meta_batch
+    from osmquadtreepostgis_ray.sources.tables import read_table
+    from osmquadtreepostgis_ray.state import checkpoint as C
+    from osmquadtreepostgis_ray.state.incremental import partitions_of_docs, update_export
+
+    base_out = str(tmp_path / "base")
+    from osmquadtreepostgis_ray.pipelines.flagship import export_resumable
+    export_resumable(sf_dir, base_out)
+    n_parts_before = len(C.completed_partitions(base_out))
+
+    # change 3 docs' captions (changes routing words for them)
+    changes = pa.table({
+        "doc_id": pa.array([1, 5, 9], pa.int64()),
+        "text": pa.array(["merge merge row fast the", "slow slow", "data data data"], pa.string()),
+    })
+    metrics = update_export(base_out, sf_dir, changes)
+    written = [r for r in metrics.to_pylist() if r["status"] == "done"]
+    affected = set(partitions_of_docs(np.array([1, 5, 9])).tolist())
+    assert {r["part"] for r in written} == affected  # ONLY affected parts ran
+    assert len(C.completed_partitions(base_out)) == n_parts_before
+
+    # ground truth: fresh export over merged corpus
+    def merged_docs():
+        base = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+        base = base[~base["doc_id"].isin([1, 5, 9])]
+        merged = pd.concat([base, changes.to_pandas()], ignore_index=True)
+        return ray.data.from_arrow(pa.Table.from_pandas(merged, preserve_index=False)) \
+            .map_batches(_synth_meta_batch, batch_format="pyarrow")
+
+    fresh_out = str(tmp_path / "fresh")
+    C.resumable_write(tables_union_of(merged_docs()), fresh_out, key_col="tile", part_depth=4)
+
+    def snapshot(d):
+        import glob
+        t = pa.concat_tables([pqt.read_table(f) for f in
+                              sorted(glob.glob(d + "/data/part=*/*.parquet"))])
+        df = t.to_pandas().drop(columns=["way", "way_point", "way_exterior"], errors="ignore")
+        return df.sort_values(["tbl", "osm_id", "part"]).reset_index(drop=True)
+
+    a, b = snapshot(base_out), snapshot(fresh_out)
+    pd.testing.assert_frame_equal(a, b)
