@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,
         # embeddings (similarity search / near-dup)
+        "embed_docs": Q.q_embed_docs,
         "embed_knn": Q.q_embed_knn,
         "embed_knn_ivf": Q.q_embed_knn_ivf,
         "embed_knn_ivf_exhaustive": Q.q_embed_knn_ivf_exhaustive,

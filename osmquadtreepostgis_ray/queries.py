@@ -600,6 +600,20 @@ def _query_vectors(sf_dir: str, nq: int = 5):
     return ids, mat
 
 
+def q_embed_docs(sf_dir: str, k: int = 5):
+    """Embedding generation + self-kNN end-to-end: hash-embed the
+    documents, then top-k over the generated vectors (no precomputed
+    embeddings table).  Rows-only (hash embedder isn't SQL)."""
+    from osmquadtreepostgis_ray.stages.embed import embed_documents, knn_embeddings
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = embed_documents(docs).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow")
+    q = corpus.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    ids = q["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    return knn_embeddings(corpus, ids, mat, k=k)
+
+
 def q_embed_knn(sf_dir: str, k: int = 5):
     from osmquadtreepostgis_ray.stages.embed import knn_embeddings
     ids, mat = _query_vectors(sf_dir)

@@ -14,7 +14,44 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from osmquadtreepostgis_ray.functions import text as T
 from osmquadtreepostgis_ray.util import pool_size, worker_cached
+
+
+def embed_documents(ds: ray.data.Dataset, dim: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Embedding GENERATION stage: deterministic feature-hashing embedder
+    (token -> hashed slot, +-1 sign, L2-normalized) — the sandbox stand-in
+    for batched model inference; a real encoder slots into the same
+    map_batches signature with an actor pool holding the model.
+    Emits (id, embedding list<float>)."""
+    import pyarrow.compute as pc
+
+    def emb(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        n = len(texts)
+        out = np.zeros((n, dim), dtype=np.float64)
+        if n:
+            lists = pc.utf8_split_whitespace(texts.combine_chunks())
+            lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(lists)
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            words = d.dictionary.to_pylist()
+            # FNV-ish per distinct word, vectorized over the dictionary
+            wh = np.array([T.hash_str(w) for w in words], dtype=np.uint64)
+            slot = (wh % np.uint64(dim)).astype(np.int64)[codes]
+            sign = np.where((wh >> np.uint64(32)) % np.uint64(2) == 0, 1.0, -1.0)[codes]
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            np.add.at(out, (rows, slot), sign)
+            norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-30)
+            out = out / norms
+        return pa.table({
+            id_col: batch.column(id_col),
+            "embedding": pa.array(list(out.astype(np.float32)), pa.list_(pa.float32())),
+        })
+
+    return ds.map_batches(emb, batch_format="pyarrow")
 
 
 def _mat(batch_col) -> np.ndarray:
