@@ -181,10 +181,16 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
                  "--cpus", str(cpus), "--sf-dir", sf_dir,
                  "--repeat", str(SCALING_REPEAT)],
                 capture_output=True, text=True, env=env, timeout=3600)
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if r.returncode != 0 or not lines:
+                print(f"# scaling trial failed (cpus={cpus}, rc={r.returncode}): "
+                      f"{r.stderr[-500:]}", file=sys.stderr)
+                continue
+            res = json.loads(lines[-1])
             if best is None or res["rows_per_s"] > best["rows_per_s"]:
                 best = res
+        if best is None:
+            raise RuntimeError(f"all scaling trials failed at cpus={cpus}")
         out[cpus] = best
     thr_lo = out[lo]["rows_per_s"]
     thr_hi = out[hi]["rows_per_s"]

@@ -62,10 +62,10 @@ def output_tables(sf_dir: str, params: EngineParams | None = None,
                 import pyarrow as pa
                 import pyarrow.compute as pc
                 bnd = sel.column("is_boundary")
-                pos = ProjectTable(_spec, False)(sel.filter(pc.invert(bnd)))
-                neg = ProjectTable(_spec, True)(sel.filter(bnd))
+                pos = ProjectTable(_spec, False, p)(sel.filter(pc.invert(bnd)))
+                neg = ProjectTable(_spec, True, p)(sel.filter(bnd))
                 return pa.concat_tables([pos, neg])
-            return ProjectTable(_spec, _neg)(sel)
+            return ProjectTable(_spec, _neg, p)(sel)
 
         out[name] = routed.map_batches(branch, batch_format="pyarrow",
                                        batch_size=p.batch_size)
@@ -116,11 +116,11 @@ def tables_union_of(docs: ray.data.Dataset, params: EngineParams | None = None) 
                 import pyarrow.compute as pc
                 bnd = sel.column("is_boundary")
                 proj = pa.concat_tables([
-                    ProjectTable(spec, False)(sel.filter(pc.invert(bnd))),
-                    ProjectTable(spec, True)(sel.filter(bnd)),
+                    ProjectTable(spec, False, p)(sel.filter(pc.invert(bnd))),
+                    ProjectTable(spec, True, p)(sel.filter(bnd)),
                 ])
             else:
-                proj = ProjectTable(spec, negate)(sel)
+                proj = ProjectTable(spec, negate, p)(sel)
             cols = [pa.array([name] * proj.num_rows, pa.string())]
             for n in union_names[1:]:
                 cols.append(proj.column(n) if n in proj.column_names

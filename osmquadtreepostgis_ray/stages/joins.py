@@ -79,22 +79,36 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
 
 def salted_bucket_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                        hot_keys: np.ndarray, salt_mod: int = 8,
-                       buckets: int = BUCKETS) -> ray.data.Dataset:
+                       buckets: int = BUCKETS, id_col: str | None = None) -> ray.data.Dataset:
     """Skew-aware hash join: rows of the BIG (left) side whose key is in
-    `hot_keys` are spread across `salt_mod` sub-buckets by row position;
-    the small (right) side's hot-key rows are REPLICATED into every salt
-    so each sub-bucket joins locally.  Bounds any one join group at
-    ~1/salt_mod of a hot key's rows — the salted-join treatment of the
-    reference's giant-relation bottleneck (docs/output.txt:75).  Output
-    rows identical to bucket_hash_join."""
+    `hot_keys` are spread across `salt_mod` sub-buckets; the small
+    (right) side's hot-key rows are REPLICATED into every salt so each
+    sub-bucket joins locally.  Bounds any one join group at ~1/salt_mod
+    of a hot key's rows — the salted-join treatment of the reference's
+    giant-relation bottleneck (docs/output.txt:75).  Output rows
+    identical to bucket_hash_join.
+
+    The salt is a pure function of the row (CLAUDE.md bit-stability
+    invariant): `id_col` (default: first non-key integer column of the
+    left schema) hashed mod salt_mod — never batch position, which would
+    make grouping depend on block boundaries."""
     hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+    if id_col is None:
+        sch = left.schema()
+        for nm, ty in zip(sch.names, sch.types):
+            if nm != on and pa.types.is_integer(ty):
+                id_col = nm
+                break
+        if id_col is None:
+            raise ValueError("salted_bucket_join needs an integer id_col on the left side")
 
     def salt_left(batch: pa.Table) -> pa.Table:
         keys = batch.column(on).to_numpy()
         salt = np.zeros(len(keys), dtype=np.int64)
         m = np.isin(keys, hot)
-        if m.any():  # deterministic spread: position of the row's key value
-            salt[m] = (keys[m] * 40503 + np.flatnonzero(m)) % salt_mod
+        if m.any():  # row-intrinsic spread (same form as skew.salt_keys)
+            rid = batch.column(id_col).to_numpy().astype(np.int64)[m]
+            salt[m] = (rid * _HASH_MULT) % salt_mod
         return batch.append_column("__salt", pa.array(salt, pa.int64()))
 
     def replicate_right(batch: pa.Table) -> pa.Table:

@@ -39,6 +39,27 @@ from osmquadtreepostgis_ray.functions import quadtree
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
+SETTINGS_FILE = "_settings.json"
+
+
+def read_settings(out_dir: str) -> dict | None:
+    """The write settings (part_depth, max_rows_per_part, ...) persisted
+    by the first resumable_write — incremental updates MUST reuse them so
+    skew-subdivided partition ids line up with the original export."""
+    p = os.path.join(out_dir, MANIFEST_DIR, SETTINGS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_settings(out_dir: str, settings: dict) -> None:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f"_tmp-settings-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(settings, fh)
+    os.replace(tmp, os.path.join(mdir, SETTINGS_FILE))
 
 METRICS_SCHEMA = pa.schema([
     ("part", pa.int64()),
@@ -60,7 +81,7 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     if not os.path.isdir(mdir):
         return done
     for f in os.listdir(mdir):
-        if f.endswith(".json") and not f.startswith("_"):
+        if f.endswith(".json") and not f.startswith("_") and f != SETTINGS_FILE:
             with open(os.path.join(mdir, f)) as fh:
                 rec = json.load(fh)
             done[int(rec["part"])] = rec
@@ -145,6 +166,10 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
     with this run's id plus previously-done ones marked 'skipped'.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if read_settings(out_dir) is None:
+        _write_settings(out_dir, {"key_col": key_col, "part_depth": part_depth,
+                                  "max_rows_per_part": max_rows_per_part,
+                                  "skew_depth_delta": skew_depth_delta})
     done = completed_partitions(out_dir)
 
     hot: np.ndarray = np.empty(0, dtype=np.int64)

@@ -38,16 +38,34 @@ def partitions_of_docs(doc_ids: np.ndarray, part_depth: int = 4) -> np.ndarray:
     return np.unique(quadtree.at_depth(tile, part_depth))
 
 
-def invalidate_partitions(out_dir: str, parts: np.ndarray) -> int:
-    """Drop manifests + data dirs for the given partitions (they will be
-    recomputed by the next resumable_write)."""
+def invalidate_partitions(out_dir: str, parts: np.ndarray,
+                          part_depth: int = 4) -> int:
+    """Drop manifests + data dirs for the given part_depth partitions AND
+    any quadtree DESCENDANTS of them (skew-subdivided hot partitions from
+    a max_rows_per_part write live under deeper ids; leaving them behind
+    would duplicate their rows after the shallow id is rewritten)."""
+    from osmquadtreepostgis_ray.state.checkpoint import completed_partitions
+
+    affected = {int(p) for p in parts}
+
+    def is_affected(pid: int) -> bool:
+        if pid in affected:
+            return True
+        depth = pid & 63
+        if depth > part_depth:
+            anc = int(quadtree.at_depth(np.array([pid], dtype=np.int64), part_depth)[0])
+            return anc in affected
+        return False
+
+    victims = {pid for pid in completed_partitions(out_dir) if is_affected(pid)}
+    victims |= affected  # data dirs may exist without manifests (killed run)
     n = 0
-    for pid in parts:
-        man = os.path.join(out_dir, MANIFEST_DIR, f"{int(pid)}.json")
+    for pid in sorted(victims):
+        man = os.path.join(out_dir, MANIFEST_DIR, f"{pid}.json")
         if os.path.exists(man):
             os.remove(man)
             n += 1
-        ddir = os.path.join(out_dir, DATA_DIR, f"part={int(pid)}")
+        ddir = os.path.join(out_dir, DATA_DIR, f"part={pid}")
         if os.path.isdir(ddir):
             shutil.rmtree(ddir)
     return n
@@ -59,11 +77,19 @@ def update_export(out_dir: str, sf_dir: str, changes: pa.Table,
     checkpointed export.  Only affected partitions recompute; everything
     else is skipped via the manifest.  Returns the metrics table."""
     from osmquadtreepostgis_ray.pipelines.flagship import tables_union_of
+    from osmquadtreepostgis_ray.state.checkpoint import read_settings
 
     p = params or EngineParams()
+    # reuse the original write's partition settings: a different
+    # part_depth / skew config would mis-align partition ids vs the
+    # on-disk manifests
+    settings = read_settings(out_dir) or {}
+    part_depth = int(settings.get("part_depth", part_depth))
+    max_rows_per_part = settings.get("max_rows_per_part")
+    skew_depth_delta = int(settings.get("skew_depth_delta", 2))
     changed_ids = changes.column("doc_id").to_numpy()
     parts = partitions_of_docs(changed_ids, part_depth)
-    invalidate_partitions(out_dir, parts)
+    invalidate_partitions(out_dir, parts, part_depth=part_depth)
 
     # merged corpus = base minus changed ids, plus changes (latest wins)
     ids_ref = ray.put(np.sort(changed_ids.astype(np.int64)))
@@ -79,4 +105,6 @@ def update_export(out_dir: str, sf_dir: str, changes: pa.Table,
     from osmquadtreepostgis_ray.sources.images import _synth_meta_batch
     docs = merged.map_batches(_synth_meta_batch, batch_format="pyarrow")
     return resumable_write(tables_union_of(docs, p), out_dir,
-                           key_col="tile", part_depth=part_depth)
+                           key_col="tile", part_depth=part_depth,
+                           max_rows_per_part=max_rows_per_part,
+                           skew_depth_delta=skew_depth_delta)

@@ -340,3 +340,45 @@ def test_incremental_update_matches_fresh_export(tmp_path, sf_dir):
 
     a, b = snapshot(base_out), snapshot(fresh_out)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_update_with_skew_subdivision(tmp_path, sf_dir):
+    """An export written with max_rows_per_part stores hot partitions
+    under DEEPER skew-subdivided ids; an update must invalidate those
+    descendants too (else the same rows exist under both the shallow and
+    deep ids — duplicated on read)."""
+    import glob
+
+    import pyarrow.parquet as pqt
+
+    from osmquadtreepostgis_ray.pipelines.flagship import all_tables_union
+    from osmquadtreepostgis_ray.state import checkpoint as C
+    from osmquadtreepostgis_ray.state.incremental import update_export
+
+    base_out = str(tmp_path / "skewed")
+    # tiny cap -> hot partitions subdivide to depth-6 ids
+    C.resumable_write(all_tables_union(sf_dir), base_out, key_col="tile",
+                      part_depth=4, max_rows_per_part=3, skew_depth_delta=2)
+    deep_parts = {p for p in C.completed_partitions(base_out) if (p & 63) > 4}
+    assert deep_parts, "cap must force skew subdivision for this test"
+    assert C.read_settings(base_out)["max_rows_per_part"] == 3
+
+    n_before = sum(pqt.read_metadata(f).num_rows
+                   for f in glob.glob(base_out + "/data/part=*/*.parquet"))
+
+    changes = pa.table({
+        "doc_id": pa.array([1, 5, 9], pa.int64()),
+        "text": pa.array(["merge merge row fast the", "slow slow", "data x"], pa.string()),
+    })
+    update_export(base_out, sf_dir, changes)
+
+    n_after = sum(pqt.read_metadata(f).num_rows
+                  for f in glob.glob(base_out + "/data/part=*/*.parquet"))
+    # upserting existing docs must not change the total row count (same
+    # docs, same kinds routed at most differently between tables) — and
+    # NEVER duplicate rows across shallow/deep partition ids
+    ids = pa.concat_tables([pqt.read_table(f, columns=["tbl", "osm_id"])
+                            for f in glob.glob(base_out + "/data/part=*/*.parquet")])
+    df = ids.to_pandas()
+    assert df.duplicated(["tbl", "osm_id"]).sum() == 0
+    assert abs(n_after - n_before) <= 6  # routing changes for the 3 docs only
