@@ -168,3 +168,180 @@ def hash_str(s: str) -> int:
     for c in s.encode("utf-8"):
         h = np.uint64((int(h) ^ c) * 0x100000001B3 % (1 << 64))
     return int(h)
+
+
+# ------------------------------------------------------- batch (whole-batch)
+# Vectorized twins of the per-document kernels above: one numpy pass over
+# ALL documents of a batch (shingles concatenated, per-doc boundaries as
+# segment offsets).  Outputs are byte-identical to looping the per-doc
+# functions (tested in test_text_tags.py) — the per-doc forms remain as
+# the executable spec.
+
+def _segment_unique(vals: np.ndarray, segs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique values WITHIN each segment id (both returned
+    flattened, segment-major)."""
+    order = np.lexsort((vals, segs))
+    v, s = vals[order], segs[order]
+    if not len(v):
+        return v, s
+    keep = np.r_[True, (v[1:] != v[:-1]) | (s[1:] != s[:-1])]
+    return v[keep], s[keep]
+
+
+def char_shingles_batch(texts: list[str], k: int = 9) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' hashed k-char shingles in one pass.
+
+    Returns (shingles, seg): `shingles` is every doc's sorted-unique
+    shingle hashes concatenated doc-major; `seg[i]` is the doc index of
+    shingles[i].  Matches char_shingles() per doc exactly (incl. the
+    zero-pad of texts shorter than k; empty text -> no shingles)."""
+    n = len(texts)
+    if not n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    pad_lens = np.where((lens > 0) & (lens < k), k, lens)  # empty stays empty
+    total = int(pad_lens.sum())
+    flat = np.zeros(total, dtype=np.uint8)
+    offs = np.r_[0, np.cumsum(pad_lens)]
+    for i, b in enumerate(bufs):  # fill-only loop; all math below vectorized
+        if b:
+            flat[offs[i]:offs[i] + lens[i]] = np.frombuffer(b, dtype=np.uint8)
+    nwin = np.maximum(pad_lens - k + 1, 0)
+    if total < k or not nwin.sum():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    # hash EVERY window of the concatenated bytes with k shifted
+    # contiguous passes (SIMD-friendly), then one gather of the valid
+    # (non-boundary-crossing) start positions — ~10x faster than
+    # fancy-indexing a strided window view per shingle
+    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    fu = flat.astype(np.uint64)
+    h_full = np.zeros(total - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h_full += fu[j: total - k + 1 + j] * mult[j]
+    starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
+    h = h_full[starts]
+    seg = np.repeat(np.arange(n, dtype=np.int64), nwin)
+    return _segment_unique(h, seg)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without the loop."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if not total:
+        return np.empty(0, np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out[0] = 0
+    nz = counts > 0
+    first = ends[nz][:-1]
+    out[first] = 1 - counts[nz][:-1]
+    return np.cumsum(out)
+
+
+def minhash_signatures_batch(shingles: np.ndarray, seg: np.ndarray, n_docs: int,
+                             num_hashes: int = 64) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 signatures from batch shingles.
+    Docs with no shingles get the all-max signature (empty-set spec of
+    minhash_signature)."""
+    a, b = _minhash_coeffs(num_hashes)
+    out = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not len(shingles):
+        return out
+    starts_mask = np.r_[True, seg[1:] != seg[:-1]]
+    starts = np.flatnonzero(starts_mask)
+    doc_of = seg[starts_mask]
+    # per-hash pass: O(total_shingles) working set per iteration, never
+    # the (shingles x hashes) matrix (300 MB/batch at sf0.1 — measured
+    # 2x slower than this loop from allocation + memory traffic alone)
+    for h in range(num_hashes):
+        vals = shingles * a[h] + b[h]                          # wraps mod 2^64
+        out[doc_of, h] = np.minimum.reduceat(vals, starts)
+    return out
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) band bucket keys — vectorized lsh_band_keys."""
+    n_docs, num = sigs.shape
+    rows = num // bands
+    view = sigs[:, : bands * rows].reshape(n_docs, bands, rows)
+    mult = np.uint64(0x9E3779B97F4A7C15) ** np.arange(1, rows + 1, dtype=np.uint64)
+    return (view * mult[None, None, :]).sum(axis=2)
+
+
+def simhash_batch(shingles: np.ndarray, seg: np.ndarray, n_docs: int,
+                  bits: int = 64) -> np.ndarray:
+    """(n_docs,) int64 simhash values — vectorized simhash() per doc
+    (empty docs -> 0)."""
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not len(shingles):
+        return out.astype(np.int64)
+    starts_mask = np.r_[True, seg[1:] != seg[:-1]]
+    starts = np.flatnonzero(starts_mask)
+    doc_of = seg[starts_mask]
+    seg_len = np.diff(np.r_[starts, len(seg)])
+    acc = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(bits):  # per-bit pass (see minhash note on memory)
+        ones = np.add.reduceat((shingles >> np.uint64(b)) & np.uint64(1), starts)
+        acc |= (2 * ones > seg_len).astype(np.uint64) << np.uint64(b)
+    out[doc_of] = acc
+    return out.astype(np.int64)
+
+
+_GRAM_P = np.uint64(0x100000001B3)
+
+
+def word_ngram_hash_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word n-grams for every doc of a batch in one pass.
+
+    `texts` is a pyarrow string Array/ChunkedArray.  Gram identity is a
+    polynomial combination of per-word FNV hashes (equal word sequences
+    -> equal hash; collisions negligible at 64 bit) — only pairwise SET
+    EQUALITY feeds the n-gram-Jaccard operator, so this hashes-of-hashes
+    identity is interchangeable with hashing the joined string (the
+    DuckDB oracle joins strings; parity is on the output pairs).
+    Docs with < n words emit ONE gram over the empty-padded word list,
+    matching word_ngrams().  Returns (gram_hashes, doc_seg) with grams
+    sorted-unique per doc."""
+    import pyarrow.compute as pc
+    arr = texts.combine_chunks() if hasattr(texts, "combine_chunks") else texts
+    n_docs = len(arr)
+    if not n_docs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    lists = pc.utf8_split_whitespace(arr)
+    lens0 = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "")  # Arrow keeps boundary empties; str.split() doesn't
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)[
+        keep.to_numpy(zero_copy_only=False)]
+    toks = flat.filter(keep)
+    d = toks.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    wh = np.array([hash_str(w) for w in d.dictionary.to_pylist()], dtype=np.uint64)
+    tok_h = wh[codes] if len(codes) else np.empty(0, np.uint64)
+    tok_counts = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+
+    # long docs: all windows of n consecutive tokens (within-doc only)
+    ngrams_per_doc = np.maximum(tok_counts - n + 1, 0)
+    offs = np.r_[0, np.cumsum(tok_counts)]
+    starts = np.repeat(offs[:-1], ngrams_per_doc) + _ranges(ngrams_per_doc)
+    gh = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(n):  # n is tiny (3): the polynomial unrolls
+        gh = gh * _GRAM_P + tok_h[starts + j]
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), ngrams_per_doc)
+
+    # short docs (< n words, incl. empty): one gram over the padded list
+    short = np.flatnonzero((tok_counts < n))
+    if len(short):
+        empty_h = np.uint64(hash_str(""))
+        sh = np.zeros(len(short), dtype=np.uint64)
+        for j in range(n):
+            has = tok_counts[short] > j
+            hj = np.full(len(short), empty_h, dtype=np.uint64)
+            if has.any():
+                hj[has] = tok_h[offs[short[has]] + j]
+            sh = sh * _GRAM_P + hj
+        gh = np.concatenate([gh, sh])
+        seg = np.concatenate([seg, short.astype(np.int64)])
+    return _segment_unique(gh, seg)

@@ -60,22 +60,25 @@ class MinHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_numpy()
+        # whole-batch vectorized: one shingle pass over every doc, one
+        # (shingles x hashes) matmul-style min-reduce, one band hash —
+        # no per-row Python (functions/text.py batch kernels, proven
+        # byte-identical to the per-doc forms in test_text_tags.py)
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, txt in enumerate(texts):
-            sh = T.char_shingles(txt, self.ngram)
-            sig = T.minhash_signature(sh, self.num_hashes)
-            keys = T.lsh_band_keys(sig, self.bands)
-            sig_bytes = sig.tobytes()
-            for b, key in enumerate(keys):
-                out_id.append(int(ids[i])); out_band.append(b)
-                out_key.append(np.int64(key.astype(np.int64))); out_sig.append(sig_bytes)
+        n = len(ids)
+        sh, seg = T.char_shingles_batch(texts, self.ngram)
+        sigs = T.minhash_signatures_batch(sh, seg, n, self.num_hashes)
+        keys = T.lsh_band_keys_batch(sigs, self.bands)          # (n, bands)
+        sig_flat = sigs.tobytes()
+        stride = self.num_hashes * 8
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(stride), n, [None, pa.py_buffer(sig_flat)])
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int64()),
-            "band_key": pa.array(out_key, pa.int64()),
-            "sig": pa.array(out_sig, pa.binary()),
+            "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int64), n), pa.int64()),
+            "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+            "sig": sig_arr.take(pa.array(np.repeat(np.arange(n), self.bands))).cast(pa.binary()),
         })
 
 
@@ -100,15 +103,32 @@ def minhash_candidates(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 
         return batch.append_column("shard", pa.array(b, pa.int64()))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # numpy bucket segmentation first: only buckets with >= 2 docs
+        # survive to the (rare) pairwise comparison — iterating every
+        # pandas sub-group was the hot spot (50k+ singleton iterations
+        # per run at sf0.1)
+        g = g.sort_values(["band", "band_key", "doc_id"], kind="stable")
+        b = g["band"].to_numpy()
+        k = g["band_key"].to_numpy()
+        new = np.r_[True, (b[1:] != b[:-1]) | (k[1:] != k[:-1])]
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        hot = cnt[gid] >= 2
+        if not hot.any():
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+        sub = g[hot]
+        gid = gid[hot]
+        ids = sub["doc_id"].to_numpy()
+        sigs = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64).reshape(len(sub), -1)
         out_a, out_b, out_j = [], [], []
-        for (_, _), sub in g.groupby(["band", "band_key"], sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.sort_values("doc_id")
-            ids = sub["doc_id"].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]])
-            for i in range(len(ids)):
-                agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+        for start in np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]]):
+            end = start
+            while end < len(gid) and gid[end] == gid[start]:
+                end += 1
+            for i in range(start, end):
+                agree = (sigs[i + 1:end] == sigs[i]).mean(axis=1)
                 hit = np.flatnonzero(agree >= sim_threshold)
                 out_a.extend([ids[i]] * len(hit))
                 out_b.extend(ids[i + 1 + hit].tolist())
@@ -133,112 +153,140 @@ def simhash_buckets(ds: ray.data.Dataset, ngram: int = 9, prefix_bits: int = 12,
     blocking (rotation-probing is the scale extension)."""
     def sh(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        vals = np.array([T.simhash(T.char_shingles(t, ngram))
-                         for t in batch.column(text_col).to_pylist()], dtype=np.int64)
+        texts = batch.column(text_col).to_pylist()
+        shingles, seg = T.char_shingles_batch(texts, ngram)
+        vals = T.simhash_batch(shingles, seg, len(ids))  # vectorized per batch
         bucket = (vals.astype(np.uint64) >> np.uint64(64 - prefix_bits)).astype(np.int64)
         return pa.table({id_col: pa.array(ids), "simhash": pa.array(vals, pa.int64()),
                          "bucket": pa.array(bucket, pa.int64())})
     return ds.map_batches(sh, batch_format="pyarrow")
 
 
+NGRAM_SHARDS = 512
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6,
                         id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """Exact word-n-gram Jaccard near-dup pairs via PREFIX FILTERING
-    (the PPJoin family): order each doc's gram set rarest-first (global
-    document frequency); a pair with Jaccard >= t must share a gram in
-    each side's first ``|d| - ceil(t*|d|) + 1`` grams, so only prefix
-    grams are exploded, and candidate pairs are verified exactly.
+    (the PPJoin family), fully distributed — nothing corpus-sized ever
+    lands on the driver or in a broadcast:
 
-    Naive one-shared-gram blocking is quadratic in document frequency —
-    at sf0.1 it generates ~10M candidates; the prefix filter keeps only
-    genuinely-rare co-occurrences.
+    1. document frequency: per-batch (gram, partial df) combiner ->
+       tiny groupby(gram) — the shuffle carries distinct grams only.
+       The aggregated (gram -> df) table (vocabulary-sized, orders of
+       magnitude smaller than the corpus) is the one broadcast.
+    2. prefix explode: every doc re-derives its sorted-unique gram set
+       (one vectorized batch pass), orders it rarest-first by (df,
+       gram) — any consistent total order preserves the PPJoin
+       guarantee: J(a,b) >= t implies the two prefixes of length
+       ``|d| - ceil(t*|d|) + 1`` share a gram — and emits its prefix
+       rows, each CARRYING the doc's full gram array as a list column.
+    3. candidates + verify co-grouped: groupby(gram shard); inside a
+       group both sides' gram arrays are present, so the exact Jaccard
+       verification is local — no lookup table, no second join.  The
+       per-pair cost rides the shuffle as O(prefix x |grams|) ints per
+       doc; for very long documents the alternative is a hash join of
+       gram sets back onto the candidate pair key (two shuffles).
+    4. a pair can surface in two shards (one per side's prefix):
+       final groupby(a) dedup.
 
-    Sandbox scale note: per-doc gram arrays are collected once and
-    broadcast (ray.put) for the verify stage; at 100 TB that lookup
-    becomes a hash join of gram sets on the pair key, and the df table a
-    groupby — both already expressed here as the dataset-side stages.
+    All thresholds compared in exact integer permille (hash-stable vs
+    the DuckDB oracle).  Returns (a, b, jac_permille)."""
+    from ray.data.aggregate import Sum
 
-    Returns a Dataset of (a, b, jac_permille) — integer permille to stay
-    hash-stable."""
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        out_id, out_g = [], []
-        for i, t in enumerate(batch.column(text_col).to_pylist()):
-            gs = np.unique(T.word_ngrams(t, n))
-            out_id.append(np.full(len(gs), ids[i], dtype=np.int64))
-            out_g.append(gs.astype(np.int64))
-        return pa.table({id_col: pa.array(np.concatenate(out_id) if out_id else [], pa.int64()),
-                         "gram": pa.array(np.concatenate(out_g) if out_g else [], pa.int64())})
+    t_permille = int(round(threshold * 1000))
 
-    exploded = ds.map_batches(gram_rows, batch_format="pyarrow")
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        gh, _seg = T.word_ngram_hash_batch(batch.column(text_col), n)
+        u, c = np.unique(gh.astype(np.int64), return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.int64()),
+                         "df": pa.array(c.astype(np.int64), pa.int64())})
 
-    # one streaming pass: per-doc gram arrays (verify side) + global df
-    doc_grams: dict[int, np.ndarray] = {}
-    for b in exploded.iter_batches(batch_format="pyarrow", batch_size=1 << 18):
-        df_b = pd.DataFrame({"id": b.column(id_col).to_numpy(), "g": b.column("gram").to_numpy()})
-        for did, sub in df_b.groupby("id", sort=False):
-            arr = sub["g"].to_numpy()
-            doc_grams[int(did)] = (np.concatenate([doc_grams[int(did)], arr])
-                                   if int(did) in doc_grams else arr)
-    doc_grams = {d: np.unique(g) for d, g in doc_grams.items()}
-    all_g = np.concatenate(list(doc_grams.values())) if doc_grams else np.empty(0, np.int64)
-    uniq, df_counts = np.unique(all_g, return_counts=True)
-    # total order rarest-first: (df, gram); rank = position in lexsort
-    order = np.lexsort((uniq, df_counts))
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[order] = np.arange(len(uniq))
-    rank_ref = ray.put((uniq, rank))
-    grams_ref = ray.put(doc_grams)
+    df_tab = (ds.map_batches(gram_partial, batch_format="pyarrow")
+                .groupby("gram").aggregate(Sum("df", alias_name="df"))).to_pandas()
+    u = df_tab["gram"].to_numpy(np.int64)
+    order = np.argsort(u, kind="stable")
+    u = u[order]
+    dfv = df_tab["df"].to_numpy(np.int64)[order]
+    df_ref = ray.put((u, dfv))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
-        u, r = ray.get(rank_ref)
-        dg = ray.get(grams_ref)
-        out_g, out_d, out_sz = [], [], []
-        for did in batch.column(id_col).to_numpy():
-            gs = dg.get(int(did))
-            if gs is None or not len(gs):
-                continue
-            rk = r[np.searchsorted(u, gs)]
-            p = len(gs) - int(np.ceil(threshold * len(gs))) + 1
-            pref = gs[np.argsort(rk)][:p]
-            out_g.append(pref)
-            out_d.append(np.full(len(pref), did, dtype=np.int64))
-            out_sz.append(np.full(len(pref), len(gs), dtype=np.int64))
-        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
-        return pa.table({"gram": pa.array(cat(out_g), pa.int64()),
-                         id_col: pa.array(cat(out_d), pa.int64()),
-                         "size": pa.array(cat(out_sz), pa.int64())})
+        uu, dd = ray.get(df_ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        gh, seg = T.word_ngram_hash_batch(batch.column(text_col), n)
+        gi = gh.astype(np.int64)
+        sizes = np.bincount(seg, minlength=len(ids)).astype(np.int64)
+        if not len(gi):
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64()),
+                             "grams": pa.array([], pa.list_(pa.int64()))})
+        # full per-doc gram sets as a list column (value-sorted per doc)
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(sizes)], pa.int32()), pa.array(gi, pa.int64()))
+        # rarest-first within each doc: lexsort (doc, df, gram)
+        d = dd[np.searchsorted(uu, gi)]
+        so = np.lexsort((gi, d, seg))
+        # prefix length: p = size - ceil(t*size) + 1, exact integer ceil
+        p = sizes - (t_permille * sizes + 999) // 1000 + 1
+        within = T._ranges(sizes)                      # rank within doc, sorted
+        sel = within < np.repeat(p, sizes)
+        doc_idx = seg[so][sel]
+        return pa.table({
+            "gram": pa.array(gi[so][sel], pa.int64()),
+            id_col: pa.array(ids[doc_idx], pa.int64()),
+            "size": pa.array(sizes[doc_idx], pa.int64()),
+            "grams": doc_lists.take(pa.array(doc_idx)),
+        })
 
-    prefixed = ds.select_columns([id_col]).map_batches(prefix_rows, batch_format="pyarrow")
+    prefixed = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        b = batch.column("gram").to_numpy() % 512
+        b = batch.column("gram").to_numpy() % NGRAM_SHARDS
         return batch.append_column("shard", pa.array(b, pa.int64()))
 
     def pairs_and_verify(g: pd.DataFrame) -> pd.DataFrame:
-        dg = ray.get(grams_ref)
+        # numpy segmentation: only grams shared by >= 2 docs reach the
+        # pairwise loop (the overwhelming majority of prefix grams are
+        # singletons in their shard)
+        g = g.sort_values(["gram", id_col], kind="stable") \
+             .drop_duplicates(["gram", id_col])
+        gv = g["gram"].to_numpy()
+        new = np.r_[True, gv[1:] != gv[:-1]]
+        gid = np.cumsum(new) - 1
+        cnt = np.bincount(gid)
+        hotm = cnt[gid] >= 2
         seen: set[tuple[int, int]] = set()
         out_a, out_b, out_j = [], [], []
-        for _, sub in g.groupby("gram", sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.drop_duplicates(id_col).sort_values(id_col)
-            ids = sub[id_col].to_numpy()
-            sizes = sub["size"].to_numpy()
+        if not hotm.any():
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "jac_permille": pd.Series([], dtype=np.int64)})
+        sub_all = g[hotm]
+        gid = gid[hotm]
+        ids_all = sub_all[id_col].to_numpy()
+        sizes_all = sub_all["size"].to_numpy()
+        grams_all = sub_all["grams"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]]).tolist() + [len(gid)]
+        for bi in range(len(bounds) - 1):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            ids = ids_all[lo:hi]
+            sizes = sizes_all[lo:hi]
+            grams = grams_all[lo:hi]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    # length filter: min size >= t * max size for J >= t
-                    if min(sizes[i], sizes[j]) < threshold * max(sizes[i], sizes[j]):
+                    # length filter: 1000*min >= t_permille*max for J >= t
+                    if 1000 * min(sizes[i], sizes[j]) < t_permille * max(sizes[i], sizes[j]):
                         continue
                     key = (int(ids[i]), int(ids[j]))
                     if key in seen:
                         continue
                     seen.add(key)
-                    ga, gb = dg[key[0]], dg[key[1]]
+                    ga = np.asarray(grams[i], dtype=np.int64)
+                    gb = np.asarray(grams[j], dtype=np.int64)
                     inter = len(np.intersect1d(ga, gb, assume_unique=True))
                     union = len(ga) + len(gb) - inter
-                    # integer-exact: 1000*i >= t_permille*u, floor permille
-                    if 1000 * inter >= int(round(threshold * 1000)) * union:
+                    if 1000 * inter >= t_permille * union:
                         out_a.append(key[0]); out_b.append(key[1])
                         out_j.append((1000 * inter) // union)
         return pd.DataFrame({"a": np.array(out_a, dtype=np.int64),
@@ -248,7 +296,6 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6
     verified = (prefixed.map_batches(bucketize, batch_format="pyarrow")
                 .groupby("shard").map_groups(pairs_and_verify, batch_format="pandas"))
 
-    # a pair can surface in two shards (one per side's prefix): final dedup
     def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"])
 

@@ -96,3 +96,35 @@ def test_codecs_psnr_invariant():
     assert codecs.psnr(img, dec) >= 40.0
     r = codecs.resize_nearest(img, 32, 24)
     assert r.shape == (24, 32)
+
+
+def test_batch_kernels_match_per_doc():
+    """The whole-batch vectorized kernels (char_shingles_batch, minhash/
+    simhash/band-keys, word_ngram_hash_batch) are byte-identical to
+    looping the per-doc reference forms."""
+    import pyarrow as pa
+
+    from osmquadtreepostgis_ray.functions import text as T
+    rng = np.random.RandomState(42)
+    words = ["the", "data", "query", "merge", "fast", "slow", "row", "x", "yy"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 15))) for _ in range(150)]
+    texts += ["", " ", "a", "ab", "  lead", "trail  ", "one two", "short doc here"]
+
+    sh, seg = T.char_shingles_batch(texts, 9)
+    sigs = T.minhash_signatures_batch(sh, seg, len(texts), 64)
+    sims = T.simhash_batch(sh, seg, len(texts))
+    keys = T.lsh_band_keys_batch(sigs, 16)
+    gh, gseg = T.word_ngram_hash_batch(pa.array(texts), 3)
+    for i, t in enumerate(texts):
+        ref_sh = T.char_shingles(t, 9)
+        assert np.array_equal(np.sort(ref_sh), sh[seg == i])
+        ref_sig = T.minhash_signature(ref_sh, 64)
+        assert np.array_equal(ref_sig, sigs[i])
+        assert np.array_equal(T.lsh_band_keys(ref_sig, 16), keys[i])
+        assert T.simhash(ref_sh) == sims[i]
+        # gram hash identity differs by design (hash-of-word-hashes);
+        # per-doc gram-set SIZE and cross-doc equality must agree
+        assert len(gh[gseg == i]) == len(T.word_ngrams(t, 3))
+    g2, s2 = T.word_ngram_hash_batch(pa.array(["one two", " one  two ", "two one"]), 3)
+    assert np.array_equal(g2[s2 == 0], g2[s2 == 1])
+    assert not np.array_equal(g2[s2 == 0], g2[s2 == 2])
