@@ -131,11 +131,17 @@ def q_knn_brute(sf_dir: str, k: int = 5):
 
 
 def q_knn_cellring(sf_dir: str, k: int = 5):
-    """Distributed exact cell-ring kNN: partition-pruned streaming rounds
-    (no corpus broadcast; see stages/knn.knn_cellring_pruned)."""
+    """Distributed exact cell-ring kNN: the projected corpus is
+    materialized hive-partitioned by coarse cell ONCE (deterministic
+    /tmp path, reused across calls) and every ring round reads only the
+    disk-intersecting partitions (stages/knn.knn_cellring_pruned)."""
+    import hashlib
+
     from osmquadtreepostgis_ray.stages.knn import knn_cellring_pruned
     ev = prep_events(sf_dir).select_columns(["event_id", "lon_milli", "lat_milli", "cell"])
-    return knn_cellring_pruned(ev, _event_queries(sf_dir), k=k)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return knn_cellring_pruned(ev, _event_queries(sf_dir), k=k,
+                               cache_dir=f"/tmp/oqp_cellring_{tag}")
 
 
 def q_dedup_latest(sf_dir: str):
@@ -621,16 +627,27 @@ def q_embed_knn(sf_dir: str, k: int = 5):
     return knn_embeddings(corpus, ids, mat, k=k)
 
 
-def q_embed_knn_ivf(sf_dir: str, k: int = 5):
-    from osmquadtreepostgis_ray.stages.embed import ivf_knn
-    ids, mat = _query_vectors(sf_dir)
+def _ivf_setup(sf_dir: str):
+    """Shared centroids + deterministic index path for the IVF queries
+    (the index is built once per corpus and reused across calls)."""
     import duckdb
+    import hashlib
     con = duckdb.connect()
     cdf = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
                   f"WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16").df()
     centroids = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return centroids, f"/tmp/oqp_ivf_{tag}_{len(centroids)}"
+
+
+def q_embed_knn_ivf(sf_dir: str, k: int = 5):
+    """Pruned ANN: only the nprobe probed buckets' parquet files are
+    read (file-level prune via the hive-partitioned IVF index)."""
+    from osmquadtreepostgis_ray.stages.embed import ivf_knn
+    ids, mat = _query_vectors(sf_dir)
+    centroids, path = _ivf_setup(sf_dir)
     corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=6)
+    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=6, index_path=path)
 
 
 NEARDUP_TWIN_STEP = 50
@@ -643,14 +660,10 @@ def q_embed_knn_ivf_exhaustive(sf_dir: str, k: int = 5):
     machinery (the nprobe<buckets query demonstrates the pruned path)."""
     from osmquadtreepostgis_ray.stages.embed import ivf_knn
     ids, mat = _query_vectors(sf_dir)
-    import duckdb
-    con = duckdb.connect()
-    cdf = con.sql(f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-                  f"WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16").df()
-    centroids = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    centroids, path = _ivf_setup(sf_dir)
     corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=len(centroids)) \
-        .select(["query_id", "neighbor_id", "rank"])
+    return ivf_knn(corpus, centroids, ids, mat, k=k, nprobe=len(centroids),
+                   index_path=path).select(["query_id", "neighbor_id", "rank"])
 
 
 def q_embed_neardup(sf_dir: str):

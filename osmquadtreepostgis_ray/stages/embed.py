@@ -121,18 +121,50 @@ def ivf_assign(corpus: ray.data.Dataset, centroids: np.ndarray,
     return corpus.map_batches(worker_cached(Assign), batch_format="pyarrow")
 
 
-def ivf_knn(corpus: ray.data.Dataset, centroids: np.ndarray, query_ids, query_mat,
-            k: int = 5, nprobe: int = 4, id_col: str = "vec_id") -> pa.Table:
-    """Approximate top-k probing only the nprobe nearest IVF buckets —
-    the 100TB path (bucket = partition key; only probed partitions are
-    scanned)."""
+def ivf_build(corpus: ray.data.Dataset, centroids: np.ndarray, index_path: str,
+              id_col: str = "vec_id") -> str:
+    """One-time IVF index build: assign every vector to its nearest
+    centroid and MATERIALIZE the corpus hive-partitioned by ivf_bucket
+    (state/partcache.py).  The bucket is thereby a storage partition
+    key — the probe below reads only selected partitions' files, never
+    scanning (or even listing) the rest.  Idempotent per path."""
+    from osmquadtreepostgis_ray.state.partcache import cache_partitioned
     assigned = ivf_assign(corpus, centroids, id_col)
+    return cache_partitioned(assigned, index_path, "ivf_bucket")
+
+
+def ivf_probe_buckets(centroids: np.ndarray, query_mat: np.ndarray,
+                      nprobe: int) -> list[int]:
+    """The nprobe nearest buckets per query (union over queries)."""
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     qn = np.asarray(query_mat, dtype=np.float64)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
-    wanted = sorted({int(b) for row in probe for b in row})
-    sub = assigned.filter(expr=f"ivf_bucket in {wanted}")
+    return sorted({int(b) for row in probe for b in row})
+
+
+def ivf_knn(corpus: ray.data.Dataset, centroids: np.ndarray, query_ids, query_mat,
+            k: int = 5, nprobe: int = 4, id_col: str = "vec_id",
+            index_path: str | None = None) -> pa.Table:
+    """Approximate top-k probing only the nprobe nearest IVF buckets.
+
+    The probe is a FILE-LEVEL partition prune: the corpus is (once)
+    materialized bucketed by ivf_bucket (`ivf_build`), and each query
+    batch reads only the probed buckets' parquet files — unprobed
+    partitions are never opened.  `index_path=None` builds a throwaway
+    index for this call; pass a stable path to amortize the build
+    across calls (the 100 TB deployment always does)."""
+    import tempfile
+
+    from osmquadtreepostgis_ray.state.partcache import read_partitions
+    path = index_path or tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    ivf_build(corpus, centroids, path, id_col)
+    wanted = ivf_probe_buckets(centroids, query_mat, nprobe)
+    sub = read_partitions(path, "ivf_bucket", wanted)
+    if sub is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
     return knn_embeddings(sub, np.asarray(query_ids, dtype=np.int64), query_mat, k, id_col)
 
 

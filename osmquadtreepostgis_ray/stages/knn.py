@@ -84,18 +84,28 @@ def knn_brute(corpus, queries: dict, k: int = 5,
 
 
 def knn_cellring_pruned(corpus, queries: dict, k: int = 5, depth: int = 8,
-                        id_col: str = "event_id") -> pa.Table:
-    """Fully-distributed exact cell-ring kNN: NO corpus broadcast.
+                        id_col: str = "event_id", part_depth: int = 4,
+                        cache_dir: str | None = None) -> pa.Table:
+    """Fully-distributed exact cell-ring kNN: NO corpus broadcast, NO
+    per-round re-execution of the upstream chain.
 
-    Iterative partition pruning (the flat_map-to-neighbor-cells design of
-    SURVEY.md §7.1 step 4): each round streams ONLY the corpus rows whose
-    cell falls inside the unresolved queries' Chebyshev disks (a
-    vectorized per-batch mask — at scale, cell-partitioned input turns
-    this into a file/row-group prune), brute-forces those candidates
-    against the broadcast query set, and closes out every query whose
-    k-th distance beats the nearest possible point of the first
-    unvisited ring.  Radius doubles per round; exact for any corpus.
+    One-time cost: the (id, x, y, cell)-PROJECTED corpus (4 int64
+    columns — payloads never enter) is materialized hive-partitioned by
+    the cell's `part_depth` quadtree ancestor (state/partcache.py) —
+    the pre-shuffle-by-cell of SURVEY.md §7.1 step 4, paid once.
+
+    Each round then reads ONLY the partitions intersecting the
+    unresolved queries' Chebyshev disks — a file-level prune; the
+    per-batch isin mask merely trims within-partition rows — and
+    brute-forces those candidates against the broadcast query set.  A
+    query closes out when its k-th distance beats the nearest possible
+    point of the first unvisited ring.  Radius doubles per round; exact
+    for any corpus.
     """
+    import tempfile
+
+    from osmquadtreepostgis_ray.state.partcache import cache_partitioned, read_partitions
+
     qid = np.asarray(queries["id"], dtype=np.int64)
     qx = np.asarray(queries["lon_milli"], dtype=np.int64)
     qy = np.asarray(queries["lat_milli"], dtype=np.int64)
@@ -104,6 +114,24 @@ def knn_cellring_pruned(corpus, queries: dict, k: int = 5, depth: int = 8,
     home = quadtree.encode_ixy(ix, iy, depth)
     min_w = 180_000 // (1 << depth)  # lat axis is the tighter cell span
 
+    def project(batch: pa.Table) -> pa.Table:
+        cells = _batch_cells(batch, depth)
+        part = quadtree.at_depth(cells, part_depth)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "lon_milli": batch.column("lon_milli"),
+            "lat_milli": batch.column("lat_milli"),
+            "cell": pa.array(cells, pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    path = cache_dir or tempfile.mkdtemp(prefix="cellring_", dir="/tmp")
+    cache_partitioned(corpus.map_batches(project, batch_format="pyarrow"),
+                      path, "part")
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
     best: dict[int, list[tuple[int, int]]] = {int(q): [] for q in qid}
     unresolved = np.ones(len(qid), dtype=bool)
     r = 1
@@ -111,27 +139,28 @@ def knn_cellring_pruned(corpus, queries: dict, k: int = 5, depth: int = 8,
     while unresolved.any() and r <= max_r:
         cand = np.unique(np.concatenate([
             quadtree.disk(int(h), r) for h in home[unresolved]]))
+        parts = np.unique(quadtree.at_depth(cand, part_depth))
         sub_q = {"id": qid[unresolved], "lon_milli": qx[unresolved],
                  "lat_milli": qy[unresolved]}
         qref = ray.put(sub_q)
         cand_ref = ray.put(cand)
 
         def prune_then_topk(batch: pa.Table) -> pa.Table:
-            cells = _batch_cells(batch, depth)
+            cells = batch.column("cell").to_numpy()
             mask = np.isin(cells, ray.get(cand_ref))
             if not mask.any():
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "dist": pa.array([], pa.int64())})
+                return empty
             return PartialTopK(ray.get(qref), k, id_col)(batch.filter(pa.array(mask)))
 
-        partials = corpus.map_batches(prune_then_topk, batch_format="pyarrow",
-                                      batch_size=16384)
-        merged = finalize_topk(pa.concat_tables(
-            list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-            or [pa.table({"query_id": pa.array([], pa.int64()),
-                          "neighbor_id": pa.array([], pa.int64()),
-                          "dist": pa.array([], pa.int64())})]), k)
+        sub = read_partitions(path, "part", parts)
+        if sub is None:
+            merged = finalize_topk(empty, k)
+        else:
+            partials = sub.map_batches(prune_then_topk, batch_format="pyarrow",
+                                       batch_size=16384)
+            merged = finalize_topk(pa.concat_tables(
+                list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+                or [empty]), k)
         for row in merged.to_pylist():
             q = int(row["query_id"])
             best[q].append((int(row["dist"]), int(row["neighbor_id"])))

@@ -109,3 +109,55 @@ def test_empty_input_through_stages(tmp_path):
                                        "v": pa.array([], pa.int64())}))
     m = resumable_write(ds, str(tmp_path / "e"), key_col="tile", part_depth=2)
     assert m.num_rows == 0
+
+
+def test_ivf_index_is_a_real_partition_prune(sf_dir, tmp_path):
+    """The IVF probe must READ fewer rows than the corpus holds (file-
+    level prune via the hive-partitioned index), while nprobe=all equals
+    brute force (checked by the embed_knn_ivf_exhaustive oracle)."""
+    from osmquadtreepostgis_ray.sources.tables import read_table
+    from osmquadtreepostgis_ray.stages.embed import ivf_build, ivf_probe_buckets
+    from osmquadtreepostgis_ray.state.partcache import partition_rows, partition_values
+
+    centroids, _ = Q._ivf_setup(sf_dir)
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    total = corpus.count()
+    path = str(tmp_path / "ivf")
+    ivf_build(corpus, centroids, path)
+    vals = partition_values(path, "ivf_bucket")
+    assert len(vals) > 1
+    assert partition_rows(path, "ivf_bucket", vals) == total  # nothing lost
+    ids, mat = Q._query_vectors(sf_dir)
+    wanted = ivf_probe_buckets(centroids, mat, nprobe=2)
+    scanned = partition_rows(path, "ivf_bucket", wanted)
+    assert 0 < scanned < total  # the probe scans strictly less than the corpus
+
+
+def test_cellring_cache_prunes_partitions(sf_dir, tmp_path):
+    """knn_cellring materializes the projected corpus once and each round
+    reads only disk-intersecting partitions: round-1 partitions must be a
+    strict subset of all partitions (and results stay exact — equality
+    with brute force is test_knn_cellring_equals_brute)."""
+    from osmquadtreepostgis_ray.functions import quadtree
+    from osmquadtreepostgis_ray.functions.geotag import milli_to_fixed
+    from osmquadtreepostgis_ray.stages.knn import knn_cellring_pruned
+    from osmquadtreepostgis_ray.state.partcache import partition_rows, partition_values
+
+    q = Q._event_queries(sf_dir)
+    cache = str(tmp_path / "cells")
+    res = knn_cellring_pruned(
+        Q.prep_events(sf_dir).select_columns(
+            ["event_id", "lon_milli", "lat_milli", "cell"]),
+        q, k=5, cache_dir=cache)
+    assert res.num_rows == len(q["id"]) * 5
+    vals = partition_values(cache, "part")
+    assert len(vals) > 1
+    # round-1 disks at depth 8 -> their depth-4 partitions
+    fx, fy = milli_to_fixed(np.asarray(q["lon_milli"]), np.asarray(q["lat_milli"]))
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, 8)
+    home = quadtree.encode_ixy(ix, iy, 8)
+    cand = np.unique(np.concatenate([quadtree.disk(int(h), 1) for h in home]))
+    parts1 = np.unique(quadtree.at_depth(cand, 4))
+    total = partition_rows(cache, "part", vals)
+    scanned1 = partition_rows(cache, "part", parts1)
+    assert 0 < scanned1 < total  # the first round reads a strict subset
