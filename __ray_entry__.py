@@ -38,6 +38,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_point": Q.q_flagship_point,
         "flagship_counts": Q.q_flagship_counts,
         "union_lines": Q.q_union_lines,
+        "roads": Q.q_roads,
+        "union_polygon": Q.q_union_polygon,
+        "polygon_point": Q.q_polygon_point,
         "lowzoom_counts": Q.q_lowzoom_counts,
         # geometry assembly + propagation (A1-A4) and checkpoint/lineage
         "assembly": Q.q_assembly,

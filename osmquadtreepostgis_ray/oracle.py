@@ -259,6 +259,85 @@ def sql_union_lines() -> str:
     """
 
 
+def _footprint_cte() -> str:
+    """Footprint box bounds per image (twin of geotag.footprint_milli),
+    appended to images_cte as `fp` (join on doc_id)."""
+    return f"""
+    fp AS (
+        SELECT doc_id,
+               greatest(lon_milli - w, 0) AS x0,
+               least(lon_milli + w, {geotag.LON_MOD - 1}) AS x1,
+               greatest(lat_milli - h, 0) AS y0,
+               least(lat_milli + h, {geotag.LAT_MOD - 1}) AS y1
+        FROM imgs
+    )"""
+
+
+def sql_roads() -> str:
+    """Twin of queries.q_roads (J1 planet_osm_roads analog,
+    /root/reference osmquadtreepostgis/__init__.py:214-230): major
+    highway rows UNION admin boundary rows with NULL/constant columns."""
+    scan = count_word_sql("i.text", "scan")
+    return f"""
+    WITH {images_cte()},
+    {_footprint_cte()}
+    SELECT i.doc_id AS osm_id, i.cell AS quadtree, i.tile,
+           i.z_order, CAST((f.x1 - f.x0) + (f.y1 - f.y0) AS DOUBLE) AS length,
+           i.minzoom
+    FROM imgs i JOIN fp f ON i.doc_id = f.doc_id
+    WHERE i.is_highway AND (i.z_order >= 20 OR {scan} > 0)
+    UNION ALL
+    SELECT CAST(-i.doc_id AS BIGINT) AS osm_id, i.cell AS quadtree, i.tile,
+           0::BIGINT AS z_order, CAST(NULL AS DOUBLE) AS length, i.minzoom
+    FROM imgs i
+    WHERE i.is_boundary AND i.doc_id > 0
+    """
+
+
+def sql_union_polygon() -> str:
+    """Twin of queries.q_union_polygon (J3 planet_osm_polygon view,
+    __init__.py:376-378): polygon UNION ALL building on shared columns;
+    boundary-fanout rows negate ids in both branches (M9)."""
+    neg = "CASE WHEN i.is_boundary THEN -i.doc_id ELSE i.doc_id END"
+    area = "CAST((f.x1 - f.x0) * (f.y1 - f.y0) AS DOUBLE)"
+    return f"""
+    WITH {images_cte()},
+    {_footprint_cte()}
+    SELECT CAST({neg} AS BIGINT) AS osm_id, 1::BIGINT AS part, {area} AS area,
+           i.cell AS quadtree, i.tile, i.minzoom
+    FROM imgs i JOIN fp f ON i.doc_id = f.doc_id
+    WHERE i.kind = 2 AND NOT i.is_building
+    UNION ALL
+    SELECT CAST({neg} AS BIGINT) AS osm_id, 1::BIGINT AS part, {area} AS area,
+           i.cell AS quadtree, i.tile, i.minzoom
+    FROM imgs i JOIN fp f ON i.doc_id = f.doc_id
+    WHERE i.is_building
+    """
+
+
+def sql_polygon_point() -> str:
+    """Twin of queries.q_polygon_point (J4 polygon_point view,
+    __init__.py:368): the polygon table's non-geometry columns (the Ray
+    side swaps way_point into the way slot; binary columns are excluded
+    from the compare)."""
+    kvs = ",\n           ".join(
+        f"{count_word_sql('i.text', k)} AS kv_{k}" for k in DEFAULT_FEATURE_KEYS)
+    hs = hstore_leftover_sql("imgs", "doc_id", "text", DEFAULT_FEATURE_KEYS)
+    neg = "CASE WHEN i.is_boundary THEN -i.doc_id ELSE i.doc_id END"
+    area = "CAST((f.x1 - f.x0) * (f.y1 - f.y0) AS DOUBLE)"
+    return f"""
+    WITH {images_cte()},
+    {_footprint_cte()},
+    hs AS ({hs})
+    SELECT CAST({neg} AS BIGINT) AS osm_id, i.cell AS quadtree, i.tile, 1::BIGINT AS part,
+           {area} AS area, {kvs},
+           hs.tags AS tags, i.minzoom AS minzoom
+    FROM imgs i JOIN fp f ON i.doc_id = f.doc_id
+                JOIN hs ON i.doc_id = hs.doc_id
+    WHERE i.kind = 2 AND NOT i.is_building
+    """
+
+
 def sql_lowzoom_counts(z: int = 12) -> str:
     return f"""
     WITH {images_cte()}
@@ -531,6 +610,9 @@ def build_oracles() -> dict[str, str]:
         "flagship_point": sql_flagship_point(),
         "flagship_counts": sql_flagship_counts(),
         "union_lines": sql_union_lines(),
+        "roads": sql_roads(),
+        "union_polygon": sql_union_polygon(),
+        "polygon_point": sql_polygon_point(),
         "lowzoom_counts": sql_lowzoom_counts(),
         "tile_cover": sql_tile_cover(),
         "json_props": _sql_json_props(),

@@ -422,6 +422,74 @@ def q_union_lines(sf_dir: str):
     return t["line"].select_columns(cols).union(t["highway"].select_columns(cols))
 
 
+def q_roads(sf_dir: str):
+    """J1 planet_osm_roads analog (/root/reference
+    osmquadtreepostgis/__init__.py:214-230): a filtered union-with-
+    schema-alignment — major highway rows (`highway IN (major classes)
+    OR railway IS NOT NULL` transposed to `z_order >= 20 OR kv_scan >
+    0`) UNION admin boundary relations (`osm_id < 0 AND
+    boundary='administrative'` transposed to `osm_id < 0`), with the
+    boundary side contributing constants (0 AS z_order, NULL AS length)
+    and its way_exterior ring in the way slot."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    t = output_tables(sf_dir)
+    cols = ["osm_id", "quadtree", "tile", "z_order", "length", "minzoom"]
+
+    def hw_side(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.greater_equal(b.column("z_order"), 20),
+                   pc.greater(b.column("kv_scan"), 0))
+        return b.filter(m).select(cols)
+
+    def bd_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("osm_id"), 0))
+        n = b.num_rows
+        return pa.table({
+            "osm_id": b.column("osm_id"),
+            "quadtree": b.column("quadtree"),
+            "tile": b.column("tile"),
+            "z_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "length": pa.nulls(n, pa.float64()),
+            "minzoom": b.column("minzoom"),
+            # way_exterior-as-way (the reference's `way_exterior as way`)
+        })
+
+    hw = t["highway"].map_batches(hw_side, batch_format="pyarrow")
+    bd = t["boundary"].map_batches(bd_side, batch_format="pyarrow")
+    return hw.union(bd)
+
+
+def q_union_polygon(sf_dir: str):
+    """J3 planet_osm_polygon view analog (__init__.py:376-378):
+    polygon UNION ALL building over the shared column set."""
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+    t = output_tables(sf_dir)
+    cols = ["osm_id", "part", "area", "quadtree", "tile", "minzoom"]
+    return t["polygon"].select_columns(cols).union(
+        t["building"].select_columns(cols))
+
+
+def q_polygon_point(sf_dir: str):
+    """J4 polygon_point view analog (__init__.py:368): the polygon table
+    re-emitted with way_point in the way slot, filtered to rows whose
+    representative point exists."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.pipelines.flagship import output_tables
+
+    def rp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("way_point")))
+        b = b.drop_columns(["way"]).rename_columns(
+            [c if c != "way_point" else "way" for c in b.column_names
+             if c != "way"])
+        return b
+
+    ds = output_tables(sf_dir)["polygon"].map_batches(rp, batch_format="pyarrow")
+    cols = [c for c in ds.schema().names if c != "way"]
+    return ds.select_columns(cols)
+
+
 def q_lowzoom_counts(sf_dir: str, z: int = 12):
     """V1/V2 analog: per-table row count at minzoom <= z (single-pass
     union + minzoom predicate + partial counts)."""

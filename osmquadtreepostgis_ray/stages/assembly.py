@@ -170,15 +170,40 @@ def route_membership(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+RELTAG_SHARDS = 64
+
+
 def relation_tags(ds: ray.data.Dataset) -> ray.data.Dataset:
     """A3: per-doc comma-joined sorted route refs (bus_routes analog,
-    /root/reference docs/output.txt:6 columns) — grouped string-agg."""
+    /root/reference docs/output.txt:6 columns).
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        routes = ",".join(str(r) for r in sorted(g["route"]))
-        return pd.DataFrame([{"doc_id": int(g["doc_id"].iloc[0]), "routes": routes}])
+    Distributed string-agg WITHOUT per-tiny-group task overhead: the
+    shuffle groups by a doc-hash SHARD (64 groups), and inside each
+    shard the per-doc join is one vectorized pass — sort by (doc,
+    route), segment offsets, Arrow binary_join over a list array.  The
+    previous groupby(doc_id).map_groups paid a Python task per ~1-row
+    group on the highest-cardinality key in the repo."""
+    import pyarrow.compute as pc
 
-    return route_membership(ds).groupby("doc_id").map_groups(agg, batch_format="pandas")
+    def shard(batch: pa.Table) -> pa.Table:
+        s = (batch.column("doc_id").to_numpy() * 2654435761) % RELTAG_SHARDS
+        return batch.append_column("shard", pa.array(s, pa.int64()))
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "route"], kind="stable")
+        ids = g["doc_id"].to_numpy()
+        routes = g["route"].to_numpy()
+        new = np.r_[True, ids[1:] != ids[:-1]]
+        counts = np.diff(np.r_[np.flatnonzero(new), len(ids)])
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(counts)], pa.int32()),
+            pc.cast(pa.array(routes, pa.int64()), pa.string()))
+        joined = pc.binary_join(lst, ",")
+        return pd.DataFrame({"doc_id": ids[new],
+                             "routes": joined.to_pylist()})
+
+    return (route_membership(ds).map_batches(shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(join_shard, batch_format="pandas"))
 
 
 def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) -> ray.data.Dataset:
@@ -200,15 +225,15 @@ def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) 
     members = ds.map_batches(prep, batch_format="pyarrow")
     parents = members.groupby("group_id").aggregate(
         *[Max(f"hit_{k}", alias_name=f"parent_{k}") for k in keys])
-    pdf = parents.to_pandas()  # one row per group: small, broadcastable
-    ref = ray.put(pdf)
+    ptab = pa.Table.from_pandas(parents.to_pandas(), preserve_index=False)
+    ref = ray.put(ptab)  # one row per group: small, broadcastable
 
-    class JoinBack:
+    class JoinBack:  # Arrow-native broadcast join back (zero-copy blocks)
         def __init__(self):
             self.parents = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.parents, on="group_id", how="left")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.parents, keys="group_id", join_type="left outer")
 
     from osmquadtreepostgis_ray.util import worker_cached
-    return members.map_batches(worker_cached(JoinBack), batch_format="pandas")
+    return members.map_batches(worker_cached(JoinBack), batch_format="pyarrow")

@@ -123,26 +123,37 @@ class FrameSample:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_id, out_f, out_mean = [], [], []
+        # vectorized per (w, h, n_frames) group, like DecodeStats: equal
+        # payload sizes stack into one (k, frames, h*w) cube; stride
+        # sampling is a slice, per-frame features one mean over axis 2
         w = batch.column("w").to_numpy()
         h = batch.column("h").to_numpy()
         nf = batch.column("n_frames").to_numpy()
         vids = batch.column("video_id").to_numpy()
         data = batch.column("bytes").to_pylist()
-        fmts = batch.column("fmt").to_pylist()
-        for i in range(batch.num_rows):
-            if fmts[i] != "rawv":
-                raise NotImplementedError(f"video container {fmts[i]!r} not available in sandbox")
-            frame_bytes = int(w[i]) * int(h[i])
-            for f in range(0, int(nf[i]), self.stride):
-                frame = codecs.decode_raw(
-                    data[i][f * frame_bytes:(f + 1) * frame_bytes], int(w[i]), int(h[i]))
-                out_id.append(int(vids[i])); out_f.append(f)
-                out_mean.append(int(frame.mean()))
+        fmts = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        for f in set(fmts.tolist()) - {"rawv"}:
+            raise NotImplementedError(f"video container {f!r} not available in sandbox")
+        out_id, out_f, out_mean = [], [], []
+        for wi, hi, nfi in {(int(a), int(b), int(c)) for a, b, c in zip(w, h, nf)}:
+            m = (w == wi) & (h == hi) & (nf == nfi)
+            k = int(m.sum())
+            if not k:
+                continue
+            cube = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                 dtype=np.uint8).reshape(k, nfi, hi * wi)
+            sampled = cube[:, ::self.stride, :]              # (k, s, h*w)
+            s = sampled.shape[1]
+            means = sampled.mean(axis=2).astype(np.int64)
+            fidx = np.arange(0, nfi, self.stride, dtype=np.int64)
+            out_id.append(np.repeat(vids[m], s))
+            out_f.append(np.tile(fidx, k))
+            out_mean.append(means.ravel())
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
         return pa.table({
-            "video_id": pa.array(out_id, pa.int64()),
-            "frame_idx": pa.array(out_f, pa.int64()),
-            "mean_pixel": pa.array(out_mean, pa.int64()),
+            "video_id": pa.array(cat(out_id), pa.int64()),
+            "frame_idx": pa.array(cat(out_f), pa.int64()),
+            "mean_pixel": pa.array(cat(out_mean), pa.int64()),
         })
 
 

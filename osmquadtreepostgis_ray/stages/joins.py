@@ -19,16 +19,22 @@ from osmquadtreepostgis_ray.util import pool_size, worker_cached
 
 def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on: str,
                    how: str = "inner") -> ray.data.Dataset:
-    ref = ray.put(small_df)
+    """Arrow-native: the big side's blocks stay zero-copy Arrow end to
+    end (pa.Table.join per batch) — the pandas conversion per block was
+    the one non-Arrow hop in the join family."""
+    small = pa.Table.from_pandas(small_df, preserve_index=False)
+    ref = ray.put(small)
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
 
     class Join:
         def __init__(self):
             self.small = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=on, join_type=arrow_how)
 
-    return big.map_batches(worker_cached(Join), batch_format="pandas")
+    return big.map_batches(worker_cached(Join), batch_format="pyarrow")
 
 
 BUCKETS = 32
