@@ -441,14 +441,49 @@ def sql_assembly() -> str:
         WHERE NOT a.closed AND a.k >= 2
         GROUP BY a.group_id
     ),
-    polys AS (
-        SELECT a.group_id, -a.group_id AS osm_id, 'polygon' AS kind, a.part,
-               max(a.psize) + 1 AS n_points,
-               abs(sum(a.x * b.y - b.x * a.y)) AS measure2
-        FROM p a JOIN p b ON b.group_id = a.group_id AND b.part = a.part
-                          AND b.pseq = (a.pseq + 1) % a.psize
+    ctr AS (
+        -- outer (part 1) ring integer centroid + bbox of hole-candidate
+        -- groups (twin of stages/assembly.py hole assignment)
+        SELECT group_id,
+               sum(x) FILTER (part = 1) // count(*) FILTER (part = 1) AS cx,
+               sum(y) FILTER (part = 1) // count(*) FILTER (part = 1) AS cy,
+               min(x) FILTER (part = 1) AS ax0, max(x) FILTER (part = 1) AS ax1,
+               min(y) FILTER (part = 1) AS ay0, max(y) FILTER (part = 1) AS ay1
+        FROM p WHERE closed AND k >= 6 GROUP BY group_id
+    ),
+    pt AS (
+        -- hole groups (even group_id): part-2 ring shrinks toward the
+        -- outer centroid ((3c + v) // 4: non-negative operands keep
+        -- DuckDB's truncating // equal to numpy's floor //) and clips
+        -- into the outer bbox
+        SELECT p.*,
+               (p.closed AND p.k >= 6 AND p.group_id % 2 = 0) AS hole_grp,
+               CASE WHEN p.closed AND p.k >= 6 AND p.group_id % 2 = 0 AND p.part = 2
+                    THEN least(greatest((3 * c.cx + p.x) // 4, c.ax0), c.ax1)
+                    ELSE p.x END AS xt,
+               CASE WHEN p.closed AND p.k >= 6 AND p.group_id % 2 = 0 AND p.part = 2
+                    THEN least(greatest((3 * c.cy + p.y) // 4, c.ay0), c.ay1)
+                    ELSE p.y END AS yt
+        FROM p LEFT JOIN ctr c USING (group_id)
+    ),
+    polys0 AS (
+        SELECT a.group_id, a.part, a.hole_grp, max(a.psize) AS psize,
+               abs(sum(a.xt * b.yt - b.xt * a.yt)) AS area2
+        FROM pt a JOIN pt b ON b.group_id = a.group_id AND b.part = a.part
+                            AND b.pseq = (a.pseq + 1) % a.psize
         WHERE a.closed
-        GROUP BY a.group_id, a.part
+        GROUP BY a.group_id, a.part, a.hole_grp
+    ),
+    polys AS (
+        SELECT group_id, -group_id AS osm_id, 'polygon' AS kind, part,
+               psize + 1 AS n_points, area2 AS measure2
+        FROM polys0 WHERE NOT hole_grp
+        UNION ALL
+        -- hole groups: ONE PolygonPart — n_points spans both ring
+        -- closures, doubled area = outer - hole
+        SELECT group_id, -group_id, 'polygon', 1, sum(psize) + 2,
+               sum(CASE WHEN part = 1 THEN area2 ELSE -area2 END)
+        FROM polys0 WHERE hole_grp GROUP BY group_id
     )
     SELECT group_id, osm_id, kind, part::BIGINT AS part,
            n_points::BIGINT AS n_points, measure2::BIGINT AS measure2

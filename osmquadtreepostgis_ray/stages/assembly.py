@@ -100,6 +100,7 @@ def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
     edges.sort()  # phash order — decorrelated from seq order on purpose
     chains = stitch_chains(edges)
     out = []
+    ring_nodes_of: dict[int, np.ndarray] = {}
     for is_closed, path in chains:
         if not is_closed:
             # G2 error channel (mperrorvec analog, /root/reference
@@ -110,8 +111,32 @@ def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
             continue
         nodes = np.array(path[:-1], dtype=np.int64)
         part = 1 if 0 in nodes else 2
+        ring_nodes_of[part] = nodes
         out.append(row("polygon", part, len(nodes) + 1,
                        _ring_area2(xs[nodes], ys[nodes]), -gid))
+    # A2 hole assignment (PolygonPart{outer, inners, area}, /root/reference
+    # src/validategeoms.cpp:173-200; part area minus holes,
+    # src/postgiswriter.cpp:561-602): groups whose second ring winds as an
+    # INNER ring (transposed: even group_id) shrink it toward the outer
+    # ring's integer centroid, clip into the outer bbox, verify bbox
+    # containment, and emit ONE part — n_points spans both rings' closures,
+    # doubled area = outer - hole.
+    if {1, 2} <= set(ring_nodes_of) and gid % 2 == 0 \
+            and sum(1 for r in out if r["kind"] == "polygon") == 2:
+        a, b = ring_nodes_of[1], ring_nodes_of[2]
+        ax, ay = xs[a], ys[a]
+        cx, cy = int(ax.sum()) // len(a), int(ay.sum()) // len(a)
+        # (3*c + v) // 4 == c + (v - c)/4 shrink with every operand
+        # non-negative: numpy's floor div and DuckDB's truncating //
+        # agree only above zero, so the SQL twin stays exact
+        hx = np.clip((3 * cx + xs[b]) // 4, ax.min(), ax.max())
+        hy = np.clip((3 * cy + ys[b]) // 4, ay.min(), ay.max())
+        contained = (hx.min() >= ax.min() and hx.max() <= ax.max()
+                     and hy.min() >= ay.min() and hy.max() <= ay.max())
+        if contained:
+            area2 = _ring_area2(ax, ay) - _ring_area2(hx, hy)
+            out = [r for r in out if r["kind"] != "polygon"]
+            out.append(row("polygon", 1, len(a) + len(b) + 2, area2, -gid))
     out.sort(key=lambda r: r["part"])
     if not split_parts:
         # M8 off-mode: one row per multipolygon (parts merged; the

@@ -382,3 +382,51 @@ def test_incremental_update_with_skew_subdivision(tmp_path, sf_dir):
     df = ids.to_pandas()
     assert df.duplicated(["tbl", "osm_id"]).sum() == 0
     assert abs(n_after - n_before) <= 6  # routing changes for the 3 docs only
+
+
+def _mk_group(gid, coords, close=True):
+    k = len(coords)
+    return pd.DataFrame({
+        "doc_id": np.arange(gid * 8, gid * 8 + k, dtype=np.int64),
+        "group_id": np.full(k, gid, dtype=np.int64),
+        "lon_milli": np.array([c[0] for c in coords], dtype=np.int64),
+        "lat_milli": np.array([c[1] for c in coords], dtype=np.int64),
+        "close_hit": np.array([1] + [0] * (k - 1), dtype=np.int64) * (1 if close else 0),
+        "phash": np.arange(k, dtype=np.int64) * 977 % 131,  # stitch shuffle order
+    })
+
+
+def test_assemble_hole_assignment_even_group():
+    """A2 PolygonPart semantics (reference src/validategeoms.cpp:173-200,
+    area minus holes src/postgiswriter.cpp:561-602): an even-group_id
+    6-member closed group emits ONE part whose doubled area is
+    outer - hole and whose n_points spans both ring closures."""
+    # outer ring = unit-ish box scaled: (0,0),(100,0),(100,100),(0,100)... use 6 members: first 3 = ring A, last 3 = ring B
+    coords = [(0, 0), (400, 0), (0, 400),          # ring A: right triangle, 2*area = 160000
+              (40, 40), (360, 40), (40, 360)]      # ring B (pre-shrink)
+    g = _mk_group(2, coords)                        # gid=2 (even -> hole)
+    out = _assemble_group(g).sort_values("part")
+    polys = out[out["kind"] == "polygon"]
+    assert len(polys) == 1
+    row = polys.iloc[0]
+    assert row["part"] == 1 and row["n_points"] == 3 + 3 + 2
+    # hole ring: centroid of A = (133, 133); shrink (3c+v)//4 then clip
+    ax = np.array([0, 400, 0]); ay = np.array([0, 0, 400])
+    cx, cy = int(ax.sum()) // 3, int(ay.sum()) // 3
+    hx = np.clip((3 * cx + np.array([40, 360, 40])) // 4, 0, 400)
+    hy = np.clip((3 * cy + np.array([40, 40, 360])) // 4, 0, 400)
+    area_a = 400 * 400  # doubled shoelace of the right triangle
+    x2, y2 = np.roll(hx, -1), np.roll(hy, -1)
+    area_b = int(abs(np.sum(hx * y2 - x2 * hy)))
+    assert row["measure2"] == area_a - area_b
+    assert row["osm_id"] == -2
+
+
+def test_assemble_two_parts_odd_group():
+    """Odd group_id keeps the two-ring ComplicatedPolygon (M8 split)."""
+    coords = [(0, 0), (400, 0), (0, 400), (1000, 1000), (1400, 1000), (1000, 1400)]
+    g = _mk_group(3, coords)
+    out = _assemble_group(g)
+    polys = out[out["kind"] == "polygon"]
+    assert sorted(polys["part"]) == [1, 2]
+    assert (polys["n_points"] == 4).all()
