@@ -50,13 +50,20 @@ def validate_geometry(rings, round_2dp: bool = False):
     import numpy as np
 
     from osmquadtreepostgis_ray.functions import ewkb
-    from osmquadtreepostgis_ray.functions.geometry import point_on_surface, validate_rings
+    from osmquadtreepostgis_ray.functions.geometry import (point_on_surface, polygon_area,
+                                                           repair_rings)
 
-    fixed = validate_rings([np.asarray(r, dtype=np.float64) for r in rings])
+    # full F7 repair: self-intersecting rings are split at their crossing
+    # points into simple pieces (the buffer(0,16) parity path,
+    # /root/reference/src/validategeoms.cpp:64-82); a figure-eight input
+    # yields multiple polygons — the largest-area one is returned, as the
+    # reference keeps the dominant part for the single-geometry helper
+    polys = repair_rings([np.asarray(r, dtype=np.float64) for r in rings])
+    if not polys:
+        return None, None
+    fixed = max(polys, key=polygon_area)
     if round_2dp:
         fixed = [np.round(r, 2) for r in fixed]
-    if not fixed:
-        return None, None
     pos = point_on_surface(fixed)
     return ewkb.polygon(fixed), ewkb.point(float(pos[0]), float(pos[1]))
 

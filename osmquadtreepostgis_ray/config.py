@@ -53,3 +53,5 @@ class EngineParams:
     # batch x concurrency stays well under a worker heap at 100 TB widths)
     batch_size: int = 16384
     read_parallelism: int | None = None
+    collect_metrics: bool = False     # G3: per-stage wait/exec records
+    metrics_flush_every: int = 8      # batches per worker-side flush

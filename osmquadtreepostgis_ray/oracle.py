@@ -556,6 +556,261 @@ def sql_token_totals() -> str:
             f"FROM documents GROUP BY source")
 
 
+def sql_fingerprints() -> str:
+    """Twin of functions/text.fingerprint: polynomial rolling hash of the
+    utf-8 bytes mod 2^61-1 (corpus is ASCII, so ord(char) == byte)."""
+    from osmquadtreepostgis_ray.functions.text import FP_BASE, FP_MOD
+    return f"""
+    SELECT doc_id, CAST(list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          list_transform(range(1, length(text) + 1),
+                         i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+        (h, c) -> (h * {FP_BASE} + c) % {FP_MOD}) AS BIGINT) AS fingerprint
+    FROM documents
+    """
+
+
+_M64 = 1 << 64
+
+
+def _mulmod64(expr: str, const: int) -> str:
+    """(expr * const) mod 2^64 in HUGEINT without overflowing INT128:
+    split expr into 32-bit halves (each partial product < 2^97)."""
+    c = const % _M64
+    return (f"((({expr}) % 4294967296) * {c} "
+            f"+ (((({expr}) // 4294967296) * {c}) % {_M64}) * 4294967296) % {_M64}")
+
+
+def _shingles_cte(k: int = 9) -> str:
+    """Distinct hashed k-char shingles per doc, one row per (doc,
+    shingle) — the exact HUGEINT twin of text.char_shingles (weighted
+    byte sum mod 2^64; every corpus text is >= k chars, so the pad
+    branch never fires — asserted by the length filter)."""
+    mults = [pow(1099511628211, j, _M64) for j in range(k)]
+    window = " + ".join(
+        f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT) * {m}"
+        for j, m in enumerate(mults))
+    return f"""
+    sh0 AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, length(text) - {k - 2}),
+            i -> ({window}) % {_M64}))) AS s
+        FROM documents WHERE length(text) >= {k}
+    )"""
+
+
+def sql_minhash_pairs(num_hashes: int = 64, bands: int = 16,
+                      sim_threshold: float = 0.5) -> str:
+    """FULL-value twin of stages/dedup.minhash_candidates: 64 minhash
+    permutations, 16 LSH band keys, bucket-sharing candidate pairs,
+    signature-agreement estimate — all exact mod-2^64 integer math, so
+    the (a, b, est_jaccard) output matches the Ray pipeline bit-for-bit."""
+    from osmquadtreepostgis_ray.functions.text import _minhash_coeffs
+    a, b = _minhash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    bmult = [pow(0x9E3779B97F4A7C15, r + 1, _M64) for r in range(rows)]
+    sig_cols = ",\n               ".join(
+        f"min(({_mulmod64('s', int(a[h]))} + {int(b[h])}) % {_M64}) AS s{h}"
+        for h in range(num_hashes))
+    band_rows = []
+    for bi in range(bands):
+        key = " + ".join(_mulmod64(f"s{bi * rows + r}", bmult[r]) for r in range(rows))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, ({key}) % {_M64} AS key FROM sig")
+    bands_sql = "\n        UNION ALL ".join(band_rows)
+    agree = " + ".join(
+        f"CASE WHEN x.s{h} = y.s{h} THEN 1 ELSE 0 END" for h in range(num_hashes))
+    return f"""
+    WITH {_shingles_cte()},
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh0 GROUP BY doc_id
+    ),
+    bk AS (
+        {bands_sql}
+    ),
+    cand AS (
+        SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+        FROM bk p JOIN bk q ON p.band = q.band AND p.key = q.key
+                           AND p.doc_id < q.doc_id
+    )
+    SELECT c.a, c.b, (({agree}) / {float(num_hashes)}) AS est_jaccard
+    FROM cand c JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+    WHERE ({agree}) >= {sim_threshold} * {num_hashes}
+    """
+
+
+def sql_simhash(k: int = 9, prefix_bits: int = 12) -> str:
+    """FULL-value twin of stages/dedup.simhash_buckets: per-bit majority
+    vote over each doc's distinct shingle hashes, packed to a signed
+    int64 + top-prefix_bits bucket."""
+    ones = ",\n               ".join(
+        f"sum(CAST((s // {1 << j}) % 2 AS BIGINT)) AS o{j}" for j in range(64))
+    packed = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN CAST({1 << j} AS HUGEINT) ELSE 0 END"
+        for j in range(64))
+    return f"""
+    WITH {_shingles_cte(k)},
+    bits AS (
+        SELECT doc_id, count(*) AS n,
+               {ones}
+        FROM sh0 GROUP BY doc_id
+    ),
+    val AS (SELECT doc_id, ({packed}) AS v FROM bits)
+    SELECT doc_id,
+           CAST(CASE WHEN v >= {1 << 63} THEN v - {_M64} ELSE v END AS BIGINT) AS simhash,
+           CAST(v // {1 << (64 - prefix_bits)} AS BIGINT) AS bucket
+    FROM val
+    """
+
+
+def sql_embed_docs(dim: int = 32, k: int = 5, nq: int = 5) -> str:
+    """Twin of the embedding-GENERATION + self-kNN pipeline
+    (stages/embed.embed_documents + knn_embeddings): per-token FNV-1a
+    hash -> slot/sign feature hashing, float64 L2 normalize, float32
+    round (the Ray output dtype), cosine top-k.  The corpus has no
+    leading/trailing/double whitespace (asserted by the build), so the
+    single-space split matches utf8_split_whitespace."""
+    basis = 0xCBF29CE484222325
+    prime = 0x100000001B3
+    slots = ", ".join(f"coalesce(sum(sgn) FILTER (slot = {j}), 0.0)" for j in range(dim))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wh AS (
+        SELECT doc_id, list_reduce(
+            list_prepend(CAST({basis} AS HUGEINT),
+                list_transform(range(1, length(w) + 1),
+                               i -> CAST(ord(substr(w, i, 1)) AS HUGEINT))),
+            (h, c) -> (xor(h, c) * {prime}) % {_M64}) AS h
+        FROM toks
+    ),
+    contrib AS (
+        SELECT doc_id, CAST(h % {dim} AS BIGINT) AS slot,
+               CASE WHEN (h // 4294967296) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM wh
+    ),
+    emb0 AS (SELECT doc_id, [{slots}] AS v0 FROM contrib GROUP BY doc_id),
+    emb AS (
+        SELECT doc_id AS vec_id,
+               list_transform(v0, x -> CAST(CAST(x / greatest(
+                   sqrt(list_sum(list_transform(v0, y -> y * y))), 1e-30)
+                   AS REAL) AS DOUBLE)) AS v
+        FROM emb0
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {nq}),
+    d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                 / sqrt(list_dot_product(e.v, e.v))
+                 / sqrt(list_dot_product(q.qv, q.qv)) AS sim
+          FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {k}
+    """
+
+
+def sql_image_decode() -> str:
+    """Twin of the decode+PSNR+feature pipeline (stages/images.DecodeStats
+    over sources/images synthesis): per-pixel splitmix64 counter PRNG
+    (exact HUGEINT mod-2^64), gradient with numpy-linspace endpoint
+    override, trunc-to-uint8, qlossy re-quantization — mean_pixel is
+    exact because pixel sums are integers (< 2^53) in both engines.
+    psnr_ok is TRUE by construction (raw is lossless; qlossy max error 2
+    keeps PSNR >= 40 dB) — the Ray side MEASURES it, the oracle states
+    the invariant."""
+    ph = geotag.phash_sql("doc_id")
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    P = 0x100000001B3
+    return f"""
+    WITH img AS (
+        SELECT doc_id, printf('img%012d', doc_id) AS image_id,
+               CAST({ph} AS HUGEINT) AS phash,
+               CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h,
+               CASE WHEN doc_id % 4 = 0 THEN 'qlossy' ELSE 'raw' END AS fmt
+        FROM documents
+    ),
+    px0 AS (
+        SELECT doc_id, image_id, w, h, fmt,
+               unnest(range(0, w * h)) AS idx,
+               ({_mulmod64('phash', P)}) AS sp
+        FROM img
+    ),
+    px1 AS (SELECT *, (sp + idx + {C1}) % {_M64} AS v1 FROM px0),
+    px2 AS (SELECT *, {_mulmod64(f'xor(v1, v1 // {1 << 30})', C2)} AS v2 FROM px1),
+    px3 AS (SELECT *, {_mulmod64(f'xor(v2, v2 // {1 << 27})', C3)} AS v3 FROM px2),
+    px4 AS (
+        SELECT doc_id, image_id, w, h, fmt, idx,
+               CAST(xor(v3, v3 // {1 << 31}) % 33 AS BIGINT) - 16 AS noise
+        FROM px3
+    ),
+    px AS (
+        SELECT doc_id, image_id, w, h, fmt,
+               floor(least(greatest(
+                   ((CASE WHEN idx % w = w - 1 THEN 255.0
+                          ELSE (idx % w) * (255.0 / (w - 1)) END)
+                  + (CASE WHEN idx // w = h - 1 THEN 255.0
+                          ELSE (idx // w) * (255.0 / (h - 1)) END)) / 2.0
+                  + noise, 0.0), 255.0)) AS p
+        FROM px4
+    ),
+    dec AS (
+        SELECT doc_id, image_id, w, h,
+               CASE WHEN fmt = 'qlossy'
+                    THEN least(CAST(p AS BIGINT) // 4 * 4 + 2, 255)
+                    ELSE CAST(p AS BIGINT) END AS p
+        FROM px
+    )
+    SELECT image_id, TRUE AS psnr_ok,
+           CAST(floor(avg(p)) AS BIGINT) AS mean_pixel,
+           CAST(w AS BIGINT) AS w_out, CAST(h AS BIGINT) AS h_out
+    FROM dec GROUP BY image_id, w, h, doc_id
+    """
+
+
+def sql_frame_sample(stride: int = 2) -> str:
+    """Twin of the video frame-sampling pipeline (stages/images.
+    FrameSample over synth_videos_batch): 16x16 frames, n_frames =
+    doc_id%4+2, frame f pixels = splitmix synth at seed phash+f, every
+    stride-th frame's integer-exact mean."""
+    ph = geotag.phash_sql("doc_id")
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    P = 0x100000001B3
+    return f"""
+    WITH vid AS (
+        SELECT doc_id AS video_id, CAST({ph} AS HUGEINT) AS phash,
+               doc_id % 4 + 2 AS nf
+        FROM documents
+    ),
+    fr AS (
+        SELECT video_id, phash + unnest(range(0, nf, {stride})) AS seed,
+               unnest(range(0, nf, {stride})) AS frame_idx
+        FROM vid
+    ),
+    px0 AS (
+        SELECT video_id, frame_idx, unnest(range(0, 256)) AS idx,
+               ({_mulmod64('seed', P)}) AS sp
+        FROM fr
+    ),
+    px1 AS (SELECT *, (sp + idx + {C1}) % {_M64} AS v1 FROM px0),
+    px2 AS (SELECT *, {_mulmod64(f'xor(v1, v1 // {1 << 30})', C2)} AS v2 FROM px1),
+    px3 AS (SELECT *, {_mulmod64(f'xor(v2, v2 // {1 << 27})', C3)} AS v3 FROM px2),
+    px AS (
+        SELECT video_id, frame_idx,
+               floor(least(greatest(
+                   ((CASE WHEN idx % 16 = 15 THEN 255.0 ELSE (idx % 16) * (255.0 / 15) END)
+                  + (CASE WHEN idx // 16 = 15 THEN 255.0 ELSE (idx // 16) * (255.0 / 15) END)) / 2.0
+                  + CAST(xor(v3, v3 // {1 << 31}) % 33 AS BIGINT) - 16, 0.0), 255.0)) AS p
+        FROM px3
+    )
+    SELECT video_id, frame_idx, CAST(floor(avg(p)) AS BIGINT) AS mean_pixel
+    FROM px GROUP BY video_id, frame_idx
+    """
+
+
 def sql_embed_knn(k: int = 5, nq: int = 5) -> str:
     dd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     return f"""
@@ -660,6 +915,12 @@ def build_oracles() -> dict[str, str]:
         "quality": sql_quality(),
         "hstore_tags": sql_hstore_tags(),
         "token_totals": sql_token_totals(),
+        "fingerprints": sql_fingerprints(),
+        "embed_docs": sql_embed_docs(),
+        "image_decode": sql_image_decode(),
+        "frame_sample": sql_frame_sample(),
+        "minhash_pairs": sql_minhash_pairs(),
+        "simhash": sql_simhash(),
         "embed_knn": sql_embed_knn(),
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),

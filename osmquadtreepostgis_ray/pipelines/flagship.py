@@ -27,6 +27,15 @@ from osmquadtreepostgis_ray.stages.project import ProjectTable
 from osmquadtreepostgis_ray.stages.routing import route_batch
 
 
+def _maybe_timed(name: str, fn, p: EngineParams):
+    """G3 hook: wrap a stage UDF with per-stage wait/exec recording when
+    params.collect_metrics is on (state/metrics.py, the Prog analog)."""
+    if not p.collect_metrics:
+        return fn
+    from osmquadtreepostgis_ray.state.metrics import timed_stage
+    return timed_stage(name, fn, flush_every=p.metrics_flush_every)
+
+
 def routed_corpus(sf_dir: str, params: EngineParams | None = None,
                   repeat: int = 1) -> ray.data.Dataset:
     """Corpus with cells + routing columns (shared upstream)."""
@@ -37,7 +46,8 @@ def routed_corpus(sf_dir: str, params: EngineParams | None = None,
 
     return read_images(sf_dir, with_bytes=False, repeat=repeat,
                        parallelism=p.read_parallelism).map_batches(
-        prep, batch_format="pyarrow", batch_size=p.batch_size)
+        _maybe_timed("cells+route", prep, p),
+        batch_format="pyarrow", batch_size=p.batch_size)
 
 
 def output_tables(sf_dir: str, params: EngineParams | None = None,
@@ -131,8 +141,10 @@ def tables_union_of(docs: ray.data.Dataset, params: EngineParams | None = None) 
     def prep(batch):
         return route_batch(encode_cells_batch(batch, p), p)
 
-    return docs.map_batches(prep, batch_format="pyarrow", batch_size=p.batch_size) \
-        .map_batches(project_all, batch_format="pyarrow", batch_size=p.batch_size)
+    return docs.map_batches(_maybe_timed("cells+route", prep, p),
+                            batch_format="pyarrow", batch_size=p.batch_size) \
+        .map_batches(_maybe_timed("project_all", project_all, p),
+                     batch_format="pyarrow", batch_size=p.batch_size)
 
 
 def export_resumable(sf_dir: str, out_dir: str, params: EngineParams | None = None,

@@ -682,7 +682,7 @@ def q_embed_docs(sf_dir: str, k: int = 5):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     corpus = embed_documents(docs).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow")
-    q = corpus.filter(lambda r: r["vec_id"] < 5).to_pandas()
+    q = corpus.filter(expr="vec_id < 5").to_pandas()  # expression filter: pruned, not per-row Python
     ids = q["vec_id"].to_numpy().astype(np.int64)
     mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
     return knn_embeddings(corpus, ids, mat, k=k)

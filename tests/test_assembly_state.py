@@ -430,3 +430,24 @@ def test_assemble_two_parts_odd_group():
     polys = out[out["kind"] == "polygon"]
     assert sorted(polys["part"]) == [1, 2]
     assert (polys["n_points"] == 4).all()
+
+
+def test_stage_metrics_prog_analog(sf_dir):
+    """G3: per-stage wait/exec/rows records (the reference Prog's
+    per-stage lines, docs/output.txt:16-23) collected by the metrics
+    sink during an instrumented flagship run."""
+    from osmquadtreepostgis_ray.config import EngineParams
+    from osmquadtreepostgis_ray.pipelines.flagship import all_tables_union
+    from osmquadtreepostgis_ray.state import metrics as M
+
+    ray.get(M.get_sink().drain.remote())  # clean slate
+    p = EngineParams(collect_metrics=True, metrics_flush_every=1)
+    n = all_tables_union(sf_dir, p).count()
+    assert n > 0
+    t = M.stage_metrics_table(drain=True).to_pandas()
+    assert set(t["stage"]) == {"cells+route", "project_all"}
+    for _, r in t.iterrows():
+        assert r["batches"] > 0 and r["exec_s"] > 0 and r["rows"] > 0
+    # project_all fans every routed row out across the 6 tables
+    pr = t.set_index("stage")
+    assert pr.loc["project_all", "rows"] >= pr.loc["cells+route", "rows"]

@@ -112,3 +112,73 @@ def test_assembly_error_channel():
                       "close_hit": [1, 0, 0], "phash": ph})
     out = _assemble_group(g)
     assert "error" not in set(out["kind"])  # well-formed ring: no errors
+
+
+# ------------------------------------------------------ F7/F10 invariants
+
+def test_figure_eight_splits_into_two_simple_rings():
+    from osmquadtreepostgis_ray.functions.geometry import (
+        ring_is_simple, ring_signed_area, split_self_intersections)
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=np.float64)
+    assert not ring_is_simple(bowtie)
+    pieces = split_self_intersections(bowtie)
+    assert len(pieces) == 2
+    for p in pieces:
+        assert ring_is_simple(p)
+        assert np.array_equal(p[0], p[-1])
+    # lobes of the bow-tie: each triangle has |area| 1.0
+    areas = sorted(abs(ring_signed_area(p)) for p in pieces)
+    assert np.allclose(areas, [1.0, 1.0])
+
+
+def test_validate_geometry_repairs_bowtie():
+    from osmquadtreepostgis_ray import api
+    from osmquadtreepostgis_ray.functions import ewkb
+    wkb, pt = api.validate_geometry([[[0, 0], [2, 2], [2, 0], [0, 2]]])
+    assert wkb is not None
+    t, srid, rings = ewkb.parse(wkb)
+    assert t == ewkb.WKB_POLYGON
+    # the repaired dominant piece is simple (a triangle incl. closure)
+    from osmquadtreepostgis_ray.functions.geometry import ring_is_simple
+    assert ring_is_simple(np.asarray(rings[0]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)),
+                min_size=4, max_size=12, unique=True),
+       st.floats(0.5, 40.0))
+def test_simplify_ring_always_simple_and_closed(pts, tol):
+    """F10 topology guarantee: for ANY input ring (even self-crossing
+    walks), simplify_ring returns a closed, simple, non-degenerate ring
+    or falls back to the closed original."""
+    from osmquadtreepostgis_ray.functions.geometry import (
+        close_ring, ring_is_simple, simplify_ring)
+    ring = np.array(pts, dtype=np.float64)
+    out = simplify_ring(ring, tol)
+    assert np.array_equal(out[0], out[-1])           # closed
+    orig = close_ring(ring)
+    if not np.array_equal(out, orig):                # simplified -> must be simple
+        assert ring_is_simple(out)
+        assert len(out) <= len(orig)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)),
+                min_size=4, max_size=10, unique=True))
+def test_split_self_intersections_pieces_are_simple(pts):
+    from osmquadtreepostgis_ray.functions.geometry import (
+        ring_is_simple, split_self_intersections)
+    pieces = split_self_intersections(np.array(pts, dtype=np.float64))
+    for p in pieces:
+        assert np.array_equal(p[0], p[-1])
+        assert ring_is_simple(p)
+
+
+def test_simplify_polygon_keeps_holes_inside():
+    from osmquadtreepostgis_ray.functions.geometry import simplify_polygon
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], dtype=np.float64)
+    hole = np.array([[40, 40], [60, 40], [60, 60], [40, 60], [40, 40]], dtype=np.float64)
+    out = simplify_polygon([outer, hole], tol=5.0)
+    o, h = out[0], out[1]
+    assert h[:, 0].min() >= o[:, 0].min() and h[:, 0].max() <= o[:, 0].max()
+    assert h[:, 1].min() >= o[:, 1].min() and h[:, 1].max() <= o[:, 1].max()
