@@ -66,6 +66,63 @@ def write_csv_gz(tables: dict[str, ray.data.Dataset], out_prefix: str,
     return counts
 
 
+# ------------------------------------------------------------- PGCOPY binary
+
+PGCOPY_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"
+
+
+def _pg_field(val, typ: pa.DataType) -> bytes:
+    """One field in PostgreSQL binary COPY framing: int32 length +
+    big-endian payload (-1 for NULL) — the reference's use_binary path
+    (populate_* binary writers, /root/reference/src/postgiswriter.cpp:
+    860-1000)."""
+    import struct
+    if val is None:
+        return struct.pack("!i", -1)
+    if pa.types.is_int64(typ) or pa.types.is_int32(typ):
+        width = 8 if pa.types.is_int64(typ) else 4
+        return struct.pack("!i", width) + int(val).to_bytes(width, "big", signed=True)
+    if pa.types.is_floating(typ):
+        return struct.pack("!id", 8, float(val))
+    if pa.types.is_string(typ):
+        b = str(val).encode("utf-8")
+        return struct.pack("!i", len(b)) + b
+    if pa.types.is_binary(typ):
+        return struct.pack("!i", len(val)) + bytes(val)
+    raise TypeError(f"no PGCOPY encoding for {typ}")
+
+
+def render_pgcopy_batch(batch: pa.Table) -> bytes:
+    """Rows of an Arrow batch as PGCOPY binary tuples (no header)."""
+    import struct
+    types = [f.type for f in batch.schema]
+    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+    nf = struct.pack("!h", batch.num_columns)
+    return b"".join(
+        nf + b"".join(_pg_field(c[r], t) for c, t in zip(cols, types))
+        for r in range(batch.num_rows))
+
+
+def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str) -> dict[str, int]:
+    """M5/S2 bit-compat surface: one ``<prefix><table>.copy`` per table in
+    PostgreSQL binary COPY format (signature + flags + extension header,
+    int16 field count + int32-length-framed big-endian fields per row,
+    -1 trailer) — byte-diffable against a real ``COPY ... WITH BINARY``
+    dump of the reference's output tables."""
+    import struct
+    counts: dict[str, int] = {}
+    for name, ds in tables.items():
+        n = 0
+        with open(f"{out_prefix}{name}.copy", "wb") as fh:
+            fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))
+            for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+                fh.write(render_pgcopy_batch(batch))
+                n += batch.num_rows
+            fh.write(struct.pack("!h", -1))
+        counts[name] = n
+    return counts
+
+
 def null_sink_counts(tables: dict[str, ray.data.Dataset]) -> dict[str, tuple[int, int]]:
     """S4 dry-run: (rows, approx bytes) per table, nothing written."""
     out: dict[str, tuple[int, int]] = {}
