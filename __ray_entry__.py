@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": Q.q_quality,
         "hstore_tags": Q.q_hstore_tags,
         "token_totals": Q.q_token_totals,
+        "token_bpe": Q.q_token_bpe,
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,

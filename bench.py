@@ -171,8 +171,10 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     multi-node cluster (per-node bandwidth) would not share; 8-vs-32 on
     this single box measures DRAM saturation, not the engine."""
     out = {}
+    trials: dict[int, list[float]] = {}
     for cpus in (lo, hi):
         best = None
+        trials[cpus] = []
         for _trial in range(3):  # best-of-3: host CPU-steal bursts (4% of
             # guest jiffies historically) hit individual trials hard
             env = dict(os.environ)
@@ -187,6 +189,7 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
                       f"{r.stderr[-500:]}", file=sys.stderr)
                 continue
             res = json.loads(lines[-1])
+            trials[cpus].append(res["rows_per_s"])
             if best is None or res["rows_per_s"] > best["rows_per_s"]:
                 best = res
         if best is None:
@@ -195,6 +198,13 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     thr_lo = out[lo]["rows_per_s"]
     thr_hi = out[hi]["rows_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # host scaling ceiling measured in the same window: on this shared VM
+    # even cache-resident int64 ALU work does not scale 4->16 when the
+    # host is oversubscribed (tools/host_probe.py) — the engine cannot
+    # exceed that ceiling, so report the normalized efficiency too
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import host_probe
+    ceiling = host_probe.probe(lo=lo, hi=hi, alu_only=True)["alu_eff"]
     return {
         "metric": "scaling efficiency (headline rows/s, fresh procs)",
         "value": round(eff, 3),
@@ -202,6 +212,9 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
         "sf": _sf_of(sf_dir),
         "lo": out[lo],
         "hi": out[hi],
+        "trials": {str(c): trials[c] for c in trials},  # raw, for BASELINE.md
+        "host_alu_ceiling": ceiling,
+        "normalized_efficiency": round(eff / max(ceiling, 1e-9), 3),
         "queries": {},
         "num_cpus": hi,
     }

@@ -32,6 +32,21 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.str.count(TOKEN_RE).to_numpy(dtype=np.int64)
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pattern family, restricted to ASCII
+# classes so Python re and DuckDB RE2 agree): letter runs, digit runs,
+# runs of other non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """Token count under the BPE-ish pre-tokenizer (vectorized regex)."""
+    return texts.str.count(BPE_TOKEN_RE).to_numpy(dtype=np.int64)
+
+
+def bpe_token_count_sql(text_expr: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '{BPE_TOKEN_RE}'))::BIGINT"
+
+
 def lang_id(texts: pd.Series) -> pd.Series:
     """Argmax over marker-word counts; 'und' when all zero."""
     counts = np.stack([count_word(texts, w) for _, w in LANG_MARKERS])

@@ -550,6 +550,15 @@ def sql_hstore_tags() -> str:
     return hstore_leftover_sql("documents", "doc_id", "text", DEFAULT_FEATURE_KEYS)
 
 
+def sql_token_bpe() -> str:
+    from osmquadtreepostgis_ray.functions.text import bpe_token_count_sql
+    bpe = bpe_token_count_sql("text")
+    ntok = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
+    return (f"SELECT source, sum({bpe})::BIGINT AS bpe_tokens, "
+            f"sum({ntok})::BIGINT AS ws_tokens, count(*)::BIGINT AS docs "
+            f"FROM documents GROUP BY source")
+
+
 def sql_token_totals() -> str:
     ntok = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
     return (f"SELECT source, sum({ntok})::BIGINT AS tokens, count(*)::BIGINT AS docs "
@@ -915,6 +924,7 @@ def build_oracles() -> dict[str, str]:
         "quality": sql_quality(),
         "hstore_tags": sql_hstore_tags(),
         "token_totals": sql_token_totals(),
+        "token_bpe": sql_token_bpe(),
         "fingerprints": sql_fingerprints(),
         "embed_docs": sql_embed_docs(),
         "image_decode": sql_image_decode(),

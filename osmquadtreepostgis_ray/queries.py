@@ -654,6 +654,37 @@ def q_hstore_tags(sf_dir: str):
         hs, batch_format="pyarrow")
 
 
+def q_token_bpe(sf_dir: str):
+    """Per-source totals under the BPE-ish regex pre-tokenizer (letter /
+    digit / symbol runs) alongside the whitespace count — the two token
+    accountings a training-data pipeline reports."""
+    from osmquadtreepostgis_ray.functions import text as T
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist())
+        return pa.table({
+            "source": batch.column("source"),
+            "bpe_tokens": pa.array(T.bpe_token_count(s), pa.int64()),
+            "ws_tokens": pa.array(T.token_count(s), pa.int64()),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source", sort=False).agg(
+            bpe_tokens=("bpe_tokens", "sum"), ws_tokens=("ws_tokens", "sum"),
+            docs=("ws_tokens", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (read_table(sf_dir, "documents", columns=["text", "source"])
+            .map_batches(tok, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("bpe_tokens", alias_name="bpe_tokens"),
+                       Sum("ws_tokens", alias_name="ws_tokens"),
+                       Sum("docs", alias_name="docs"))
+            .select_columns(["source", "bpe_tokens", "ws_tokens", "docs"]))
+
+
 def q_token_totals(sf_dir: str):
     from osmquadtreepostgis_ray.stages.textstats import add_text_stats
     ds = add_text_stats(read_table(sf_dir, "documents", columns=["doc_id", "text", "source"]))
