@@ -68,6 +68,36 @@ def validate_geometry(rings, round_2dp: bool = False):
     return ewkb.polygon(fixed), ewkb.point(float(pos[0]), float(pos[1]))
 
 
+def assemble_documents(sf_dir: str, *, split_multipolygons: bool = True,
+                       validate_geometry: bool = True):
+    """The geometry-assembly entry point (A1/A2 + M8/M9) — where the
+    reference's `split_multipolygons` / `validate_geometry` flags take
+    effect (write_to_postgis consumes them inside GeometryProcess,
+    /root/reference/src/processpostgis.cpp:83-118):
+
+    - split_multipolygons=False merges a multipolygon's parts into one
+      row (the reference's !split path, src/postgiswriter.cpp:1125);
+    - validate_geometry=False keeps degenerate/error rings in the output
+      stream instead of dropping them to the error channel.
+
+    The flagship footprint pipeline never consumes these flags because
+    its geometries are synthesized axis-aligned boxes — always valid,
+    never multi-part — so `write_to_table_dir` accepts them only for
+    signature parity and passes them through EngineParams."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.sources.tables import read_table
+    from osmquadtreepostgis_ray.stages.assembly import assemble
+
+    ds = assemble(read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+                  split_parts=split_multipolygons)
+    if validate_geometry:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("kind"), "error")),
+            batch_format="pyarrow")
+    return ds
+
+
 def write_to_csvfile(sf_dir: str, outfnprfx: str | None = None, *,
                      stylefn: Style | None = None, extended: bool = True,
                      split_multipolygons: bool = True, validate_geometry: bool = True,

@@ -837,6 +837,59 @@ def sql_embed_knn(k: int = 5, nq: int = 5) -> str:
     """
 
 
+def sql_embed_knn_ivf(k: int = 5, nq: int = 5, nprobe: int = 6,
+                      n_centroids: int = 16) -> str:
+    """Twin of the PRUNED IVF path (queries.q_embed_knn_ivf): centroids =
+    first 16 of vec_id%31==0; every vector assigned to its argmax-cosine
+    centroid (ties -> lowest index, matching np.argmax); each query
+    probes its nprobe nearest buckets; exact top-k over the union of
+    probed buckets only."""
+    dd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    cos = ("list_dot_product(c.cv, e.v) / sqrt(list_dot_product(c.cv, c.cv))"
+           " / sqrt(list_dot_product(e.v, e.v))")
+    return f"""
+    WITH e AS (SELECT vec_id, {dd} AS v FROM embeddings),
+    c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM e WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    sims AS (
+        SELECT e.vec_id, c.cidx, {cos} AS sim FROM e CROSS JOIN c
+    ),
+    assign AS (
+        SELECT vec_id, cidx AS bucket FROM (
+            SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cidx) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT DISTINCT cidx AS bucket FROM (
+            SELECT s.cidx,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY s.sim DESC, s.cidx) AS rn
+            FROM sims s WHERE s.vec_id < {nq}
+        ) WHERE rn <= {nprobe}
+    ),
+    sub AS (
+        SELECT e.vec_id, e.v FROM e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN probed p ON p.bucket = a.bucket
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}),
+    d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, s.v)
+                 / sqrt(list_dot_product(s.v, s.v))
+                 / sqrt(list_dot_product(q.qv, q.qv)) AS sim
+          FROM q CROSS JOIN sub s WHERE s.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {k}
+    """
+
+
 def _sql_json_props() -> str:
     from osmquadtreepostgis_ray.stages.jsonview import json_props_sql
     return json_props_sql()
@@ -932,6 +985,7 @@ def build_oracles() -> dict[str, str]:
         "minhash_pairs": sql_minhash_pairs(),
         "simhash": sql_simhash(),
         "embed_knn": sql_embed_knn(),
+        "embed_knn_ivf": sql_embed_knn_ivf(),
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "ngram_dups": sql_ngram_dups(),

@@ -451,3 +451,25 @@ def test_stage_metrics_prog_analog(sf_dir):
     # project_all fans every routed row out across the 6 tables
     pr = t.set_index("stage")
     assert pr.loc["project_all", "rows"] >= pr.loc["cells+route", "rows"]
+
+
+def test_assemble_documents_api_flags(sf_dir):
+    """api.assemble_documents consumes split_multipolygons /
+    validate_geometry (the reference flags write_to_postgis honors)."""
+    from osmquadtreepostgis_ray import api
+
+    split = api.assemble_documents(sf_dir).to_pandas()
+    merged = api.assemble_documents(sf_dir, split_multipolygons=False).to_pandas()
+    # off-mode merges each group's polygon parts into one row
+    sp = split[split["kind"] == "polygon"].groupby("group_id").size()
+    mp = merged[merged["kind"] == "polygon"].groupby("group_id").size()
+    assert (mp == 1).all()
+    assert set(sp.index) == set(mp.index)
+    multi = sp[sp > 1].index
+    assert len(multi) > 0  # odd big groups keep 2 parts in split mode
+    # measure2 is conserved by the merge (sum of parts)
+    for gid in list(multi)[:5]:
+        a = split[(split["group_id"] == gid) & (split["kind"] == "polygon")]["measure2"].sum()
+        b = merged[(merged["group_id"] == gid) & (merged["kind"] == "polygon")]["measure2"].iloc[0]
+        assert a == b
+    assert (split["kind"] != "error").all()  # validate_geometry=True filters
