@@ -94,15 +94,20 @@ STAGE_SCHEMA = pa.schema([
 ])
 
 
-def stage_metrics_table(drain: bool = False) -> pa.Table:
+def stage_metrics_table(drain: bool = False, wait_s: float = 5.0) -> pa.Table:
     """Prog-style per-stage summary from the collector actor.
 
-    NOTE: worker-side buffers flush every `flush_every` batches; tails
-    shorter than a window surface on the worker's NEXT flush — callers
-    wanting exact totals should run their pipeline to completion with
-    flush_every=1 or accept the (bounded) lag."""
+    Worker flushes are fire-and-forget, so records can still be in
+    flight when the pipeline's last task returns — poll up to `wait_s`
+    for the sink to go non-empty before reading (records arriving after
+    that surface on the next call).  Worker-side buffers also flush
+    every `flush_every` batches; callers wanting exact totals should run
+    with flush_every=1 or accept the (bounded) lag."""
     import pandas as pd
     sink = get_sink()
+    deadline = time.time() + wait_s
+    while not ray.get(sink.snapshot.remote()) and time.time() < deadline:
+        time.sleep(0.1)
     recs = ray.get((sink.drain if drain else sink.snapshot).remote())
     if not recs:
         return STAGE_SCHEMA.empty_table()

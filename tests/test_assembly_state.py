@@ -440,10 +440,19 @@ def test_stage_metrics_prog_analog(sf_dir):
     from osmquadtreepostgis_ray.pipelines.flagship import all_tables_union
     from osmquadtreepostgis_ray.state import metrics as M
 
+    import time
+
     ray.get(M.get_sink().drain.remote())  # clean slate
     p = EngineParams(collect_metrics=True, metrics_flush_every=1)
     n = all_tables_union(sf_dir, p).count()
     assert n > 0
+    # flushes are fire-and-forget: poll until both stages' records land
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        t = M.stage_metrics_table().to_pandas()
+        if set(t["stage"]) == {"cells+route", "project_all"}:
+            break
+        time.sleep(0.2)
     t = M.stage_metrics_table(drain=True).to_pandas()
     assert set(t["stage"]) == {"cells+route", "project_all"}
     for _, r in t.iterrows():
