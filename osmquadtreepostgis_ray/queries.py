@@ -765,6 +765,20 @@ def q_embed_knn_ivf_exhaustive(sf_dir: str, k: int = 5):
                    index_path=path).select(["query_id", "neighbor_id", "rank"])
 
 
+def q_embed_knn_lsh(sf_dir: str, k: int = 5):
+    """LSH-bucketed ANN (multi-probe hamming<=2 over 6 hyperplane sign
+    bits; exact within the probed buckets).  Approximate — rows-only
+    check; recall vs brute force is asserted in tests."""
+    import hashlib
+
+    from osmquadtreepostgis_ray.stages.embed import lsh_knn
+    ids, mat = _query_vectors(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_knn(corpus, ids, mat, k=k, max_hamming=2,
+                   index_path=f"/tmp/oqp_lsh_{tag}")
+
+
 def q_embed_neardup(sf_dir: str):
     """Near-dup pairs over the corpus plus deterministic exact-duplicate
     twins (vec_id % 50 == 0 -> twin at vec_id + 1e6): the driver corpus

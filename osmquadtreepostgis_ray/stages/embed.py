@@ -168,6 +168,86 @@ def ivf_knn(corpus: ray.data.Dataset, centroids: np.ndarray, query_ids, query_ma
     return knn_embeddings(sub, np.asarray(query_ids, dtype=np.int64), query_mat, k, id_col)
 
 
+LSH_SEED = 777
+
+
+def _hyperplanes(planes: int, d: int) -> np.ndarray:
+    return np.random.RandomState(LSH_SEED).standard_normal((planes, d))
+
+
+def _lsh_bucket_of(mat: np.ndarray, H: np.ndarray) -> np.ndarray:
+    bits = (H @ mat.T > 0).astype(np.uint64)
+    key = np.zeros(bits.shape[1], dtype=np.uint64)
+    for b in range(H.shape[0]):
+        key |= bits[b] << np.uint64(b)
+    return key.astype(np.int64)
+
+
+def lsh_build(corpus: ray.data.Dataset, index_path: str, planes: int = 6,
+              dim: int | None = None, id_col: str = "vec_id") -> str:
+    """LSH-bucketed ANN index build (the brief's 'LSH-bucketed variant
+    as the scale path' for similarity search): sign bits of `planes`
+    random hyperplanes bucket the corpus; materialized hive-partitioned
+    by bucket (state/partcache.py) so probes are file-level prunes.
+    Hyperplanes derive from a fixed seed — pure function of dim."""
+    from osmquadtreepostgis_ray.state.partcache import cache_partitioned
+    if dim is None:
+        dim = len(corpus.take(1)[0]["embedding"])
+    href = ray.put(_hyperplanes(planes, dim))
+
+    class Assign:
+        def __init__(self):
+            self.H = ray.get(href)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _mat(batch.column("embedding"))
+            return batch.append_column(
+                "lsh_bucket", pa.array(_lsh_bucket_of(m, self.H), pa.int64()))
+
+    assigned = corpus.map_batches(worker_cached(Assign), batch_format="pyarrow")
+    return cache_partitioned(assigned, index_path, "lsh_bucket")
+
+
+def lsh_probe_buckets(query_mat: np.ndarray, planes: int = 6,
+                      max_hamming: int = 1) -> list[int]:
+    """Each query's own bucket plus every bucket within `max_hamming`
+    bit flips (multi-probe LSH) — union over queries."""
+    import itertools
+    H = _hyperplanes(planes, np.asarray(query_mat).shape[1])
+    base = _lsh_bucket_of(np.asarray(query_mat, dtype=np.float64), H)
+    out: set[int] = set()
+    flips = [0]
+    for r in range(1, max_hamming + 1):
+        flips += [int(np.bitwise_or.reduce(np.array([1 << c for c in combo])))
+                  for combo in itertools.combinations(range(planes), r)]
+    for b in base:
+        for f in flips:
+            out.add(int(b) ^ f)
+    return sorted(out)
+
+
+def lsh_knn(corpus: ray.data.Dataset, query_ids, query_mat, k: int = 5,
+            planes: int = 6, max_hamming: int = 1, id_col: str = "vec_id",
+            index_path: str | None = None) -> pa.Table:
+    """Approximate top-k over the multi-probed LSH buckets only — the
+    file-prune sibling of ivf_knn (recall grows with max_hamming; exact
+    within the probed set).  A probed bucket that does not exist on disk
+    costs nothing (no file to open)."""
+    import tempfile
+
+    from osmquadtreepostgis_ray.state.partcache import read_partitions
+    qm = np.asarray(query_mat, dtype=np.float64)
+    path = index_path or tempfile.mkdtemp(prefix="lshknn_", dir="/tmp")
+    lsh_build(corpus, path, planes=planes, dim=qm.shape[1], id_col=id_col)
+    wanted = lsh_probe_buckets(qm, planes=planes, max_hamming=max_hamming)
+    sub = read_partitions(path, "lsh_bucket", wanted)
+    if sub is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return knn_embeddings(sub, np.asarray(query_ids, dtype=np.int64), qm, k, id_col)
+
+
 def cosine_neardup_pairs(corpus: ray.data.Dataset, threshold: float = 0.95,
                          planes: int = 16, id_col: str = "vec_id") -> pa.Table:
     """Near-dup pairs via random-hyperplane LSH blocking + exact verify

@@ -41,18 +41,31 @@ BUCKETS = 32
 _HASH_MULT = 2654435761
 
 
+def default_buckets() -> int:
+    """Join bucket count sized to the cluster: ~2 groups per CPU (keeps
+    every core busy through the merge stage and halves stragglers'
+    blast radius) with the single-node floor of 32.  Pure function of
+    cluster size, not of data — bucket ids stay row-pure."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(BUCKETS, 2 * cpus)
+
+
 def _bucket(keys: np.ndarray, buckets: int) -> np.ndarray:
     return (np.asarray(keys, dtype=np.int64) * _HASH_MULT) % buckets
 
 
 def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
-                     buckets: int = BUCKETS) -> ray.data.Dataset:
+                     buckets: int | None = None) -> ray.data.Dataset:
     """Partitioned hash join on an int64 key.  Each side is tagged with
     its bucket and a side marker, aligned to the TYPED union schema
     (Arrow nulls, never pandas object columns), unioned, grouped by
     bucket once (a single shuffle), and merged per bucket."""
     import pyarrow as _pa
 
+    buckets = buckets or default_buckets()
     lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
     rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
     union_fields: dict[str, _pa.DataType] = {}
