@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
         "frame_sample": Q.q_frame_sample,
+        "image_ahash": Q.q_image_ahash,
+        "ahash_dups": Q.q_ahash_dups,
+        # dedup clustering
+        "neardup_clusters": Q.q_neardup_clusters,
     }
 
 

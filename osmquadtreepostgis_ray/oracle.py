@@ -721,15 +721,11 @@ def sql_embed_docs(dim: int = 32, k: int = 5, nq: int = 5) -> str:
     """
 
 
-def sql_image_decode() -> str:
-    """Twin of the decode+PSNR+feature pipeline (stages/images.DecodeStats
-    over sources/images synthesis): per-pixel splitmix64 counter PRNG
-    (exact HUGEINT mod-2^64), gradient with numpy-linspace endpoint
-    override, trunc-to-uint8, qlossy re-quantization — mean_pixel is
-    exact because pixel sums are integers (< 2^53) in both engines.
-    psnr_ok is TRUE by construction (raw is lossless; qlossy max error 2
-    keeps PSNR >= 40 dB) — the Ray side MEASURES it, the oracle states
-    the invariant."""
+def _sql_decoded_pixels() -> str:
+    """Shared CTE prefix: documents -> per-pixel DECODED values.
+    ``dec`` has (doc_id, image_id, w, h, idx, p) — the splitmix64
+    counter PRNG, numpy-linspace gradient and qlossy re-quantization
+    exactly as the Ray codecs (functions/codecs.py)."""
     ph = geotag.phash_sql("doc_id")
     C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     P = 0x100000001B3
@@ -757,7 +753,7 @@ def sql_image_decode() -> str:
         FROM px3
     ),
     px AS (
-        SELECT doc_id, image_id, w, h, fmt,
+        SELECT doc_id, image_id, w, h, fmt, idx,
                floor(least(greatest(
                    ((CASE WHEN idx % w = w - 1 THEN 255.0
                           ELSE (idx % w) * (255.0 / (w - 1)) END)
@@ -767,16 +763,89 @@ def sql_image_decode() -> str:
         FROM px4
     ),
     dec AS (
-        SELECT doc_id, image_id, w, h,
+        SELECT doc_id, image_id, w, h, idx,
                CASE WHEN fmt = 'qlossy'
                     THEN least(CAST(p AS BIGINT) // 4 * 4 + 2, 255)
                     ELSE CAST(p AS BIGINT) END AS p
         FROM px
-    )
+    )"""
+
+
+def sql_image_decode() -> str:
+    """Twin of the decode+PSNR+feature pipeline (stages/images.DecodeStats
+    over sources/images synthesis): per-pixel splitmix64 counter PRNG
+    (exact HUGEINT mod-2^64), gradient with numpy-linspace endpoint
+    override, trunc-to-uint8, qlossy re-quantization — mean_pixel is
+    exact because pixel sums are integers (< 2^53) in both engines.
+    psnr_ok is TRUE by construction (raw is lossless; qlossy max error 2
+    keeps PSNR >= 40 dB) — the Ray side MEASURES it, the oracle states
+    the invariant."""
+    return f"""{_sql_decoded_pixels()}
     SELECT image_id, TRUE AS psnr_ok,
            CAST(floor(avg(p)) AS BIGINT) AS mean_pixel,
            CAST(w AS BIGINT) AS w_out, CAST(h AS BIGINT) AS h_out
     FROM dec GROUP BY image_id, w, h, doc_id
+    """
+
+
+def _sql_ahash_cte() -> str:
+    """CTE suffix computing per-image ahash from ``dec`` (appendable
+    after _sql_decoded_pixels): 8x8 integer block sums, bit set when
+    64*block_sum > total_sum, packed LSB-first, signed-int64 view."""
+    return f""",
+    blk AS (
+        SELECT image_id, w, h,
+               ((idx // w) // (h // 8)) * 8 + ((idx % w) // (w // 8)) AS bit,
+               SUM(p) AS bsum
+        FROM dec GROUP BY image_id, w, h, bit
+    ),
+    tot AS (SELECT image_id, SUM(bsum) AS total FROM blk GROUP BY image_id),
+    packed AS (
+        SELECT b.image_id, b.w, b.h,
+               SUM(CASE WHEN 64 * b.bsum > t.total
+                        THEN CAST(1 AS HUGEINT) << CAST(b.bit AS INTEGER)
+                        ELSE CAST(0 AS HUGEINT) END) AS v
+        FROM blk b JOIN tot t USING (image_id)
+        GROUP BY b.image_id, b.w, b.h
+    ),
+    ah AS (
+        SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+               CAST(CASE WHEN v >= {1 << 63} THEN v - {_M64} ELSE v END AS BIGINT) AS ahash
+        FROM packed
+    )"""
+
+
+def sql_image_ahash() -> str:
+    """Twin of stages/images.AHash (perceptual average-hash feature
+    extraction): decoded pixels -> 8x8 block sums -> 64-bit hash."""
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()}
+    SELECT image_id, w, h, ahash FROM ah
+    """
+
+
+def sql_ahash_dups() -> str:
+    """Twin of the perceptual exact-dup grouping (AHash -> groupby):
+    images sharing a 64-bit average-hash, min-image_id representative.
+    Linear output — the scale-sane form of perceptual dedup (pairwise
+    hamming output is quadratic on adversarial corpora; see
+    stages/images.ahash_neardup_pairs docstring)."""
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()}
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(image_id) AS keep_id
+    FROM ah GROUP BY ahash HAVING COUNT(*) >= 2
+    """
+
+
+def sql_ahash_neardup(max_hamming: int = 3) -> str:
+    """Twin of stages/images.ahash_neardup_pairs.  The Ray side bands
+    each hash into four 16-bit chunks and pairs only within shared
+    chunks; with max_hamming <= 3 and 4 bands the pigeonhole guarantee
+    makes the banded result EQUAL to this exhaustive self-join, so the
+    oracle needs no banding."""
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()}
+    SELECT a.image_id AS a, b.image_id AS b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM ah a JOIN ah b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}
     """
 
 
@@ -936,6 +1005,35 @@ def sql_embed_neardup() -> str:
     """
 
 
+
+
+def sql_neardup_clusters() -> str:
+    """Twin of stages/cluster.connected_components over the synthetic
+    near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
+    min-label transitive closure.  `//` operands are non-negative on
+    both sides (CLAUDE.md integer-division invariant)."""
+    return """
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 < 3
+        UNION ALL
+        SELECT doc_id AS a, doc_id // 2 AS b FROM documents
+        WHERE doc_id % 11 = 0 AND doc_id > 0
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION
+        SELECT b AS src, a AS dst FROM e0
+    ),
+    walk(v, l) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.dst, w.l FROM walk w JOIN sym e ON e.src = w.v
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(MIN(l) AS BIGINT) AS component
+    FROM walk GROUP BY v
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -989,4 +1087,7 @@ def build_oracles() -> dict[str, str]:
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "ngram_dups": sql_ngram_dups(),
+        "image_ahash": sql_image_ahash(),
+        "ahash_dups": sql_ahash_dups(),
+        "neardup_clusters": sql_neardup_clusters(),
     }

@@ -851,3 +851,56 @@ def q_image_decode(sf_dir: str):
     return read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(DecodeStats), batch_format="pyarrow", batch_size=512) \
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])
+
+
+def q_image_ahash(sf_dir: str):
+    """Perceptual average-hash feature extraction (image-payload
+    fingerprint): decode -> 8x8 integer block means -> 64-bit hash.
+    Full-value oracle (oracle.sql_image_ahash)."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import AHash
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(AHash), batch_format="pyarrow", batch_size=512) \
+        .select_columns(["image_id", "w", "h", "ahash"])
+
+
+def q_ahash_dups(sf_dir: str):
+    """Perceptual exact-dup groups: images sharing an ahash, grouped on
+    the hash (the dedup_exact shape on a perceptual key — linear
+    output; pairwise hamming output is quadratic on this adversarial
+    synthetic corpus, see stages/images.ahash_neardup_pairs)."""
+    hashed = q_image_ahash(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"ahash": batch.column("ahash").to_numpy(),
+                           "image_id": batch.column("image_id").to_pylist()})
+        g = df.groupby("ahash", sort=False)["image_id"].agg(["min", "count"]).reset_index()
+        return pa.table({"ahash": g["ahash"].to_numpy(),
+                         "keep_id": pa.array(g["min"].tolist(), pa.string()),
+                         "n": g["count"].to_numpy().astype(np.int64)})
+
+    agg = (hashed.map_batches(partial, batch_format="pyarrow")
+                 .groupby("ahash")
+                 .aggregate(Min("keep_id", alias_name="keep_id"),
+                            Sum("n", alias_name="n_dups")))
+    return agg.filter(expr="n_dups >= 2").select_columns(["ahash", "n_dups", "keep_id"])
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Dedup clustering: synthetic near-dup edge graph over documents
+    (chains doc->doc+1 where doc%7<3, tree links doc->doc//2 where
+    doc%11==0 — multi-hop components) -> connected components via
+    distributed min-label propagation (stages/cluster.py).  Oracle:
+    recursive-CTE transitive closure."""
+    from osmquadtreepostgis_ray.stages.cluster import connected_components
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        a1 = ids[ids % 7 < 3]
+        a2 = ids[(ids % 11 == 0) & (ids > 0)]
+        return pa.table({"a": pa.array(np.r_[a1, a2], pa.int64()),
+                         "b": pa.array(np.r_[a1 + 1, a2 // 2], pa.int64())})
+
+    return connected_components(docs.map_batches(edges, batch_format="pyarrow"))

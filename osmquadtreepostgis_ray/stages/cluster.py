@@ -1,0 +1,134 @@
+"""Connected components over a near-dup edge list — the clustering step
+of a dedup pipeline (pairs from minhash / ngram / embedding / ahash
+near-dup become per-document cluster ids; one representative per
+cluster survives).
+
+Algorithm: two-level CONTRACTION (Boruvka-style), diameter-independent
+— a fixed number of shuffles instead of one round per graph hop:
+
+1. block-local union-find: each edge block contracts to a (node ->
+   local root) mapping in one map_batches pass; every edge lives in
+   exactly one block, so all within-block connectivity collapses.
+2. induced root graph: a node that appears in several blocks carries
+   different local roots — those roots are connected.  One self-join of
+   the mapping on node (bucket_hash_join, single shuffle) emits the
+   induced (root, root') edges.  This graph is CONTRACTED: its size is
+   bounded by cross-block node occurrences, not by the input edge
+   count.
+3. solve: the contracted graph is grouped to one task and solved with
+   union-find there (a worker, never the driver).  Near-dup cluster
+   forests contract geometrically, so this fits; the guard raises with
+   the measured size if it does not (the scale path repeats step 1-2 on
+   the contracted graph until it fits — same operators, recursion depth
+   log of the reduction ratio).
+4. label join-back: (node, root) x (root, component) — the label table
+   is bounded by the solve ceiling, so it broadcasts (ray.put once,
+   Arrow join per batch) instead of shuffling; a grouped min collapses
+   a node's duplicate rows (its roots all carry the same component).
+
+Every id column stays a pure function of the row (CLAUDE.md
+bit-stability): roots are min-ids within their block partition, and the
+final component is the min node id of the component regardless of how
+edges were blocked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from osmquadtreepostgis_ray.stages.joins import bucket_hash_join, broadcast_join
+
+SOLVE_LIMIT = 5_000_000  # contracted-edge ceiling for the one-task solve
+
+
+def _union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
+    """Min-id union-find over an edge list -> {node: component_min}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+        parent.setdefault(x, find(x))
+        parent.setdefault(y, find(y))
+    return {x: find(x) for x in parent}
+
+
+def _local_contract(a_col: str, b_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy().astype(np.int64)
+        b = batch.column(b_col).to_numpy().astype(np.int64)
+        lab = _union_find(a, b)
+        nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+        roots = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "root": pa.array(roots, pa.int64())})
+    return fn
+
+
+def connected_components(edges: ray.data.Dataset, a_col: str = "a",
+                         b_col: str = "b") -> ray.data.Dataset:
+    """(a, b) edge Dataset -> (node, component) with component = min
+    node id in the node's connected component.  Nodes are the edge
+    endpoints (an isolated document simply keeps its own id — callers
+    union it in if they need every row labelled)."""
+    mapping = edges.map_batches(_local_contract(a_col, b_col),
+                                batch_format="pyarrow").materialize()
+
+    # induced root edges: self-join on node; (root, root2) connected.
+    other = mapping.rename_columns({"root": "root2"})
+    induced = bucket_hash_join(mapping, other, on="node")
+
+    def root_edges(batch: pa.Table) -> pa.Table:
+        r = batch.column("root").to_numpy().astype(np.int64)
+        r2 = batch.column("root2").to_numpy().astype(np.int64)
+        # keep self-pairs too: every root must reach the solver so the
+        # final join covers single-block components.
+        keep = r <= r2
+        return pa.table({"ra": pa.array(r[keep], pa.int64()),
+                         "rb": pa.array(r2[keep], pa.int64()),
+                         "one": pa.array(np.zeros(int(keep.sum()), np.int8), pa.int8())})
+
+    contracted = induced.map_batches(root_edges, batch_format="pyarrow")
+
+    def solve(g) -> "pa.Table":
+        import pandas as pd
+        if isinstance(g, pd.DataFrame):
+            a = g["ra"].to_numpy(np.int64)
+            b = g["rb"].to_numpy(np.int64)
+        else:
+            a = g.column("ra").to_numpy()
+            b = g.column("rb").to_numpy()
+        if len(a) > SOLVE_LIMIT:
+            raise RuntimeError(
+                f"contracted graph has {len(a)} edges > SOLVE_LIMIT; "
+                "re-contract (repeat steps 1-2) before solving")
+        lab = _union_find(a, b)
+        nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+        roots = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+        return pa.table({"root": pa.array(nodes, pa.int64()),
+                         "component": pa.array(roots, pa.int64())})
+
+    root_labels = contracted.groupby("one").map_groups(solve, batch_format="pyarrow")
+
+    # label join-back: root_labels is the CONTRACTED table (bounded by
+    # SOLVE_LIMIT — the same bound the solve step already requires), so
+    # a broadcast join beats a second shuffle; then collapse a node's
+    # duplicate rows (one per block it appeared in).
+    labelled = broadcast_join(mapping, root_labels.to_pandas(), on="root")
+    return (labelled.select_columns(["node", "component"]).groupby("node")
+            .aggregate(Min("component", alias_name="component")))

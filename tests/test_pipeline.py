@@ -199,3 +199,44 @@ def test_lsh_knn_prunes_and_recalls(sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         exhaustive.sort_values(["query_id", "rank"]).reset_index(drop=True),
         brute.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_ahash_neardup_banded_equals_exhaustive(sf_dir):
+    """Pigeonhole guarantee: 4 bands x 16 bits finds EVERY pair within
+    hamming 3, so the banded operator equals the exhaustive self-join
+    (DuckDB twin) exactly."""
+    import duckdb
+
+    from osmquadtreepostgis_ray.oracle import sql_ahash_neardup
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import ahash_neardup_pairs
+
+    got = (ahash_neardup_pairs(read_images(sf_dir), max_hamming=3)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.execute(sql_ahash_neardup(3)).df()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"hamming": "int64"}), want.astype({"hamming": "int64"}))
+
+
+def test_connected_components_block_invariance():
+    """Components are a pure function of the edge SET — identical under
+    any partitioning of the edges into blocks (the contraction's
+    block-local roots must not leak into the result)."""
+    import ray.data
+
+    from osmquadtreepostgis_ray.stages.cluster import connected_components
+
+    # two chains + a cross link + an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (4, 10), (100, 101)]
+    tab = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                    "b": pa.array([b for _, b in edges], pa.int64())})
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1, 12: 1, 100: 100, 101: 100}
+    for nblocks in (1, 3, 7):
+        ds = ray.data.from_arrow(tab).repartition(nblocks)
+        got = dict(connected_components(ds).to_pandas()
+                   [["node", "component"]].itertuples(index=False, name=None))
+        assert got == expect, nblocks
