@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": Q.q_embed_knn_ivf,
         "embed_knn_ivf_exhaustive": Q.q_embed_knn_ivf_exhaustive,
         "embed_knn_lsh": Q.q_embed_knn_lsh,
+        "embed_knn_lsh_exhaustive": Q.q_embed_knn_lsh_exhaustive,
         "embed_neardup": Q.q_embed_neardup,
         # multimodal decode paths
         "image_decode": Q.q_image_decode,

@@ -1085,6 +1085,7 @@ def build_oracles() -> dict[str, str]:
         "embed_knn": sql_embed_knn(),
         "embed_knn_ivf": sql_embed_knn_ivf(),
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
+        "embed_knn_lsh_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "ngram_dups": sql_ngram_dups(),
         "image_ahash": sql_image_ahash(),

@@ -779,6 +779,22 @@ def q_embed_knn_lsh(sf_dir: str, k: int = 5):
                    index_path=f"/tmp/oqp_lsh_{tag}")
 
 
+def q_embed_knn_lsh_exhaustive(sf_dir: str, k: int = 5):
+    """LSH with max_hamming = planes (every bucket probed): must equal
+    the brute-force top-k bit-for-bit — the correctness gate for the
+    bucket assignment/probe machinery, mirroring
+    q_embed_knn_ivf_exhaustive (oracle: sql_embed_knn)."""
+    import hashlib
+
+    from osmquadtreepostgis_ray.stages.embed import lsh_knn
+    ids, mat = _query_vectors(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_knn(corpus, ids, mat, k=k, max_hamming=6,
+                   index_path=f"/tmp/oqp_lsh_{tag}") \
+        .select(["query_id", "neighbor_id", "rank"])
+
+
 def q_embed_neardup(sf_dir: str):
     """Near-dup pairs over the corpus plus deterministic exact-duplicate
     twins (vec_id % 50 == 0 -> twin at vec_id + 1e6): the driver corpus
