@@ -10,11 +10,13 @@ Algorithm: two-level CONTRACTION (Boruvka-style), diameter-independent
    local root) mapping in one map_batches pass; every edge lives in
    exactly one block, so all within-block connectivity collapses.
 2. induced root graph: a node that appears in several blocks carries
-   different local roots — those roots are connected.  One self-join of
-   the mapping on node (bucket_hash_join, single shuffle) emits the
-   induced (root, root') edges.  This graph is CONTRACTED: its size is
-   bounded by cross-block node occurrences, not by the input edge
-   count.
+   different local roots — those roots are connected.  One hash shuffle
+   of the mapping on node, then per node a STAR (min root -> each other
+   root), vectorized per bucket.  Star, not clique: output is linear in
+   node occurrences (k-1 edges for a node seen in k blocks), and
+   within-bucket dedup collapses repeats, so the induced graph is
+   bounded by cross-block node occurrences — never by the input edge
+   count, and never quadratic per node.
 3. solve: the contracted graph is grouped to one task and solved with
    union-find there (a worker, never the driver).  Near-dup cluster
    forests contract geometrically, so this fits; the guard raises with
@@ -39,7 +41,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
-from osmquadtreepostgis_ray.stages.joins import bucket_hash_join, broadcast_join
+from osmquadtreepostgis_ray.stages.joins import (_HASH_MULT, broadcast_join,
+                                                 default_buckets)
 
 SOLVE_LIMIT = 5_000_000  # contracted-edge ceiling for the one-task solve
 
@@ -87,23 +90,39 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     endpoints (an isolated document simply keeps its own id — callers
     union it in if they need every row labelled)."""
     mapping = edges.map_batches(_local_contract(a_col, b_col),
-                                batch_format="pyarrow").materialize()
+                                batch_format="pyarrow",
+                                batch_size=None).materialize()
 
-    # induced root edges: self-join on node; (root, root2) connected.
-    other = mapping.rename_columns({"root": "root2"})
-    induced = bucket_hash_join(mapping, other, on="node")
+    # induced root edges: shuffle the mapping on node; per node emit the
+    # STAR (min root, other root) — self-pairs included so every root
+    # reaches the solver and the final join covers single-block
+    # components.  All per-bucket work is vectorized numpy.
+    nbuckets = default_buckets()
 
-    def root_edges(batch: pa.Table) -> pa.Table:
-        r = batch.column("root").to_numpy().astype(np.int64)
-        r2 = batch.column("root2").to_numpy().astype(np.int64)
-        # keep self-pairs too: every root must reach the solver so the
-        # final join covers single-block components.
-        keep = r <= r2
-        return pa.table({"ra": pa.array(r[keep], pa.int64()),
-                         "rb": pa.array(r2[keep], pa.int64()),
-                         "one": pa.array(np.zeros(int(keep.sum()), np.int8), pa.int8())})
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch.column("node").to_numpy() * _HASH_MULT) % nbuckets
+        return batch.append_column("__bucket", pa.array(b, pa.int64()))
 
-    contracted = induced.map_batches(root_edges, batch_format="pyarrow")
+    def star(g) -> pa.Table:
+        import pandas as pd
+        if isinstance(g, pd.DataFrame):
+            nodes = g["node"].to_numpy(np.int64)
+            roots = g["root"].to_numpy(np.int64)
+        else:
+            nodes = g.column("node").to_numpy()
+            roots = g.column("root").to_numpy()
+        order = np.lexsort((roots, nodes))
+        nodes, roots = nodes[order], roots[order]
+        new = np.r_[True, nodes[1:] != nodes[:-1]]
+        gid = np.cumsum(new) - 1
+        minroot = roots[np.flatnonzero(new)][gid]  # sorted: first = min
+        pairs = np.unique(np.stack([minroot, roots], axis=1), axis=0)
+        return pa.table({"ra": pa.array(pairs[:, 0], pa.int64()),
+                         "rb": pa.array(pairs[:, 1], pa.int64()),
+                         "one": pa.array(np.zeros(len(pairs), np.int8), pa.int8())})
+
+    contracted = (mapping.map_batches(tag, batch_format="pyarrow")
+                  .groupby("__bucket").map_groups(star, batch_format="pyarrow"))
 
     def solve(g) -> "pa.Table":
         import pandas as pd
