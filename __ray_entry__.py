@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "ahash_dups": Q.q_ahash_dups,
+        "audio_features": Q.q_audio_features,
+        "audio_windows": Q.q_audio_windows,
         # dedup clustering
         "neardup_clusters": Q.q_neardup_clusters,
     }

@@ -1007,6 +1007,70 @@ def sql_embed_neardup() -> str:
 
 
 
+def _sql_decoded_samples() -> str:
+    """Shared CTE prefix: documents -> per-sample DECODED audio values.
+    ``adec`` has (doc_id, audio_id, ns, idx, d) — integer sawtooth +
+    splitmix64 counter noise, q8 mid-bucket dequantization, exactly as
+    sources/audio.py (all shift/div operands non-negative)."""
+    ph = geotag.phash_sql("doc_id")
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    P = 0x100000001B3
+    return f"""
+    WITH aud AS (
+        SELECT doc_id, printf('aud%012d', doc_id) AS audio_id,
+               CAST({ph} AS HUGEINT) AS phash,
+               1024 * (doc_id % 3 + 1) AS ns,
+               CASE WHEN doc_id % 5 = 0 THEN 'q8' ELSE 'pcm16' END AS fmt
+        FROM documents
+    ),
+    as0 AS (
+        SELECT doc_id, audio_id, ns, fmt,
+               unnest(range(0, ns)) AS idx,
+               ({_mulmod64('phash', P)}) AS sp
+        FROM aud
+    ),
+    as1 AS (SELECT *, (sp + idx + {C1}) % {_M64} AS v1 FROM as0),
+    as2 AS (SELECT *, {_mulmod64(f'xor(v1, v1 // {1 << 30})', C2)} AS v2 FROM as1),
+    as3 AS (SELECT *, {_mulmod64(f'xor(v2, v2 // {1 << 27})', C3)} AS v3 FROM as2),
+    araw AS (
+        SELECT doc_id, audio_id, ns, fmt, idx,
+               (idx % 256) * 128 - 16384
+               + CAST(xor(v3, v3 // {1 << 31}) % 4097 AS BIGINT) - 2048 AS s
+        FROM as3
+    ),
+    adec AS (
+        SELECT doc_id, audio_id, ns, idx,
+               CASE WHEN fmt = 'q8'
+                    THEN ((s + 32768) // 256) * 256 - 32768 + 128
+                    ELSE s END AS d
+        FROM araw
+    )"""
+
+
+def sql_audio_features() -> str:
+    """Twin of stages/audio.AudioFeatures: exact integer mean-abs floor
+    and peak; snr_ok TRUE by construction (pcm16 lossless; q8 error
+    <= 128 keeps SNR >= 40 dB) — the Ray side MEASURES it."""
+    return f"""{_sql_decoded_samples()}
+    SELECT audio_id, TRUE AS snr_ok,
+           CAST(SUM(abs(d)) // ns AS BIGINT) AS mean_abs,
+           CAST(MAX(abs(d)) AS BIGINT) AS peak,
+           CAST(ns AS BIGINT) AS n_samples
+    FROM adec GROUP BY audio_id, ns
+    """
+
+
+def sql_audio_windows(window: int = 256, stride: int = 2) -> str:
+    """Twin of stages/audio.WindowEnergy: 1->N window explode, exact
+    |s| sums, every stride-th window kept."""
+    return f"""{_sql_decoded_samples()}
+    SELECT audio_id, CAST(idx // {window} AS BIGINT) AS win_idx,
+           CAST(SUM(abs(d)) AS BIGINT) AS sum_abs
+    FROM adec GROUP BY audio_id, idx // {window}
+    HAVING (idx // {window}) % {stride} = 0
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1091,4 +1155,6 @@ def build_oracles() -> dict[str, str]:
         "image_ahash": sql_image_ahash(),
         "ahash_dups": sql_ahash_dups(),
         "neardup_clusters": sql_neardup_clusters(),
+        "audio_features": sql_audio_features(),
+        "audio_windows": sql_audio_windows(),
     }

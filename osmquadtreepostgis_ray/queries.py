@@ -920,3 +920,24 @@ def q_neardup_clusters(sf_dir: str):
                          "b": pa.array(np.r_[a1 + 1, a2 // 2], pa.int64())})
 
     return connected_components(docs.map_batches(edges, batch_format="pyarrow"))
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode + SNR invariant + integer feature extraction
+    (stages/audio.AudioFeatures over the synthetic PCM corpus)."""
+    from osmquadtreepostgis_ray.sources.audio import read_audio
+    from osmquadtreepostgis_ray.stages.audio import AudioFeatures
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_audio(sf_dir).map_batches(
+        worker_cached(AudioFeatures), batch_format="pyarrow", batch_size=512)
+
+
+def q_audio_windows(sf_dir: str, window: int = 256, stride: int = 2):
+    """Windowed audio energy explode (1->N; the audio frame-sample
+    analog): every stride-th 256-sample window's exact |s| sum."""
+    from osmquadtreepostgis_ray.sources.audio import read_audio
+    from osmquadtreepostgis_ray.stages.audio import WindowEnergy
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_audio(sf_dir).map_batches(
+        worker_cached(lambda: WindowEnergy(window=window, stride=stride)),
+        batch_format="pyarrow", batch_size=512)

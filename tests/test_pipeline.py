@@ -300,3 +300,19 @@ def test_connected_components_edge_cases():
     got = dict(connected_components(ray.data.from_arrow(tab)).to_pandas()
                [["node", "component"]].itertuples(index=False, name=None))
     assert got == {5: 5, 6: 6}
+
+
+def test_audio_snr_invariant_and_window_purity(sf_dir):
+    """Audio payload path: SNR >= 40 dB holds for every track (lossless
+    pcm16 exact, q8 within the quantization bound), and window counts
+    are a pure function of the row (n_samples // window, stride-kept)."""
+    feat = Q.q_audio_features(sf_dir).to_pandas()
+    assert len(feat) == 500
+    assert feat["snr_ok"].all()
+
+    win = Q.q_audio_windows(sf_dir).to_pandas()
+    per = win.groupby("audio_id").size()
+    ns = feat.set_index("audio_id")["n_samples"]
+    import math
+    want = ns.map(lambda n: math.ceil((n // 256) / 2))
+    assert per.sort_index().equals(want.sort_index())
