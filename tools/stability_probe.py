@@ -15,7 +15,8 @@ DataContext.get_current().enable_progress_bars = False
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as E  # noqa: E402
 
-for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg_cells"):
+for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg_cells",
+             "image_ahash", "audio_features", "neardup_clusters", "ahash_dups"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
