@@ -1071,6 +1071,26 @@ def sql_audio_windows(window: int = 256, stride: int = 2) -> str:
     """
 
 
+def sql_asof_join() -> str:
+    """Twin of stages/joins.asof_join over the update-stream derivation
+    in queries.q_asof_join: DuckDB's native ASOF JOIN (backward,
+    inclusive, inner)."""
+    return """
+    WITH upd AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) % 100000 AS cents
+        FROM events WHERE event_id % 10 = 0
+    ),
+    ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT e.event_id, e.user_id, u.cents AS asof_cents,
+           CAST(e.ts_us - u.ts_us AS BIGINT) AS lag_us
+    FROM ev e ASOF JOIN upd u ON e.user_id = u.user_id AND e.ts_us >= u.ts_us
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1157,4 +1177,5 @@ def build_oracles() -> dict[str, str]:
         "neardup_clusters": sql_neardup_clusters(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),
+        "asof_join": sql_asof_join(),
     }

@@ -941,3 +941,42 @@ def q_audio_windows(sf_dir: str, window: int = 256, stride: int = 2):
     return read_audio(sf_dir).map_batches(
         worker_cached(lambda: WindowEnergy(window=window, stride=stride)),
         batch_format="pyarrow", batch_size=512)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (the custom temporal operator): every event matched to
+    its user's LATEST prior status update (update rows = events with
+    event_id % 10 == 0; update value a pure function of ts so duplicate
+    (user, ts) updates agree).  Oracle: DuckDB native ASOF JOIN."""
+    from osmquadtreepostgis_ray.stages.joins import asof_join
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        t = pa.table({"event_id": batch.column("event_id"),
+                      "user_id": batch.column("user_id"),
+                      "ts_us": batch.column("ts").cast(pa.int64())})
+        return t.filter(pa.array(eid % 10 != 0))
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        m = eid % 10 == 0
+        return pa.table({"user_id": pa.array(batch.column("user_id").to_numpy()[m], pa.int64()),
+                         "ts_us": pa.array(ts[m], pa.int64()),
+                         "cents": pa.array(ts[m] % 100000, pa.int64())})
+
+    j = asof_join(ev.map_batches(prep_left, batch_format="pyarrow"),
+                  ev.map_batches(prep_right, batch_format="pyarrow"),
+                  key="user_id", ts_col="ts_us")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "asof_cents": batch.column("__r_cents"),
+            "lag_us": pa.array(batch.column("ts_us").to_numpy()
+                               - batch.column("__r_ts_us").to_numpy(), pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -316,3 +316,28 @@ def test_audio_snr_invariant_and_window_purity(sf_dir):
     import math
     want = ns.map(lambda n: math.ceil((n // 256) / 2))
     assert per.sort_index().equals(want.sort_index())
+
+
+def test_asof_join_semantics():
+    """Backward-inclusive as-of: exact-ts match taken, earlier update
+    taken otherwise, lefts before any update drop, duplicate right
+    (key, ts) rows collapse to one."""
+    import ray.data
+
+    from osmquadtreepostgis_ray.stages.joins import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([7, 7, 7, 8], pa.int64()),
+        "ts": pa.array([5, 10, 3, 100], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 7, 7, 9], pa.int64()),
+        "ts": pa.array([5, 5, 9, 1], pa.int64()),
+        "v": pa.array([50, 50, 90, 10], pa.int64())}))
+    out = (asof_join(left, right, key="k", ts_col="ts").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # id=1 exact match ts=5; id=2 latest <=10 is ts=9; id=3 (ts=3) has
+    # no prior update -> dropped; id=4 key 8 unmatched -> dropped
+    assert out["id"].tolist() == [1, 2]
+    assert out["__r_v"].tolist() == [50, 90]
+    assert out["__r_ts"].tolist() == [5, 9]
