@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_segment": Q.q_topk_per_segment,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "asof_join": Q.q_asof_join,
+        "range_join": Q.q_range_join,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,
         "lang_id": Q.q_lang_id,

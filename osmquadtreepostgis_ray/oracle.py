@@ -1091,6 +1091,25 @@ def sql_asof_join() -> str:
     """
 
 
+def sql_range_join() -> str:
+    """Twin of stages/joins.interval_join over the supplier-band
+    derivation in queries.q_range_join (DuckDB IEJoin)."""
+    return """
+    WITH p AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ),
+    iv AS (
+        SELECT s_suppkey,
+               (CAST(round(s_acctbal * 100) AS BIGINT) + 100000) * 20 AS lo_cents
+        FROM supplier
+    )
+    SELECT o_orderkey, s_suppkey, price_cents, lo_cents
+    FROM p JOIN iv
+      ON price_cents >= lo_cents AND price_cents < lo_cents + 100000
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1178,4 +1197,5 @@ def build_oracles() -> dict[str, str]:
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),
         "asof_join": sql_asof_join(),
+        "range_join": sql_range_join(),
     }

@@ -980,3 +980,37 @@ def q_asof_join(sf_dir: str):
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """1-D range join (stages/joins.interval_join): orders priced inside
+    each supplier's derived price band [lo, lo+100000) cents.  Bounds
+    are shifted non-negative (CLAUDE.md integer-division invariant);
+    bin width equals the band width so intervals replicate <= 2x."""
+    from osmquadtreepostgis_ray.stages.joins import interval_join
+    WIDTH = 100_000
+
+    def prep_points(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "price_cents": pa.array(
+                np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64),
+                pa.int64()),
+        })
+
+    def prep_intervals(batch: pa.Table) -> pa.Table:
+        lo = (np.rint(batch.column("s_acctbal").to_numpy() * 100).astype(np.int64)
+              + 100_000) * 20
+        return pa.table({
+            "s_suppkey": batch.column("s_suppkey"),
+            "lo_cents": pa.array(lo, pa.int64()),
+            "hi_cents": pa.array(lo + WIDTH, pa.int64()),
+        })
+
+    pts = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(prep_points, batch_format="pyarrow")
+    ivs = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(prep_intervals, batch_format="pyarrow")
+    out = interval_join(pts, ivs, val_col="price_cents",
+                        lo_col="lo_cents", hi_col="hi_cents", bin_width=WIDTH)
+    return out.select_columns(["o_orderkey", "s_suppkey", "price_cents", "lo_cents"])

@@ -260,3 +260,84 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
         return m[lnames + [f"__r_{c}" for c in rnames]]
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
+                  val_col: str, lo_col: str, hi_col: str,
+                  bin_width: int) -> ray.data.Dataset:
+    """1-D range join: every (point, interval) pair with lo <= v < hi —
+    the brief's 'range join' custom operator (the 2-D sibling is the
+    cell-binned PIP join in stages/pip_join.py, same recipe).
+
+    Binning: intervals replicate to every bin they overlap, points hash
+    to their own bin, one typed-union shuffle on the bin co-locates
+    them, and the per-bucket pair expansion + exact [lo, hi) mask is
+    vectorized pandas.  Pick bin_width ~ the typical interval width:
+    replication stays ~2x and per-bin cross products stay bounded (the
+    documented partitioning assumption).  ALL of v, lo, hi must be
+    non-negative so `//` agrees between numpy (floor) and any SQL twin
+    (trunc) — shift inputs by a constant if needed (CLAUDE.md
+    invariant)."""
+    pnames = list(points.schema().names)
+    inames = list(intervals.schema().names)
+
+    def explode_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy().astype(np.int64)
+        hi = batch.column(hi_col).to_numpy().astype(np.int64)
+        if (lo < 0).any():
+            raise ValueError("interval_join requires non-negative bounds")
+        b0 = lo // bin_width
+        b1 = np.maximum(hi - 1, lo) // bin_width
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo)), reps)
+        bins = b0[idx] + (np.arange(int(reps.sum()), dtype=np.int64)
+                          - np.repeat(np.cumsum(reps) - reps, reps))
+        out = batch.take(pa.array(idx))
+        return out.append_column("__bin", pa.array(bins, pa.int64()))
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).to_numpy().astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("interval_join requires non-negative values")
+        return batch.append_column("__bin", pa.array(v // bin_width, pa.int64()))
+
+    pt = points.map_batches(tag_points, batch_format="pyarrow")
+    iv = intervals.map_batches(explode_intervals, batch_format="pyarrow")
+
+    fields: dict[str, pa.DataType] = {}
+    for ds_ in (pt, iv):
+        for nm, ty in zip(ds_.schema().names, ds_.schema().types):
+            fields.setdefault(nm, ty)
+    names_all, types_all = list(fields), list(fields.values())
+
+    def side_align(sd: int):
+        def _s(batch: pa.Table) -> pa.Table:
+            arrays = [batch.column(c) if c in batch.column_names
+                      else pa.nulls(batch.num_rows, t)
+                      for c, t in zip(names_all, types_all)]
+            arrays.append(pa.array(np.full(batch.num_rows, sd, np.int8), pa.int8()))
+            return pa.Table.from_arrays(arrays, names=names_all + ["__side"])
+        return _s
+
+    u = pt.map_batches(side_align(0), batch_format="pyarrow").union(
+        iv.map_batches(side_align(1), batch_format="pyarrow"))
+
+    pint = {nm for nm, ty in zip(points.schema().names, points.schema().types)
+            if pa.types.is_integer(ty)}
+    iint = {nm for nm, ty in zip(intervals.schema().names, intervals.schema().types)
+            if pa.types.is_integer(ty)}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g[g["__side"] == 0][pnames + ["__bin"]]
+        ig = g[g["__side"] == 1][inames + ["__bin"]]
+        for c in pnames:
+            if c in pint:
+                pg[c] = pg[c].astype(np.int64)
+        for c in inames:
+            if c in iint:
+                ig[c] = ig[c].astype(np.int64)
+        m = pg.merge(ig, on="__bin")
+        m = m[(m[val_col] >= m[lo_col]) & (m[val_col] < m[hi_col])]
+        return m[pnames + inames]
+
+    return u.groupby("__bin").map_groups(merge, batch_format="pandas")

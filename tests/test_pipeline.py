@@ -341,3 +341,26 @@ def test_asof_join_semantics():
     assert out["id"].tolist() == [1, 2]
     assert out["__r_v"].tolist() == [50, 90]
     assert out["__r_ts"].tolist() == [5, 9]
+
+
+def test_interval_join_boundaries():
+    """[lo, hi) boundary semantics + bin-crossing intervals (an interval
+    spanning multiple bins must still match points in every bin, once)."""
+    import ray.data
+
+    from osmquadtreepostgis_ray.stages.joins import interval_join
+
+    pts = ray.data.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 19, 20, 250], pa.int64())}))
+    ivs = ray.data.from_arrow(pa.table({
+        "iid": pa.array([100, 200], pa.int64()),
+        "lo": pa.array([10, 15], pa.int64()),
+        "hi": pa.array([20, 300], pa.int64())}))  # 15..300 spans many 16-bins
+    out = (interval_join(pts, ivs, "v", "lo", "hi", bin_width=16).to_pandas()
+           .sort_values(["pid", "iid"]).reset_index(drop=True))
+    got = set(zip(out["pid"], out["iid"]))
+    # v=10: in [10,20) and not [15,..); v=19: both; v=20: only [15,300);
+    # v=250: only [15,300) (bin far from lo — replication must reach it)
+    assert got == {(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)}
+    assert len(out) == len(got)  # no duplicate pairs from multi-bin overlap
