@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hstore_tags": Q.q_hstore_tags,
         "token_totals": Q.q_token_totals,
         "token_bpe": Q.q_token_bpe,
+        "chunk_docs": Q.q_chunk_docs,
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,

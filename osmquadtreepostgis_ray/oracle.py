@@ -1110,6 +1110,31 @@ def sql_range_join() -> str:
     """
 
 
+def sql_chunk_docs(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    """Twin of stages/textstats.chunk_documents: whitespace-token chunks
+    of `chunk_tokens` with `overlap`, count = ceil(n / stride).  DuckDB
+    list slices are 1-based inclusive and clamp at the end, matching
+    Arrow list_slice's [start, stop) with the +1 shift."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, (n + {stride} - 1) // {stride})) AS k
+        FROM t
+    )
+    SELECT doc_id, k AS chunk_idx,
+           CAST(least({chunk_tokens}, n - k * {stride}) AS BIGINT) AS n_tokens,
+           array_to_string(toks[k * {stride} + 1 : k * {stride} + {chunk_tokens}], ' ')
+               AS chunk_text
+    FROM c
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1198,4 +1223,5 @@ def build_oracles() -> dict[str, str]:
         "audio_windows": sql_audio_windows(),
         "asof_join": sql_asof_join(),
         "range_join": sql_range_join(),
+        "chunk_docs": sql_chunk_docs(),
     }

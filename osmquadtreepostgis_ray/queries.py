@@ -1014,3 +1014,11 @@ def q_range_join(sf_dir: str):
     out = interval_join(pts, ivs, val_col="price_cents",
                         lo_col="lo_cents", hi_col="hi_cents", bin_width=WIDTH)
     return out.select_columns(["o_orderkey", "s_suppkey", "price_cents", "lo_cents"])
+
+
+def q_chunk_docs(sf_dir: str, chunk_tokens: int = 32, overlap: int = 8):
+    """LLM-training document chunking (1->N): fixed-token chunks with
+    overlap, Arrow split/slice/join kernels end to end."""
+    from osmquadtreepostgis_ray.stages.textstats import chunk_documents
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)

@@ -21,3 +21,51 @@ def add_text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
         batch = batch.append_column("lang_pred", pa.array(T.lang_id(s).to_numpy(), pa.string()))
         return batch
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 32,
+                    overlap: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> ray.data.Dataset:
+    """Fixed-token chunking with overlap — the standard LLM-training
+    1->N document transform.  Chunk k covers whitespace tokens
+    [k*stride, k*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; chunk count = ceil(n_tokens / stride) (every token starts
+    at least one chunk).  Fully Arrow-native: split_pattern +
+    list_slice + binary_join kernels, one pass per chunk ordinal (the
+    ordinal loop is over the max chunks per batch, not rows)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        nchunks = (n + stride - 1) // stride
+        out_id, out_k, out_n, out_t = [], [], [], []
+        for k in range(int(nchunks.max()) if len(n) else 0):
+            m = nchunks > k
+            sliced = pc.list_slice(toks, k * stride, k * stride + chunk_tokens)
+            joined = pc.binary_join(sliced, " ")
+            sel = pa.array(m)
+            out_id.append(ids[m])
+            out_k.append(np.full(int(m.sum()), k, np.int64))
+            out_n.append(np.minimum(chunk_tokens, n[m] - k * stride))
+            j = joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+            out_t.append(j.filter(sel))
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "chunk_idx": pa.array(np.concatenate(out_k), pa.int64()),
+            "n_tokens": pa.array(np.concatenate(out_n), pa.int64()),
+            "chunk_text": pa.concat_arrays([a.cast(pa.string()) for a in out_t]),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
