@@ -128,3 +128,35 @@ def test_batch_kernels_match_per_doc():
     g2, s2 = T.word_ngram_hash_batch(pa.array(["one two", " one  two ", "two one"]), 3)
     assert np.array_equal(g2[s2 == 0], g2[s2 == 1])
     assert not np.array_equal(g2[s2 == 0], g2[s2 == 2])
+
+
+def test_chunk_documents_edges():
+    """Chunk-boundary edge cases, batch-level (no Ray): single token,
+    exact stride multiple, empty-ish strings, overlap continuity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # replicate the stage's batch fn via the module (map_batches wrapper
+    # takes a Dataset; the kernel itself is deterministic per batch)
+    from osmquadtreepostgis_ray.stages import textstats
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one", " ".join(f"t{i}" for i in range(48)),
+                          " ".join(f"u{i}" for i in range(33))]),
+    })
+    import ray.data
+    out = (textstats.chunk_documents(ray.data.from_arrow(tab),
+                                     chunk_tokens=32, overlap=8)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    # doc 1: one token -> one chunk of 1
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.n_tokens.iloc[0] == 1 and d1.chunk_text.iloc[0] == "one"
+    # doc 2: 48 tokens, stride 24 -> chunks of 32 and 24; overlap = last 8
+    d2 = out[out.doc_id == 2]
+    assert d2.n_tokens.tolist() == [32, 24]
+    assert d2.chunk_text.iloc[0].split(" ")[24:] == d2.chunk_text.iloc[1].split(" ")[:8]
+    # doc 3: 33 tokens -> ceil(33/24) = 2 chunks; second covers 24..32
+    d3 = out[out.doc_id == 3]
+    assert d3.n_tokens.tolist() == [32, 9]
