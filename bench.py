@@ -233,6 +233,22 @@ def main():
         res = run_headline_child(sf_dir, cpus, repeat)
     elif "--scaling" in args:
         res = run_scaling(sf_dir)
+    elif "--stats" in args:
+        # per-stage Ray Data stats for one query (profiling hook: read
+        # wall/cpu/rows per operator, then iterate on the slow stage)
+        name = args[args.index("--stats") + 1]
+        _init_ray(cpus)
+        import __ray_entry__ as E
+        ds = E.queries()[name](sf_dir)
+        import ray.data
+        if isinstance(ds, ray.data.Dataset):
+            ds = ds.materialize()
+            print(ds.stats())
+        else:
+            print(f"{name} returns {type(ds).__name__}; no Dataset stats")
+        import ray
+        ray.shutdown()
+        return
     else:
         res = run_all(sf_dir, cpus)
     print(json.dumps(res))
