@@ -146,8 +146,9 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
 
     # label join-back: root_labels is the CONTRACTED table (bounded by
     # SOLVE_LIMIT — the same bound the solve step already requires), so
-    # a broadcast join beats a second shuffle; then collapse a node's
-    # duplicate rows (one per block it appeared in).
-    labelled = broadcast_join(mapping, root_labels.to_pandas(), on="root")
+    # a broadcast join beats a second shuffle; its blocks broadcast as
+    # object-store refs (never through the driver).  Then collapse a
+    # node's duplicate rows (one per block it appeared in).
+    labelled = broadcast_join(mapping, root_labels, on="root")
     return (labelled.select_columns(["node", "component"]).groupby("node")
             .aggregate(Min("component", alias_name="component")))

@@ -17,19 +17,35 @@ import ray.data
 from osmquadtreepostgis_ray.util import pool_size, worker_cached
 
 
-def broadcast_join(big: ray.data.Dataset, small_df: pd.DataFrame, on: str,
+def broadcast_join(big: ray.data.Dataset, small, on: str,
                    how: str = "inner") -> ray.data.Dataset:
-    """Arrow-native: the big side's blocks stay zero-copy Arrow end to
-    end (pa.Table.join per batch) — the pandas conversion per block was
-    the one non-Arrow hop in the join family."""
-    small = pa.Table.from_pandas(small_df, preserve_index=False)
-    ref = ray.put(small)
+    """Arrow-native broadcast join: the big side's blocks stay zero-copy
+    Arrow end to end (pa.Table.join per batch).
+
+    ``small`` may be a pandas DataFrame (driver-held lookup — ray.put
+    once) or a Dataset: then its BLOCKS broadcast via to_arrow_refs()
+    and the concatenated table never transits the driver — the right
+    form when the small side is itself the output of a distributed
+    stage (e.g. the contracted label table in stages/cluster.py)."""
+    if isinstance(small, ray.data.Dataset):
+        refs = small.to_arrow_refs()        # object-store refs only
+    else:
+        refs = [ray.put(pa.Table.from_pandas(small, preserve_index=False))]
     arrow_how = {"inner": "inner", "left": "left outer",
                  "right": "right outer", "outer": "full outer"}[how]
 
     class Join:
         def __init__(self):
-            self.small = ray.get(ref)
+            tabs = [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+                    for t in ray.get(list(refs))]
+            # empty pass-through blocks (e.g. from map_groups) can carry
+            # the UPSTREAM schema — drop them before concat
+            live = [t for t in tabs if t.num_rows > 0]
+            if live:
+                self.small = pa.concat_tables(
+                    [t.select(live[0].column_names) for t in live]).combine_chunks()
+            else:
+                self.small = pa.concat_tables(tabs, promote_options="permissive")
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             return batch.join(self.small, keys=on, join_type=arrow_how)
