@@ -1135,6 +1135,25 @@ def sql_chunk_docs(chunk_tokens: int = 32, overlap: int = 8) -> str:
     """
 
 
+def sql_window_sliding(width_hours: int = 3) -> str:
+    """Twin of queries.q_window_sliding: trailing RANGE window over the
+    sparse hourly axis."""
+    return f"""
+    WITH hourly AS (
+        SELECT user_id, (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+        FROM events GROUP BY user_id, hour
+    )
+    SELECT user_id, hour,
+           CAST(sum(n) OVER w AS BIGINT) AS n_win,
+           CAST(sum(c) OVER w AS BIGINT) AS sum_cents_win
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour
+                 RANGE BETWEEN {width_hours - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1224,4 +1243,5 @@ def build_oracles() -> dict[str, str]:
         "asof_join": sql_asof_join(),
         "range_join": sql_range_join(),
         "chunk_docs": sql_chunk_docs(),
+        "window_sliding": sql_window_sliding(),
     }

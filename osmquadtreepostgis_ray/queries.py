@@ -1022,3 +1022,33 @@ def q_chunk_docs(sf_dir: str, chunk_tokens: int = 32, overlap: int = 8):
     from osmquadtreepostgis_ray.stages.textstats import chunk_documents
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)
+
+
+def q_window_sliding(sf_dir: str, width_hours: int = 3):
+    """Sliding-window aggregate: per (user, hour), counts/sums over the
+    trailing `width_hours` window.  Combiner partials collapse events
+    to hourly rows FIRST (shuffle carries hourly aggregates, never
+    events); the per-user trailing sum is a keyed map_groups over tiny
+    groups (same shape as sessionize)."""
+    hourly = q_window_hourly(sf_dir)
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour", kind="stable")
+        h = g["hour"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        c = g["sum_value_cents"].to_numpy(np.int64)
+        # trailing [h-width+1, h] sums over a SPARSE hour axis:
+        # windows are tiny — vectorized searchsorted bounds
+        lo = np.searchsorted(h, h - width_hours + 1, side="left")
+        cn = np.r_[0, np.cumsum(n)]
+        cc = np.r_[0, np.cumsum(c)]
+        idx = np.arange(len(h)) + 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "hour": h,
+            "n_win": cn[idx] - cn[lo],
+            "sum_cents_win": cc[idx] - cc[lo],
+        })
+
+    return (hourly.groupby("user_id").map_groups(slide, batch_format="pandas")
+            .select_columns(["user_id", "hour", "n_win", "sum_cents_win"]))
