@@ -1154,6 +1154,21 @@ def sql_window_sliding(width_hours: int = 3) -> str:
     """
 
 
+def sql_quantiles() -> str:
+    """Twin of queries.q_quantiles (quantile_disc on exact cents)."""
+    return """
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           quantile_disc(cents, 0.25) AS p25,
+           quantile_disc(cents, 0.50) AS p50,
+           quantile_disc(cents, 0.75) AS p75
+    FROM e GROUP BY event_type
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1244,4 +1259,5 @@ def build_oracles() -> dict[str, str]:
         "range_join": sql_range_join(),
         "chunk_docs": sql_chunk_docs(),
         "window_sliding": sql_window_sliding(),
+        "quantiles": sql_quantiles(),
     }

@@ -1052,3 +1052,45 @@ def q_window_sliding(sf_dir: str, width_hours: int = 3):
 
     return (hourly.groupby("user_id").map_groups(slide, batch_format="pandas")
             .select_columns(["user_id", "hour", "n_win", "sum_cents_win"]))
+
+
+def q_quantiles(sf_dir: str):
+    """Exact grouped quantiles (p25/p50/p75 of value cents per
+    event_type) — the grouped order-statistic aggregate.  The combiner
+    collapses events to (cents, count) per batch first, so the shuffle
+    carries distinct values, and the per-group pick is a weighted
+    order statistic over the (tiny) distinct-value axis.  At 100 TB a
+    group's distinct axis can still be bounded by bucketing cents; the
+    exact pick then happens over bucket counts the same way.  Index
+    convention matches DuckDB quantile_disc: element ceil(p*n)-1 of the
+    sorted multiset."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        c = g["cents"].to_numpy(np.int64)
+        w = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        out = {}
+        for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            k = max(0, int(np.ceil(p * n)) - 1)          # quantile_disc
+            out[name] = int(c[np.searchsorted(cum, k + 1, side="left")])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "p25": np.array([out["p25"]], np.int64),
+                             "p50": np.array([out["p50"]], np.int64),
+                             "p75": np.array([out["p75"]], np.int64)})
+
+    return (counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+            .select_columns(["event_type", "n", "p25", "p50", "p75"]))
