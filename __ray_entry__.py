@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": Q.q_lineitem_pricing,
         "asof_join": Q.q_asof_join,
         "range_join": Q.q_range_join,
+        "semi_join": Q.q_semi_join,
+        "anti_join": Q.q_anti_join,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,
         "lang_id": Q.q_lang_id,

@@ -1169,6 +1169,17 @@ def sql_quantiles() -> str:
     """
 
 
+def sql_semi_join(anti: bool = False) -> str:
+    """Twin of stages/joins.bucket_semi_join over customer/orders."""
+    op = "NOT EXISTS" if anti else "EXISTS"
+    return f"""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE {op} (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1260,4 +1271,6 @@ def build_oracles() -> dict[str, str]:
         "chunk_docs": sql_chunk_docs(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
+        "semi_join": sql_semi_join(False),
+        "anti_join": sql_semi_join(True),
     }

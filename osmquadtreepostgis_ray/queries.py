@@ -1094,3 +1094,28 @@ def q_quantiles(sf_dir: str):
 
     return (counts.groupby("event_type").map_groups(pick, batch_format="pandas")
             .select_columns(["event_type", "n", "p25", "p50", "p75"]))
+
+
+def _urgent_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return pa.table({"c_custkey": batch.column("o_custkey").filter(m)})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join: customers with at least one URGENT order (left
+    columns only, no pair expansion)."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return bucket_semi_join(cust, _urgent_orders(sf_dir), on="c_custkey")
+
+
+def q_anti_join(sf_dir: str):
+    """Anti join: customers with no urgent order."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return bucket_semi_join(cust, _urgent_orders(sf_dir), on="c_custkey", anti=True)

@@ -357,3 +357,50 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
         return m[pnames + inames]
 
     return u.groupby("__bin").map_groups(merge, batch_format="pandas")
+
+
+def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                     anti: bool = False, buckets: int | None = None) -> ray.data.Dataset:
+    """Semi (rows of left with >= 1 key match in right) / anti (rows
+    with none) join — same single typed-union shuffle as
+    bucket_hash_join; the per-bucket membership test is a vectorized
+    isin, and only LEFT columns come back (no pair expansion)."""
+    buckets = buckets or default_buckets()
+    lnames = list(left.schema().names)
+    lint = {nm for nm, ty in zip(left.schema().names, left.schema().types)
+            if pa.types.is_integer(ty)}
+
+    def tag(side: int, keep_cols):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = _bucket(batch.column(on).to_numpy(), buckets)
+            cols = {c: batch.column(c) for c in keep_cols if c in batch.column_names}
+            t = pa.table(cols)
+            t = t.append_column("__bucket", pa.array(b, pa.int64()))
+            return t.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()))
+        return _t
+
+    fields = {nm: ty for nm, ty in zip(left.schema().names, left.schema().types)}
+
+    def align_right(batch: pa.Table) -> pa.Table:
+        # right side ships ONLY the key, padded to the left schema
+        arrays = [batch.column(c) if c == on
+                  else pa.nulls(batch.num_rows, fields[c]) for c in lnames]
+        return pa.Table.from_arrays(arrays, names=lnames)
+
+    lt = left.map_batches(tag(0, lnames), batch_format="pyarrow")
+    rt = (right.select_columns([on]).map_batches(align_right, batch_format="pyarrow")
+          .map_batches(tag(1, lnames), batch_format="pyarrow"))
+    u = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][lnames]
+        keys = g[g["__side"] == 1][on].unique()
+        m = lg[on].isin(keys)
+        out = lg[~m if anti else m]
+        for c in lnames:
+            if c in lint:
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
