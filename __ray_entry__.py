@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": Q.q_range_join,
         "semi_join": Q.q_semi_join,
         "anti_join": Q.q_anti_join,
+        "pivot": Q.q_pivot,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,
         "lang_id": Q.q_lang_id,

@@ -1180,6 +1180,22 @@ def sql_semi_join(anti: bool = False) -> str:
     """
 
 
+def sql_pivot() -> str:
+    """Twin of queries.q_pivot (FILTER conditional aggregation)."""
+    cols = [("n_urgent", "1-URGENT"), ("n_high", "2-HIGH"),
+            ("n_medium", "3-MEDIUM"), ("n_notspec", "4-NOT SPECIFIED"),
+            ("n_low", "5-LOW")]
+    sel = ",\n           ".join(
+        f"CAST(count(*) FILTER (o_orderpriority = '{p}') AS BIGINT) AS {c}"
+        for c, p in cols)
+    return f"""
+    SELECT c_mktsegment,
+           {sel}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1273,4 +1289,5 @@ def build_oracles() -> dict[str, str]:
         "quantiles": sql_quantiles(),
         "semi_join": sql_semi_join(False),
         "anti_join": sql_semi_join(True),
+        "pivot": sql_pivot(),
     }

@@ -1119,3 +1119,41 @@ def q_anti_join(sf_dir: str):
     from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     return bucket_semi_join(cust, _urgent_orders(sf_dir), on="c_custkey", anti=True)
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+
+def q_pivot(sf_dir: str):
+    """Pivot (long -> wide reshape): order counts per market segment x
+    priority, priorities as columns.  The combiner counts per
+    (segment, priority) inside each batch; the shuffle carries the tiny
+    long-form table; the final widening is a vectorized per-segment
+    reshape.  Broadcast join attaches the segment (customer is the
+    small side)."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .rename_columns({"c_custkey": "o_custkey"}).to_pandas()
+    joined = broadcast_join(orders, cust, on="o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["c_mktsegment", "o_orderpriority"], sort=False) \
+              .size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    long = (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["c_mktsegment", "o_orderpriority"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        counts = dict(zip(g["o_orderpriority"], g["cnt"]))
+        row = {"c_mktsegment": [g["c_mktsegment"].iloc[0]]}
+        for col, p in zip(_PRIORITY_COLS, PRIORITIES):
+            row[col] = np.array([counts.get(p, 0)], np.int64)
+        return pd.DataFrame(row)
+
+    return (long.groupby("c_mktsegment").map_groups(widen, batch_format="pandas")
+            .select_columns(["c_mktsegment"] + _PRIORITY_COLS))
