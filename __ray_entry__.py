@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": Q.q_image_decode,
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
+        "image_resize": Q.q_image_resize,
         "ahash_dups": Q.q_ahash_dups,
         "audio_features": Q.q_audio_features,
         "audio_windows": Q.q_audio_windows,

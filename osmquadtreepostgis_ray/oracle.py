@@ -1196,6 +1196,29 @@ def sql_pivot() -> str:
     """
 
 
+def sql_image_resize(ow: int = 8, oh: int = 8) -> str:
+    """Twin of queries.q_image_resize: nearest-neighbor index map
+    yi=(y*h)//oh, xi=(x*w)//ow over decoded pixels, exact integer mean
+    of the resized grid."""
+    return f"""{_sql_decoded_pixels()},
+    rimg AS (SELECT DISTINCT image_id, w, h FROM dec),
+    rp AS (
+        SELECT image_id, w, h, unnest(range(0, {ow * oh})) AS rp
+        FROM rimg
+    ),
+    sel AS (
+        SELECT image_id,
+               (((rp // {ow}) * h) // {oh}) * w + (((rp % {ow}) * w) // {ow}) AS idx
+        FROM rp
+    )
+    SELECT s.image_id,
+           CAST(floor(avg(d.p)) AS BIGINT) AS mean_pixel,
+           CAST({ow} AS BIGINT) AS w_out, CAST({oh} AS BIGINT) AS h_out
+    FROM sel s JOIN dec d ON d.image_id = s.image_id AND d.idx = s.idx
+    GROUP BY s.image_id
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1279,6 +1302,7 @@ def build_oracles() -> dict[str, str]:
         "ngram_dups": sql_ngram_dups(),
         "image_ahash": sql_image_ahash(),
         "ahash_dups": sql_ahash_dups(),
+        "image_resize": sql_image_resize(),
         "neardup_clusters": sql_neardup_clusters(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

@@ -1157,3 +1157,17 @@ def q_pivot(sf_dir: str):
 
     return (long.groupby("c_mktsegment").map_groups(widen, batch_format="pandas")
             .select_columns(["c_mktsegment"] + _PRIORITY_COLS))
+
+
+def q_image_resize(sf_dir: str, target: tuple = (8, 8)):
+    """Oracle-checked resize path: decode -> nearest-neighbor resize to
+    8x8 (exact integer index map (i*src)//dst) -> integer mean of the
+    resized pixels (stages/images.DecodeStats(target=...))."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import DecodeStats
+    from osmquadtreepostgis_ray.util import worker_cached
+    t = tuple(target)
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(lambda: DecodeStats(target=t)),
+        batch_format="pyarrow", batch_size=512) \
+        .select_columns(["image_id", "mean_pixel", "w_out", "h_out"])
