@@ -1219,6 +1219,20 @@ def sql_image_resize(ow: int = 8, oh: int = 8) -> str:
     """
 
 
+def sql_multimodal_fusion() -> str:
+    """Twin of queries.q_multimodal_fusion: the three modality twins
+    joined on doc_id (WITH-in-subquery)."""
+    return f"""
+    SELECT t.doc_id, t.n_tokens, t.stop_permille,
+           i.ahash, a.mean_abs, a.peak
+    FROM ({sql_quality()}) t
+    JOIN (SELECT CAST(substr(image_id, 4) AS BIGINT) AS doc_id, ahash
+          FROM ({sql_image_ahash()})) i ON i.doc_id = t.doc_id
+    JOIN (SELECT CAST(substr(audio_id, 4) AS BIGINT) AS doc_id, mean_abs, peak
+          FROM ({sql_audio_features()})) a ON a.doc_id = t.doc_id
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1303,6 +1317,7 @@ def build_oracles() -> dict[str, str]:
         "image_ahash": sql_image_ahash(),
         "ahash_dups": sql_ahash_dups(),
         "image_resize": sql_image_resize(),
+        "multimodal_fusion": sql_multimodal_fusion(),
         "neardup_clusters": sql_neardup_clusters(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

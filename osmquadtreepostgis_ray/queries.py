@@ -1171,3 +1171,41 @@ def q_image_resize(sf_dir: str, target: tuple = (8, 8)):
         worker_cached(lambda: DecodeStats(target=t)),
         batch_format="pyarrow", batch_size=512) \
         .select_columns(["image_id", "mean_pixel", "w_out", "h_out"])
+
+
+def q_multimodal_fusion(sf_dir: str):
+    """Multimodal training-row assembly: per document, fuse the image
+    perceptual hash, the text quality stats and the audio features into
+    one wide feature row — two bucket joins on doc_id (each modality's
+    feature table is already small relative to its payloads; bytes
+    never enter the joins)."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    img = q_image_ahash(sf_dir)
+
+    def img_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray([int(s[3:]) for s in batch.column("image_id").to_pylist()],
+                         dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ahash": batch.column("ahash")})
+
+    aud = q_audio_features(sf_dir)
+
+    def aud_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray([int(s[3:]) for s in batch.column("audio_id").to_pylist()],
+                         dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "mean_abs": batch.column("mean_abs"),
+                         "peak": batch.column("peak")})
+
+    txt = q_quality(sf_dir)
+    fused = bucket_hash_join(txt, img.map_batches(img_key, batch_format="pyarrow"),
+                             on="doc_id")
+    fused = bucket_hash_join(fused, aud.map_batches(aud_key, batch_format="pyarrow"),
+                             on="doc_id")
+
+    def cast_int(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "n_tokens", "stop_permille", "ahash", "mean_abs", "peak"]
+        return pa.table({c: batch.column(c).cast(pa.int64()) for c in cols})
+
+    return fused.map_batches(cast_int, batch_format="pyarrow")
