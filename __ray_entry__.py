@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": Q.q_token_totals,
         "token_bpe": Q.q_token_bpe,
         "chunk_docs": Q.q_chunk_docs,
+        "top_terms": Q.q_top_terms,
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,

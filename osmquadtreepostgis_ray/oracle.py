@@ -1233,6 +1233,26 @@ def sql_multimodal_fusion() -> str:
     """
 
 
+def sql_top_terms(k: int = 3) -> str:
+    """Twin of queries.q_top_terms (tf/df keyword ranking)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    r AS (
+        SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+        FROM tf JOIN df USING (w)
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1324,6 +1344,7 @@ def build_oracles() -> dict[str, str]:
         "asof_join": sql_asof_join(),
         "range_join": sql_range_join(),
         "chunk_docs": sql_chunk_docs(),
+        "top_terms": sql_top_terms(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
         "semi_join": sql_semi_join(False),

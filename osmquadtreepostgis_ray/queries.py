@@ -1209,3 +1209,52 @@ def q_multimodal_fusion(sf_dir: str):
         return pa.table({c: batch.column(c).cast(pa.int64()) for c in cols})
 
     return fused.map_batches(cast_int, batch_format="pyarrow")
+
+
+def q_top_terms(sf_dir: str, k: int = 3):
+    """Keyword extraction (tf-idf shape, integer-exact): per document
+    the top-k terms ranked by (tf desc, df asc, term asc) — df ranks
+    replace the float idf log so the oracle compares exactly.  Document
+    frequency is a combiner groupby (vocabulary-sized) broadcast once;
+    per-doc tf + ranking never leave the batch."""
+    import pyarrow.compute as pc
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_pandas()
+        doc = np.repeat(np.arange(len(n)), n)
+        u = pd.DataFrame({"doc": doc, "w": flat}).drop_duplicates()
+        g = u.groupby("w", sort=False).size().reset_index(name="df")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    df_tab = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("df", alias_name="df"))).to_pandas()
+    df_ref = ray.put(dict(zip(df_tab["w"], df_tab["df"].astype(np.int64))))
+
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    class TopTerms:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            n = pc.list_value_length(toks).to_numpy()
+            ids = batch.column("doc_id").to_numpy()
+            flat = pc.list_flatten(toks).to_pandas()
+            doc = np.repeat(ids, n)
+            tf = (pd.DataFrame({"doc_id": doc, "term": flat})
+                  .groupby(["doc_id", "term"], sort=False).size()
+                  .reset_index(name="tf"))
+            tf["df"] = tf["term"].map(self.df).astype(np.int64)
+            tf = tf.sort_values(["doc_id", "tf", "df", "term"],
+                                ascending=[True, False, True, True],
+                                kind="stable")
+            tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+            out = tf[tf["rank"] <= 3]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(worker_cached(TopTerms), batch_format="pyarrow") \
+        .select_columns(["doc_id", "term", "tf", "df", "rank"])
