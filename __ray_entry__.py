@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parent_tags": Q.q_parent_tags,
         "checkpoint": Q.q_checkpoint,
         "json_props": Q.q_json_props,
+        "json_extract": Q.q_json_extract,
         "simplify_ways": Q.q_simplify_ways,
         # relational ops (joins, window, topk, agg, diff-merge dedup)
         "dedup_latest": Q.q_dedup_latest,

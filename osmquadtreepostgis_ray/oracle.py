@@ -1253,6 +1253,17 @@ def sql_top_terms(k: int = 3) -> str:
     """
 
 
+def sql_json_extract() -> str:
+    """Twin of queries.q_json_extract (json_extract_string on props)."""
+    return """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+           COUNT(*)::BIGINT AS n,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+    FROM events GROUP BY event_type
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1345,6 +1356,7 @@ def build_oracles() -> dict[str, str]:
         "range_join": sql_range_join(),
         "chunk_docs": sql_chunk_docs(),
         "top_terms": sql_top_terms(),
+        "json_extract": sql_json_extract(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
         "semi_join": sql_semi_join(False),

@@ -1258,3 +1258,32 @@ def q_top_terms(sf_dir: str, k: int = 3):
 
     return docs.map_batches(worker_cached(TopTerms), batch_format="pyarrow") \
         .select_columns(["doc_id", "term", "tf", "df", "rank"])
+
+
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer `k` field out of
+    the events' JSON props column (vectorized Arrow extract_regex — a
+    compiled kernel, no per-row json.loads) and aggregate per
+    event_type with the combiner pattern."""
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props").combine_chunks(),
+                               r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "k": k})
+        g = df.groupby("event_type", sort=False)["k"].agg(["sum", "count", "max"]).reset_index()
+        return pa.table({"event_type": g["event_type"].tolist(),
+                         "sum_k": g["sum"].to_numpy(np.int64),
+                         "n": g["count"].to_numpy(np.int64),
+                         "max_k": g["max"].to_numpy(np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("sum_k", alias_name="sum_k"),
+                       Sum("n", alias_name="n"),
+                       Max("max_k", alias_name="max_k"))
+            .select_columns(["event_type", "sum_k", "n", "max_k"]))
