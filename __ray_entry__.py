@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": Q.q_semi_join,
         "anti_join": Q.q_anti_join,
         "pivot": Q.q_pivot,
+        "unpivot": Q.q_unpivot,
+        "intersect_keys": Q.q_intersect_keys,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,
         "lang_id": Q.q_lang_id,

@@ -1264,6 +1264,24 @@ def sql_json_extract() -> str:
     """
 
 
+def sql_unpivot() -> str:
+    """Twin of queries.q_unpivot: the long-form grouped counts."""
+    return """
+    SELECT c_mktsegment, o_orderpriority AS priority, count(*)::BIGINT AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    """
+
+
+def sql_intersect_keys() -> str:
+    """Twin of queries.q_intersect_keys (INTERSECT)."""
+    return """
+    SELECT DISTINCT user_id FROM events
+    INTERSECT
+    SELECT c_custkey AS user_id FROM customer
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1362,4 +1380,6 @@ def build_oracles() -> dict[str, str]:
         "semi_join": sql_semi_join(False),
         "anti_join": sql_semi_join(True),
         "pivot": sql_pivot(),
+        "unpivot": sql_unpivot(),
+        "intersect_keys": sql_intersect_keys(),
     }

@@ -1287,3 +1287,46 @@ def q_json_extract(sf_dir: str):
                        Sum("n", alias_name="n"),
                        Max("max_k", alias_name="max_k"))
             .select_columns(["event_type", "sum_k", "n", "max_k"]))
+
+
+def q_unpivot(sf_dir: str):
+    """Unpivot (wide -> long reshape): the pivot table melted back to
+    (segment, priority, cnt) rows — one vectorized concat per batch,
+    priorities restored from the column mapping."""
+    wide = q_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment").to_pylist()
+        n = len(seg)
+        segs, prios, cnts = [], [], []
+        for col, p in zip(_PRIORITY_COLS, PRIORITIES):
+            segs.extend(seg)
+            prios.extend([p] * n)
+            cnts.append(batch.column(col).to_numpy())
+        return pa.table({
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "priority": pa.array(prios, pa.string()),
+            "cnt": pa.array(np.concatenate(cnts) if cnts else
+                            np.array([], np.int64), pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def q_intersect_keys(sf_dir: str):
+    """Set intersection: distinct event users that are also customer
+    keys — distinct-combiner on the big side, then the semi-join
+    membership shuffle."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    users = (ev.map_batches(distinct, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Count(alias_name="c"))
+             .select_columns(["user_id"]))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
+        .rename_columns({"c_custkey": "user_id"})
+    return bucket_semi_join(users, cust, on="user_id")
