@@ -253,7 +253,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
             if pa.types.is_integer(ty)}
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][lnames].sort_values(ts_col, kind="stable")
+        lg = g[g["__side"] == 0][lnames].sort_values(ts_col, kind="stable").copy()
         for c in lnames:  # the union's null padding floats int columns
             if c in lint:
                 lg[c] = lg[c].astype(np.int64)
@@ -397,7 +397,7 @@ def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         lg = g[g["__side"] == 0][lnames]
         keys = g[g["__side"] == 1][on].unique()
         m = lg[on].isin(keys)
-        out = lg[~m if anti else m]
+        out = lg[~m if anti else m].copy()
         for c in lnames:
             if c in lint:
                 out[c] = out[c].astype(np.int64)
