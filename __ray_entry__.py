@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bpe": Q.q_token_bpe,
         "chunk_docs": Q.q_chunk_docs,
         "top_terms": Q.q_top_terms,
+        "sequence_packing": Q.q_sequence_packing,
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,

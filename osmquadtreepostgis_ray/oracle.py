@@ -1282,6 +1282,25 @@ def sql_intersect_keys() -> str:
     """
 
 
+def sql_sequence_packing(capacity: int = 64) -> str:
+    """Twin of stages/textstats.sequence_packing over chunk_docs:
+    exclusive prefix sum via a ROWS window, contiguous-fill bins."""
+    return f"""
+    WITH c AS ({sql_chunk_docs()}),
+    s AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM c
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(before // {capacity} AS BIGINT) AS bin_id,
+           CAST(before % {capacity} AS BIGINT) AS offset_in_bin
+    FROM s
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1375,6 +1394,7 @@ def build_oracles() -> dict[str, str]:
         "chunk_docs": sql_chunk_docs(),
         "top_terms": sql_top_terms(),
         "json_extract": sql_json_extract(),
+        "sequence_packing": sql_sequence_packing(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
         "semi_join": sql_semi_join(False),

@@ -1330,3 +1330,12 @@ def q_intersect_keys(sf_dir: str):
     cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
         .rename_columns({"c_custkey": "user_id"})
     return bucket_semi_join(users, cust, on="user_id")
+
+
+def q_sequence_packing(sf_dir: str, capacity: int = 64):
+    """Sequence packing over the chunked corpus: contiguous-fill bin
+    assignment in global (doc_id, chunk_idx) order via the distributed
+    prefix-sum (stages/textstats.sequence_packing)."""
+    from osmquadtreepostgis_ray.stages.textstats import sequence_packing
+    chunks = q_chunk_docs(sf_dir).select_columns(["doc_id", "chunk_idx", "n_tokens"])
+    return sequence_packing(chunks, capacity=capacity)

@@ -4,6 +4,7 @@ map_batches wrappers over functions/text.py kernels."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -69,3 +70,43 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 32,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def sequence_packing(chunks: ray.data.Dataset, capacity: int = 64,
+                     order_cols: tuple = ("doc_id", "chunk_idx"),
+                     tok_col: str = "n_tokens") -> ray.data.Dataset:
+    """Sequence packing (the LLM-training batcher): assign each chunk a
+    bin id by contiguous fill in global `order_cols` order — bin =
+    (running token total before the chunk) // capacity, offset = that
+    total % capacity.
+
+    This needs a global PREFIX SUM, which the Dataset API cannot
+    express, so this is the repo's one documented drop to raw Ray
+    tasks (the brief's escape hatch): sort once, take the sorted
+    blocks' refs, run a tiny remote partial-sum per block (returns one
+    scalar each), exclusive-scan the ~#blocks scalars on the driver,
+    and finish each block with its offset in a remote task.  Nothing
+    row-sized ever lands on the driver; the scan state is one int64
+    per block."""
+    import ray
+
+    sorted_ds = chunks.sort(list(order_cols))
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(tab: pa.Table) -> int:
+        return int(np.sum(tab.column(tok_col).to_numpy())) if tab.num_rows else 0
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.r_[0, np.cumsum(sums)[:-1]]
+
+    @ray.remote
+    def pack(tab: pa.Table, start: int) -> pa.Table:
+        n = tab.column(tok_col).to_numpy().astype(np.int64)
+        before = start + np.r_[0, np.cumsum(n)[:-1]]
+        return (tab.append_column("bin_id", pa.array(before // capacity, pa.int64()))
+                   .append_column("offset_in_bin",
+                                  pa.array(before % capacity, pa.int64())))
+
+    out = [pack.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

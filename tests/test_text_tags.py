@@ -160,3 +160,26 @@ def test_chunk_documents_edges():
     # doc 3: 33 tokens -> ceil(33/24) = 2 chunks; second covers 24..32
     d3 = out[out.doc_id == 3]
     assert d3.n_tokens.tolist() == [32, 9]
+
+
+def test_sequence_packing_invariants(sf_dir):
+    """Packing invariants: bins fill contiguously (every bin except the
+    last covers exactly `capacity` tokens... chunks may straddle bins by
+    design of contiguous fill), offsets are the running total mod
+    capacity, and the assignment is invariant to input partitioning."""
+    import ray.data
+
+    from osmquadtreepostgis_ray import queries as Q
+
+    out = (Q.q_sequence_packing(sf_dir, capacity=64).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    before = out["n_tokens"].cumsum().shift(fill_value=0)
+    assert (out["bin_id"] == before // 64).all()
+    assert (out["offset_in_bin"] == before % 64).all()
+
+    from osmquadtreepostgis_ray.stages.textstats import sequence_packing
+    chunks = Q.q_chunk_docs(sf_dir).select_columns(
+        ["doc_id", "chunk_idx", "n_tokens"]).repartition(13)
+    again = (sequence_packing(chunks, capacity=64).to_pandas()
+             .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    assert again[["bin_id", "offset_in_bin"]].equals(out[["bin_id", "offset_in_bin"]])
