@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": Q.q_window_hourly,
         "window_sliding": Q.q_window_sliding,
         "quantiles": Q.q_quantiles,
+        "outliers": Q.q_outliers,
+        "moments": Q.q_moments,
         "join_orders_customer": Q.q_join_orders_customer,
         "join_lineitem_part": Q.q_join_lineitem_part,
         "topk_orders": Q.q_topk_orders,

@@ -1301,6 +1301,39 @@ def sql_sequence_packing(capacity: int = 64) -> str:
     """
 
 
+def sql_outliers() -> str:
+    """Twin of queries.q_outliers (per-type p75 threshold filter)."""
+    return """
+    WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    th AS (SELECT event_type, quantile_disc(cents, 0.75) AS p75
+           FROM e GROUP BY event_type)
+    SELECT e.event_type, count(*)::BIGINT AS n_outliers
+    FROM e JOIN th USING (event_type)
+    WHERE e.cents > th.p75
+    GROUP BY e.event_type
+    """
+
+
+def sql_moments() -> str:
+    """Twin of queries.q_moments (exact integer second moments)."""
+    return """
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        FROM events
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           SUM(x)::BIGINT AS sum_x, SUM(y)::BIGINT AS sum_y,
+           SUM(x * y)::BIGINT AS sum_xy,
+           SUM(x * x)::BIGINT AS sum_x2, SUM(y * y)::BIGINT AS sum_y2
+    FROM e GROUP BY event_type
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1397,6 +1430,8 @@ def build_oracles() -> dict[str, str]:
         "sequence_packing": sql_sequence_packing(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
+        "outliers": sql_outliers(),
+        "moments": sql_moments(),
         "semi_join": sql_semi_join(False),
         "anti_join": sql_semi_join(True),
         "pivot": sql_pivot(),

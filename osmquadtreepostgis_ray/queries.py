@@ -1339,3 +1339,62 @@ def q_sequence_packing(sf_dir: str, capacity: int = 64):
     from osmquadtreepostgis_ray.stages.textstats import sequence_packing
     chunks = q_chunk_docs(sf_dir).select_columns(["doc_id", "chunk_idx", "n_tokens"])
     return sequence_packing(chunks, capacity=capacity)
+
+
+def q_outliers(sf_dir: str):
+    """Quantile-based outlier detection: count events above their
+    event_type's p75 (per-type thresholds computed distributed, then
+    broadcast into a vectorized filter — quantile reuse, no second
+    shuffle of events)."""
+    th = q_quantiles(sf_dir).select_columns(["event_type", "p75"]).to_pandas()
+    ref = ray.put(dict(zip(th["event_type"], th["p75"].astype(np.int64))))
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    class Above:
+        def __init__(self):
+            self.th = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            cents = np.rint(df["value"] * 100).astype(np.int64)
+            lim = df["event_type"].map(self.th).astype(np.int64)
+            df = df[cents > lim]
+            g = df.groupby("event_type", sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(worker_cached(Above), batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("n", alias_name="n_outliers"))
+            .select_columns(["event_type", "n_outliers"]))
+
+
+def q_moments(sf_dir: str):
+    """Exact second-moment aggregate (the corr/covariance building
+    blocks as integers): per event_type the sums n, Σx, Σy, Σxy, Σx²,
+    Σy² over x = value cents, y = props.k — exact int64 partials so
+    the oracle compares bit-for-bit (float corr would sit at the 9-dp
+    comparison boundary)."""
+    import pyarrow.compute as pc
+    ds = read_table(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = np.rint(df["value"] * 100).astype(np.int64)
+        ext = pc.extract_regex(batch.column("props").combine_chunks(), r'"k": (?P<k>\d+)')
+        y = pc.cast(pc.struct_field(ext, "k"), pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xy": x * y, "x2": x * x, "y2": y * y})
+        a = g.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+            sum_xy=("xy", "sum"), sum_x2=("x2", "sum"), sum_y2=("y2", "sum")).reset_index()
+        for c in a.columns[1:]:
+            a[c] = a[c].astype(np.int64)
+        return pa.Table.from_pandas(a, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"), Sum("sum_x", alias_name="sum_x"),
+                       Sum("sum_y", alias_name="sum_y"), Sum("sum_xy", alias_name="sum_xy"),
+                       Sum("sum_x2", alias_name="sum_x2"), Sum("sum_y2", alias_name="sum_y2"))
+            .select_columns(["event_type", "n", "sum_x", "sum_y",
+                             "sum_xy", "sum_x2", "sum_y2"]))
