@@ -32,6 +32,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,
+        "zonal_stats": Q.q_zonal_stats,
+        "pushdown_filter": Q.q_pushdown_filter,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,
         # flagship routing/projection/unions/lowzoom

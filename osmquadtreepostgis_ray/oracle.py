@@ -1334,6 +1334,26 @@ def sql_moments() -> str:
     """
 
 
+def sql_zonal_stats() -> str:
+    """Twin of queries.q_zonal_stats: the PIP pair twin joined back to
+    event cents, grouped per zone."""
+    return f"""
+    SELECT p.zone_id, p.kind, count(*)::BIGINT AS n,
+           SUM(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS sum_cents
+    FROM ({sql_pip_zones()}) p
+    JOIN events e USING (event_id)
+    GROUP BY p.zone_id, p.kind
+    """
+
+
+def sql_pushdown_filter() -> str:
+    """Twin of queries.q_pushdown_filter."""
+    return """
+    SELECT event_type, count(*)::BIGINT AS n
+    FROM events WHERE user_id < 50 GROUP BY event_type
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1371,6 +1391,8 @@ def build_oracles() -> dict[str, str]:
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
         "pip_zones_partitioned": sql_pip_zones(),
+        "zonal_stats": sql_zonal_stats(),
+        "pushdown_filter": sql_pushdown_filter(),
         "knn_brute": sql_knn(),
         "knn_cellring": sql_knn(),
         "dedup_latest": sql_dedup_latest(),

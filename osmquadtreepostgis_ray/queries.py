@@ -1398,3 +1398,56 @@ def q_moments(sf_dir: str):
                        Sum("sum_x2", alias_name="sum_x2"), Sum("sum_y2", alias_name="sum_y2"))
             .select_columns(["event_type", "n", "sum_x", "sum_y",
                              "sum_xy", "sum_x2", "sum_y2"]))
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (the classic geospatial aggregate): per zone,
+    count and exact-cents sum of the events inside it — the PIP join's
+    pairs bucket-joined back to event values, combiner partials before
+    the final groupby."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+    pairs = q_pip_zones(sf_dir).select_columns(["event_id", "zone_id", "kind"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "cents": pa.array(np.rint(batch.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    joined = bucket_hash_join(pairs, ev.map_batches(cents, batch_format="pyarrow"),
+                              on="event_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["zone_id", "kind"], sort=False)["cents"] \
+              .agg(["size", "sum"]).reset_index()
+        return pa.table({"zone_id": g["zone_id"].to_numpy(np.int64),
+                         "kind": g["kind"].tolist(),
+                         "n": g["size"].to_numpy(np.int64),
+                         "sum_cents": g["sum"].to_numpy(np.int64)})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["zone_id", "kind"])
+            .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+            .select_columns(["zone_id", "kind", "n", "sum_cents"]))
+
+
+def q_pushdown_filter(sf_dir: str):
+    """Prune-at-the-read demonstration: the row predicate (user_id <
+    50) is pushed into the parquet scan as a pyarrow dataset expression
+    — row groups outside the range never materialize — then a combiner
+    count per event_type."""
+    import pyarrow.dataset as pads
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"],
+                    filter=(pads.field("user_id") < 50))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist()})
+        g = df.groupby("event_type", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("n", alias_name="n"))
+            .select_columns(["event_type", "n"]))

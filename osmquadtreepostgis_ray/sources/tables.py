@@ -14,18 +14,23 @@ import ray.data
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
-               repeat: int = 1, parallelism: int | None = None) -> ray.data.Dataset:
-    """Pruned read — only requested columns leave storage.  ``repeat``
-    lists the file N times (independent read tasks) to scale the stream
-    for throughput benchmarking on fixed-size sample data.
-    ``parallelism`` overrides the block count (EngineParams.read_parallelism;
-    leave None to let Ray size blocks — overriding to tiny blocks adds
-    per-task overhead, see BASELINE.md)."""
+               repeat: int = 1, parallelism: int | None = None,
+               filter=None) -> ray.data.Dataset:
+    """Pruned read — only requested columns leave storage, and a
+    ``filter`` (a pyarrow.dataset expression) pushes row predicates
+    into the parquet scan (row-group statistics prune before rows are
+    materialized).  ``repeat`` lists the file N times (independent read
+    tasks) to scale the stream for throughput benchmarking on
+    fixed-size sample data.  ``parallelism`` overrides the block count
+    (EngineParams.read_parallelism; leave None to let Ray size blocks —
+    overriding to tiny blocks adds per-task overhead, see BASELINE.md)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     lance_path = os.path.join(sf_dir, f"{name}.lance")
     if os.path.exists(lance_path):
         return read_lance_table(lance_path, columns=columns)
     kw = {"override_num_blocks": parallelism} if parallelism else {}
+    if filter is not None:
+        kw["filter"] = filter
     return ray.data.read_parquet([path] * repeat if repeat > 1 else path,
                                  columns=columns, **kw)
 
