@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": Q.q_pivot,
         "unpivot": Q.q_unpivot,
         "intersect_keys": Q.q_intersect_keys,
+        "except_keys": Q.q_except_keys,
+        "rollup": Q.q_rollup,
         # training-data text ops
         "dedup_exact": Q.q_dedup_exact,
         "lang_id": Q.q_lang_id,

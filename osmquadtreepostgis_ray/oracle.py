@@ -1354,6 +1354,29 @@ def sql_pushdown_filter() -> str:
     """
 
 
+def sql_except_keys() -> str:
+    """Twin of queries.q_except_keys (EXCEPT)."""
+    return """
+    SELECT c_custkey AS user_id FROM customer
+    EXCEPT
+    SELECT user_id FROM events
+    """
+
+
+def sql_rollup() -> str:
+    """Twin of queries.q_rollup (per-segment + grand total union)."""
+    return """
+    SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__ALL__', count(*)::BIGINT,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+
 def sql_neardup_clusters() -> str:
     """Twin of stages/cluster.connected_components over the synthetic
     near-dup edge graph (queries.q_neardup_clusters): recursive-CTE
@@ -1459,4 +1482,6 @@ def build_oracles() -> dict[str, str]:
         "pivot": sql_pivot(),
         "unpivot": sql_unpivot(),
         "intersect_keys": sql_intersect_keys(),
+        "except_keys": sql_except_keys(),
+        "rollup": sql_rollup(),
     }

@@ -1451,3 +1451,43 @@ def q_pushdown_filter(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").aggregate(Sum("n", alias_name="n"))
             .select_columns(["event_type", "n"]))
+
+
+def q_except_keys(sf_dir: str):
+    """Set difference: customer keys with NO event activity (anti
+    sibling of q_intersect_keys; direction chosen so the result is
+    non-empty at every scale)."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    users = (ev.map_batches(distinct, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Count(alias_name="c"))
+             .select_columns(["user_id"]))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
+        .rename_columns({"c_custkey": "user_id"})
+    return bucket_semi_join(cust, users, on="user_id", anti=True)
+
+
+def q_rollup(sf_dir: str):
+    """Rollup: per-segment totals plus the grand total (segment =
+    '__ALL__') in one result — two combiner aggregates unioned, the
+    grand total computed from the per-segment partials (no second pass
+    over orders)."""
+    seg = (q_join_orders_customer(sf_dir)
+           .select_columns(["c_mktsegment", "n", "sum_price_cents"]))
+
+    def total(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": pa.array(["__ALL__"], pa.string()),
+            "n": pa.array([int(np.sum(batch.column("n").to_numpy()))], pa.int64()),
+            "sum_price_cents": pa.array(
+                [int(np.sum(batch.column("sum_price_cents").to_numpy()))], pa.int64()),
+        })
+
+    grand = (seg.repartition(1).map_batches(total, batch_format="pyarrow",
+                                            batch_size=None))
+    return seg.union(grand)
