@@ -123,6 +123,21 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
     per_query: dict[str, float] = {}
     total0 = time.time()
+
+    # a driver-side timeout (SIGTERM) must not lose the whole run: dump
+    # whatever finished as the one JSON line and exit cleanly
+    import signal
+
+    def _dump_partial(signum, frame):  # pragma: no cover - timeout path
+        print(json.dumps({
+            "metric": "all-queries wall time (PARTIAL: terminated)",
+            "value": round(time.time() - total0, 3), "unit": "sec",
+            "queries": per_query, "sf": _sf_of(sf_dir), "num_cpus": num_cpus,
+            "headline": {"partial": True},
+        }), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _dump_partial)
     for name, fn in E.queries().items():
         t0 = time.time()
         try:
