@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": Q.q_top_terms,
         "sequence_packing": Q.q_sequence_packing,
         "fingerprints": Q.q_fingerprints,
+        "repetition": Q.q_repetition,
+        "decontaminate": Q.q_decontaminate,
+        "pii_redact": Q.q_pii_redact,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

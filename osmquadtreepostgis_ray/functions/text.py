@@ -307,23 +307,19 @@ def simhash_batch(shingles: np.ndarray, seg: np.ndarray, n_docs: int,
 _GRAM_P = np.uint64(0x100000001B3)
 
 
-def word_ngram_hash_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Hashed word n-grams for every doc of a batch in one pass.
+def _token_hash_segments(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FNV hash of every whitespace token of every doc of a batch.
 
-    `texts` is a pyarrow string Array/ChunkedArray.  Gram identity is a
-    polynomial combination of per-word FNV hashes (equal word sequences
-    -> equal hash; collisions negligible at 64 bit) — only pairwise SET
-    EQUALITY feeds the n-gram-Jaccard operator, so this hashes-of-hashes
-    identity is interchangeable with hashing the joined string (the
-    DuckDB oracle joins strings; parity is on the output pairs).
-    Docs with < n words emit ONE gram over the empty-padded word list,
-    matching word_ngrams().  Returns (gram_hashes, doc_seg) with grams
-    sorted-unique per doc."""
+    `texts` is a pyarrow string Array/ChunkedArray.  Returns
+    (tok_h, tok_counts, offs): `tok_h` is each doc's token hashes
+    concatenated doc-major, `tok_counts[i]` is doc i's token count, and
+    `offs` is the length-(n_docs+1) prefix-sum of tok_counts.  Empty
+    tokens from boundary whitespace are dropped (str.split semantics)."""
     import pyarrow.compute as pc
     arr = texts.combine_chunks() if hasattr(texts, "combine_chunks") else texts
     n_docs = len(arr)
     if not n_docs:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return np.empty(0, np.uint64), np.empty(0, np.int64), np.zeros(1, np.int64)
     lists = pc.utf8_split_whitespace(arr)
     lens0 = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lists)
@@ -336,10 +332,29 @@ def word_ngram_hash_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     wh = np.array([hash_str(w) for w in d.dictionary.to_pylist()], dtype=np.uint64)
     tok_h = wh[codes] if len(codes) else np.empty(0, np.uint64)
     tok_counts = np.bincount(doc_of_tok, minlength=n_docs).astype(np.int64)
+    return tok_h, tok_counts, np.r_[0, np.cumsum(tok_counts)]
+
+
+def word_ngram_hash_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word n-grams for every doc of a batch in one pass.
+
+    `texts` is a pyarrow string Array/ChunkedArray.  Gram identity is a
+    polynomial combination of per-word FNV hashes (equal word sequences
+    -> equal hash; collisions negligible at 64 bit) — only pairwise SET
+    EQUALITY feeds the n-gram-Jaccard operator, so this hashes-of-hashes
+    identity is interchangeable with hashing the joined string (the
+    DuckDB oracle joins strings; parity is on the output pairs).
+    Docs with < n words emit ONE gram over the empty-padded word list,
+    matching word_ngrams().  Returns (gram_hashes, doc_seg) with grams
+    sorted-unique per doc."""
+    arr = texts.combine_chunks() if hasattr(texts, "combine_chunks") else texts
+    n_docs = len(arr)
+    if not n_docs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    tok_h, tok_counts, offs = _token_hash_segments(arr)
 
     # long docs: all windows of n consecutive tokens (within-doc only)
     ngrams_per_doc = np.maximum(tok_counts - n + 1, 0)
-    offs = np.r_[0, np.cumsum(tok_counts)]
     starts = np.repeat(offs[:-1], ngrams_per_doc) + _ranges(ngrams_per_doc)
     gh = np.zeros(len(starts), dtype=np.uint64)
     for j in range(n):  # n is tiny (3): the polynomial unrolls
@@ -360,3 +375,92 @@ def word_ngram_hash_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
         gh = np.concatenate([gh, sh])
         seg = np.concatenate([seg, short.astype(np.int64)])
     return _segment_unique(gh, seg)
+
+
+# ------------------------------------------------- repetition / contamination
+
+def word_ngram_segments_nopad_batch(texts, n: int = 2) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All word-n-gram hashes of a batch WITHOUT the short-doc padding of
+    word_ngrams(): a doc with < n tokens emits zero grams (the clean
+    semantic for repetition/decontamination counting, and the one the
+    SQL twin's consecutive-ordinal self-join produces naturally).
+
+    Returns (gram_hashes, doc_seg, n_grams_per_doc) with grams in text
+    order (NOT deduplicated) so callers can count totals and distincts."""
+    arr = texts.combine_chunks() if hasattr(texts, "combine_chunks") else texts
+    n_docs = len(arr)
+    if not n_docs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.int64)
+    tok_h, tok_counts, offs = _token_hash_segments(arr)
+    per_doc = np.maximum(tok_counts - n + 1, 0)
+    starts = np.repeat(offs[:-1], per_doc) + _ranges(per_doc)
+    gh = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(n):  # n is tiny (2-3): the polynomial unrolls
+        gh = gh * _GRAM_P + tok_h[starts + j]
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    return gh, seg, per_doc
+
+
+def repetition_stats_batch(texts, n: int = 2) -> dict[str, np.ndarray]:
+    """Gopher-style repetition signals per doc: total word-n-grams,
+    distinct word-n-grams, and dup_permille = 1000*(total-distinct)//total
+    (0 for docs with no grams).  All exact int64 — the SQL twin uses the
+    same non-negative integer division."""
+    gh, seg, per_doc = word_ngram_segments_nopad_batch(texts, n=n)
+    n_docs = len(per_doc)
+    _, us = _segment_unique(gh, seg)
+    distinct = np.bincount(us, minlength=n_docs).astype(np.int64)
+    total = per_doc.astype(np.int64)
+    dup = np.where(total > 0, (1000 * (total - distinct)) // np.maximum(total, 1), 0)
+    return {"n_grams": total, "n_distinct": distinct,
+            "dup_permille": dup.astype(np.int64)}
+
+
+def overlap_counts_batch(texts, bench_grams: np.ndarray, n: int = 3) -> np.ndarray:
+    """Per-doc count of DISTINCT word-n-grams that also appear in the
+    (sorted unique) benchmark gram-hash array — the decontamination
+    membership kernel.  One searchsorted over the broadcast array."""
+    gh, seg, per_doc = word_ngram_segments_nopad_batch(texts, n=n)
+    n_docs = len(per_doc)
+    uv, us = _segment_unique(gh, seg)
+    if not len(uv) or not len(bench_grams):
+        return np.zeros(n_docs, dtype=np.int64)
+    pos = np.searchsorted(bench_grams, uv)
+    pos = np.minimum(pos, len(bench_grams) - 1)
+    hit = bench_grams[pos] == uv
+    return np.bincount(us[hit], minlength=n_docs).astype(np.int64)
+
+
+# ------------------------------------------------------------- PII redaction
+# The synthetic corpus carries no PII, so the operator injects
+# deterministic synthetic PII (pure function of doc_id, replicated
+# exactly in the SQL twin) and then scrubs it — the redaction kernel is
+# the real operator; the injection is the fixture.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"555-[0-9]+"
+
+
+def pii_inject(doc_ids: np.ndarray, texts: pd.Series) -> pd.Series:
+    """Docs with doc_id % 7 == 0 get a synthetic email + phone appended."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    suffix = (" contact u" + pd.Series(ids, index=texts.index).astype(str)
+              + "@example.com call 555-"
+              + pd.Series((ids * 7) % 10000, index=texts.index).astype(str))
+    return texts.where(ids % 7 != 0, texts + suffix)
+
+
+def pii_inject_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    return (f"CASE WHEN ({id_expr}) % 7 = 0 THEN ({text_expr}) || ' contact u' || ({id_expr}) "
+            f"|| '@example.com call 555-' || ((({id_expr}) * 7) % 10000) ELSE ({text_expr}) END")
+
+
+def pii_redact(texts: pd.Series) -> dict[str, object]:
+    """Count + scrub email/phone patterns (compiled-regex pandas pass).
+    Patterns restricted to the RE2-compatible subset so Python re and
+    DuckDB regexp_replace(..., 'g') agree byte-for-byte."""
+    n_emails = texts.str.count(PII_EMAIL_RE).to_numpy(dtype=np.int64)
+    n_phones = texts.str.count(PII_PHONE_RE).to_numpy(dtype=np.int64)
+    clean = (texts.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+                  .str.replace(PII_PHONE_RE, "<PHONE>", regex=True))
+    return {"n_emails": n_emails, "n_phones": n_phones, "clean_text": clean}

@@ -1407,6 +1407,66 @@ def sql_neardup_clusters() -> str:
 ORACLES: dict[str, str] = {}
 
 
+
+
+def _word_tokens_cte() -> str:
+    """Whitespace tokens of documents.text with a per-doc consecutive
+    ordinal j (empties from boundary whitespace dropped — str.split()
+    twin of functions/text._token_hash_segments)."""
+    return """
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents),
+    rawt AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM toks),
+    t AS (SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM rawt WHERE w <> '')"""
+
+
+def sql_repetition() -> str:
+    """Twin of queries.q_repetition: bigrams via the consecutive-ordinal
+    self-join; dup_permille uses the same non-negative // division."""
+    return f"""
+    WITH {_word_tokens_cte()},
+    bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+           FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.j = a.j + 1)
+    SELECT d.doc_id,
+           count(g)::BIGINT AS n_grams,
+           count(DISTINCT g)::BIGINT AS n_distinct,
+           (CASE WHEN count(g) > 0
+                 THEN (1000 * (count(g) - count(DISTINCT g))) // count(g)
+                 ELSE 0 END)::BIGINT AS dup_permille
+    FROM documents d LEFT JOIN bg ON d.doc_id = bg.doc_id
+    GROUP BY d.doc_id"""
+
+
+def sql_decontaminate() -> str:
+    return f"""
+    WITH {_word_tokens_cte()},
+    tg AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+           FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+                    JOIN t c ON a.doc_id = c.doc_id AND c.j = a.j + 2),
+    bench AS (SELECT DISTINCT g FROM tg WHERE doc_id % 50 = 0),
+    corp AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 50 <> 0),
+    hits AS (SELECT corp.doc_id, count(*) AS n
+             FROM corp JOIN bench USING (g) GROUP BY corp.doc_id)
+    SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_shared,
+           (CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
+def sql_pii_redact() -> str:
+    from osmquadtreepostgis_ray.functions.text import (
+        PII_EMAIL_RE, PII_PHONE_RE, pii_inject_sql)
+    return f"""
+    WITH p AS (SELECT doc_id, {pii_inject_sql()} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM p"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -1484,4 +1544,7 @@ def build_oracles() -> dict[str, str]:
         "intersect_keys": sql_intersect_keys(),
         "except_keys": sql_except_keys(),
         "rollup": sql_rollup(),
+        "repetition": sql_repetition(),
+        "decontaminate": sql_decontaminate(),
+        "pii_redact": sql_pii_redact(),
     }

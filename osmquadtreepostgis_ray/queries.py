@@ -1491,3 +1491,78 @@ def q_rollup(sf_dir: str):
     grand = (seg.repartition(1).map_batches(total, batch_format="pyarrow",
                                             batch_size=None))
     return seg.union(grand)
+
+
+def q_repetition(sf_dir: str):
+    """Repetition detection (the Gopher duplicate-n-gram quality signal):
+    per doc the total and distinct word-bigram counts and the duplicate
+    fraction in exact permille.  One vectorized batch kernel; nothing
+    leaves the batch but the per-doc stat row."""
+    from osmquadtreepostgis_ray.functions.text import repetition_stats_batch
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        s = repetition_stats_batch(batch.column("text"), n=2)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_grams": pa.array(s["n_grams"], pa.int64()),
+                         "n_distinct": pa.array(s["n_distinct"], pa.int64()),
+                         "dup_permille": pa.array(s["dup_permille"], pa.int64())})
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str, n: int = 3):
+    """Benchmark decontamination: flag corpus docs sharing any word-
+    3-gram with the 'benchmark' subset (doc_id % 50 == 0 — the held-out
+    eval suite analog).  The benchmark gram set is small by definition:
+    collected once, broadcast via ray.put; the corpus side is one
+    searchsorted membership pass per batch (never a shuffle)."""
+    from osmquadtreepostgis_ray.functions.text import (
+        overlap_counts_batch, word_ngram_segments_nopad_batch)
+    from osmquadtreepostgis_ray.util import worker_cached
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gh, _, _ = word_ngram_segments_nopad_batch(batch.column("text"), n=n)
+        return pa.table({"g": pa.array(np.unique(gh), pa.uint64())})
+
+    def keep_mod(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 50 == 0)
+            return t.filter(pa.array(m if eq else ~m))
+        return fn
+
+    bench_parts = docs.map_batches(keep_mod(True), batch_format="pyarrow") \
+        .map_batches(grams, batch_format="pyarrow").to_pandas()
+    bench_set = np.unique(bench_parts["g"].to_numpy().astype(np.uint64))
+    bref = ray.put(bench_set)
+
+    class Decon:
+        def __init__(self):
+            self.bench = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_shared = overlap_counts_batch(batch.column("text"), self.bench, n=n)
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "n_shared": pa.array(n_shared, pa.int64()),
+                             "contaminated": pa.array((n_shared > 0).astype(np.int64), pa.int64())})
+
+    return docs.map_batches(keep_mod(False), batch_format="pyarrow") \
+        .map_batches(worker_cached(Decon), batch_format="pyarrow")
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction: deterministic synthetic PII injected (pure function
+    of doc_id, replicated in the SQL twin) then counted + scrubbed with
+    compiled RE2-compatible patterns — one pandas str pass per batch."""
+    from osmquadtreepostgis_ray.functions.text import pii_inject, pii_redact
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        t = pii_inject(df["doc_id"].to_numpy(), df["text"])
+        r = pii_redact(t)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_emails": r["n_emails"], "n_phones": r["n_phones"],
+                             "clean_text": r["clean_text"]})
+
+    return docs.map_batches(scrub, batch_format="pandas")

@@ -183,3 +183,52 @@ def test_sequence_packing_invariants(sf_dir):
     again = (sequence_packing(chunks, capacity=64).to_pandas()
              .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
     assert again[["bin_id", "offset_in_bin"]].equals(out[["bin_id", "offset_in_bin"]])
+
+
+def test_repetition_stats_matches_brute():
+    import pyarrow as pa
+    docs = ["a b a b c", "x x x x", "solo", "", "one two", "  pad  ends  "]
+    s = text.repetition_stats_batch(pa.array(docs), n=2)
+    for i, d in enumerate(docs):
+        w = d.split()
+        bigrams = [" ".join(w[j:j + 2]) for j in range(max(len(w) - 1, 0))]
+        assert s["n_grams"][i] == len(bigrams), d
+        assert s["n_distinct"][i] == len(set(bigrams)), d
+        exp = (1000 * (len(bigrams) - len(set(bigrams)))) // len(bigrams) if bigrams else 0
+        assert s["dup_permille"][i] == exp, d
+
+
+def test_overlap_counts_matches_brute():
+    import pyarrow as pa
+    bench_docs = ["alpha beta gamma delta", "one two three"]
+    corpus = ["alpha beta gamma x y", "no shared grams here at all",
+              "one two three alpha beta gamma delta", "short"]
+
+    def grams(d, n=3):
+        w = d.split()
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+    bg, _, _ = text.word_ngram_segments_nopad_batch(pa.array(bench_docs), n=3)
+    bench_set = np.unique(bg)
+    got = text.overlap_counts_batch(pa.array(corpus), bench_set, n=3)
+    bench_strs = set().union(*(grams(d) for d in bench_docs))
+    for i, d in enumerate(corpus):
+        assert got[i] == len(grams(d) & bench_strs), d
+
+
+def test_pii_redact_matches_re():
+    import re
+    s = pd.Series(["mail me at bob.smith+x@sub.example.org now",
+                   "call 555-0199 or 555-1 twice: 555-12345",
+                   "clean text with no pii",
+                   "a@b.co and c_d%e@f-g.h.io"])
+    r = text.pii_redact(s)
+    for i, t in enumerate(s):
+        assert r["n_emails"][i] == len(re.findall(text.PII_EMAIL_RE, t))
+        assert r["n_phones"][i] == len(re.findall(text.PII_PHONE_RE, t))
+        exp = re.sub(text.PII_PHONE_RE, "<PHONE>",
+                     re.sub(text.PII_EMAIL_RE, "<EMAIL>", t))
+        assert r["clean_text"].iloc[i] == exp
+    inj = text.pii_inject(np.array([0, 1, 7, 13]), pd.Series(["a", "b", "c", "d"]))
+    assert inj.tolist() == ["a contact u0@example.com call 555-0", "b",
+                            "c contact u7@example.com call 555-49", "d"]
