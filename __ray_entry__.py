@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,
         "zonal_stats": Q.q_zonal_stats,
         "pushdown_filter": Q.q_pushdown_filter,
+        "tile_pyramid": Q.q_tile_pyramid,
+        "radius_join": Q.q_radius_join,
+        "hll_sketch": Q.q_hll_sketch,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,
         # flagship routing/projection/unions/lowzoom

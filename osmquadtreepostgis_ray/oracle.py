@@ -1467,6 +1467,54 @@ def sql_pii_redact() -> str:
     FROM p"""
 
 
+
+
+def sql_tile_pyramid() -> str:
+    """Twin of queries.q_tile_pyramid.  Grouping raw events at each
+    depth equals the engine's leaf-rollup because floor-division
+    composes: floor(x*2^d/S) == floor(x*2^12/S) >> (12-d) for the
+    non-negative fixed coords (geotag.py guarantees >= 0)."""
+    from osmquadtreepostgis_ray.queries import PYRAMID_DEPTHS
+    lon, lat = geotag.event_lonlat_milli_sql()
+    parts = [(f"SELECT CAST({d} AS BIGINT) AS depth, "
+              f"{_cell_expr(lon, lat, d)} AS cell, count(*)::BIGINT AS n "
+              f"FROM events GROUP BY cell")
+             for d in PYRAMID_DEPTHS]
+    return " UNION ALL ".join(parts)
+
+
+def sql_radius_join(radius_milli: int = 2000, query_mod: int = 101) -> str:
+    lon, lat = geotag.event_lonlat_milli_sql()
+    r2 = radius_milli * radius_milli
+    return f"""
+    WITH ev AS (SELECT event_id, {lon} AS x, {lat} AS y FROM events),
+    q AS (SELECT event_id AS query_id, x AS qx, y AS qy FROM ev
+          WHERE event_id % {query_mod} = 0)
+    SELECT q.query_id, e.event_id,
+           ((e.x - q.qx) * (e.x - q.qx) + (e.y - q.qy) * (e.y - q.qy))::BIGINT AS dist2
+    FROM q CROSS JOIN ev e
+    WHERE e.event_id <> q.query_id
+      AND (e.x - q.qx) * (e.x - q.qx) + (e.y - q.qy) * (e.y - q.qy) <= {r2}"""
+
+
+def sql_hll_sketch() -> str:
+    """Exact twin of queries.q_hll_sketch: splitmix64 in HUGEINT mod
+    2^64 (chained CTEs via sketch.splitmix_sql_ctes), register = top 6
+    bits, rho = 58 - bitlen(w) + 1 with bitlen via DuckDB's minimal
+    bin() string (w = 0 -> 59)."""
+    from osmquadtreepostgis_ray.functions.sketch import HLL_WBITS, splitmix_sql_ctes
+    ctes, last = splitmix_sql_ctes("events", "user_id", _mulmod64,
+                                   carry="event_type")
+    return f"""
+    WITH {ctes.lstrip()},
+    r AS (SELECT event_type, CAST(h // {1 << HLL_WBITS} AS BIGINT) AS register,
+                 CAST(h % {1 << HLL_WBITS} AS BIGINT) AS w FROM {last})
+    SELECT event_type, register,
+           max(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                    ELSE {HLL_WBITS} - length(bin(w)) + 1 END)::BIGINT AS rho
+    FROM r GROUP BY event_type, register"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -1547,4 +1595,7 @@ def build_oracles() -> dict[str, str]:
         "repetition": sql_repetition(),
         "decontaminate": sql_decontaminate(),
         "pii_redact": sql_pii_redact(),
+        "tile_pyramid": sql_tile_pyramid(),
+        "radius_join": sql_radius_join(),
+        "hll_sketch": sql_hll_sketch(),
     }

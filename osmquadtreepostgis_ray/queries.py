@@ -1566,3 +1566,64 @@ def q_pii_redact(sf_dir: str):
                              "clean_text": r["clean_text"]})
 
     return docs.map_batches(scrub, batch_format="pandas")
+
+
+PYRAMID_DEPTHS = (12, 10, 8, 6, 4)
+
+
+def q_tile_pyramid(sf_dir: str, depths: tuple = PYRAMID_DEPTHS):
+    """Tile-pyramid rollup (the V1/V2 lowzoom generalization applied to
+    the tiling layer): per-cell counts at every pyramid depth in ONE
+    input pass.  Leaf cells are combined per batch first, ancestors are
+    exploded from the distinct-cell partial (never from raw events, so
+    the fanout multiplies distinct cells, not rows), and one 2-key
+    groupby finishes — no per-depth re-read, no driver loop."""
+    ds = prep_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch.column("cell").to_numpy(), return_counts=True)
+        d_out, c_out, n_out = [], [], []
+        for d in depths:
+            c = quadtree.at_depth(cells, d)
+            u, inv = np.unique(c, return_inverse=True)
+            n = np.bincount(inv, weights=counts).astype(np.int64)  # exact: ints < 2^53
+            d_out.append(np.full(len(u), d, np.int64))
+            c_out.append(u)
+            n_out.append(n)
+        return pa.table({"depth": pa.array(np.concatenate(d_out), pa.int64()),
+                         "cell": pa.array(np.concatenate(c_out), pa.int64()),
+                         "n": pa.array(np.concatenate(n_out), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["depth", "cell"]).aggregate(Sum("n", alias_name="n"))
+            .select_columns(["depth", "cell", "n"]))
+
+
+def q_radius_join(sf_dir: str, radius_milli: int = 2000):
+    """ST_DWithin-style within-distance join (stages/pip_join.radius_join):
+    queries replicated to <= 4 covering cells, one groupby(cell) shuffle."""
+    from osmquadtreepostgis_ray.stages.pip_join import radius_join
+    ev = prep_events(sf_dir).select_columns(["event_id", "lon_milli", "lat_milli"])
+    return radius_join(ev, radius_milli=radius_milli)
+
+
+def q_hll_sketch(sf_dir: str):
+    """Approximate-distinct sketch: HyperLogLog registers per event_type
+    over splitmix64(user_id).  The shuffle carries one <= 64-register
+    partial per type per batch (max-mergeable) — the sketch pattern that
+    replaces the exact distinct shuffle at 100 TB.  Output is the exact
+    register table (integer rho), so the oracle compares full values;
+    the float estimate is a trivial epilogue (functions/sketch.hll_estimate)."""
+    from osmquadtreepostgis_ray.functions.sketch import hll_register_rho
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        reg, rho = hll_register_rho(t.column("user_id").to_numpy())
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "register": reg, "rho": rho})
+        g = df.groupby(["event_type", "register"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "register"]).aggregate(Max("rho", alias_name="rho"))
+            .select_columns(["event_type", "register", "rho"]))

@@ -15,9 +15,11 @@ including the 1->N grid+admin fanout.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
+from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.functions.geometry import GridIndex
 from osmquadtreepostgis_ray.sources.zones import zone_rings, zones_table
 
@@ -171,3 +173,90 @@ def pip_join_fn(zones_ref=None, **kwargs):
         return join(batch)
 
     return fn
+
+
+# ------------------------------------------------------------ radius join
+
+def radius_join(points: ray.data.Dataset, radius_milli: int = 2000,
+                query_mod: int = 101, depth: int = 6) -> ray.data.Dataset:
+    """Within-distance spatial self-join (the PostGIS ST_DWithin analog,
+    SURVEY.md §2.5 J5): pairs (query, event) with squared milli-degree
+    distance <= radius^2, queries = rows with event_id % query_mod == 0.
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): `radius_milli` should be <= one cell width at `depth` so a
+    query's disk bbox covers at most a 3x3 cell rectangle (bounded
+    replication).  Queries are replicated to every covering cell, events
+    hash to their single own cell, and ONE groupby(cell) shuffle
+    co-locates both sides; each pair is found exactly once because an
+    event lives in exactly one cell.  Per-cell work is a vectorized
+    distance matrix — cell population is bounded by spatial density, not
+    dataset size, and hot cells can be split by raising `depth`
+    (quadtree subdivision) while correspondingly lowering the radius."""
+    cell_w = min(geotag.LON_MOD, 180_000) >> depth  # milli per cell, floor
+    if radius_milli > cell_w:
+        raise ValueError(f"radius {radius_milli} > cell width {cell_w} at depth {depth}")
+    r2 = radius_milli * radius_milli
+
+    def fan(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        x = t.column("lon_milli").to_numpy()
+        y = t.column("lat_milli").to_numpy()
+        fx, fy = geotag.milli_to_fixed(x, y)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+        own = quadtree.encode_ixy(ix, iy, depth)
+        cells = [own]
+        sides = [np.zeros(len(eid), np.int64)]
+        ids, xs, ys = [eid], [x], [y]
+        qm = eid % query_mod == 0
+        if qm.any():
+            qx, qy, qe = x[qm], y[qm], eid[qm]
+            # full cell rectangle of the disk bbox (clipped to domain):
+            # a 2R-long span intersects up to floor(2R/cell)+2 cells per
+            # axis — corner-only enumeration misses the middle cell
+            lo = [np.clip(qx - radius_milli, 0, geotag.LON_MOD - 1),
+                  np.clip(qy - radius_milli, 0, geotag.LAT_MOD - 1)]
+            hi = [np.clip(qx + radius_milli, 0, geotag.LON_MOD - 1),
+                  np.clip(qy + radius_milli, 0, geotag.LAT_MOD - 1)]
+            fx0, fy0 = geotag.milli_to_fixed(lo[0], lo[1])
+            fx1, fy1 = geotag.milli_to_fixed(hi[0], hi[1])
+            ix0, iy0 = quadtree.fixed_to_ixy(fx0, fy0, depth)
+            ix1, iy1 = quadtree.fixed_to_ixy(fx1, fy1, depth)
+            nx = ix1 - ix0 + 1
+            ny = iy1 - iy0 + 1
+            reps = nx * ny
+            total = int(reps.sum())
+            local = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+            ny_r = np.repeat(ny, reps)
+            cix = np.repeat(ix0, reps) + local // ny_r
+            ciy = np.repeat(iy0, reps) + local % ny_r
+            cells.append(quadtree.encode_ixy(cix, ciy, depth))
+            sides.append(np.ones(total, np.int64))
+            ids.append(np.repeat(qe, reps))
+            xs.append(np.repeat(qx, reps))
+            ys.append(np.repeat(qy, reps))
+        return pa.table({"cell": pa.array(np.concatenate(cells), pa.int64()),
+                         "side": pa.array(np.concatenate(sides), pa.int64()),
+                         "id": pa.array(np.concatenate(ids), pa.int64()),
+                         "x": pa.array(np.concatenate(xs), pa.int64()),
+                         "y": pa.array(np.concatenate(ys), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["side"] == 1]
+        e = g[g["side"] == 0]
+        if not len(q) or not len(e):
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 "event_id": np.empty(0, np.int64),
+                                 "dist2": np.empty(0, np.int64)})
+        dx = e["x"].to_numpy()[None, :] - q["x"].to_numpy()[:, None]
+        dy = e["y"].to_numpy()[None, :] - q["y"].to_numpy()[:, None]
+        d2 = dx * dx + dy * dy
+        m = (d2 <= r2) & (e["id"].to_numpy()[None, :] != q["id"].to_numpy()[:, None])
+        qi, ei = np.nonzero(m)
+        return pd.DataFrame({"query_id": q["id"].to_numpy()[qi],
+                             "event_id": e["id"].to_numpy()[ei],
+                             "dist2": d2[qi, ei]})
+
+    return (points.map_batches(fan, batch_format="pyarrow")
+            .groupby("cell").map_groups(pairs, batch_format="pandas")
+            .select_columns(["query_id", "event_id", "dist2"]))

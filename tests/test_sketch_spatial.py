@@ -1,0 +1,82 @@
+"""Tests for the sketch (HLL) and radius-join / tile-pyramid operators."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from osmquadtreepostgis_ray.functions import geotag, quadtree, sketch
+
+
+def test_bitlen_matches_python():
+    rs = np.random.RandomState(7)
+    vals = np.concatenate([
+        np.array([0, 1, 2, 3, 4, (1 << 58) - 1, 1 << 58, (1 << 63), (1 << 64) - 1],
+                 dtype=np.uint64),
+        rs.randint(0, 1 << 62, size=200).astype(np.uint64),
+        # the float-log2 hazard zone: just below powers of two
+        (np.uint64(1) << rs.randint(40, 63, size=50).astype(np.uint64)) - np.uint64(1),
+    ])
+    got = sketch.bitlen_u64(vals)
+    exp = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert np.array_equal(got, exp)
+
+
+def test_hll_register_rho_bounds_and_estimate():
+    keys = np.arange(20000, dtype=np.int64)
+    reg, rho = sketch.hll_register_rho(keys)
+    assert reg.min() >= 0 and reg.max() < sketch.HLL_M
+    assert rho.min() >= 1 and rho.max() <= sketch.HLL_WBITS + 1
+    full = np.zeros(sketch.HLL_M, dtype=np.int64)
+    np.maximum.at(full, reg, rho)
+    est = sketch.hll_estimate(full)
+    # HLL with m=64 has ~13% std error; allow 3 sigma
+    assert 0.6 * 20000 < est < 1.4 * 20000
+    # registers are a pure function of the key set (order-invariant)
+    reg2, rho2 = sketch.hll_register_rho(keys[::-1].copy())
+    full2 = np.zeros(sketch.HLL_M, dtype=np.int64)
+    np.maximum.at(full2, reg2, rho2)
+    assert np.array_equal(full, full2)
+
+
+def test_radius_join_matches_brute():
+    from osmquadtreepostgis_ray.stages.pip_join import radius_join
+    R = 2000
+    # clustered synthetic points straddling several depth-6 cell borders
+    rs = np.random.RandomState(11)
+    n = 400
+    eid = np.arange(n, dtype=np.int64)
+    x = (rs.randint(0, 30000, n) + 340000 - 15000).astype(np.int64)  # near lon edge
+    y = rs.randint(0, 20000, n).astype(np.int64)                      # at lat 0 edge
+    ev = ray.data.from_arrow(pa.table({"event_id": eid, "lon_milli": x,
+                                       "lat_milli": y})).repartition(5)
+    got = radius_join(ev, radius_milli=R).to_pandas()
+    got_pairs = set(zip(got["query_id"], got["event_id"]))
+    qm = eid % 101 == 0
+    exp = set()
+    for qe, qx, qy in zip(eid[qm], x[qm], y[qm]):
+        d2 = (x - qx) ** 2 + (y - qy) ** 2
+        m = (d2 <= R * R) & (eid != qe)
+        for e in eid[m]:
+            exp.add((qe, e))
+    assert got_pairs == exp
+    # dist2 values exact
+    for _, row in got.iterrows():
+        i = np.flatnonzero(eid == row["event_id"])[0]
+        q = np.flatnonzero(eid == row["query_id"])[0]
+        assert row["dist2"] == (x[i] - x[q]) ** 2 + (y[i] - y[q]) ** 2
+
+
+def test_tile_pyramid_levels_consistent(sf_dir):
+    from osmquadtreepostgis_ray.queries import PYRAMID_DEPTHS, q_tile_pyramid
+    pyr = q_tile_pyramid(sf_dir).to_pandas()
+    lv = {d: g.set_index("cell")["n"] for d, g in pyr.groupby("depth")}
+    totals = {d: int(s.sum()) for d, s in lv.items()}
+    assert len(set(totals.values())) == 1  # every level preserves mass
+    # each level equals the rollup of the level below it
+    for hi, lo in zip(PYRAMID_DEPTHS, PYRAMID_DEPTHS[1:]):
+        cells = lv[hi].index.to_numpy()
+        rolled = quadtree.at_depth(cells, lo)
+        agg = {}
+        for c, n in zip(rolled, lv[hi].to_numpy()):
+            agg[c] = agg.get(c, 0) + int(n)
+        assert agg == {int(c): int(n) for c, n in lv[lo].items()}
