@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_windows": Q.q_audio_windows,
         # dedup clustering
         "neardup_clusters": Q.q_neardup_clusters,
+        "kmeans_embed": Q.q_kmeans_embed,
         "multimodal_fusion": Q.q_multimodal_fusion,
     }
 

@@ -1515,6 +1515,44 @@ def sql_hll_sketch() -> str:
     FROM r GROUP BY event_type, register"""
 
 
+
+
+def sql_kmeans_embed(k: int = 4, iters: int = 3) -> str:
+    """Unrolled-CTE Lloyd twin of stages/cluster.kmeans_assign: same
+    floor(x*1024)+1024 quantization, per-dim exploded distance sums,
+    row_number tie-break on (d2, j), integer-mean centroid update with
+    empty-cluster carry-over (coalesce)."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    ctes = [
+        ("qv AS (SELECT vec_id, list_transform(embedding, "
+         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) + {KM_SHIFT}) AS v "
+         "FROM embeddings)"),
+        "e AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM qv)",
+        (f"c0 AS (SELECT vec_id AS j, generate_subscripts(v, 1) AS i, unnest(v) AS x "
+         f"FROM qv WHERE vec_id < {k})"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"d{t} AS (SELECT e.vec_id, c.j, "
+            f"sum((e.x - c.x) * (e.x - c.x)) AS d2 "
+            f"FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j)")
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, j, d2 FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn "
+            f"FROM d{t}) WHERE rn = 1)")
+        if t < iters:
+            ctes.append(
+                f"s{t} AS (SELECT a.j, e.i, sum(e.x) // count(*) AS x "
+                f"FROM e JOIN a{t} a USING (vec_id) GROUP BY a.j, e.i)")
+            ctes.append(
+                f"c{t} AS (SELECT c.j, c.i, coalesce(s.x, c.x) AS x "
+                f"FROM {prev} c LEFT JOIN s{t} s ON c.j = s.j AND c.i = s.i)")
+    body = ",\n    ".join(ctes)
+    return (f"WITH {body}\n    "
+            f"SELECT vec_id, j::BIGINT AS cluster, d2::BIGINT AS d2 FROM a{iters}")
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -1598,4 +1636,5 @@ def build_oracles() -> dict[str, str]:
         "tile_pyramid": sql_tile_pyramid(),
         "radius_join": sql_radius_join(),
         "hll_sketch": sql_hll_sketch(),
+        "kmeans_embed": sql_kmeans_embed(),
     }

@@ -1627,3 +1627,12 @@ def q_hll_sketch(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["event_type", "register"]).aggregate(Max("rho", alias_name="rho"))
             .select_columns(["event_type", "register", "rho"]))
+
+
+def q_kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3):
+    """Distributed k-means (semantic-dedup bucketing) over the embedding
+    corpus — stages/cluster.kmeans_assign; integer-exact so the unrolled
+    DuckDB CTE twin compares every assignment + distance."""
+    from osmquadtreepostgis_ray.stages.cluster import kmeans_assign
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=k, iters=iters)

@@ -152,3 +152,91 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     labelled = broadcast_join(mapping, root_labels, on="root")
     return (labelled.select_columns(["node", "component"]).groupby("node")
             .aggregate(Min("component", alias_name="component")))
+
+
+# -------------------------------------------------- distributed k-means
+# Semantic-dedup / corpus-bucketing clustering over the embedding
+# column.  Integer-exact Lloyd so the DuckDB oracle (unrolled-CTE twin)
+# compares full assignments: embeddings quantized with floor(x*1024)
+# (floor, not round — round's half-tie resolves differently in numpy
+# [half-even] vs DuckDB [half-away], and float32 values of form odd/16
+# DO land exactly on .5 after scaling), centroid update is the
+# non-negative integer mean sum // count.
+
+KM_SCALE = 1024
+KM_SHIFT = 1024  # input values in (-1, 1) -> quantized strictly positive
+
+
+def _quantize(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    emb = t.column("embedding")
+    n = len(t)
+    flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(flat) // max(n, 1)
+    q = np.floor(flat * KM_SCALE).astype(np.int64) + KM_SHIFT
+    return pa.table({"vec_id": t.column("vec_id"),
+                     "q": pa.FixedSizeListArray.from_arrays(pa.array(q, pa.int64()), d)})
+
+
+def _qmat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy()
+    col = t.column("q")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3) -> ray.data.Dataset:
+    """Distributed Lloyd over (vec_id, embedding) rows: `iters` assign
+    passes with `iters - 1` integer-mean centroid updates between them.
+
+    Scale shape: the quantized projection is materialized ONCE as the
+    iterative working set (at 100 TB this would be a partcache parquet
+    checkpoint instead — same contract: no re-read of the raw input per
+    round).  Each round ships only (k x dim) centroid ints via ray.put
+    and returns (k x dim+1) partial sums per batch — the shuffle-free
+    combiner topology; empty clusters keep their previous centroid."""
+    corpus = ds.map_batches(_quantize, batch_format="pyarrow").materialize()
+    init = corpus.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    cents = np.stack(init["q"].to_numpy())[:k].astype(np.int64)
+
+    for it in range(iters - 1):
+        cref = ray.put(cents)
+
+        def part(t: pa.Table, cref=cref) -> pa.Table:
+            C = ray.get(cref)
+            ids, Q = _qmat(t)
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # ties -> smallest cluster, like ORDER BY d2, j
+            kk, dd = C.shape
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            return pa.table({"cluster": pa.array(np.arange(kk), pa.int64()),
+                             "cnt": pa.array(cnt, pa.int64()),
+                             "sums": pa.FixedSizeListArray.from_arrays(
+                                 pa.array(sums.ravel(), pa.int64()), dd)})
+
+        parts = corpus.map_batches(part, batch_format="pyarrow").to_pandas()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cents)
+        for _, row in parts.iterrows():
+            cnt[row["cluster"]] += row["cnt"]
+            sums[row["cluster"]] += np.asarray(row["sums"], dtype=np.int64)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] // cnt[nz, None]  # non-negative: floor == trunc
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table, cref=cref) -> pa.Table:
+        C = ray.get(cref)
+        ids, Q = _qmat(t)
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                         "d2": pa.array(d2[np.arange(len(a)), a], pa.int64())})
+
+    return corpus.map_batches(assign, batch_format="pyarrow")

@@ -80,3 +80,15 @@ def test_tile_pyramid_levels_consistent(sf_dir):
         for c, n in zip(rolled, lv[hi].to_numpy()):
             agg[c] = agg.get(c, 0) + int(n)
         assert agg == {int(c): int(n) for c, n in lv[lo].items()}
+
+
+def test_kmeans_partition_invariant(sf_dir):
+    from osmquadtreepostgis_ray.sources.tables import read_table
+    from osmquadtreepostgis_ray.stages.cluster import kmeans_assign
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    a = kmeans_assign(ds, k=4, iters=3).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_assign(ds.repartition(7), k=4, iters=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)  # integer partial sums are associative -> invariant
+    assert set(a["cluster"]) <= set(range(4))
+    assert a["cluster"].nunique() > 1  # did actually split the corpus
