@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bpe": Q.q_token_bpe,
         "chunk_docs": Q.q_chunk_docs,
         "top_terms": Q.q_top_terms,
+        "inverted_index": Q.q_inverted_index,
+        "collocations": Q.q_collocations,
+        "fuzzy_join": Q.q_fuzzy_join,
         "sequence_packing": Q.q_sequence_packing,
         "fingerprints": Q.q_fingerprints,
         "repetition": Q.q_repetition,

@@ -1553,6 +1553,40 @@ def sql_kmeans_embed(k: int = 4, iters: int = 3) -> str:
             f"SELECT vec_id, j::BIGINT AS cluster, d2::BIGINT AS d2 FROM a{iters}")
 
 
+
+
+def sql_inverted_index() -> str:
+    return f"""
+    WITH {_word_tokens_cte()},
+    u AS (SELECT DISTINCT doc_id, w FROM t)
+    SELECT w AS term, count(*)::BIGINT AS df,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM u GROUP BY w"""
+
+
+def sql_collocations(topk: int = 20) -> str:
+    return f"""
+    WITH {_word_tokens_cte()},
+    uni AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    bg AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c_xy
+           FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+           GROUP BY a.w, b.w),
+    sc AS (SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+                  (1000 * c_xy * (SELECT n FROM tot)) // (u1.c * u2.c) AS score
+           FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w)
+    SELECT w1, w2, c_xy, c_x, c_y, score::BIGINT AS score
+    FROM sc ORDER BY score DESC, w1, w2 LIMIT {topk}"""
+
+
+def sql_fuzzy_join() -> str:
+    return """
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -1637,4 +1671,7 @@ def build_oracles() -> dict[str, str]:
         "radius_join": sql_radius_join(),
         "hll_sketch": sql_hll_sketch(),
         "kmeans_embed": sql_kmeans_embed(),
+        "inverted_index": sql_inverted_index(),
+        "collocations": sql_collocations(),
+        "fuzzy_join": sql_fuzzy_join(),
     }

@@ -1636,3 +1636,97 @@ def q_kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3):
     from osmquadtreepostgis_ray.stages.cluster import kmeans_assign
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return kmeans_assign(ds, k=k, iters=iters)
+
+
+def _token_doc_arrays(batch: pa.Table):
+    """(doc_ids-per-token, token strings) for a documents batch —
+    whitespace split, boundary empties dropped (str.split semantics)."""
+    import pyarrow.compute as pc
+    toks = pc.utf8_split_whitespace(batch.column("text"))
+    n = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    doc = np.repeat(batch.column("doc_id").to_numpy(), n)[
+        keep.to_numpy(zero_copy_only=False)]
+    return doc, flat.filter(keep)
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (search-engine / RAG-prep shape): per term
+    the document frequency and the sorted posting list.  Combiner: each
+    batch emits DISTINCT (term, doc_id) pairs — a doc lives in exactly
+    one batch, so pairs are globally unique and the per-term group work
+    is one sort + join of its own postings (independent per term; the
+    string render keeps the oracle hash comparable)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        doc, toks = _token_doc_arrays(batch)
+        df = pd.DataFrame({"term": toks.to_pandas(), "doc_id": doc}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame({"term": [g["term"].iloc[0]],
+                             "df": np.array([len(ids)], dtype=np.int64),
+                             "postings": [",".join(map(str, ids))]})
+
+    return (docs.map_batches(pairs, batch_format="pyarrow")
+            .groupby("term").map_groups(finish, batch_format="pandas"))
+
+
+def q_collocations(sf_dir: str, topk: int = 20):
+    """Collocation extraction (PMI-shaped, integer-exact): corpus-wide
+    bigram counts scored by 1000 * c_xy * N // (c_x * c_y) (N = total
+    tokens) — the float log PMI replaced by its exact-rank integer core
+    so the oracle compares values.  Unigram counts are vocabulary-sized:
+    aggregated once, broadcast into the scoring pass; global top-k by
+    (score desc, w1, w2) via sort.limit."""
+    from osmquadtreepostgis_ray.util import worker_cached
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, toks = _token_doc_arrays(batch)
+        vc = toks.to_pandas().value_counts()
+        return pa.table({"w": vc.index.to_numpy(), "c": vc.to_numpy().astype(np.int64)})
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("w").aggregate(Sum("c", alias_name="c"))).to_pandas()
+    n_total = int(uni["c"].sum())
+    uref = ray.put(dict(zip(uni["w"], uni["c"].astype(np.int64))))
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        doc, toks = _token_doc_arrays(batch)
+        w = toks.to_pandas().to_numpy()
+        same = doc[1:] == doc[:-1]
+        df = pd.DataFrame({"w1": w[:-1][same], "w2": w[1:][same]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="c_xy")
+        g["c_xy"] = g["c_xy"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    class Score:
+        def __init__(self):
+            self.uni = ray.get(uref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["c_x"] = df["w1"].map(self.uni).astype(np.int64)
+            df["c_y"] = df["w2"].map(self.uni).astype(np.int64)
+            df["score"] = (1000 * df["c_xy"] * n_total) // (df["c_x"] * df["c_y"])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (docs.map_batches(bi_partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
+            .map_batches(worker_cached(Score), batch_format="pyarrow")
+            .sort(["score", "w1", "w2"], descending=[True, False, False])
+            .limit(topk)
+            .select_columns(["w1", "w2", "c_xy", "c_x", "c_y", "score"]))
+
+
+def q_fuzzy_join(sf_dir: str):
+    """Fuzzy self-join (record linkage): customer-name pairs within edit
+    distance 1 via FastSS deletion-neighborhood hashing
+    (stages/joins.fuzzy_join_dist1)."""
+    from osmquadtreepostgis_ray.stages.joins import fuzzy_join_dist1
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return fuzzy_join_dist1(ds, "c_custkey", "c_name")

@@ -404,3 +404,109 @@ def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return out
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------- fuzzy join
+# FastSS deletion-neighborhood self-join: strings within edit distance 1
+# share at least one member of D1(s) = {s} ∪ single-deletions(s)
+# (substitution pairs share the deletion at the differing position;
+# insert/delete pairs share the shorter string itself), so hashing D1
+# to buckets + one groupby(bucket) shuffle finds every candidate; exact
+# verification runs inside the (small) buckets.  The variant hashes are
+# computed WITHOUT materializing variant strings: prefix/suffix
+# polynomial sums give all L deletion hashes of a length-L string in
+# one vectorized pass per length group.
+
+_FNV_P = np.uint64(1099511628211)
+
+
+def _deletion_variant_hashes(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket_hash, row_index) rows for every distinct member of D1(s)
+    per string.  Polynomial hash H(x) = sum x_t * P^(m-1-t) mod 2^64;
+    deleting position j of a length-L string splits into the prefix sum
+    reweighted to length L-1 plus the suffix sum at original weights."""
+    enc = [np.frombuffer(s.encode("utf-8"), np.uint8) for s in names]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    out_h: list[np.ndarray] = []
+    out_r: list[np.ndarray] = []
+    for L in np.unique(lens):
+        rows = np.flatnonzero(lens == L)
+        if L == 0:
+            out_h.append(np.zeros(len(rows), np.uint64))
+            out_r.append(rows)
+            continue
+        mat = np.stack([enc[r] for r in rows]).astype(np.uint64)     # (n, L)
+        pw = _FNV_P ** np.arange(L, dtype=np.uint64)[::-1]           # P^{L-1-t}
+        full = (mat * pw[None, :]).sum(axis=1)                       # H(s)
+        # variant j: sum_{t<j} x_t P^{L-2-t} + sum_{t>j} x_t P^{L-1-t}
+        wB = mat * pw[None, :]
+        cumB = np.cumsum(wB, axis=1)
+        sufB = cumB[:, -1:] - cumB                                   # sum_{t>j} wB_t
+        wA = mat * (_FNV_P ** (np.arange(L, dtype=np.uint64)[::-1] - np.uint64(1)))[None, :]
+        cumA = np.cumsum(wA, axis=1)
+        preA = np.concatenate([np.zeros((len(rows), 1), np.uint64), cumA[:, :-1]], axis=1)
+        var = preA + sufB                                            # (n, L) wraps mod 2^64
+        var.sort(axis=1)
+        keep = np.ones(var.shape, dtype=bool)
+        keep[:, 1:] = var[:, 1:] != var[:, :-1]                      # dedupe repeated chars
+        reps = keep.sum(axis=1)
+        out_h.append(np.concatenate([var[keep], full]))
+        out_r.append(np.concatenate([np.repeat(rows, reps), rows]))
+    return np.concatenate(out_h), np.concatenate(out_r)
+
+
+def _dist_le1(a: str, b: str) -> int | None:
+    la, lb = len(a), len(b)
+    if la == lb:
+        d = sum(x != y for x, y in zip(a, b))
+        return d if d <= 1 else None
+    if abs(la - lb) != 1:
+        return None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def fuzzy_join_dist1(ds: ray.data.Dataset, key_col: str, name_col: str) -> ray.data.Dataset:
+    """Self-join pairs (a_key < b_key) whose `name_col` strings are
+    within edit distance 1.  One groupby(bucket) shuffle of (L+1) short
+    rows per string; per-bucket exact verification (buckets are
+    neighborhoods, bounded by local similarity, not dataset size); a
+    final grouped min dedupes pairs that share several variants
+    (distance-0 twins)."""
+    from ray.data.aggregate import Min
+
+    def fan(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy()
+        names = t.column(name_col).to_pylist()
+        h, r = _deletion_variant_hashes(names)
+        return pa.table({"bucket": pa.array(h.view(np.int64), pa.int64()),
+                         "key": pa.array(ids[r], pa.int64()),
+                         "name": pa.array([names[i] for i in r], pa.string())})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["key"].to_numpy()
+        names = g["name"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, names = ids[order], names[order]
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = _dist_le1(names[i], names[j])
+                if d is not None:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pd.DataFrame({"a_key": np.array(a_out, np.int64),
+                             "b_key": np.array(b_out, np.int64),
+                             "dist": np.array(d_out, np.int64)})
+
+    return (ds.map_batches(fan, batch_format="pyarrow")
+            .groupby("bucket").map_groups(verify, batch_format="pandas")
+            .groupby(["a_key", "b_key"]).aggregate(Min("dist", alias_name="dist"))
+            .select_columns(["a_key", "b_key", "dist"]))

@@ -92,3 +92,50 @@ def test_kmeans_partition_invariant(sf_dir):
     assert a.equals(b)  # integer partial sums are associative -> invariant
     assert set(a["cluster"]) <= set(range(4))
     assert a["cluster"].nunique() > 1  # did actually split the corpus
+
+
+def test_fuzzy_join_matches_brute():
+    from osmquadtreepostgis_ray.stages.joins import (_deletion_variant_hashes,
+                                                     _dist_le1, fuzzy_join_dist1)
+    # deletion-hash identity: variant hash == hash of the variant string
+    from osmquadtreepostgis_ray.stages.joins import _FNV_P
+
+    def H(s):
+        h = np.uint64(0)
+        for c in s.encode():
+            h = h * _FNV_P + np.uint64(c)
+        return h
+
+    for s in ["abc", "aab", "x", "", "Customer#000000042"]:
+        hs, rs = _deletion_variant_hashes([s])
+        want = {int(H(s))} | {int(H(s[:j] + s[j + 1:])) for j in range(len(s))}
+        assert set(int(v) for v in hs) == want, s
+
+    rs_ = np.random.RandomState(3)
+    alph = "ab1"
+    names = ["".join(rs_.choice(list(alph), rs_.randint(1, 5))) for _ in range(120)]
+    names = [f"u{n}" for n in names]
+    ids = np.arange(len(names), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": ids, "s": names})).repartition(4)
+    got = fuzzy_join_dist1(ds, "k", "s").to_pandas()
+    got_set = {(a, b, d) for a, b, d in zip(got["a_key"], got["b_key"], got["dist"])}
+
+    def lev(a, b):
+        import itertools
+        la, lb = len(a), len(b)
+        D = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, D[0] = D[0], i
+            for j in range(1, lb + 1):
+                prev, D[j] = D[j], min(D[j] + 1, D[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return D[lb]
+
+    exp = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = lev(names[i], names[j])
+            if d <= 1:
+                exp.add((i, j, d))
+    assert got_set == exp
+    assert exp  # fixture actually produces pairs (incl. duplicates, dist 0)
