@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": Q.q_tile_pyramid,
         "radius_join": Q.q_radius_join,
         "hll_sketch": Q.q_hll_sketch,
+        "rasterize": Q.q_rasterize,
+        "trajectories": Q.q_trajectories,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,
         # flagship routing/projection/unions/lowzoom
@@ -113,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "image_resize": Q.q_image_resize,
+        "image_patches": Q.q_image_patches,
         "ahash_dups": Q.q_ahash_dups,
         "audio_features": Q.q_audio_features,
         "audio_windows": Q.q_audio_windows,

@@ -1587,6 +1587,43 @@ def sql_fuzzy_join() -> str:
     WHERE levenshtein(a.c_name, b.c_name) <= 1"""
 
 
+
+
+def sql_image_patches() -> str:
+    return _sql_decoded_pixels() + """
+    SELECT image_id, ((idx // w) // 8)::BIGINT AS py, ((idx % w) // 8)::BIGINT AS px,
+           (sum(p) // 64)::BIGINT AS patch_mean
+    FROM dec GROUP BY image_id, py, px"""
+
+
+def sql_rasterize() -> str:
+    lon, lat = geotag.event_lonlat_milli_sql()
+    n12 = 1 << 12
+    ix = f"((({lon}) * 10000 * {n12}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {n12}) // {quadtree.LAT_SPAN})"
+    return f"""
+    SELECT {_cell_expr(lon, lat, 8)} AS tile,
+           ({iy} % 16)::BIGINT AS py, ({ix} % 16)::BIGINT AS px,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY tile, py, px"""
+
+
+def sql_trajectories() -> str:
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH ev AS (SELECT user_id, ts, event_id, {lon} AS x, {lat} AS y FROM events),
+    o AS (SELECT user_id, x, y,
+                 lag(x) OVER w AS px, lag(y) OVER w AS py,
+                 row_number() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, (count(*) - 1)::BIGINT AS n_steps,
+           coalesce(sum((x - px) * (x - px) + (y - py) * (y - py)), 0)::BIGINT AS sum_step2,
+           coalesce(max((x - px) * (x - px) + (y - py) * (y - py)), 0)::BIGINT AS max_step2,
+           (arg_max(x, rn) - arg_min(x, rn))::BIGINT AS net_dx,
+           (arg_max(y, rn) - arg_min(y, rn))::BIGINT AS net_dy
+    FROM o GROUP BY user_id"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -1674,4 +1711,7 @@ def build_oracles() -> dict[str, str]:
         "inverted_index": sql_inverted_index(),
         "collocations": sql_collocations(),
         "fuzzy_join": sql_fuzzy_join(),
+        "image_patches": sql_image_patches(),
+        "rasterize": sql_rasterize(),
+        "trajectories": sql_trajectories(),
     }

@@ -1730,3 +1730,62 @@ def q_fuzzy_join(sf_dir: str):
     from osmquadtreepostgis_ray.stages.joins import fuzzy_join_dist1
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return fuzzy_join_dist1(ds, "c_custkey", "c_name")
+
+
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction (1->N image op): decode -> 8x8 patch
+    grid -> exact integer patch means (stages/images.PatchMeans)."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import PatchMeans
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(PatchMeans), batch_format="pyarrow", batch_size=512)
+
+
+def q_rasterize(sf_dir: str):
+    """Vector->raster: per depth-8 tile, the 16x16 sub-pixel occupancy
+    histogram (pixel = depth-12 cell position within the tile) — the
+    heatmap-tile renderer.  Nonzero pixels only; per-batch combiner so
+    the shuffle carries distinct (tile, py, px) rows."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        tile = t.column("tile").to_numpy()
+        ix, iy, _ = quadtree.decode(cell)
+        key = pd.DataFrame({"tile": tile, "py": iy & 15, "px": ix & 15})
+        g = key.groupby(["tile", "py", "px"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["tile", "py", "px"]).aggregate(Sum("n", alias_name="n"))
+            .select_columns(["tile", "py", "px", "n"]))
+
+
+def q_trajectories(sf_dir: str):
+    """Per-user trajectory statistics (the movement-analytics streaming
+    shape): events ordered by (ts, event_id) per user; exact-int squared
+    step lengths, max step, net displacement.  groupby(user).map_groups
+    — the keyed stateful-window pattern (same as sessionize)."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["event_id", "user_id", "ts", "lon_milli", "lat_milli"])
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        x = g["lon_milli"].to_numpy()
+        y = g["lat_milli"].to_numpy()
+        dx = np.diff(x)
+        dy = np.diff(y)
+        st2 = dx * dx + dy * dy
+        return pd.DataFrame({
+            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
+            "n_steps": np.array([len(x) - 1], np.int64),
+            "sum_step2": np.array([st2.sum() if len(st2) else 0], np.int64),
+            "max_step2": np.array([st2.max() if len(st2) else 0], np.int64),
+            "net_dx": np.array([x[-1] - x[0]], np.int64),
+            "net_dy": np.array([y[-1] - y[0]], np.int64)})
+
+    return (ds.groupby("user_id").map_groups(path, batch_format="pandas")
+            .select_columns(["user_id", "n_steps", "sum_step2", "max_step2",
+                             "net_dx", "net_dy"]))

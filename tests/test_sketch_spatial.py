@@ -139,3 +139,24 @@ def test_fuzzy_join_matches_brute():
                 exp.add((i, j, d))
     assert got_set == exp
     assert exp  # fixture actually produces pairs (incl. duplicates, dist 0)
+
+
+def test_rasterize_mass_and_tile_consistency(sf_dir):
+    import duckdb
+    from osmquadtreepostgis_ray.queries import q_rasterize
+    r = q_rasterize(sf_dir).to_pandas()
+    con = duckdb.connect()
+    n_events = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert int(r["n"].sum()) == n_events       # every event lands in one pixel
+    assert r["px"].between(0, 15).all() and r["py"].between(0, 15).all()
+    assert (r["n"] > 0).all()                  # nonzero pixels only
+
+
+def test_patch_means_cover_image(sf_dir):
+    from osmquadtreepostgis_ray.queries import q_image_patches
+    p = q_image_patches(sf_dir).to_pandas()
+    g = p.groupby("image_id").size()
+    # dims are (16,16)/(32,32)/(64,48) -> 4/16/48 patches
+    assert set(g.unique()) == {4, 16, 48}
+    assert p["patch_mean"].between(0, 255).all()
