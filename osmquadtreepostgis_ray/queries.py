@@ -23,7 +23,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from osmquadtreepostgis_ray.config import EngineParams
 from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.sources.tables import read_table
-from osmquadtreepostgis_ray.util import pool_size
+from osmquadtreepostgis_ray.util import pool_size, shard_apply
 
 CELL_DEPTH = 12
 TILE_DEPTH = 8
@@ -154,14 +154,17 @@ def q_dedup_latest(sf_dir: str):
         keep = batch.groupby(["user_id", "event_type"], sort=False).tail(1)
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    # partial per batch, then grouped exact final pick — two-level combiner
+    # partial per batch, then one shard_apply shuffle — (user, type)
+    # keys scale with the data, so the exact final pick is a vectorized
+    # sort + groupby.tail(1) per shard, not a task per key
     part = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        return g.tail(1)[["user_id", "event_type", "event_id"]]
+        keep = g.groupby(["user_id", "event_type"], sort=False).tail(1)
+        return keep[["user_id", "event_type", "event_id"]]
 
-    return (part.groupby(["user_id", "event_type"]).map_groups(final, batch_format="pandas")
+    return (shard_apply(part, ["user_id", "event_type"], final)
             .select_columns(["user_id", "event_type", "event_id"]))
 
 
@@ -286,17 +289,28 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     gap_us = gap_minutes * 60_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+        # whole-shard vectorized: one sort over (user, ts, id); a session
+        # break is a user change OR a gap; ids restart per user
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "session": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "span_us": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].astype("int64").to_numpy()
-        new = np.r_[True, np.diff(ts) > gap_us]
-        sid = np.cumsum(new)
-        out = pd.DataFrame({"ts": ts, "session": sid}).groupby("session").agg(
-            n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max")).reset_index()
-        out["user_id"] = int(g["user_id"].iloc[0])
+        user_start = np.r_[True, uid[1:] != uid[:-1]]
+        new = user_start | np.r_[True, np.diff(ts) > gap_us]
+        gsid = np.cumsum(new)                          # global session id
+        base = np.maximum.accumulate(np.where(user_start, gsid - 1, 0))
+        sid = gsid - base                              # restarts at 1 per user
+        out = pd.DataFrame({"user_id": uid, "session": sid, "ts": ts}) \
+            .groupby(["user_id", "session"], sort=False).agg(
+                n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max")).reset_index()
         out["span_us"] = out["end"] - out["start"]
         return out[["user_id", "session", "n_events", "span_us"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return shard_apply(ds, ["user_id"], sessions)
 
 
 def q_distinct_users(sf_dir: str):
@@ -1033,24 +1047,29 @@ def q_window_sliding(sf_dir: str, width_hours: int = 3):
     hourly = q_window_hourly(sf_dir)
 
     def slide(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour", kind="stable")
+        # whole-shard vectorized: sort (user, hour); the trailing
+        # [h-width+1, h] window never crosses users because the
+        # searchsorted runs on the composite key user*2^32 + hour
+        # (hours are epoch-hour ints << 2^31)
+        g = g.sort_values(["user_id", "hour"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
         h = g["hour"].to_numpy(np.int64)
         n = g["n"].to_numpy(np.int64)
         c = g["sum_value_cents"].to_numpy(np.int64)
-        # trailing [h-width+1, h] sums over a SPARSE hour axis:
-        # windows are tiny — vectorized searchsorted bounds
-        lo = np.searchsorted(h, h - width_hours + 1, side="left")
+        assert not len(h) or (h.min() >= 0 and h.max() < (1 << 31))
+        comp = (u << np.int64(32)) | h
+        lo = np.searchsorted(comp, (u << np.int64(32)) | np.maximum(h - width_hours + 1, 0))
         cn = np.r_[0, np.cumsum(n)]
         cc = np.r_[0, np.cumsum(c)]
         idx = np.arange(len(h)) + 1
         return pd.DataFrame({
-            "user_id": g["user_id"].to_numpy(np.int64),
+            "user_id": u,
             "hour": h,
             "n_win": cn[idx] - cn[lo],
             "sum_cents_win": cc[idx] - cc[lo],
         })
 
-    return (hourly.groupby("user_id").map_groups(slide, batch_format="pandas")
+    return (shard_apply(hourly, ["user_id"], slide)
             .select_columns(["user_id", "hour", "n_win", "sum_cents_win"]))
 
 
@@ -1772,20 +1791,40 @@ def q_trajectories(sf_dir: str):
         .select_columns(["event_id", "user_id", "ts", "lon_milli", "lat_milli"])
 
     def path(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        x = g["lon_milli"].to_numpy()
-        y = g["lat_milli"].to_numpy()
+        # whole-shard vectorized: sort (user, ts, id); steps are diffs
+        # with cross-user boundaries masked out; per-user reductions via
+        # add/maximum.reduceat over user segments
+        if not len(g):
+            return pd.DataFrame({k: pd.Series([], dtype=np.int64) for k in (
+                "user_id", "n_steps", "sum_step2", "max_step2", "net_dx", "net_dy")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        x = g["lon_milli"].to_numpy(np.int64)
+        y = g["lat_milli"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
         dx = np.diff(x)
         dy = np.diff(y)
         st2 = dx * dx + dy * dy
+        valid = np.ones(len(st2), bool)
+        valid[starts[1:] - 1] = False                  # steps crossing users
+        st2v = np.where(valid, st2, 0)
+        cs = np.r_[0, np.cumsum(st2v)]
+        sum_step2 = cs[ends - 1] - cs[starts]          # excl. boundary step
+        # per-segment max via reduceat over masked steps: boundary steps
+        # are zeroed and squares are >= 0, so including them is harmless;
+        # single-row segments are zeroed by the length mask
+        pad = np.r_[st2v, 0]
+        max_step2 = np.maximum.reduceat(pad, np.minimum(starts, len(pad) - 1))
+        max_step2 = np.where(ends - starts > 1, max_step2, 0)
         return pd.DataFrame({
-            "user_id": np.array([g["user_id"].iloc[0]], np.int64),
-            "n_steps": np.array([len(x) - 1], np.int64),
-            "sum_step2": np.array([st2.sum() if len(st2) else 0], np.int64),
-            "max_step2": np.array([st2.max() if len(st2) else 0], np.int64),
-            "net_dx": np.array([x[-1] - x[0]], np.int64),
-            "net_dy": np.array([y[-1] - y[0]], np.int64)})
+            "user_id": uid[starts],
+            "n_steps": ends - starts - 1,
+            "sum_step2": sum_step2,
+            "max_step2": max_step2,
+            "net_dx": x[ends - 1] - x[starts],
+            "net_dy": y[ends - 1] - y[starts]})
 
-    return (ds.groupby("user_id").map_groups(path, batch_format="pandas")
+    return (shard_apply(ds, ["user_id"], path)
             .select_columns(["user_id", "n_steps", "sum_step2", "max_step2",
                              "net_dx", "net_dy"]))

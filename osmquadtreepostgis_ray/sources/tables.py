@@ -12,6 +12,8 @@ import os
 
 import ray.data
 
+from osmquadtreepostgis_ray.util import shard_apply
+
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
                repeat: int = 1, parallelism: int | None = None,
@@ -53,13 +55,15 @@ def merge_latest(base: ray.data.Dataset, changes: ray.data.Dataset,
                  key: str, version: str) -> ray.data.Dataset:
     """Latest-wins merge of a base table and change sets (S1 diff-merge).
 
-    Shuffle keyed on `key`; at scale this is one hash exchange of only the
-    rows that have competing versions would be ideal — here we keep the
-    simple single groupby (keys are unique-ish, groups tiny).
+    One hash-shard shuffle on `key` (util.shard_apply — keys are
+    unique-ish, so a raw groupby(key) would pay a Python task per
+    ~1-row group); the latest-wins pick inside each shard is a single
+    vectorized sort + groupby.tail(1).
     """
     import pandas as pd
 
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(version, kind="stable").tail(1)
+    def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(version, kind="stable")
+        return g.groupby(key, sort=False).tail(1)
 
-    return base.union(changes).groupby(key).map_groups(last, batch_format="pandas")
+    return shard_apply(base.union(changes), [key], last_per_key)

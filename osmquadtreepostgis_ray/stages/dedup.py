@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from osmquadtreepostgis_ray.functions import text as T
-from osmquadtreepostgis_ray.util import pool_size
+from osmquadtreepostgis_ray.util import pool_size, shard_apply
 
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -142,9 +142,10 @@ def minhash_candidates(ds: ray.data.Dataset, num_hashes: int = 64, bands: int = 
                   .groupby("shard").map_groups(pairs, batch_format="pandas"))
 
     def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        # sharded on a (duplicates of a pair share it) — not per-key
         return g.drop_duplicates(["a", "b"])
 
-    return cand.groupby("a").map_groups(final_dedupe, batch_format="pandas")
+    return shard_apply(cand, ["a"], final_dedupe)
 
 
 def simhash_buckets(ds: ray.data.Dataset, ngram: int = 9, prefix_bits: int = 12,
@@ -297,6 +298,7 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3, threshold: float = 0.6
                 .groupby("shard").map_groups(pairs_and_verify, batch_format="pandas"))
 
     def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        # sharded on a (duplicates of a pair share it) — not per-key
         return g.drop_duplicates(["a", "b"])
 
-    return verified.groupby("a").map_groups(final_dedupe, batch_format="pandas")
+    return shard_apply(verified, ["a"], final_dedupe)

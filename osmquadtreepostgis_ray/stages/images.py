@@ -19,7 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from osmquadtreepostgis_ray.functions import codecs
-from osmquadtreepostgis_ray.util import worker_cached
+from osmquadtreepostgis_ray.util import shard_apply, worker_cached
 
 PSNR_FLOOR_DB = 40.0
 
@@ -316,10 +316,10 @@ def ahash_neardup_pairs(images: "ray.data.Dataset", max_hamming: int = 3,
 
     def final_dedupe(g: pd.DataFrame) -> pd.DataFrame:
         # a pair surfaces once per shared band: distinct on (a, b),
-        # grouped on the doc key (same shape as ngram_jaccard_pairs)
+        # sharded on the doc key (duplicates of a pair share a)
         return g.drop_duplicates(["a", "b"])
 
-    return cand.groupby("a").map_groups(final_dedupe, batch_format="pandas")
+    return shard_apply(cand, ["a"], final_dedupe)
 
 
 class PatchMeans:

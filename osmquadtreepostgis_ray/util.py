@@ -4,9 +4,56 @@ from __future__ import annotations
 
 import uuid
 
+import numpy as np
+import pandas as pd
 import ray
 
 _STAGE_CACHE: dict = {}
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
+                shards: int = 256) -> "ray.data.Dataset":
+    """Keyed-group apply without the per-group task tax.
+
+    ``groupby(key).map_groups(fn)`` pays a Python call (and often a
+    pandas slice) PER GROUP; on keys whose cardinality scales with the
+    data (user ids, doc ids, pair keys) that overhead dwarfs the work —
+    measured 112 s -> 3 s on the fuzzy join and 549 s of AggregateMap
+    CPU on 262k near-singleton groups at sf0.1.  This shuffles on a
+    hash SHARD of the key columns instead (row-pure: pandas hash_array
+    with its fixed default hash key — bit-stable across processes and
+    parallelism) and applies ``fn`` once per shard.
+
+    ``fn`` receives the WHOLE shard as a pandas DataFrame (column
+    ``__shard`` already dropped) and must do its own per-key grouping
+    with vectorized kernels (sort + groupby.tail / reduceat / cumsum
+    segments).  Rows with equal key values are guaranteed co-located in
+    one shard.  ``shards`` bounds the shuffle fan-in; at cluster scale
+    raise it so a shard fits a worker heap (it is a blocks knob, not a
+    semantics knob)."""
+    import pyarrow as pa
+
+    def add_shard(t: "pa.Table") -> "pa.Table":
+        h = np.zeros(len(t), np.uint64)
+        for k in keys:
+            col = t.column(k)
+            vals = col.to_numpy(zero_copy_only=False)
+            if vals.dtype.kind in "iu":
+                hk = vals.astype(np.uint64, copy=False) * _MIX
+                hk ^= hk >> np.uint64(29)
+            else:
+                hk = pd.util.hash_array(vals)  # fixed default key: pure
+            h = (h * _MIX) ^ hk
+        s = ((h * _MIX) >> np.uint64(32)).astype(np.int64) % shards
+        return t.append_column("__shard", pa.array(s, pa.int64()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__shard"))
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("__shard").map_groups(run, batch_format="pandas"))
 
 
 def worker_cached(factory):
