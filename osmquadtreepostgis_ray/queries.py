@@ -23,7 +23,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from osmquadtreepostgis_ray.config import EngineParams
 from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.sources.tables import read_table
-from osmquadtreepostgis_ray.util import pool_size, shard_apply
+from osmquadtreepostgis_ray.util import pool_size, shard_apply, sharded_agg
 
 CELL_DEPTH = 12
 TILE_DEPTH = 8
@@ -74,8 +74,8 @@ def q_cell_histogram(sf_dir: str):
         return pa.table({"cell": pa.array(cells, pa.int64()),
                          "n": pa.array(counts.astype(np.int64), pa.int64())})
 
-    return (prep_events(sf_dir).map_batches(partial, batch_format="pyarrow")
-            .groupby("cell").aggregate(Sum("n", alias_name="n"))
+    part = prep_events(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return (sharded_agg(part, ["cell"], {"n": ("n", "sum")})
             .select_columns(["cell", "n"]))
 
 
@@ -94,9 +94,9 @@ def q_agg_cells(sf_dir: str):
             n=("sum_value_cents", "size"), sum_value_cents=("sum_value_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("tile").aggregate(Sum("n", alias_name="n"),
-                                       Sum("sum_value_cents", alias_name="sum_value_cents"))
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return (sharded_agg(part, ["tile"], {"n": ("n", "sum"),
+                                         "sum_value_cents": ("sum_value_cents", "sum")})
             .select_columns(["tile", "n", "sum_value_cents"]))
 
 
@@ -182,11 +182,11 @@ def q_window_hourly(sf_dir: str):
             n=("sum_value_cents", "size"), sum_value_cents=("sum_value_cents", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(hour, batch_format="pyarrow")
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["user_id", "hour"])
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("sum_value_cents", alias_name="sum_value_cents"))
+    part = (ds.map_batches(hour, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow"))
+    return (sharded_agg(part, ["user_id", "hour"],
+                        {"n": ("n", "sum"),
+                         "sum_value_cents": ("sum_value_cents", "sum")})
             .select_columns(["user_id", "hour", "n", "sum_value_cents"]))
 
 
@@ -723,12 +723,19 @@ def q_embed_docs(sf_dir: str, k: int = 5):
     """Embedding generation + self-kNN end-to-end: hash-embed the
     documents, then top-k over the generated vectors (no precomputed
     embeddings table).  Rows-only (hash embedder isn't SQL)."""
+    import pyarrow.dataset as pds
+
     from osmquadtreepostgis_ray.stages.embed import embed_documents, knn_embeddings
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     corpus = embed_documents(docs).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow")
-    q = corpus.filter(expr="vec_id < 5").to_pandas()  # expression filter: pruned, not per-row Python
-    ids = q["vec_id"].to_numpy().astype(np.int64)
+    # query vectors: the embedder is a pure per-row function, so embed
+    # ONLY the 5 query docs (predicate pushed into the parquet scan)
+    # instead of executing the whole corpus embedding pipeline twice
+    qdocs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                       filter=pds.field("doc_id") < 5)
+    q = embed_documents(qdocs).to_pandas()
+    ids = q["doc_id"].to_numpy().astype(np.int64)
     mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
     return knn_embeddings(corpus, ids, mat, k=k)
 
@@ -1195,10 +1202,11 @@ def q_image_resize(sf_dir: str, target: tuple = (8, 8)):
 def q_multimodal_fusion(sf_dir: str):
     """Multimodal training-row assembly: per document, fuse the image
     perceptual hash, the text quality stats and the audio features into
-    one wide feature row — two bucket joins on doc_id (each modality's
-    feature table is already small relative to its payloads; bytes
-    never enter the joins)."""
-    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+    one wide feature row — ONE 3-way bucket join on doc_id (a single
+    shuffle; chaining two-way joins pays an exchange per modality, and
+    a real fusion fans in many modalities).  Bytes never enter the
+    join — each modality is reduced to its feature columns first."""
+    from osmquadtreepostgis_ray.stages.joins import multiway_bucket_join
 
     img = q_image_ahash(sf_dir)
 
@@ -1218,10 +1226,9 @@ def q_multimodal_fusion(sf_dir: str):
                          "peak": batch.column("peak")})
 
     txt = q_quality(sf_dir)
-    fused = bucket_hash_join(txt, img.map_batches(img_key, batch_format="pyarrow"),
-                             on="doc_id")
-    fused = bucket_hash_join(fused, aud.map_batches(aud_key, batch_format="pyarrow"),
-                             on="doc_id")
+    fused = multiway_bucket_join(
+        [txt, img.map_batches(img_key, batch_format="pyarrow"),
+         aud.map_batches(aud_key, batch_format="pyarrow")], on="doc_id")
 
     def cast_int(batch: pa.Table) -> pa.Table:
         cols = ["doc_id", "n_tokens", "stop_permille", "ahash", "mean_abs", "peak"]
@@ -1334,8 +1341,10 @@ def q_unpivot(sf_dir: str):
 
 def q_intersect_keys(sf_dir: str):
     """Set intersection: distinct event users that are also customer
-    keys — distinct-combiner on the big side, then the semi-join
-    membership shuffle."""
+    keys — batch-level distinct combiner on the big side, then ONE
+    semi-join membership shuffle whose bucket merge also finishes the
+    exact distinct (equal keys co-locate; no separate groupby(key)
+    aggregate pass)."""
     from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
     ev = read_table(sf_dir, "events", columns=["user_id"])
 
@@ -1343,12 +1352,10 @@ def q_intersect_keys(sf_dir: str):
         u = np.unique(batch.column("user_id").to_numpy())
         return pa.table({"user_id": pa.array(u, pa.int64())})
 
-    users = (ev.map_batches(distinct, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Count(alias_name="c"))
-             .select_columns(["user_id"]))
+    users = ev.map_batches(distinct, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
         .rename_columns({"c_custkey": "user_id"})
-    return bucket_semi_join(users, cust, on="user_id")
+    return bucket_semi_join(users, cust, on="user_id", distinct=True)
 
 
 def q_sequence_packing(sf_dir: str, capacity: int = 64):
@@ -1475,7 +1482,9 @@ def q_pushdown_filter(sf_dir: str):
 def q_except_keys(sf_dir: str):
     """Set difference: customer keys with NO event activity (anti
     sibling of q_intersect_keys; direction chosen so the result is
-    non-empty at every scale)."""
+    non-empty at every scale).  The membership side needs no global
+    distinct at all — the bucket merge uniques its keys — so only the
+    batch-level combiner shrinks the shuffle."""
     from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
     ev = read_table(sf_dir, "events", columns=["user_id"])
 
@@ -1483,9 +1492,7 @@ def q_except_keys(sf_dir: str):
         u = np.unique(batch.column("user_id").to_numpy())
         return pa.table({"user_id": pa.array(u, pa.int64())})
 
-    users = (ev.map_batches(distinct, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Count(alias_name="c"))
-             .select_columns(["user_id"]))
+    users = ev.map_batches(distinct, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", columns=["c_custkey"]) \
         .rename_columns({"c_custkey": "user_id"})
     return bucket_semi_join(cust, users, on="user_id", anti=True)
@@ -1613,8 +1620,8 @@ def q_tile_pyramid(sf_dir: str, depths: tuple = PYRAMID_DEPTHS):
                          "cell": pa.array(np.concatenate(c_out), pa.int64()),
                          "n": pa.array(np.concatenate(n_out), pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["depth", "cell"]).aggregate(Sum("n", alias_name="n"))
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return (sharded_agg(part, ["depth", "cell"], {"n": ("n", "sum")})
             .select_columns(["depth", "cell", "n"]))
 
 
@@ -1734,9 +1741,9 @@ def q_collocations(sf_dir: str, topk: int = 20):
             df["score"] = (1000 * df["c_xy"] * n_total) // (df["c_x"] * df["c_y"])
             return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (docs.map_batches(bi_partial, batch_format="pyarrow")
-            .groupby(["w1", "w2"]).aggregate(Sum("c_xy", alias_name="c_xy"))
-            .map_batches(worker_cached(Score), batch_format="pyarrow")
+    bi = sharded_agg(docs.map_batches(bi_partial, batch_format="pyarrow"),
+                     ["w1", "w2"], {"c_xy": ("c_xy", "sum")})
+    return (bi.map_batches(worker_cached(Score), batch_format="pyarrow")
             .sort(["score", "w1", "w2"], descending=[True, False, False])
             .limit(topk)
             .select_columns(["w1", "w2", "c_xy", "c_x", "c_y", "score"]))
@@ -1777,8 +1784,8 @@ def q_rasterize(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["tile", "py", "px"]).aggregate(Sum("n", alias_name="n"))
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return (sharded_agg(part, ["tile", "py", "px"], {"n": ("n", "sum")})
             .select_columns(["tile", "py", "px", "n"]))
 
 

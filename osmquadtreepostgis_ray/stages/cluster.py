@@ -39,8 +39,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
+from osmquadtreepostgis_ray.util import sharded_agg
 from osmquadtreepostgis_ray.stages.joins import (_HASH_MULT, broadcast_join,
                                                  default_buckets)
 
@@ -150,8 +150,10 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     # object-store refs (never through the driver).  Then collapse a
     # node's duplicate rows (one per block it appeared in).
     labelled = broadcast_join(mapping, root_labels, on="root")
-    return (labelled.select_columns(["node", "component"]).groupby("node")
-            .aggregate(Min("component", alias_name="component")))
+    # node cardinality scales with the graph: sharded C-level min,
+    # not Dataset.aggregate's per-key reduce (util.sharded_agg)
+    return sharded_agg(labelled.select_columns(["node", "component"]),
+                       ["node"], {"component": ("component", "min")})
 
 
 # -------------------------------------------------- distributed k-means

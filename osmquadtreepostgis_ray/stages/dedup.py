@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray.data
 
 from osmquadtreepostgis_ray.functions import text as T
-from osmquadtreepostgis_ray.util import pool_size, shard_apply
+from osmquadtreepostgis_ray.util import pool_size, shard_apply, sharded_agg
 
 
 def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -43,10 +43,11 @@ def dedup_exact(ds: ray.data.Dataset, id_col: str = "doc_id",
                          "keep_id": g["min"].to_numpy(),
                          "n": g["count"].to_numpy().astype(np.int64)})
 
-    from ray.data.aggregate import Min, Sum
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("fingerprint")
-              .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dups")))
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # content-hash cardinality ~= corpus size: sharded C-level groupby,
+    # not Dataset.aggregate's per-key reduce (util.sharded_agg)
+    return sharded_agg(part, ["fingerprint"],
+                       {"keep_id": ("keep_id", "min"), "n_dups": ("n", "sum")})
 
 
 class MinHasher:

@@ -112,6 +112,59 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def multiway_bucket_join(sides: list[ray.data.Dataset], on: str,
+                         buckets: int | None = None) -> ray.data.Dataset:
+    """Inner-join N datasets on one int64 key in a SINGLE shuffle: the
+    N-way generalization of bucket_hash_join.  Chaining two-way joins
+    pays a full exchange per side; here every side is null-padded to
+    the typed union schema, tagged (bucket, side), unioned and merged
+    per bucket with successive vectorized pandas merges.  Non-key
+    column names must be disjoint across sides.  Integer columns are
+    cast back to int64 after the merge (null padding floats them inside
+    mixed buckets — the typed-union dtype gotcha)."""
+    import pyarrow as _pa
+
+    buckets = buckets or default_buckets()
+    schemas = [_pa.schema(list(zip(d.schema().names, d.schema().types))) for d in sides]
+    union_fields: dict[str, _pa.DataType] = {}
+    int_cols: set[str] = set()
+    for sch in schemas:
+        for f in sch:
+            if f.name != on and f.name in union_fields:
+                raise ValueError(f"column {f.name!r} appears in two sides")
+            union_fields.setdefault(f.name, f.type)
+            if _pa.types.is_integer(f.type):
+                int_cols.add(f.name)
+    names = list(union_fields)
+    side_cols = [list(sch.names) for sch in schemas]
+
+    def tag_align(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            b = _bucket(batch.column(on).to_numpy(), buckets)
+            arrays = [batch.column(c) if c in batch.column_names
+                      else pa.nulls(batch.num_rows, union_fields[c]) for c in names]
+            arrays.append(pa.array(b, pa.int64()))
+            arrays.append(pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()))
+            return pa.Table.from_arrays(arrays, names=names + ["__bucket", "__side"])
+        return _t
+
+    u = sides[0].map_batches(tag_align(0), batch_format="pyarrow")
+    for i, d in enumerate(sides[1:], start=1):
+        u = u.union(d.map_batches(tag_align(i), batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = None
+        for i, cols in enumerate(side_cols):
+            sg = g[g["__side"] == i][cols]
+            out = sg if out is None else out.merge(sg, on=on, how="inner")
+        for c in out.columns:
+            if c in int_cols:
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def salted_bucket_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                        hot_keys: np.ndarray, salt_mod: int = 8,
                        buckets: int = BUCKETS, id_col: str | None = None) -> ray.data.Dataset:
@@ -360,11 +413,18 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
 
 
 def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
-                     anti: bool = False, buckets: int | None = None) -> ray.data.Dataset:
+                     anti: bool = False, buckets: int | None = None,
+                     distinct: bool = False) -> ray.data.Dataset:
     """Semi (rows of left with >= 1 key match in right) / anti (rows
     with none) join — same single typed-union shuffle as
     bucket_hash_join; the per-bucket membership test is a vectorized
-    isin, and only LEFT columns come back (no pair expansion)."""
+    isin, and only LEFT columns come back (no pair expansion).
+
+    ``distinct=True`` additionally dedups left rows by key INSIDE the
+    bucket — exact global distinct (equal keys co-locate), saving the
+    separate groupby(key) aggregate a set-intersection query would
+    otherwise pay; right-side dups never matter (membership keys are
+    uniqued in the merge)."""
     buckets = buckets or default_buckets()
     lnames = list(left.schema().names)
     lint = {nm for nm, ty in zip(left.schema().names, left.schema().types)
@@ -395,6 +455,8 @@ def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][lnames]
+        if distinct:
+            lg = lg.drop_duplicates(on)
         keys = g[g["__side"] == 1][on].unique()
         m = lg[on].isin(keys)
         out = lg[~m if anti else m].copy()

@@ -56,6 +56,24 @@ def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
             .groupby("__shard").map_groups(run, batch_format="pandas"))
 
 
+def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
+                shards: int = 256) -> "ray.data.Dataset":
+    """Grouped aggregate for keys whose cardinality scales with the
+    data (cells, pixels, (user, hour) pairs, content hashes): one
+    hash-shard shuffle + a C-level pandas groupby per shard, instead of
+    Dataset.aggregate's per-key reduce.  ``spec`` maps output column ->
+    (input column, 'sum'|'min'|'max'|'count'), pandas named-agg style.
+    Callers should still pre-combine per batch (map_batches partial)
+    so the shuffle carries partials, not rows."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False, sort=False).agg(
+            **{k: v for k, v in spec.items()})
+        return out
+
+    return shard_apply(ds, keys, agg, shards=shards)
+
+
 def worker_cached(factory):
     """Wrap a callable-factory as a plain map_batches fn with build-once-
     per-worker-process semantics.
