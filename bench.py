@@ -112,7 +112,21 @@ def run_headline(sf_dir: str, repeat: int = 1) -> dict:
     }
 
 
+def _steal_jiffies() -> int:
+    """Cumulative host-steal jiffies (field 8 of /proc/stat cpu line).
+    This firecracker VM sees documented steal bursts that inflate
+    individual queries 2-6x (BASELINE.md); reporting the delta alongside
+    every bench run makes contaminated runs identifiable after the
+    fact."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:  # pragma: no cover - non-linux
+        return -1
+
+
 def run_all(sf_dir: str, num_cpus: int) -> dict:
+    steal0 = _steal_jiffies()
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
@@ -159,6 +173,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         "queries": per_query,
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
+        "steal_jiffies": _steal_jiffies() - steal0,
         "headline": headline,
     }
 

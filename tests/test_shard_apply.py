@@ -1,0 +1,92 @@
+"""util.shard_apply / util.sharded_agg / joins.multiway_bucket_join.
+
+These are the engine's answer to Ray's per-key aggregate/map_groups tax
+on data-scaled key spaces; the tests pin (a) exact equivalence with a
+local pandas reference, (b) co-location (every key lands in exactly one
+shard), and (c) multiway == chained two-way joins.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from osmquadtreepostgis_ray.stages.joins import (bucket_hash_join,
+                                                 multiway_bucket_join)
+from osmquadtreepostgis_ray.util import shard_apply, sharded_agg
+
+
+def _events(n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 700, n).astype(np.int64),
+        "s": rng.choice(["ab", "cd", "ef", "gh"], n),
+        "v": rng.integers(-50, 50, n).astype(np.int64),
+    })
+
+
+def test_sharded_agg_matches_pandas():
+    df = _events()
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = sharded_agg(ds, ["k", "s"], {"total": ("v", "sum"),
+                                       "lo": ("v", "min"),
+                                       "n": ("v", "count")}) \
+        .to_pandas().sort_values(["k", "s"]).reset_index(drop=True)
+    ref = df.groupby(["k", "s"], as_index=False).agg(
+        total=("v", "sum"), lo=("v", "min"), n=("v", "count")) \
+        .sort_values(["k", "s"]).reset_index(drop=True)
+    ref["n"] = ref["n"].astype(out["n"].dtype)
+    pd.testing.assert_frame_equal(out, ref, check_like=True)
+
+
+def test_shard_apply_colocates_keys():
+    # fn sees every row of a key or none: per-shard key counts must sum
+    # to the global per-key count in ONE shard each
+    df = _events(3000)
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        return out
+
+    out = shard_apply(ds, ["k"], per_key).to_pandas()
+    # exactly one row per key (a split key would produce two)
+    assert out["k"].is_unique
+    ref = df.groupby("k", as_index=False).size().rename(columns={"size": "n"})
+    merged = out.sort_values("k").reset_index(drop=True) \
+        .merge(ref.sort_values("k").reset_index(drop=True), on="k")
+    assert (merged["n_x"] == merged["n_y"]).all()
+
+
+def test_shard_apply_string_keys_stable():
+    # string keys hash via pandas hash_array (fixed key): same rows ->
+    # same shards regardless of block layout
+    df = _events(2000)
+    a = shard_apply(ray.data.from_pandas(df).repartition(2), ["s"],
+                    lambda g: g.groupby("s", as_index=False)["v"].sum()).to_pandas()
+    b = shard_apply(ray.data.from_pandas(df).repartition(16), ["s"],
+                    lambda g: g.groupby("s", as_index=False)["v"].sum()).to_pandas()
+    a = a.sort_values("s").reset_index(drop=True)
+    b = b.sort_values("s").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multiway_equals_chained_two_way():
+    rng = np.random.default_rng(11)
+    n = 800
+    t1 = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "a": rng.integers(0, 9, n).astype(np.int64)})
+    t2 = pd.DataFrame({"id": rng.permutation(n).astype(np.int64),
+                       "b": rng.integers(0, 9, n).astype(np.int64)})
+    t3 = pd.DataFrame({"id": np.arange(0, n, 2, dtype=np.int64),  # half match
+                       "c": rng.integers(0, 9, n // 2).astype(np.int64)})
+    d1, d2, d3 = (ray.data.from_pandas(t).repartition(4) for t in (t1, t2, t3))
+    multi = multiway_bucket_join([d1, d2, d3], on="id").to_pandas() \
+        .sort_values("id").reset_index(drop=True)[["id", "a", "b", "c"]]
+    chain = bucket_hash_join(bucket_hash_join(d1, d2, on="id"), d3, on="id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)[["id", "a", "b", "c"]]
+    chain = chain.astype({c: np.int64 for c in chain.columns})
+    pd.testing.assert_frame_equal(multi, chain)
+    assert len(multi) == n // 2
+    assert all(multi[c].dtype == np.int64 for c in multi.columns)
