@@ -1404,6 +1404,39 @@ def sql_neardup_clusters() -> str:
     """
 
 
+def sql_split_leakage_safe(train_permille: int = 800) -> str:
+    """Twin of queries.q_split_leakage_safe: recursive-CTE components
+    LEFT-joined onto documents (isolated docs label themselves), split
+    by the Knuth hash of the component (same constants as
+    sql_sample_events)."""
+    from osmquadtreepostgis_ray.queries import SAMPLE_MOD, SAMPLE_MULT
+    return f"""
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 < 3
+        UNION ALL
+        SELECT doc_id AS a, doc_id // 2 AS b FROM documents
+        WHERE doc_id % 11 = 0 AND doc_id > 0
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION
+        SELECT b AS src, a AS dst FROM e0
+    ),
+    walk(v, l) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.dst, w.l FROM walk w JOIN sym e ON e.src = w.v
+    ),
+    comp AS (SELECT v AS node, MIN(l) AS component FROM walk GROUP BY v)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CASE WHEN (COALESCE(c.component, d.doc_id) * {SAMPLE_MULT})
+                     % {SAMPLE_MOD} < {train_permille}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -1682,6 +1715,7 @@ def build_oracles() -> dict[str, str]:
         "image_resize": sql_image_resize(),
         "multimodal_fusion": sql_multimodal_fusion(),
         "neardup_clusters": sql_neardup_clusters(),
+        "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),
         "asof_join": sql_asof_join(),

@@ -943,6 +943,44 @@ def q_neardup_clusters(sf_dir: str):
     return connected_components(docs.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_split_leakage_safe(sf_dir: str, train_permille: int = 800):
+    """Leakage-safe train/test split: every document in a near-dup
+    CLUSTER gets the same split, so near-duplicates never straddle
+    train and test (the contamination mode a per-doc random split
+    creates).  Components from the same synthetic edge graph as
+    q_neardup_clusters; isolated docs are their own component (label =
+    doc_id, via a bucket LEFT join + coalesce — the label table scales
+    with the corpus, so no broadcast).  The split is the deterministic
+    Knuth hash of the COMPONENT id — pure, reproducible, oracle-exact."""
+    from osmquadtreepostgis_ray.stages.cluster import connected_components
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        a1 = ids[ids % 7 < 3]
+        a2 = ids[(ids % 11 == 0) & (ids > 0)]
+        return pa.table({"a": pa.array(np.r_[a1, a2], pa.int64()),
+                         "b": pa.array(np.r_[a1 + 1, a2 // 2], pa.int64())})
+
+    labels = connected_components(docs.map_batches(edges, batch_format="pyarrow")) \
+        .map_batches(lambda t: t.rename_columns(["doc_id", "component"]),
+                     batch_format="pyarrow")
+    joined = bucket_hash_join(docs, labels, on="doc_id", how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        comp = df["component"].to_numpy(np.float64)
+        comp = np.where(np.isnan(comp), ids, comp).astype(np.int64)
+        train = (comp * SAMPLE_MULT) % SAMPLE_MOD < train_permille
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "component": pa.array(comp, pa.int64()),
+                         "split": pa.array(np.where(train, "train", "test"))})
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """Audio decode + SNR invariant + integer feature extraction
     (stages/audio.AudioFeatures over the synthetic PCM corpus)."""

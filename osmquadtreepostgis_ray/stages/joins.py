@@ -74,11 +74,16 @@ def _bucket(keys: np.ndarray, buckets: int) -> np.ndarray:
 
 
 def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
-                     buckets: int | None = None) -> ray.data.Dataset:
+                     buckets: int | None = None,
+                     how: str = "inner") -> ray.data.Dataset:
     """Partitioned hash join on an int64 key.  Each side is tagged with
     its bucket and a side marker, aligned to the TYPED union schema
     (Arrow nulls, never pandas object columns), unioned, grouped by
-    bucket once (a single shuffle), and merged per bucket."""
+    bucket once (a single shuffle), and merged per bucket.
+
+    ``how='left'`` keeps unmatched left rows (right columns null; int
+    right columns float in the merged frame — callers coalesce + cast,
+    the typed-union dtype gotcha)."""
     import pyarrow as _pa
 
     buckets = buckets or default_buckets()
@@ -107,7 +112,7 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][[c for c in names if c in lcols]]
         rg = g[g["__side"] == 1][[c for c in names if c in rcols]]
-        return lg.merge(rg, on=on, how="inner")
+        return lg.merge(rg, on=on, how=how)
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
