@@ -217,23 +217,42 @@ def q_join_orders_customer(sf_dir: str):
 
 
 def q_join_lineitem_part(sf_dir: str):
-    """Partitioned bucket hash join: both sides streamed."""
+    """Partitioned bucket hash join with aggregate pushdown BELOW the
+    join: lineitem is pre-reduced to (partkey, n, sum) partials inside
+    each batch, so the join shuffle carries one row per distinct
+    partkey per batch (~30x fewer rows than lineitems at sf0.1, and the
+    ratio grows with fanout at scale); the brand rollup finishes on the
+    joined partials."""
     from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
-    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"]) \
-        .map_batches(lambda t: t.rename_columns(["p_partkey", "l_extendedprice"]),
-                     batch_format="pyarrow")
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    joined = bucket_hash_join(li, part, on="p_partkey")
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["sum_price_cents"] = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+        df["cents"] = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+        g = df.groupby("l_partkey", sort=False).agg(
+            n=("cents", "size"), sum_price_cents=("cents", "sum")).reset_index()
+        return pa.table({"p_partkey": g["l_partkey"].to_numpy(np.int64),
+                         "n": g["n"].to_numpy(np.int64),
+                         "sum_price_cents": g["sum_price_cents"].to_numpy(np.int64)})
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    # batch_size >> |partkeys| per batch: the combiner only reduces when
+    # a batch spans many duplicates of a key, so coalesce read blocks
+    # into 256k-row batches before the partial (6x fewer shuffle rows
+    # at sf0.1 than per-block partials)
+    joined = bucket_hash_join(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=1 << 18),
+        part, on="p_partkey")
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         g = df.groupby("p_brand", sort=False).agg(
-            n=("sum_price_cents", "size"),
-            sum_price_cents=("sum_price_cents", "sum")).reset_index()
+            n=("n", "sum"), sum_price_cents=("sum_price_cents", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_price_cents"] = g["sum_price_cents"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
+    return (joined.map_batches(brand_partial, batch_format="pyarrow")
             .groupby("p_brand")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_price_cents", alias_name="sum_price_cents"))
