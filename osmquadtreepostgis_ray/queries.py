@@ -1485,22 +1485,22 @@ def q_moments(sf_dir: str):
 
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics (the classic geospatial aggregate): per zone,
-    count and exact-cents sum of the events inside it — the PIP join's
-    pairs bucket-joined back to event values, combiner partials before
-    the final groupby."""
-    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
-    pairs = q_pip_zones(sf_dir).select_columns(["event_id", "zone_id", "kind"])
-    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    count and exact-cents sum of the events inside it.  The measure
+    rides THROUGH the PIP join (PipJoin carry columns), so there is no
+    join back to the point table at all — the only shuffle left is the
+    tiny per-zone aggregate of combiner partials."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_fn
+    ev = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
 
     def cents(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_id": batch.column("event_id"),
-            "cents": pa.array(np.rint(batch.column("value").to_numpy() * 100)
-                              .astype(np.int64), pa.int64()),
-        })
+        return batch.append_column(
+            "cents", pa.array(np.rint(batch.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64()))
 
-    joined = bucket_hash_join(pairs, ev.map_batches(cents, batch_format="pyarrow"),
-                              on="event_id")
+    zref = ray.put(zones_table())
+    joined = ev.map_batches(cents, batch_format="pyarrow").map_batches(
+        pip_join_fn(zref, carry=("cents",)), batch_format="pyarrow", batch_size=8192)
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -40,7 +40,11 @@ class PipJoin:
     """
 
     def __init__(self, zones_ref=None, id_col: str = "event_id",
-                 lon_col: str = "lon", lat_col: str = "lat"):
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 carry: tuple = ()):
+        # `carry`: extra point columns gathered through the join (e.g.
+        # a measure for zonal statistics) — downstream aggregates then
+        # need NO join back to the point table.
         zt = ray.get(zones_ref) if zones_ref is not None else zones_table()
         self.index = build_zone_index(zt)
         # zone_id -> kind as sorted arrays (vectorized searchsorted lookup)
@@ -49,6 +53,7 @@ class PipJoin:
         self.kind_ids = zids[order]
         self.kind_vals = np.asarray(zt.column("kind").to_pylist(), dtype=object)[order]
         self.id_col, self.lon_col, self.lat_col = id_col, lon_col, lat_col
+        self.carry = tuple(carry)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pts = np.stack([batch.column(self.lon_col).to_numpy(),
@@ -56,11 +61,15 @@ class PipJoin:
         pi, zi = self.index.query(pts)
         ids = batch.column(self.id_col).to_numpy()[pi]
         kinds = self.kind_vals[np.searchsorted(self.kind_ids, zi)]
-        return pa.table({
+        cols = {
             self.id_col: pa.array(ids),
             "zone_id": pa.array(zi, pa.int64()),
             "kind": pa.array(kinds, pa.string()),
-        })
+        }
+        take = pa.array(pi)
+        for c in self.carry:
+            cols[c] = batch.column(c).take(take)
+        return pa.table(cols)
 
 
 def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
