@@ -44,10 +44,16 @@ def routed_corpus(sf_dir: str, params: EngineParams | None = None,
     def prep(batch):
         return route_batch(encode_cells_batch(batch, p), p)
 
+    # batch_size=None: batch == block.  A fixed batch_size makes Ray
+    # COALESCE small blocks into few batches (measured: the sf0.1
+    # corpus collapsed to 6 tasks at batch_size=16384, capping the tile
+    # stage's scaling); block size — governed by the reader /
+    # DataContext target block size — is the right batch granularity
+    # for this payload-free projection at any scale.
     return read_images(sf_dir, with_bytes=False, repeat=repeat,
                        parallelism=p.read_parallelism).map_batches(
         _maybe_timed("cells+route", prep, p),
-        batch_format="pyarrow", batch_size=p.batch_size)
+        batch_format="pyarrow", batch_size=None)
 
 
 def output_tables(sf_dir: str, params: EngineParams | None = None,
@@ -78,7 +84,7 @@ def output_tables(sf_dir: str, params: EngineParams | None = None,
             return ProjectTable(_spec, _neg, p)(sel)
 
         out[name] = routed.map_batches(branch, batch_format="pyarrow",
-                                       batch_size=p.batch_size)
+                                       batch_size=None)
     return out
 
 
@@ -141,10 +147,13 @@ def tables_union_of(docs: ray.data.Dataset, params: EngineParams | None = None) 
     def prep(batch):
         return route_batch(encode_cells_batch(batch, p), p)
 
+    # batch == block (see routed_corpus): keeps task count = block
+    # count instead of coalescing the whole corpus into a handful of
+    # 16k-row batches
     return docs.map_batches(_maybe_timed("cells+route", prep, p),
-                            batch_format="pyarrow", batch_size=p.batch_size) \
+                            batch_format="pyarrow", batch_size=None) \
         .map_batches(_maybe_timed("project_all", project_all, p),
-                     batch_format="pyarrow", batch_size=p.batch_size)
+                     batch_format="pyarrow", batch_size=None)
 
 
 def export_resumable(sf_dir: str, out_dir: str, params: EngineParams | None = None,

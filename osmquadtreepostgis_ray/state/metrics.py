@@ -75,7 +75,17 @@ def flush_stage(name: str) -> None:
         return
     if st["sink"] is None:
         st["sink"] = get_sink()
-    st["sink"].record_many.remote(st["buf"])
+    try:
+        st["sink"].record_many.remote(st["buf"])
+    except Exception:
+        # metrics are telemetry: a dead sink actor (node pressure, host
+        # steal) must never fail the pipeline — re-resolve once and
+        # drop the buffer if the sink is still unreachable
+        try:
+            st["sink"] = get_sink()
+            st["sink"].record_many.remote(st["buf"])
+        except Exception:
+            pass
     st["buf"] = []
 
 

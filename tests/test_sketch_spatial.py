@@ -160,3 +160,39 @@ def test_patch_means_cover_image(sf_dir):
     # dims are (16,16)/(32,32)/(64,48) -> 4/16/48 patches
     assert set(g.unique()) == {4, 16, 48}
     assert p["patch_mean"].between(0, 255).all()
+
+
+def test_pip_join_carry_columns(sf_dir):
+    """PipJoin carry columns gather point measures through the join:
+    same pairs as the bare join, and each pair's carried value equals
+    the source row's value (so zonal stats need no join back)."""
+    import ray
+
+    from osmquadtreepostgis_ray.queries import prep_events
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_fn
+
+    ev = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def cents(batch):
+        import numpy as np
+        import pyarrow as pa
+        return batch.append_column(
+            "cents", pa.array(np.rint(batch.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64()))
+
+    zref = ray.put(zones_table())
+    bare = ev.map_batches(pip_join_fn(zref), batch_format="pyarrow").to_pandas()
+    carried = ev.map_batches(cents, batch_format="pyarrow").map_batches(
+        pip_join_fn(zref, carry=("cents",)), batch_format="pyarrow").to_pandas()
+    assert len(bare) == len(carried)
+    a = bare.sort_values(["event_id", "zone_id"]).reset_index(drop=True)
+    b = carried.sort_values(["event_id", "zone_id"]).reset_index(drop=True)
+    assert (a["event_id"] == b["event_id"]).all()
+    assert (a["zone_id"] == b["zone_id"]).all()
+    src = ev.to_pandas()
+    import numpy as np
+    want = dict(zip(src["event_id"],
+                    np.rint(src["value"] * 100).astype(np.int64)))
+    got = b.drop_duplicates("event_id")
+    assert all(want[e] == c for e, c in zip(got["event_id"], got["cents"]))
