@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers": Q.q_outliers,
         "moments": Q.q_moments,
         "join_orders_customer": Q.q_join_orders_customer,
+        "skew_join": Q.q_skew_join,
         "join_lineitem_part": Q.q_join_lineitem_part,
         "topk_orders": Q.q_topk_orders,
         "distinct_users": Q.q_distinct_users,

@@ -110,6 +110,17 @@ def sql_join_orders_customer() -> str:
     """
 
 
+def sql_skew_join() -> str:
+    """Twin of queries.q_skew_join — the salted partitioning must be
+    invisible in the output (identical to a plain join + rollup)."""
+    return """
+    SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
 def sql_join_lineitem_part() -> str:
     return """
     SELECT p_brand, count(*)::BIGINT AS n,
@@ -1671,6 +1682,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_latest": sql_dedup_latest(),
         "window_hourly": sql_window_hourly(),
         "join_orders_customer": sql_join_orders_customer(),
+        "skew_join": sql_skew_join(),
         "join_lineitem_part": sql_join_lineitem_part(),
         "topk_orders": sql_topk_orders(),
         "distinct_users": sql_distinct_users(),

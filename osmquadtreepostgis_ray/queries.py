@@ -216,6 +216,45 @@ def q_join_orders_customer(sf_dir: str):
             .select_columns(["c_mktsegment", "n", "sum_price_cents"]))
 
 
+def q_skew_join(sf_dir: str, max_rows_per_key: int = 5):
+    """Adaptive skew-aware join (stages/joins.skew_aware_join): a cheap
+    combiner counting pass detects keys above `max_rows_per_key` on the
+    big side and switches to the salted join automatically — with the
+    deliberately low threshold every user key is hot at every sf, so
+    the salted path is what the oracle certifies (output is identical
+    to a plain join by construction).  Events joined to customer
+    segments on user key, rolled up per segment."""
+    from osmquadtreepostgis_ray.stages.joins import skew_aware_join
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(np.rint(t.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64()),
+        })
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .rename_columns({"c_custkey": "user_id"})
+    joined = skew_aware_join(ev.map_batches(cents, batch_format="pyarrow"), cust,
+                             on="user_id", max_rows_per_key=max_rows_per_key,
+                             id_col="event_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+            .select_columns(["c_mktsegment", "n", "sum_cents"]))
+
+
 def q_join_lineitem_part(sf_dir: str):
     """Partitioned bucket hash join with aggregate pushdown BELOW the
     join: lineitem is pre-reduced to (partkey, n, sum) partials inside

@@ -222,6 +222,46 @@ def salted_bucket_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     return bucket_hash_join_on_cols(lt, rt, on=on, extra_key="__salt", buckets=buckets)
 
 
+def detect_hot_keys(ds: ray.data.Dataset, on: str,
+                    max_rows: int) -> np.ndarray:
+    """Keys of `ds[on]` with more than `max_rows` rows, via the combiner
+    pattern (per-batch (key, partial count) -> sharded sum): the shuffle
+    carries distinct keys per batch, and only the hot set — by
+    definition small — reaches the driver."""
+    from osmquadtreepostgis_ray.util import sharded_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column(on).to_numpy(), return_counts=True)
+        return pa.table({on: pa.array(u.astype(np.int64), pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         [on], {"n": ("n", "sum")})
+    hot = counts.filter(expr=f"n > {int(max_rows)}").select_columns([on]).to_pandas()
+    return np.sort(hot[on].to_numpy(np.int64))
+
+
+def skew_aware_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                    max_rows_per_key: int = 100_000, salt_mod: int = 8,
+                    buckets: int | None = None,
+                    id_col: str | None = None) -> ray.data.Dataset:
+    """Adaptive skew treatment for the partitioned hash join: one cheap
+    combiner counting pass over the big side finds keys exceeding
+    `max_rows_per_key`; if any exist the join runs salted (hot keys
+    spread across salt_mod sub-buckets, small side replicated into
+    each), else it is a plain bucket join.  Output identical either way
+    — the detection only changes the partitioning.  This is the
+    automated form of the reference's giant-relation bottleneck fix
+    (serial MultiPolygons on coastline tiles, docs/output.txt:75):
+    no caller-supplied hot list required."""
+    hot = detect_hot_keys(left, on, max_rows_per_key)
+    if not len(hot):
+        return bucket_hash_join(left, right, on=on, buckets=buckets or default_buckets())
+    return salted_bucket_join(left, right, on=on, hot_keys=hot,
+                              salt_mod=salt_mod,
+                              buckets=buckets or default_buckets(), id_col=id_col)
+
+
 def bucket_hash_join_on_cols(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                              extra_key: str, buckets: int = BUCKETS) -> ray.data.Dataset:
     """bucket_hash_join keyed on (on, extra_key) composite; the extra key

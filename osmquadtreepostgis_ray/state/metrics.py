@@ -46,7 +46,17 @@ class MetricsSink:
 
 
 def get_sink():
-    return MetricsSink.options(name=SINK_NAME, get_if_exists=True).remote()
+    # Hold the handle in this process's module state: a named
+    # NON-detached actor dies when its last handle drops, so a
+    # transient `get_sink().foo.remote()` would let Ray reap the sink
+    # between calls ("all references to the actor were removed" races
+    # against the next get_if_exists).  One handle per process keeps it
+    # alive exactly as long as someone can still flush to it.
+    h = _LOCAL.get("__sink_handle")
+    if h is None:
+        h = MetricsSink.options(name=SINK_NAME, get_if_exists=True).remote()
+        _LOCAL["__sink_handle"] = h
+    return h
 
 
 def timed_stage(name: str, fn, flush_every: int = 8):
@@ -79,9 +89,10 @@ def flush_stage(name: str) -> None:
         st["sink"].record_many.remote(st["buf"])
     except Exception:
         # metrics are telemetry: a dead sink actor (node pressure, host
-        # steal) must never fail the pipeline — re-resolve once and
-        # drop the buffer if the sink is still unreachable
+        # steal) must never fail the pipeline — invalidate the cached
+        # handle, re-resolve once, drop the buffer if still unreachable
         try:
+            _LOCAL.pop("__sink_handle", None)
             st["sink"] = get_sink()
             st["sink"].record_many.remote(st["buf"])
         except Exception:

@@ -90,3 +90,35 @@ def test_multiway_equals_chained_two_way():
     pd.testing.assert_frame_equal(multi, chain)
     assert len(multi) == n // 2
     assert all(multi[c].dtype == np.int64 for c in multi.columns)
+
+
+def test_skew_aware_join_equals_plain():
+    """detect_hot_keys finds exactly the over-threshold keys, and the
+    adaptive salted join's output is identical to the plain bucket join
+    on a deliberately skewed corpus."""
+    rng = np.random.default_rng(3)
+    n = 20_000
+    # 60% of rows on key 7, the rest uniform over 500 keys
+    k = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "rid": np.arange(n, dtype=np.int64),
+                         "v": rng.integers(0, 100, n).astype(np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype=np.int64),
+                          "tag": np.arange(0, 500, dtype=np.int64) * 3})
+    dl = ray.data.from_pandas(left).repartition(8)
+    dr = ray.data.from_pandas(right).repartition(2)
+
+    from osmquadtreepostgis_ray.stages.joins import (detect_hot_keys,
+                                                     skew_aware_join)
+    hot = detect_hot_keys(dl, "k", max_rows=2000)
+    want_hot = left.groupby("k").size()
+    assert list(hot) == sorted(want_hot[want_hot > 2000].index)
+    assert 7 in hot
+
+    adaptive = skew_aware_join(dl, dr, on="k", max_rows_per_key=2000,
+                               id_col="rid").to_pandas()
+    plain = bucket_hash_join(dl, dr, on="k").to_pandas()
+    a = adaptive.sort_values(["k", "rid"]).reset_index(drop=True)[["k", "rid", "v", "tag"]]
+    p = plain.sort_values(["k", "rid"]).reset_index(drop=True)[["k", "rid", "v", "tag"]]
+    a = a.astype(np.int64)
+    p = p.astype(np.int64)
+    pd.testing.assert_frame_equal(a, p)
