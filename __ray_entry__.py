@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_filter": Q.q_pushdown_filter,
         "tile_pyramid": Q.q_tile_pyramid,
         "radius_join": Q.q_radius_join,
+        "rect_join": Q.q_rect_join,
         "hll_sketch": Q.q_hll_sketch,
         "rasterize": Q.q_rasterize,
         "trajectories": Q.q_trajectories,

@@ -1541,6 +1541,38 @@ def sql_radius_join(radius_milli: int = 2000, query_mod: int = 101) -> str:
       AND (e.x - q.qx) * (e.x - q.qx) + (e.y - q.qy) * (e.y - q.qy) <= {r2}"""
 
 
+def sql_rect_join() -> str:
+    """Twin of queries.q_rect_join: image footprint boxes (inclusive ->
+    half-open via +1) x zone boxes, overlap pairs with exact
+    intersection area.  Zones generated from the same pure-id formulas
+    as sources/zones.zones_table."""
+    return f"""
+    WITH {images_cte()},
+    {_footprint_cte()},
+    zs AS (
+        SELECT zid AS zone_id, 'grid' AS kind,
+               (zid % {Z.GX}) * {Z.GRID_W} AS zx0,
+               (zid // {Z.GX}) * {Z.GRID_H} AS zy0,
+               (zid % {Z.GX} + 1) * {Z.GRID_W} AS zx1,
+               (zid // {Z.GX} + 1) * {Z.GRID_H} AS zy1
+        FROM (SELECT unnest(range(0, {Z.GX * Z.GY})) AS zid)
+        WHERE (zid * {Z.GRID_KEEP_MULT}) % {Z.GRID_KEEP_MOD} < {Z.GRID_KEEP_LT}
+        UNION ALL
+        SELECT aid + {Z.ADMIN_ID_BASE} AS zone_id, 'admin' AS kind,
+               (aid % {Z.AX}) * {Z.ADMIN_W} AS zx0,
+               (aid // {Z.AX}) * {Z.ADMIN_H} AS zy0,
+               (aid % {Z.AX} + 1) * {Z.ADMIN_W} AS zx1,
+               (aid // {Z.AX} + 1) * {Z.ADMIN_H} AS zy1
+        FROM (SELECT unnest(range(0, {Z.AX * Z.AY})) AS aid)
+    )
+    SELECT f.doc_id, z.zone_id, z.kind,
+           ((least(f.x1 + 1, z.zx1) - greatest(f.x0, z.zx0))
+            * (least(f.y1 + 1, z.zy1) - greatest(f.y0, z.zy0)))::BIGINT AS inter_area
+    FROM fp f JOIN zs z
+      ON f.x0 < z.zx1 AND z.zx0 < f.x1 + 1
+     AND f.y0 < z.zy1 AND z.zy0 < f.y1 + 1"""
+
+
 def sql_hll_sketch() -> str:
     """Exact twin of queries.q_hll_sketch: splitmix64 in HUGEINT mod
     2^64 (chained CTEs via sketch.splitmix_sql_ctes), register = top 6
@@ -1752,6 +1784,7 @@ def build_oracles() -> dict[str, str]:
         "pii_redact": sql_pii_redact(),
         "tile_pyramid": sql_tile_pyramid(),
         "radius_join": sql_radius_join(),
+        "rect_join": sql_rect_join(),
         "hll_sketch": sql_hll_sketch(),
         "kmeans_embed": sql_kmeans_embed(),
         "inverted_index": sql_inverted_index(),

@@ -1729,6 +1729,42 @@ def q_radius_join(sf_dir: str, radius_milli: int = 2000):
     return radius_join(ev, radius_milli=radius_milli)
 
 
+def q_rect_join(sf_dir: str):
+    """Rectangle-overlap spatial join, both sides distributed (PBSM,
+    stages/rect_join.py): image footprint boxes x zone boxes -> one row
+    per intersecting pair with the exact integer intersection area.
+    Distinct from pip_zones (point-in-polygon, broadcast small side):
+    boundary-straddling footprints match EVERY zone they touch, and the
+    join is grid-fanout + one cell-keyed exchange — the shape that
+    survives when neither side fits a broadcast."""
+    from osmquadtreepostgis_ray.sources import zones as Z
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.rect_join import rect_overlap_join
+
+    def fp(b: pa.Table) -> pa.Table:
+        lon_m, lat_m = geotag.lonlat_milli_from_phash(b.column("phash").to_numpy())
+        x0, y0, x1, y1 = geotag.footprint_milli(
+            lon_m, lat_m, b.column("w").to_numpy(), b.column("h").to_numpy())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "fx0": pa.array(x0, pa.int64()), "fy0": pa.array(y0, pa.int64()),
+            # footprint bounds are inclusive ints -> half-open via +1
+            "fx1": pa.array(x1 + 1, pa.int64()), "fy1": pa.array(y1 + 1, pa.int64()),
+        })
+
+    imgs = read_images(sf_dir, with_bytes=False).map_batches(
+        fp, batch_format="pyarrow")
+    zt = Z.zones_table().rename_columns(
+        ["zone_id", "kind", "zx0", "zy0", "zx1", "zy1"])
+    zds = ray.data.from_arrow(zt)
+    out = rect_overlap_join(
+        imgs, zds, lbox=("fx0", "fy0", "fx1", "fy1"),
+        rbox=("zx0", "zy0", "zx1", "zy1"),
+        cell_w=Z.GRID_W, cell_h=Z.GRID_H,
+        int_cols=["doc_id", "zone_id"])
+    return out.select_columns(["doc_id", "zone_id", "kind", "inter_area"])
+
+
 def q_hll_sketch(sf_dir: str):
     """Approximate-distinct sketch: HyperLogLog registers per event_type
     over splitmix64(user_id).  The shuffle carries one <= 64-register

@@ -227,8 +227,12 @@ def detect_hot_keys(ds: ray.data.Dataset, on: str,
     """Keys of `ds[on]` with more than `max_rows` rows, via the combiner
     pattern (per-batch (key, partial count) -> sharded sum): the shuffle
     carries distinct keys per batch, and only the hot set — by
-    definition small — reaches the driver."""
+    definition small — reaches the driver.  The input is projected to
+    the key column first so the counting pass never carries payload
+    bytes (at 100 TB the detect pass touches ~1% of the data)."""
     from osmquadtreepostgis_ray.util import sharded_agg
+
+    ds = ds.select_columns([on])
 
     def partial(batch: pa.Table) -> pa.Table:
         u, c = np.unique(batch.column(on).to_numpy(), return_counts=True)

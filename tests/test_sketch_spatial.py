@@ -196,3 +196,41 @@ def test_pip_join_carry_columns(sf_dir):
                     np.rint(src["value"] * 100).astype(np.int64)))
     got = b.drop_duplicates("event_id")
     assert all(want[e] == c for e, c in zip(got["event_id"], got["cents"]))
+
+
+def test_rect_overlap_join_matches_brute():
+    """Pairs exactly once (canonical-cell dedup) and exact inter_area,
+    vs an O(n*m) numpy brute force; rects sized to straddle many cells."""
+    from osmquadtreepostgis_ray.stages.rect_join import rect_overlap_join
+    rs = np.random.RandomState(23)
+    CW, CH = 1000, 700
+    nl, nr = 120, 80
+    lx0 = rs.randint(0, 20000, nl).astype(np.int64)
+    ly0 = rs.randint(0, 14000, nl).astype(np.int64)
+    lx1 = lx0 + rs.randint(1, 3 * CW, nl)       # up to 3 cells wide
+    ly1 = ly0 + rs.randint(1, 3 * CH, nl)
+    rx0 = rs.randint(0, 20000, nr).astype(np.int64)
+    ry0 = rs.randint(0, 14000, nr).astype(np.int64)
+    rx1 = rx0 + rs.randint(1, 5 * CW, nr)
+    ry1 = ry0 + rs.randint(1, 5 * CH, nr)
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array(np.arange(nl), pa.int64()),
+        "lx0": lx0, "ly0": ly0, "lx1": lx1, "ly1": ly1}))
+    right = ray.data.from_arrow(pa.table({
+        "rid": pa.array(np.arange(nr), pa.int64()),
+        "rx0": rx0, "ry0": ry0, "rx1": rx1, "ry1": ry1}))
+    got = rect_overlap_join(
+        left, right, lbox=("lx0", "ly0", "lx1", "ly1"),
+        rbox=("rx0", "ry0", "rx1", "ry1"), cell_w=CW, cell_h=CH,
+        int_cols=["lid", "rid"]).to_pandas()
+    # brute force
+    ov = ((lx0[:, None] < rx1[None, :]) & (rx0[None, :] < lx1[:, None])
+          & (ly0[:, None] < ry1[None, :]) & (ry0[None, :] < ly1[:, None]))
+    li, ri = np.nonzero(ov)
+    area = ((np.minimum(lx1[li], rx1[ri]) - np.maximum(lx0[li], rx0[ri]))
+            * (np.minimum(ly1[li], ry1[ri]) - np.maximum(ly0[li], ry0[ri])))
+    exp = sorted(zip(li.tolist(), ri.tolist(), area.tolist()))
+    assert len(got) == len(exp)                      # exactly-once per pair
+    got_t = sorted(zip(got["lid"].tolist(), got["rid"].tolist(),
+                       got["inter_area"].tolist()))
+    assert got_t == exp
