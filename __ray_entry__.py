@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": Q.q_tile_pyramid,
         "radius_join": Q.q_radius_join,
         "rect_join": Q.q_rect_join,
+        "tile_mosaic": Q.q_tile_mosaic,
+        "mosaic_pyramid": Q.q_mosaic_pyramid,
         "hll_sketch": Q.q_hll_sketch,
         "rasterize": Q.q_rasterize,
         "trajectories": Q.q_trajectories,
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,
+        "dup_spans": Q.q_dup_spans,
         # embeddings (similarity search / near-dup)
         "embed_docs": Q.q_embed_docs,
         "embed_knn": Q.q_embed_knn,

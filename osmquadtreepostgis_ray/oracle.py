@@ -1573,6 +1573,92 @@ def sql_rect_join() -> str:
      AND f.y0 < z.zy1 AND z.zy0 < f.y1 + 1"""
 
 
+def sql_dup_spans(k: int = 9) -> str:
+    """Twin of queries.q_dup_spans over the shared exact-shingle CTE:
+    shingles in >= 2 docs are duplicated; per-doc duplicated count and
+    exact permille fraction."""
+    return f"""
+    WITH {_shingles_cte(k)},
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM sh0 GROUP BY doc_id),
+    d AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) >= 2),
+    dup AS (SELECT sh0.doc_id, count(*) AS dup_grams
+            FROM sh0 JOIN d USING (s) GROUP BY sh0.doc_id)
+    SELECT t.doc_id, dup.dup_grams::BIGINT AS dup_grams,
+           t.n_grams::BIGINT AS n_grams,
+           (1000 * dup.dup_grams // t.n_grams)::BIGINT AS dup_permille
+    FROM dup JOIN tot t USING (doc_id)"""
+
+
+def sql_tile_mosaic(thumb: int = 8) -> str:
+    """Twin of queries.q_tile_mosaic: decoded pixels -> nearest-neighbor
+    thumb x thumb resize (the sql_image_resize index map) -> per-tile
+    pixel-wise sum/count/floor-mean.  Tile recomputed from doc_id via
+    the shared phash/geotag expressions."""
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql(f"({ph})")
+    return f"""{_sql_decoded_pixels()},
+    tl AS (
+        SELECT doc_id, {_cell_expr(lon, lat, TILE_DEPTH)} AS tile
+        FROM documents
+    ),
+    rimg AS (SELECT DISTINCT doc_id, w, h FROM dec),
+    rp AS (
+        SELECT doc_id, w, h, unnest(range(0, {thumb * thumb})) AS rp
+        FROM rimg
+    ),
+    sel AS (
+        SELECT doc_id, rp,
+               (((rp // {thumb}) * h) // {thumb}) * w
+               + (((rp % {thumb}) * w) // {thumb}) AS idx
+        FROM rp
+    )
+    SELECT t.tile, (s.rp // {thumb})::BIGINT AS py, (s.rp % {thumb})::BIGINT AS px,
+           sum(d.p)::BIGINT AS pixel_sum,
+           count(*)::BIGINT AS n_images,
+           (sum(d.p) // count(*))::BIGINT AS mean_pixel
+    FROM sel s
+    JOIN dec d ON d.doc_id = s.doc_id AND d.idx = s.idx
+    JOIN tl t ON t.doc_id = s.doc_id
+    GROUP BY t.tile, py, px"""
+
+
+def sql_mosaic_pyramid(thumb: int = 8) -> str:
+    """Twin of queries.q_mosaic_pyramid: the tile_mosaic aggregate at
+    every pyramid depth (tile recomputed per depth; resize shared)."""
+    from osmquadtreepostgis_ray.queries import MOSAIC_DEPTHS
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql(f"({ph})")
+    case = ("CASE d " + " ".join(
+        f"WHEN {d} THEN {_cell_expr(lon, lat, d)}" for d in MOSAIC_DEPTHS)
+        + " END")
+    dl = ", ".join(str(d) for d in MOSAIC_DEPTHS)
+    return f"""{_sql_decoded_pixels()},
+    tl AS (
+        SELECT doc_id, CAST(d AS BIGINT) AS depth, {case} AS tile
+        FROM documents, (SELECT unnest([{dl}]) AS d)
+    ),
+    rimg AS (SELECT DISTINCT doc_id, w, h FROM dec),
+    rp AS (
+        SELECT doc_id, w, h, unnest(range(0, {thumb * thumb})) AS rp
+        FROM rimg
+    ),
+    sel AS (
+        SELECT doc_id, rp,
+               (((rp // {thumb}) * h) // {thumb}) * w
+               + (((rp % {thumb}) * w) // {thumb}) AS idx
+        FROM rp
+    )
+    SELECT t.depth, t.tile,
+           (s.rp // {thumb})::BIGINT AS py, (s.rp % {thumb})::BIGINT AS px,
+           sum(d.p)::BIGINT AS pixel_sum,
+           count(*)::BIGINT AS n_images,
+           (sum(d.p) // count(*))::BIGINT AS mean_pixel
+    FROM sel s
+    JOIN dec d ON d.doc_id = s.doc_id AND d.idx = s.idx
+    JOIN tl t ON t.doc_id = s.doc_id
+    GROUP BY t.depth, t.tile, py, px"""
+
+
 def sql_hll_sketch() -> str:
     """Exact twin of queries.q_hll_sketch: splitmix64 in HUGEINT mod
     2^64 (chained CTEs via sketch.splitmix_sql_ctes), register = top 6
@@ -1785,6 +1871,9 @@ def build_oracles() -> dict[str, str]:
         "tile_pyramid": sql_tile_pyramid(),
         "radius_join": sql_radius_join(),
         "rect_join": sql_rect_join(),
+        "tile_mosaic": sql_tile_mosaic(),
+        "dup_spans": sql_dup_spans(),
+        "mosaic_pyramid": sql_mosaic_pyramid(),
         "hll_sketch": sql_hll_sketch(),
         "kmeans_embed": sql_kmeans_embed(),
         "inverted_index": sql_inverted_index(),

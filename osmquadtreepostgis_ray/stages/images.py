@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from osmquadtreepostgis_ray.functions import codecs
+from osmquadtreepostgis_ray.functions import codecs, geotag, quadtree
 from osmquadtreepostgis_ray.util import shard_apply, worker_cached
 
 PSNR_FLOOR_DB = 40.0
@@ -377,3 +377,82 @@ class PatchMeans:
             "px": pa.array(np.concatenate(out_px).astype(np.int64), pa.int64()),
             "patch_mean": pa.array(np.concatenate(out_mean).astype(np.int64), pa.int64()),
         })
+
+
+class MosaicPartial:
+    """Overview-mosaic tile renderer partial (the geospatial x image op:
+    gdaladdo-style overviews / TMS mosaic assembly): decode each image,
+    nearest-neighbor-resize to a thumb x thumb thumbnail (exact integer
+    index map (i*src)//dst, same as DecodeStats/sql_image_resize), tag
+    with the image's map tile (pure function of phash), and pre-sum the
+    thumbnails PER TILE inside the batch — the combiner discipline: the
+    shuffle carries <= thumb^2 rows per (tile, batch), never pixels per
+    image.  Final exact mean is pixel_sum // n_images downstream."""
+
+    def __init__(self, tile_depth: int = 8, thumb: int = 8,
+                 depths: tuple | None = None):
+        """``depths``: emit partials for EVERY listed pyramid depth from
+        one decode pass (ancestor sums roll up exactly — integer sums
+        are associative); output then carries a ``depth`` column.  With
+        the default single depth the column is omitted."""
+        self.decoders = {"raw": codecs.decode_raw, "qlossy": codecs.decode_qlossy}
+        self.depths = tuple(depths) if depths is not None else (tile_depth,)
+        self.multi = depths is not None
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        T = self.thumb
+        data = batch.column("bytes").to_pylist()
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        phash = batch.column("phash").to_numpy()
+        n = len(data)
+        for f in set(fmt.tolist()) - set(self.decoders):
+            raise NotImplementedError(f"codec {f!r} not available in sandbox")
+        lon_m, lat_m = geotag.lonlat_milli_from_phash(phash)
+        fx, fy = geotag.milli_to_fixed(lon_m, lat_m)
+        thumbs = np.zeros((n, T * T), dtype=np.int64)
+        for f in self.decoders:
+            for wi, hi in {(int(a), int(b)) for a, b in zip(w[fmt == f], h[fmt == f])}:
+                m = (fmt == f) & (w == wi) & (h == hi)
+                if not m.any():
+                    continue
+                k = int(m.sum())
+                buf = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                    dtype=np.uint8).reshape(k, hi * wi)
+                if f == "qlossy":
+                    dec = (buf.astype(np.int64) * codecs._STEP
+                           + codecs._STEP // 2).clip(0, 255)
+                else:
+                    dec = buf.astype(np.int64)
+                yi = (np.arange(T) * hi) // T
+                xi = (np.arange(T) * wi) // T
+                sel = (yi[:, None] * wi + xi[None, :]).ravel()
+                thumbs[m] = dec[:, sel]
+        # in-batch combiner: per-(depth, tile) thumbnail sums via
+        # add.reduceat — one decode pass feeds every pyramid depth
+        pix = np.arange(T * T, dtype=np.int64)
+        chunks = []
+        for d in self.depths:
+            ix, iy = quadtree.fixed_to_ixy(fx, fy, d)
+            tile = quadtree.encode_ixy(ix, iy, d)
+            order = np.argsort(tile, kind="stable")
+            st = tile[order]
+            starts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+            tsum = np.add.reduceat(thumbs[order], starts, axis=0)   # (t, T*T)
+            cnt = np.r_[starts[1:], n] - starts
+            t = len(starts)
+            cols = {
+                "depth": pa.array(np.full(t * T * T, d, np.int64), pa.int64()),
+                "tile": pa.array(np.repeat(st[starts], T * T), pa.int64()),
+                "py": pa.array(np.tile(pix // T, t), pa.int64()),
+                "px": pa.array(np.tile(pix % T, t), pa.int64()),
+                "pixel_sum": pa.array(tsum.ravel(), pa.int64()),
+                "n_images": pa.array(np.repeat(cnt, T * T).astype(np.int64),
+                                     pa.int64()),
+            }
+            if not self.multi:
+                del cols["depth"]
+            chunks.append(pa.table(cols))
+        return pa.concat_tables(chunks)

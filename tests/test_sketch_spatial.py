@@ -234,3 +234,84 @@ def test_rect_overlap_join_matches_brute():
     got_t = sorted(zip(got["lid"].tolist(), got["rid"].tolist(),
                        got["inter_area"].tolist()))
     assert got_t == exp
+
+
+def test_tile_mosaic_mass_conservation(sf_dir):
+    """Per-tile pixel sums must equal the sum of the per-image 8x8
+    thumbnails computed independently (resize path), and n_images must
+    match the per-tile image counts — mass conservation across the
+    combiner + shuffle."""
+    from osmquadtreepostgis_ray import queries as Q
+    from osmquadtreepostgis_ray.functions import codecs, geotag, quadtree
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    mos = Q.q_tile_mosaic(sf_dir).to_pandas()
+    # independent per-image thumbs on the driver (small sf)
+    imgs = read_images(sf_dir, with_bytes=True).to_pandas()
+    lon_m, lat_m = geotag.lonlat_milli_from_phash(imgs["phash"].to_numpy())
+    fx, fy = geotag.milli_to_fixed(lon_m, lat_m)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, Q.TILE_DEPTH)
+    tiles = quadtree.encode_ixy(ix, iy, Q.TILE_DEPTH)
+    exp_sum = {}
+    exp_cnt = {}
+    for i, row in imgs.iterrows():
+        dec = codecs.decode(row["bytes"], int(row["w"]), int(row["h"]), row["fmt"])
+        t8 = codecs.resize_nearest(dec, 8, 8).astype(np.int64)
+        t = int(tiles[i])
+        exp_sum[t] = exp_sum.get(t, 0) + t8
+        exp_cnt[t] = exp_cnt.get(t, 0) + 1
+    assert set(mos["tile"]) == set(exp_sum)
+    for t, g in mos.groupby("tile"):
+        g = g.sort_values(["py", "px"])
+        assert np.array_equal(g["pixel_sum"].to_numpy(np.int64),
+                              exp_sum[int(t)].ravel())
+        assert (g["n_images"] == exp_cnt[int(t)]).all()
+
+
+def test_dup_spans_matches_brute(sf_dir):
+    """dup_spans vs a driver-side brute force over the same shingler."""
+    from osmquadtreepostgis_ray import queries as Q
+    from osmquadtreepostgis_ray.functions.text import char_shingles
+    from osmquadtreepostgis_ray.sources.tables import read_table
+
+    got = Q.q_dup_spans(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    sh = {int(r.doc_id): set(char_shingles(r.text, 9).tolist())
+          for r in docs.itertuples()}
+    from collections import Counter
+    owners = Counter(s for v in sh.values() for s in v)
+    for did, grams in sh.items():
+        dup = sum(1 for s in grams if owners[s] >= 2)
+        if dup == 0:
+            assert did not in got.index
+            continue
+        row = got.loc[did]
+        assert row["dup_grams"] == dup and row["n_grams"] == len(grams)
+        assert row["dup_permille"] == 1000 * dup // len(grams)
+
+
+def test_mosaic_pyramid_rolls_up_exactly(sf_dir):
+    """Each ancestor mosaic pixel must be the exact integer sum of its
+    children's sums (pyramid consistency), and the deepest level must
+    equal q_tile_mosaic."""
+    from osmquadtreepostgis_ray import queries as Q
+    from osmquadtreepostgis_ray.functions import quadtree
+
+    pyr = Q.q_mosaic_pyramid(sf_dir).to_pandas()
+    base = Q.q_tile_mosaic(sf_dir).to_pandas()
+    d8 = pyr[pyr["depth"] == 8].drop(columns=["depth"])
+    key = ["tile", "py", "px"]
+    a = d8.sort_values(key).reset_index(drop=True)
+    b = base.sort_values(key).reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])
+    for child_d, parent_d in ((8, 6), (6, 4)):
+        ch = pyr[pyr["depth"] == child_d].copy()
+        ch["ptile"] = quadtree.at_depth(ch["tile"].to_numpy(np.int64), parent_d)
+        roll = (ch.groupby(["ptile", "py", "px"])[["pixel_sum", "n_images"]]
+                .sum().reset_index().rename(columns={"ptile": "tile"}))
+        par = (pyr[pyr["depth"] == parent_d]
+               [["tile", "py", "px", "pixel_sum", "n_images"]])
+        m = roll.merge(par, on=["tile", "py", "px"], suffixes=("_r", "_p"))
+        assert len(m) == len(par) == len(roll)
+        assert (m["pixel_sum_r"] == m["pixel_sum_p"]).all()
+        assert (m["n_images_r"] == m["n_images_p"]).all()
