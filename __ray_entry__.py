@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mosaic_pyramid": Q.q_mosaic_pyramid,
         "hll_sketch": Q.q_hll_sketch,
         "rasterize": Q.q_rasterize,
+        "raster_blur": Q.q_raster_blur,
         "trajectories": Q.q_trajectories,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh": Q.q_embed_knn_lsh,
         "embed_knn_lsh_exhaustive": Q.q_embed_knn_lsh_exhaustive,
         "embed_neardup": Q.q_embed_neardup,
+        "hard_negatives": Q.q_hard_negatives,
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
         "frame_sample": Q.q_frame_sample,

@@ -1622,6 +1622,24 @@ def sql_tile_mosaic(thumb: int = 8) -> str:
     GROUP BY t.tile, py, px"""
 
 
+def sql_hard_negatives() -> str:
+    """Twin of queries.q_hard_negatives: exhaustive argmax-cosine
+    neighbor per vector, ties to smallest nn_id; rank identity only."""
+    dd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH e AS (SELECT vec_id, {dd} AS v FROM embeddings),
+    d AS (SELECT a.vec_id, b.vec_id AS nn_id,
+                 list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v))
+                 / sqrt(list_dot_product(b.v, b.v)) AS sim
+          FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, nn_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, nn_id) AS rn
+          FROM d)
+    SELECT vec_id, nn_id FROM r WHERE rn = 1"""
+
+
 def sql_mosaic_pyramid(thumb: int = 8) -> str:
     """Twin of queries.q_mosaic_pyramid: the tile_mosaic aggregate at
     every pyramid depth (tile recomputed per depth; resize shared)."""
@@ -1770,6 +1788,33 @@ def sql_rasterize() -> str:
     FROM events GROUP BY tile, py, px"""
 
 
+def sql_raster_blur() -> str:
+    """Twin of queries.q_raster_blur: per-global-pixel counts, 3x3
+    neighbor scatter (domain-clipped), re-owned to tiles by pixel
+    coords."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    G = 1 << CELL_DEPTH
+    ix = f"((({lon}) * 10000 * {G}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {G}) // {quadtree.LAT_SPAN})"
+    tile = quadtree.interleave_sql("(gx // 16)", "(gy // 16)", TILE_DEPTH)
+    return f"""
+    WITH r AS (
+        SELECT {ix} AS gx, {iy} AS gy, count(*) AS n
+        FROM events GROUP BY gx, gy
+    ),
+    nb AS (
+        SELECT r.gx + o.dx AS gx, r.gy + o.dy AS gy, r.n
+        FROM r, (SELECT unnest([-1, 0, 1]) AS dx) o1,
+             (SELECT unnest([-1, 0, 1]) AS dy) o2,
+             LATERAL (SELECT o1.dx AS dx, o2.dy AS dy) o
+        WHERE r.gx + o.dx >= 0 AND r.gx + o.dx < {G}
+          AND r.gy + o.dy >= 0 AND r.gy + o.dy < {G}
+    )
+    SELECT {tile} AS tile, (gy % 16)::BIGINT AS py, (gx % 16)::BIGINT AS px,
+           sum(n)::BIGINT AS blur_sum
+    FROM nb GROUP BY tile, py, px"""
+
+
 def sql_trajectories() -> str:
     lon, lat = geotag.event_lonlat_milli_sql()
     return f"""
@@ -1874,6 +1919,8 @@ def build_oracles() -> dict[str, str]:
         "tile_mosaic": sql_tile_mosaic(),
         "dup_spans": sql_dup_spans(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
+        "raster_blur": sql_raster_blur(),
+        "hard_negatives": sql_hard_negatives(),
         "hll_sketch": sql_hll_sketch(),
         "kmeans_embed": sql_kmeans_embed(),
         "inverted_index": sql_inverted_index(),

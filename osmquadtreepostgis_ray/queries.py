@@ -1851,6 +1851,58 @@ def q_tile_mosaic(sf_dir: str):
         ["tile", "py", "px", "pixel_sum", "n_images", "mean_pixel"])
 
 
+def q_hard_negatives(sf_dir: str):
+    """All-pairs top-1 cosine neighbor over the embedding corpus (hard-
+    negative mining for contrastive training): EVERY vector gets its
+    nearest other vector — the n x n kNN join, not the nq-query probe
+    of embed_knn.  Chunked-broadcast blocked matmul: the corpus's Arrow
+    blocks broadcast once via to_arrow_refs (object-store refs, never
+    through the driver); each streaming batch folds a running
+    (best_sim, best_id) over the chunks, so task memory is
+    batch x chunk, independent of corpus size, and the output is one
+    row per vector.  Ties break to the smallest neighbor id; only the
+    argmax identity is emitted (the float-discipline rule: ranks, not
+    floats, cross the oracle boundary)."""
+    from osmquadtreepostgis_ray.stages.embed import _mat
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    refs = emb.to_arrow_refs()
+
+    class Best:
+        def __init__(self):
+            tabs = [t for t in ray.get(list(refs)) if t.num_rows]
+            self.chunks = []
+            for c in tabs:
+                cid = c.column("vec_id").to_numpy().astype(np.int64)
+                cm = _mat(c.column("embedding"))
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                self.chunks.append((cid, cm, cn))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            m = _mat(batch.column("embedding"))
+            na = np.sqrt((m * m).sum(axis=1))
+            n = len(ids)
+            best_sim = np.full(n, -2.0)
+            best_id = np.full(n, np.iinfo(np.int64).max, np.int64)
+            for cid, cm, cn in self.chunks:
+                sim = m @ cm.T
+                sim = sim / na[:, None] / cn[None, :]
+                sim[ids[:, None] == cid[None, :]] = -2.0
+                rowmax = sim.max(axis=1)
+                cand = np.where(sim == rowmax[:, None], cid[None, :],
+                                np.iinfo(np.int64).max).min(axis=1)
+                take = (rowmax > best_sim) | ((rowmax == best_sim) & (cand < best_id))
+                best_sim = np.where(take, rowmax, best_sim)
+                best_id = np.where(take, cand, best_id)
+            return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "nn_id": pa.array(best_id, pa.int64())})
+
+    return emb.map_batches(worker_cached(Best), batch_format="pyarrow",
+                           batch_size=2048).select_columns(["vec_id", "nn_id"])
+
+
 MOSAIC_DEPTHS = (8, 6, 4)
 
 
@@ -2037,6 +2089,48 @@ def q_rasterize(sf_dir: str):
     part = ds.map_batches(partial, batch_format="pyarrow")
     return (sharded_agg(part, ["tile", "py", "px"], {"n": ("n", "sum")})
             .select_columns(["tile", "py", "px", "n"]))
+
+
+def q_raster_blur(sf_dir: str):
+    """Distributed raster stencil (3x3 box filter) over the heatmap
+    raster, with HALO EXCHANGE across tile boundaries — the ghost-cell
+    pattern: each nonzero pixel of the aggregated q_rasterize histogram
+    scatters its count to its <= 9 covering output pixels (vectorized
+    9-way fanout of the DISTINCT-pixel aggregate, never of raw events);
+    neighbors that land in an adjacent tile re-derive their owner tile
+    from global pixel coords, and one combiner groupby sums.  At scale
+    the fanout volume is 9 x distinct nonzero pixels — independent of
+    row count."""
+    base = q_rasterize(sf_dir)
+    G = 1 << CELL_DEPTH                    # global pixel grid per axis
+    offs = np.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                    dtype=np.int64)
+
+    def halo(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "py", "px", "n")})
+        tx, ty, _ = quadtree.decode(t.column("tile").to_numpy())
+        gx = tx * 16 + t.column("px").to_numpy().astype(np.int64)
+        gy = ty * 16 + t.column("py").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        k = len(offs)
+        ogx = np.repeat(gx, k) + np.tile(offs[:, 1], len(gx))
+        ogy = np.repeat(gy, k) + np.tile(offs[:, 0], len(gy))
+        on = np.repeat(n, k)
+        m = (ogx >= 0) & (ogx < G) & (ogy >= 0) & (ogy < G)
+        ogx, ogy, on = ogx[m], ogy[m], on[m]
+        tile = quadtree.encode_ixy(ogx >> 4, ogy >> 4, TILE_DEPTH)
+        return pa.table({
+            "tile": pa.array(tile, pa.int64()),
+            "py": pa.array(ogy & 15, pa.int64()),
+            "px": pa.array(ogx & 15, pa.int64()),
+            "n": pa.array(on, pa.int64()),
+        })
+
+    part = base.map_batches(halo, batch_format="pyarrow")
+    return (sharded_agg(part, ["tile", "py", "px"], {"blur_sum": ("n", "sum")})
+            .select_columns(["tile", "py", "px", "blur_sum"]))
 
 
 def q_trajectories(sf_dir: str):
