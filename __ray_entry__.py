@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": Q.q_range_join,
         "semi_join": Q.q_semi_join,
         "anti_join": Q.q_anti_join,
+        "bloom_semi": Q.q_bloom_semi,
+        "heavy_hitters": Q.q_heavy_hitters,
         "pivot": Q.q_pivot,
         "unpivot": Q.q_unpivot,
         "intersect_keys": Q.q_intersect_keys,

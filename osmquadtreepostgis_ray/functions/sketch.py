@@ -84,3 +84,22 @@ def splitmix_sql_ctes(src: str, key_expr: str, mulmod64, prefix: str = "sm",
     {prefix}3 AS (SELECT {cols}{mulmod64(f'xor(v2, v2 // {1 << 27})', _C3)} AS v3 FROM {prefix}2),
     {prefix}4 AS (SELECT {cols}xor(v3, v3 // {1 << 31}) AS h FROM {prefix}3)""",
             f"{prefix}4")
+
+
+# ------------------------------------------------------------- count-min
+
+CM_D = 4                       # sketch depth (independent hash rows)
+CM_W = 2048                    # sketch width (slots per row)
+
+
+def cm_positions(keys: np.ndarray, d: int = CM_D, w: int = CM_W) -> np.ndarray:
+    """(d, n) count-min slot positions: splitmix64 of key xor a per-row
+    odd constant, mod width — pure function of the key, so candidacy
+    decided against a broadcast sketch is identical in every task."""
+    x = np.asarray(keys, dtype=np.uint64)
+    out = np.empty((d, len(x)), np.int64)
+    for r in range(d):
+        seed = np.uint64((_C1 * (2 * r + 1)) & 0xFFFFFFFFFFFFFFFF)
+        h = _splitmix(x ^ seed)
+        out[r] = (h % np.uint64(w)).astype(np.int64)
+    return out

@@ -1191,6 +1191,27 @@ def sql_semi_join(anti: bool = False) -> str:
     """
 
 
+def sql_bloom_semi() -> str:
+    """Twin of queries.q_bloom_semi: the bloom prefilter is exact-
+    transparent, so the oracle is the plain semi join."""
+    return """
+    SELECT l_orderkey, l_partkey, l_linenumber::BIGINT AS l_linenumber
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey AND p.p_size = 1)
+    """
+
+
+def sql_heavy_hitters(phi: float = 0.008) -> str:
+    """Twin of queries.q_heavy_hitters: exact phi-heavy hitters (the CM
+    sketch is candidate-generation only; the engine's output is exact)."""
+    return f"""
+    SELECT user_id, count(*)::BIGINT AS n FROM events
+    GROUP BY user_id
+    HAVING count(*) >= ceil({phi} * (SELECT count(*) FROM events))
+    """
+
+
 def sql_pivot() -> str:
     """Twin of queries.q_pivot (FILTER conditional aggregation)."""
     cols = [("n_urgent", "1-URGENT"), ("n_high", "2-HIGH"),
@@ -1905,6 +1926,8 @@ def build_oracles() -> dict[str, str]:
         "moments": sql_moments(),
         "semi_join": sql_semi_join(False),
         "anti_join": sql_semi_join(True),
+        "bloom_semi": sql_bloom_semi(),
+        "heavy_hitters": sql_heavy_hitters(),
         "pivot": sql_pivot(),
         "unpivot": sql_unpivot(),
         "intersect_keys": sql_intersect_keys(),

@@ -1243,6 +1243,28 @@ def q_anti_join(sf_dir: str):
     return bucket_semi_join(cust, _urgent_orders(sf_dir), on="c_custkey", anti=True)
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered semi join: lineitems whose part has p_size = 1
+    (~2% of parts).  The 128 KiB Bloom bitmap of matching part keys is
+    built distributed and broadcast once; ~98% of lineitem rows are
+    dropped BEFORE the join shuffle, and the exact bucket semi join on
+    the survivors removes bloom false positives — result identical to
+    the plain semi join, exchange volume proportional to the match
+    rate, not the table."""
+    from osmquadtreepostgis_ray.stages.joins import bloom_semi_join
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def small_parts(batch: pa.Table) -> pa.Table:
+        m = pa.compute.equal(batch.column("p_size"), 1)
+        return pa.table({"p_partkey": batch.column("p_partkey").filter(m)})
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_size"]) \
+        .map_batches(small_parts, batch_format="pyarrow")
+    return bloom_semi_join(li, parts.rename_columns(["l_partkey"]),
+                           on="l_partkey")
+
+
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIORITY_COLS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
 
@@ -1955,6 +1977,72 @@ def q_hll_sketch(sf_dir: str):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["event_type", "register"]).aggregate(Max("rho", alias_name="rho"))
             .select_columns(["event_type", "register", "rho"]))
+
+
+def q_heavy_hitters(sf_dir: str, phi: float = 0.008):
+    """phi-heavy hitters (users with >= phi of all events) via a
+    count-min sketch + exact verify — TWO passes over the data, never
+    an all-keys distinct shuffle:
+
+    Pass 1 builds the CM sketch distributed: per batch, unique keys
+    hash into d x w slots, nonzero (slot, n) partials (bounded by the
+    SKETCH size, not the batch) flow through one sharded sum; the
+    driver holds only the d x w matrix (64 KiB).  The total row count
+    falls out as row 0's sum — no separate count pass.
+
+    Pass 2 broadcasts the sketch: candidacy (min-of-d estimate >=
+    ceil(phi * total)) is a pure function of the key, so per-batch
+    partial counts of candidate keys aggregate to EXACT global counts;
+    CM never underestimates, so no true heavy hitter is missed, and
+    the final exact filter removes the sketch's false positives.
+    Output is exact (user_id, n) — the oracle is plain HAVING SQL."""
+    from osmquadtreepostgis_ray.functions.sketch import CM_D, CM_W, cm_positions
+    from osmquadtreepostgis_ray.util import sharded_agg, worker_cached
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("user_id").to_numpy(), return_counts=True)
+        pos = cm_positions(u)
+        slot = (np.arange(CM_D, dtype=np.int64)[:, None] * CM_W + pos).ravel()
+        n = np.tile(c.astype(np.int64), CM_D)
+        s2, inv = np.unique(slot, return_inverse=True)
+        acc = np.zeros(len(s2), np.int64)
+        np.add.at(acc, inv, n)
+        return pa.table({"slot": pa.array(s2, pa.int64()),
+                         "n": pa.array(acc, pa.int64())})
+
+    sk = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["slot"], {"n": ("n", "sum")}, shards=64)
+    cm = np.zeros(CM_D * CM_W, np.int64)
+    for t in ray.get(sk.to_arrow_refs()):
+        if t.num_rows:
+            cm[t.column("slot").to_numpy()] += t.column("n").to_numpy()
+    cm = cm.reshape(CM_D, CM_W)
+    thresh = int(np.ceil(phi * cm[0].sum()))
+    ref = ray.put(cm)
+
+    class CandCount:
+        def __init__(self):
+            self.cm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u, c = np.unique(t.column("user_id").to_numpy(), return_counts=True)
+            pos = cm_positions(u)
+            est = self.cm[np.arange(CM_D)[:, None], pos].min(axis=0)
+            keep = est >= thresh
+            return pa.table({"user_id": pa.array(u[keep], pa.int64()),
+                             "n": pa.array(c[keep].astype(np.int64), pa.int64())})
+
+    cand = ds.map_batches(worker_cached(CandCount), batch_format="pyarrow")
+    exact = sharded_agg(cand, ["user_id"], {"n": ("n", "sum")}, shards=64)
+
+    def final(t: pa.Table) -> pa.Table:
+        m = pa.compute.greater_equal(t.column("n"), thresh)
+        return t.filter(m)
+
+    return (exact.map_batches(final, batch_format="pyarrow")
+            .select_columns(["user_id", "n"]))
 
 
 def q_kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3):

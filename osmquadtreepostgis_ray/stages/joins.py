@@ -651,3 +651,100 @@ def fuzzy_join_dist1(ds: ray.data.Dataset, key_col: str, name_col: str) -> ray.d
             .map_batches(pair_shard, batch_format="pyarrow")
             .groupby("pshard").map_groups(dedup_shard, batch_format="pandas")
             .select_columns(["a_key", "b_key", "dist"]))
+
+
+# -------------------------------------------------------------- bloom join
+
+_B1 = np.uint64(0x9E3779B97F4A7C15)
+_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, k: int, bits: int) -> np.ndarray:
+    """(k, n) bit positions for int keys via double hashing — a pure
+    function of the key (bit-stable across parallelism)."""
+    x = keys.astype(np.uint64, copy=False)
+    h1 = x * _B1
+    h1 ^= h1 >> np.uint64(31)
+    h2 = ((x ^ (x >> np.uint64(33))) * _B2) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(bits)).astype(np.int64)
+
+
+def build_bloom_bitmap(right: ray.data.Dataset, on: str,
+                       bits_log2: int = 20, k: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build over the right side's keys.
+
+    Each batch emits its DISTINCT bit positions (bounded by the filter
+    size, never the batch's row count); one sharded distinct dedups
+    across batches; the driver materializes only the <= 2^bits_log2
+    surviving positions and packs the bitmap.  Driver memory is the
+    FILTER size (128 KiB at the default), independent of data size —
+    the build never ships keys, only saturating bit positions."""
+    from osmquadtreepostgis_ray.util import sharded_agg
+
+    bits = 1 << bits_log2
+
+    def positions(batch: pa.Table) -> pa.Table:
+        keys = batch.column(on).to_numpy()
+        pos = np.unique(_bloom_positions(keys, k, bits))
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    posds = right.select_columns([on]).map_batches(
+        positions, batch_format="pyarrow")
+    distinct = sharded_agg(posds, ["pos"], {"n": ("pos", "count")}, shards=64)
+    tabs = [t for t in ray.get(distinct.to_arrow_refs()) if t.num_rows]
+    bitmap = np.zeros(bits >> 3, np.uint8)
+    if tabs:
+        pos = pa.concat_tables(
+            [t.select(["pos"]) for t in tabs]).column("pos").to_numpy()
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_probe(left: ray.data.Dataset, on: str, bitmap: np.ndarray,
+                k: int = 4, invert: bool = False) -> ray.data.Dataset:
+    """Filter ``left`` to rows whose key MAY be in the bloom set (or,
+    with ``invert=True``, rows whose key is DEFINITELY absent — that
+    side has no false positives).  The bitmap ships once via ray.put
+    and is tested vectorized per batch."""
+    bits = int(bitmap.size) << 3
+    ref = ray.put(bitmap)
+
+    class Probe:
+        def __init__(self):
+            self.bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(on).to_numpy()
+            pos = _bloom_positions(keys, k, bits)
+            hit = self.bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)
+            maybe = (hit != 0).all(axis=0)
+            return batch.filter(pa.array(~maybe if invert else maybe))
+
+    return left.map_batches(worker_cached(Probe), batch_format="pyarrow")
+
+
+def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+                    anti: bool = False, bits_log2: int = 20, k: int = 4,
+                    buckets: int | None = None) -> ray.data.Dataset:
+    """Bloom-prefiltered semi/anti join — the canonical shuffle-
+    reduction pattern for a selective right side: a Bloom filter of the
+    right keys (built distributed, broadcast once) drops left rows that
+    DEFINITELY have no match before the join shuffle, so the exchange
+    carries only candidates.  Bloom false positives are resolved by the
+    exact bucket_semi_join on the survivors; false negatives don't
+    exist, so the result is EXACTLY the semi (resp. anti) join.
+
+    anti=True short-circuits the other way: definitely-absent rows are
+    emitted immediately (no shuffle at all for them); only maybe-
+    present rows pay the exact anti check.  At 100 TB with a 1% match
+    rate this cuts the join exchange ~99%: the whole left side streams
+    through a 128 KiB broadcast bitmap instead of a cluster-wide
+    shuffle."""
+    bitmap = build_bloom_bitmap(right, on, bits_log2=bits_log2, k=k)
+    cand = bloom_probe(left, on, bitmap, k=k)
+    exact = bucket_semi_join(cand, right, on, anti=anti, buckets=buckets)
+    if not anti:
+        return exact
+    definite = bloom_probe(left, on, bitmap, k=k, invert=True)
+    return exact.union(definite)

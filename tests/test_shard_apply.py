@@ -122,3 +122,50 @@ def test_skew_aware_join_equals_plain():
     a = a.astype(np.int64)
     p = p.astype(np.int64)
     pd.testing.assert_frame_equal(a, p)
+
+
+def test_bloom_semi_join_exact_and_pruning():
+    """bloom_semi_join == plain bucket_semi_join (bloom is exact-
+    transparent), the prefilter keeps every true match (no false
+    negatives), and it actually prunes: candidates << left rows when
+    the right side is selective."""
+    from osmquadtreepostgis_ray.stages.joins import (
+        bloom_semi_join, bucket_semi_join, build_bloom_bitmap, bloom_probe)
+
+    rng = np.random.default_rng(11)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(rng.integers(0, 10_000, 4000), pa.int64()),
+        "v": pa.array(np.arange(4000), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 10_000, 97), pa.int64())}))  # ~1% of keys
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        return df
+
+    for anti in (False, True):
+        got = norm(bloom_semi_join(left, right, on="k", anti=anti))
+        want = norm(bucket_semi_join(left, right, on="k", anti=anti))
+        pd.testing.assert_frame_equal(got, want)
+
+    bm = build_bloom_bitmap(right, "k")
+    cand = bloom_probe(left, "k", bm).to_pandas()
+    true_keys = set(right.to_pandas()["k"])
+    matched = left.to_pandas()["k"].isin(true_keys)
+    assert set(cand["v"]) >= set(left.to_pandas().loc[matched, "v"])  # no FN
+    assert len(cand) < 4000 * 0.25  # selective right side really prunes
+
+
+def test_heavy_hitters_exact(tmp_path):
+    """CM-sketch heavy hitters == exact pandas HAVING on a skewed key
+    set (sketch is candidate-generation only; output must be exact)."""
+    from osmquadtreepostgis_ray.queries import q_heavy_hitters
+    sf = "/root/testdata/sf0.001"
+    got = q_heavy_hitters(sf).to_pandas().sort_values("user_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    cnt = ev.groupby("user_id").size()
+    th = int(np.ceil(0.008 * len(ev)))
+    want = (cnt[cnt >= th].rename("n").reset_index()
+            .sort_values("user_id").reset_index(drop=True))
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
