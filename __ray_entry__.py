@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sketch": Q.q_hll_sketch,
         "rasterize": Q.q_rasterize,
         "raster_blur": Q.q_raster_blur,
+        "dissolve": Q.q_dissolve,
         "trajectories": Q.q_trajectories,
         "knn_brute": Q.q_knn_brute,
         "knn_cellring": Q.q_knn_cellring,

@@ -1836,6 +1836,39 @@ def sql_raster_blur() -> str:
     FROM nb GROUP BY tile, py, px"""
 
 
+def sql_dissolve() -> str:
+    """Twin of queries.q_dissolve: same-count 4-adjacent raster cells
+    merge into components; recursive min-label propagation (only labels
+    smaller than the target node propagate, so the fixpoint table stays
+    near-linear on the sparse grid)."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    G = 1 << CELL_DEPTH
+    ix = f"((({lon}) * 10000 * {G}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {G}) // {quadtree.LAT_SPAN})"
+    return f"""
+    WITH RECURSIVE r AS (
+        SELECT {ix} AS gx, {iy} AS gy, count(*) AS n
+        FROM events GROUP BY gx, gy
+    ),
+    c AS (SELECT gy * {G} + gx AS id, gx, gy, n FROM r),
+    e AS (
+        SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+          ON b.n = a.n AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+                            OR (b.gx = a.gx AND b.gy = a.gy + 1))
+    ),
+    es AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach AS (
+        SELECT id AS node, id AS lab FROM c
+        UNION
+        SELECT es.b AS node, reach.lab
+        FROM reach JOIN es ON es.a = reach.node
+        WHERE reach.lab < es.b
+    ),
+    comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+    SELECT comp, count(*)::BIGINT AS n_cells, sum(c.n)::BIGINT AS sum_n
+    FROM comp JOIN c ON c.id = comp.node GROUP BY comp"""
+
+
 def sql_trajectories() -> str:
     lon, lat = geotag.event_lonlat_milli_sql()
     return f"""
@@ -1943,6 +1976,7 @@ def build_oracles() -> dict[str, str]:
         "dup_spans": sql_dup_spans(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
         "raster_blur": sql_raster_blur(),
+        "dissolve": sql_dissolve(),
         "hard_negatives": sql_hard_negatives(),
         "hll_sketch": sql_hll_sketch(),
         "kmeans_embed": sql_kmeans_embed(),

@@ -2221,6 +2221,92 @@ def q_raster_blur(sf_dir: str):
             .select_columns(["tile", "py", "px", "blur_sum"]))
 
 
+def q_dissolve(sf_dir: str):
+    """Raster dissolve (polygon dissolve on the pixel grid): adjacent
+    (4-neighbor) cells of the heatmap raster with EQUAL counts merge
+    into connected regions; output one row per region (component id =
+    min global cell id, cell count, count mass).  The GIS dissolve /
+    region-labelling operator, built from pieces that each scale:
+
+    - adjacency discovery is an owner/probe halo shuffle over the
+      DISTINCT-cell aggregate (each cell posts itself to its E and S
+      neighbors' keys; equal keys co-locate in one shard) — never a
+      spatial self-join of raw rows;
+    - region labelling is stages/cluster.connected_components
+      (block-local contraction, star merge, bounded solve);
+    - isolated cells skip the component machinery entirely via a left
+      bucket join (label = own id)."""
+    from osmquadtreepostgis_ray.stages.cluster import connected_components
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    G = 1 << CELL_DEPTH
+    cells = q_rasterize(sf_dir)
+
+    def to_global(t: pa.Table) -> pa.Table:
+        tx, ty, _ = quadtree.decode(t.column("tile").to_numpy())
+        gx = tx * 16 + t.column("px").to_numpy().astype(np.int64)
+        gy = ty * 16 + t.column("py").to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(gy * G + gx, pa.int64()),
+                         "gx": pa.array(gx, pa.int64()),
+                         "gy": pa.array(gy, pa.int64()),
+                         "n": t.column("n")})
+    g = cells.map_batches(to_global, batch_format="pyarrow")
+
+    def fan(t: pa.Table) -> pa.Table:
+        gid = t.column("id").to_numpy()
+        gx = t.column("gx").to_numpy()
+        gy = t.column("gy").to_numpy()
+        n = t.column("n").to_numpy()
+        # owner row at own key; probe rows at E and S neighbors' keys
+        keys = [gid]
+        orig = [gid]
+        role = [np.zeros(len(gid), np.int8)]
+        for dx, dy in ((1, 0), (0, 1)):
+            ngx, ngy = gx + dx, gy + dy
+            m = (ngx < G) & (ngy < G)
+            keys.append((ngy * G + ngx)[m])
+            orig.append(gid[m])
+            role.append(np.ones(m.sum(), np.int8))
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "orig": pa.array(np.concatenate(orig), pa.int64()),
+                         "n": pa.array(np.concatenate([n, n[(gx + 1 < G)],
+                                                       n[(gy + 1 < G)]]), pa.int64()),
+                         "role": pa.array(np.concatenate(role), pa.int8())})
+
+    def edges_of(df: pd.DataFrame) -> pd.DataFrame:
+        own = df[df["role"] == 0]
+        probe = df[df["role"] == 1]
+        e = probe.merge(own[["key", "orig", "n"]], on=["key", "n"],
+                        suffixes=("_a", "_b"))
+        return pd.DataFrame({"a": e["orig_a"].astype(np.int64),
+                             "b": e["orig_b"].astype(np.int64)})
+
+    edges = shard_apply(g.map_batches(fan, batch_format="pyarrow"),
+                        ["key"], edges_of)
+    comp = connected_components(edges, "a", "b")
+    # rename the (never-empty) LEFT side to the components' key name —
+    # a map_batches rename on comp would erase its schema when the edge
+    # set is empty (Ray infers schema by running the UDF on a block)
+    gl = g.map_batches(
+        lambda t: t.select(["id", "n"]).rename_columns(["node", "n"]),
+        batch_format="pyarrow")
+    lab = bucket_hash_join(gl, comp, on="node", how="left")
+
+    def fix(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cid = df["node"].to_numpy(np.int64)
+        comp_col = df["component"].to_numpy(np.float64)
+        comp_i = np.where(np.isnan(comp_col), cid, comp_col).astype(np.int64)
+        return pa.table({"comp": pa.array(comp_i, pa.int64()),
+                         "one": pa.array(np.ones(len(cid), np.int64), pa.int64()),
+                         "n": pa.array(df["n"].to_numpy(np.int64), pa.int64())})
+
+    out = lab.map_batches(fix, batch_format="pyarrow")
+    return (sharded_agg(out, ["comp"], {"n_cells": ("one", "sum"),
+                                        "sum_n": ("n", "sum")})
+            .select_columns(["comp", "n_cells", "sum_n"]))
+
+
 def q_trajectories(sf_dir: str):
     """Per-user trajectory statistics (the movement-analytics streaming
     shape): events ordered by (ts, event_id) per user; exact-int squared

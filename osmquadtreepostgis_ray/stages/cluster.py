@@ -92,6 +92,12 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     mapping = edges.map_batches(_local_contract(a_col, b_col),
                                 batch_format="pyarrow",
                                 batch_size=None).materialize()
+    if mapping.count() == 0:
+        # no edges at all (every node isolated): a typed empty result so
+        # downstream joins still see the (node, component) schema
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}))
 
     # induced root edges: shuffle the mapping on node; per node emit the
     # STAR (min root, other root) — self-pairs included so every root

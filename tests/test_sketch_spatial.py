@@ -315,3 +315,49 @@ def test_mosaic_pyramid_rolls_up_exactly(sf_dir):
         assert len(m) == len(par) == len(roll)
         assert (m["pixel_sum_r"] == m["pixel_sum_p"]).all()
         assert (m["n_images_r"] == m["n_images_p"]).all()
+
+
+def test_dissolve_matches_union_find(sf_dir):
+    """q_dissolve == a driver-side union-find over the same raster:
+    same-count 4-adjacent cells merge, component id = min cell id."""
+    import pandas as pd
+    from osmquadtreepostgis_ray.queries import CELL_DEPTH, q_dissolve, q_rasterize
+
+    G = 1 << CELL_DEPTH
+    ras = q_rasterize(sf_dir).to_pandas()
+    tx, ty, _ = quadtree.decode(ras["tile"].to_numpy())
+    gx = tx * 16 + ras["px"].to_numpy()
+    gy = ty * 16 + ras["py"].to_numpy()
+    gid = gy * G + gx
+    n = ras["n"].to_numpy(np.int64)
+    by_id = dict(zip(gid, n))
+    parent = {int(i): int(i) for i in gid}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, x, y, c in zip(gid, gx, gy, n):
+        for nx, ny in ((x + 1, y), (x, y + 1)):
+            j = ny * G + nx
+            if nx < G and ny < G and by_id.get(j) == c:
+                ra, rb = find(int(i)), find(int(j))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    rows = {}
+    for i in gid:
+        r = find(int(i))
+        cells, mass = rows.get(r, (0, 0))
+        rows[r] = (cells + 1, mass + by_id[i])
+    want = (pd.DataFrame([(k, v[0], v[1]) for k, v in rows.items()],
+                         columns=["comp", "n_cells", "sum_n"])
+            .sort_values("comp").reset_index(drop=True).astype(np.int64))
+    got = (q_dissolve(sf_dir).to_pandas()
+           .sort_values("comp").reset_index(drop=True).astype(np.int64))
+    pd.testing.assert_frame_equal(got, want)
+    # merges are exercised at sf0.01 by the parity harness (9985
+    # components from 9989 cells); sf0.001's raster is merge-free and
+    # covers the all-isolated / empty-edge-set path instead
