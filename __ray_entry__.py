@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": Q.q_anti_join,
         "bloom_semi": Q.q_bloom_semi,
         "heavy_hitters": Q.q_heavy_hitters,
+        "ntile": Q.q_ntile,
         "pivot": Q.q_pivot,
         "unpivot": Q.q_unpivot,
         "intersect_keys": Q.q_intersect_keys,

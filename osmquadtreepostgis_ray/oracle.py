@@ -1180,6 +1180,18 @@ def sql_quantiles() -> str:
     """
 
 
+def sql_ntile(tiles: int = 4) -> str:
+    """Twin of queries.q_ntile (ANSI NTILE over exact cents order)."""
+    return f"""
+    SELECT event_id, event_type,
+           ntile({tiles}) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+           )::BIGINT AS tile
+    FROM events
+    """
+
+
 def sql_semi_join(anti: bool = False) -> str:
     """Twin of stages/joins.bucket_semi_join over customer/orders."""
     op = "NOT EXISTS" if anti else "EXISTS"
@@ -1961,6 +1973,7 @@ def build_oracles() -> dict[str, str]:
         "anti_join": sql_semi_join(True),
         "bloom_semi": sql_bloom_semi(),
         "heavy_hitters": sql_heavy_hitters(),
+        "ntile": sql_ntile(),
         "pivot": sql_pivot(),
         "unpivot": sql_unpivot(),
         "intersect_keys": sql_intersect_keys(),

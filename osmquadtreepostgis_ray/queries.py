@@ -1979,6 +1979,44 @@ def q_hll_sketch(sf_dir: str):
             .select_columns(["event_type", "register", "rho"]))
 
 
+def q_ntile(sf_dir: str, tiles: int = 4):
+    """NTILE(4) per event_type ordered by (value cents, event_id) —
+    the global-rank window function the Dataset API lacks, built from
+    one range-partitioned sort + the keyed prefix-sum scan
+    (stages/window.keyed_row_number): blocks ship per-group COUNTS to
+    the driver, never rows; the tile is then pure arithmetic on
+    (rank, group total) against the broadcast totals table."""
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number, ntile_of
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": pa.array(cents, pa.int64()),
+                         "event_id": t.column("event_id")})
+
+    ranked, totals = keyed_row_number(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], ["cents", "event_id"])
+    tref = ray.put({k[0]: v for k, v in totals.items()})
+
+    class Tile:
+        def __init__(self):
+            self.tot = ray.get(tref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t.column("event_type").to_numpy(zero_copy_only=False)
+            total = pd.Series(et).map(self.tot).to_numpy(np.int64)
+            tile = ntile_of(t.column("rank").to_numpy(), total, tiles)
+            return pa.table({"event_id": t.column("event_id"),
+                             "event_type": t.column("event_type"),
+                             "tile": pa.array(tile, pa.int64())})
+
+    return ranked.map_batches(worker_cached(Tile), batch_format="pyarrow")
+
+
 def q_heavy_hitters(sf_dir: str, phi: float = 0.008):
     """phi-heavy hitters (users with >= phi of all events) via a
     count-min sketch + exact verify — TWO passes over the data, never

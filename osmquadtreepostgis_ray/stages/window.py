@@ -1,0 +1,95 @@
+"""Global window ranks over a distributed sort.
+
+``keyed_row_number`` is the sequence-packing prefix-sum shape
+(stages/textstats.sequence_packing) generalized to PER-GROUP offsets:
+Ray's range-partitioned sort orders the data once; each sorted block
+ships only its per-group row counts to the driver (a ~#groups-row
+table per block, never rows); the driver exclusive-scans those tiny
+partials into per-block starting offsets and each block finishes its
+ranks in a remote task.  Driver state is O(blocks x groups-per-block)
+— at 100 TB the scan state is the group-count table, not the data.
+
+NTILE sits on top as pure arithmetic on (rank, group total); DuckDB
+semantics (first N%T tiles get the extra row) reproduced exactly.
+Reference analog: none (the reference has no window functions —
+SURVEY.md §2.6); this is a beyond-reference training-data operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _group_key(tab: pa.Table, group_cols: list[str]) -> np.ndarray:
+    """Row -> group ordinal within one sorted block (groups contiguous)."""
+    parts = [tab.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
+    new = np.zeros(tab.num_rows, bool)
+    if tab.num_rows:
+        new[0] = True
+        for p in parts:
+            new[1:] |= p[1:] != p[:-1]
+    return np.cumsum(new) - 1
+
+
+def keyed_row_number(ds: ray.data.Dataset, group_cols: list[str],
+                     order_cols: list[str],
+                     rank_col: str = "rank") -> ray.data.Dataset:
+    """Append a 0-based global row number per group in (group_cols,
+    order_cols) order.  One distributed sort; per-block group counts
+    scanned on the driver; ranks finished block-locally."""
+    sorted_ds = ds.sort(list(group_cols) + list(order_cols))
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def gcounts(tab: pa.Table) -> pd.DataFrame:
+        if tab.num_rows == 0:
+            return pd.DataFrame(columns=[*group_cols, "n"])
+        gid = _group_key(tab, group_cols)
+        firsts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        n = np.diff(np.r_[firsts, len(gid)])
+        out = {c: tab.column(c).to_numpy(zero_copy_only=False)[firsts]
+               for c in group_cols}
+        out["n"] = n.astype(np.int64)
+        return pd.DataFrame(out)
+
+    partials = ray.get([gcounts.remote(r) for r in refs])
+
+    running: dict[tuple, int] = {}
+    starts: list[dict[tuple, int]] = []
+    for df in partials:
+        block_start = {}
+        for row in df.itertuples(index=False):
+            key = tuple(row[:-1])
+            block_start[key] = running.get(key, 0)
+            running[key] = block_start[key] + int(row[-1])
+        starts.append(block_start)
+    totals = dict(running)
+
+    @ray.remote
+    def finish(tab: pa.Table, start: dict) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column(rank_col, pa.array([], pa.int64()))
+        gid = _group_key(tab, group_cols)
+        firsts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        keys = list(zip(*[tab.column(c).to_numpy(zero_copy_only=False)[firsts]
+                          for c in group_cols]))
+        base = np.array([start[tuple(k)] for k in keys], np.int64)[gid]
+        local = np.arange(len(gid), dtype=np.int64) - firsts[gid]
+        return tab.append_column(rank_col, pa.array(base + local, pa.int64()))
+
+    out = [finish.remote(r, s) for r, s in zip(refs, starts)]
+    return ray.data.from_arrow_refs(out), totals
+
+
+def ntile_of(rank: np.ndarray, total: np.ndarray, tiles: int) -> np.ndarray:
+    """DuckDB/ANSI NTILE: the first total % tiles tiles hold
+    ceil(total/tiles) rows, the rest floor(total/tiles).  1-based."""
+    q, r = total // tiles, total % tiles
+    boundary = r * (q + 1)
+    small = np.maximum(q, 1)  # q == 0: every rank sits below boundary
+    return np.where(rank < boundary, rank // (q + 1),
+                    r + (rank - boundary) // small) + 1

@@ -169,3 +169,24 @@ def test_heavy_hitters_exact(tmp_path):
             .sort_values("user_id").reset_index(drop=True))
     want["n"] = want["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_keyed_row_number_and_ntile():
+    """Ranks are globally dense per group across many blocks; ntile_of
+    reproduces ANSI semantics incl. the N < tiles edge."""
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number, ntile_of
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"g": pa.array(rng.integers(0, 3, 500), pa.int64()),
+                  "v": pa.array(rng.integers(0, 50, 500), pa.int64()),
+                  "id": pa.array(np.arange(500), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    ranked, totals = keyed_row_number(ds, ["g"], ["v", "id"])
+    df = ranked.to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True)
+    for g, sub in df.groupby("g"):
+        assert (sub["rank"].to_numpy() == np.arange(len(sub))).all()
+        assert totals[(g,)] == len(sub)
+    # NTILE edges: 10 rows / 4 tiles -> 3,3,2,2; 2 rows / 4 tiles -> 1,2
+    assert ntile_of(np.arange(10), np.full(10, 10), 4).tolist() == \
+        [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert ntile_of(np.arange(2), np.full(2, 2), 4).tolist() == [1, 2]
