@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi": Q.q_bloom_semi,
         "heavy_hitters": Q.q_heavy_hitters,
         "ntile": Q.q_ntile,
+        "pagerank": Q.q_pagerank,
         "pivot": Q.q_pivot,
         "unpivot": Q.q_unpivot,
         "intersect_keys": Q.q_intersect_keys,

@@ -1180,6 +1180,40 @@ def sql_quantiles() -> str:
     """
 
 
+def sql_pagerank(iters: int = 2) -> str:
+    """Twin of queries.q_pagerank: the same 2 damped iterations
+    unrolled; every operand non-negative so DuckDB's truncating //
+    equals numpy's floor (the shared-division rule)."""
+    from osmquadtreepostgis_ray.stages.graph import (PR_DAMP_DEN, PR_DAMP_NUM,
+                                                     PR_SCALE)
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    sql = f"""
+    WITH le AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM le UNION SELECT dst AS src, src AS dst FROM le),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    pr0 AS (SELECT src AS node, {PR_SCALE}::BIGINT AS pr FROM deg)"""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    in{i} AS (
+        SELECT e.dst AS node, sum({prev}.pr // deg.d) AS inbox
+        FROM e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    pr{i} AS (
+        SELECT n.node,
+               ({base} + ({PR_DAMP_NUM} * COALESCE(i.inbox, 0)) // {PR_DAMP_DEN})::BIGINT AS pr
+        FROM pr0 n LEFT JOIN in{i} i ON i.node = n.node
+    )"""
+        prev = f"pr{i}"
+    return sql + f"""
+    SELECT node, pr FROM {prev}"""
+
+
 def sql_ntile(tiles: int = 4) -> str:
     """Twin of queries.q_ntile (ANSI NTILE over exact cents order)."""
     return f"""
@@ -1974,6 +2008,7 @@ def build_oracles() -> dict[str, str]:
         "bloom_semi": sql_bloom_semi(),
         "heavy_hitters": sql_heavy_hitters(),
         "ntile": sql_ntile(),
+        "pagerank": sql_pagerank(),
         "pivot": sql_pivot(),
         "unpivot": sql_unpivot(),
         "intersect_keys": sql_intersect_keys(),

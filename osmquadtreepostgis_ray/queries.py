@@ -1979,6 +1979,38 @@ def q_hll_sketch(sf_dir: str):
             .select_columns(["event_type", "register", "rho"]))
 
 
+def q_pagerank(sf_dir: str, iters: int = 2):
+    """Damped PageRank (2 power iterations, integer-exact) over the
+    bipartite customer<->supplier interaction graph (distinct pairs via
+    the lineitem->orders join, both directions so every node has
+    out-degree).  Each iteration is one bucket join + one sharded sum
+    over a once-materialized degree-annotated edge list —
+    stages/graph.pagerank; the iterative-graph shape (quality/dedup
+    label diffusion) the Dataset API can express without driver loops
+    over rows."""
+    from osmquadtreepostgis_ray.stages.graph import pagerank
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "l_suppkey"]),
+                     batch_format="pyarrow")
+    pairs = bucket_hash_join(li, orders, on="o_orderkey")
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        src = df["o_custkey"].to_numpy(np.int64) * 2
+        dst = df["l_suppkey"].to_numpy(np.int64) * 2 + 1
+        return pa.table({"src": pa.array(np.r_[src, dst], pa.int64()),
+                         "dst": pa.array(np.r_[dst, src], pa.int64())})
+
+    dup = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = sharded_agg(dup, ["src", "dst"], {"n": ("src", "count")},
+                        shards=64) \
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    return pagerank(edges, iters=iters)
+
+
 def q_ntile(sf_dir: str, tiles: int = 4):
     """NTILE(4) per event_type ordered by (value cents, event_id) —
     the global-rank window function the Dataset API lacks, built from

@@ -1,0 +1,131 @@
+"""Iterative graph computation on Ray Data: integer-exact PageRank.
+
+Two execution plans behind one API, picked by NODE-table size (the
+vertex-cut broadcast rule every distributed graph engine applies):
+
+- broadcast scores (node table fits a worker / the driver): the edge
+  list is materialized once; each iteration maps the SAME edge block
+  refs with the (node -> contribution) vector shipped via one ray.put,
+  per-block inboxes pre-aggregated by destination, and the node-scale
+  partials summed on the driver.  Per iteration: one embarrassingly
+  parallel edge pass, ZERO shuffles.
+- bucket join (node table is itself data-scaled): each round is one
+  bucket join (scores onto out-edges by source) + one sharded sum
+  (messages by destination) — degree-annotated edges materialized once
+  and reused.
+
+All arithmetic is non-negative integer (score scaled by SCALE; damping
+85/100 and degree splits via //, where truncation == floor == DuckDB's
+`//` — the CLAUDE.md shared-division rule), so the DuckDB twin compares
+bit-for-bit and BOTH plans produce identical tables (asserted in
+tests/test_shard_apply.py).
+
+Reference analog: none (SURVEY.md §2 has no iterative ops); this is a
+beyond-reference operator in the training-data family (graph-based
+dedup/quality propagation run exactly this shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+from osmquadtreepostgis_ray.util import sharded_agg
+
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = 2,
+             scale: int = PR_SCALE,
+             broadcast_nodes_max: int = 1_000_000) -> ray.data.Dataset:
+    """(src, dst) int64 edge Dataset with BOTH directions present for
+    undirected graphs (so in-degree >= 1 everywhere) -> (node, pr)
+    after ``iters`` damped power iterations from a uniform integer
+    start.  Nodes are edge sources; dangling mass is dropped (none
+    exists for symmetric input)."""
+    # materialize the edge list first: every consumer below would
+    # otherwise re-execute the caller's whole edge-construction chain —
+    # bucket_hash_join's schema() probe alone runs a lazy all-to-all
+    edges = edges.materialize()
+    deg = sharded_agg(edges, ["src"], {"d": ("src", "count")}).materialize()
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+
+    if deg.count() <= broadcast_nodes_max:
+        return _pagerank_broadcast(edges, deg, iters, scale, base)
+    return _pagerank_bucketed(edges, deg, iters, scale, base)
+
+
+def _pagerank_broadcast(edges, deg, iters: int, scale: int,
+                        base: int) -> ray.data.Dataset:
+    tabs = [t for t in ray.get(deg.to_arrow_refs()) if t.num_rows]
+    dd = pa.concat_tables([t.select(["src", "d"]) for t in tabs])
+    ids = dd.column("src").to_numpy()
+    d = dd.column("d").to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids, d = np.ascontiguousarray(ids[order]), np.ascontiguousarray(d[order])
+    pr = np.full(len(ids), scale, np.int64)
+    erefs = edges.to_arrow_refs()
+
+    @ray.remote
+    def inbox_of(tab: pa.Table, contrib) -> tuple:
+        sids, cv = contrib  # ref arg auto-dereferenced (object store, not driver)
+        src = tab.column("src").to_numpy()
+        dst = tab.column("dst").to_numpy()
+        c = cv[np.searchsorted(sids, src)]
+        u, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, c)
+        return u, acc
+
+    for _ in range(iters):
+        cref = ray.put((ids, pr // d))
+        parts = ray.get([inbox_of.remote(r, cref) for r in erefs])
+        inbox = np.zeros(len(ids), np.int64)
+        for u, acc in parts:
+            inbox[np.searchsorted(ids, u)] += acc
+        pr = base + (PR_DAMP_NUM * inbox) // PR_DAMP_DEN
+
+    return ray.data.from_arrow(pa.table({"node": pa.array(ids, pa.int64()),
+                                         "pr": pa.array(pr, pa.int64())}))
+
+
+def _pagerank_bucketed(edges, deg, iters: int, scale: int,
+                       base: int) -> ray.data.Dataset:
+    ed = bucket_hash_join(edges, deg, on="src").materialize()
+    pr = deg.map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "pr": pa.array(np.full(t.num_rows, scale,
+                                                   np.int64), pa.int64())}),
+        batch_format="pyarrow")
+
+    for _ in range(iters):
+        scored = bucket_hash_join(ed, pr, on="src")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            c = df["pr"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)
+            g = pd.DataFrame({"dst": df["dst"].to_numpy(np.int64), "c": c})
+            out = g.groupby("dst", sort=False)["c"].sum().reset_index(name="inbox")
+            out["inbox"] = out["inbox"].astype(np.int64)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        inbox = sharded_agg(scored.map_batches(contrib, batch_format="pyarrow"),
+                            ["dst"], {"inbox": ("inbox", "sum")})
+
+        # symmetric input: the inbox names every node, no left join back
+        def next_pr(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            npr = base + (PR_DAMP_NUM * df["inbox"].to_numpy(np.int64)) // PR_DAMP_DEN
+            return pa.table({"src": pa.array(df["dst"].to_numpy(np.int64), pa.int64()),
+                             "pr": pa.array(npr, pa.int64())})
+
+        pr = inbox.map_batches(next_pr, batch_format="pyarrow").materialize()
+
+    return pr.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "pr": t.column("pr")}),
+        batch_format="pyarrow")

@@ -190,3 +190,22 @@ def test_keyed_row_number_and_ntile():
     assert ntile_of(np.arange(10), np.full(10, 10), 4).tolist() == \
         [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
     assert ntile_of(np.arange(2), np.full(2, 2), 4).tolist() == [1, 2]
+
+
+def test_pagerank_paths_identical():
+    """The broadcast-scores plan and the bucket-join plan produce the
+    same integer table (same graph, same 2 iterations)."""
+    from osmquadtreepostgis_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 60, 400).astype(np.int64)
+    b = rng.integers(0, 60, 400).astype(np.int64)
+    m = a != b
+    e = pa.table({"src": pa.array(np.r_[a[m], b[m]], pa.int64()),
+                  "dst": pa.array(np.r_[b[m], a[m]], pa.int64())})
+    edges = ray.data.from_arrow(e).repartition(5)
+    got_b = pagerank(edges).to_pandas().sort_values("node").reset_index(drop=True)
+    got_j = pagerank(edges, broadcast_nodes_max=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j)
+    assert got_b["pr"].nunique() > 1  # degrees differ -> ranks differ
