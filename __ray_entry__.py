@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": Q.q_radius_join,
         "rect_join": Q.q_rect_join,
         "tile_mosaic": Q.q_tile_mosaic,
+        "tile_sobel": Q.q_tile_sobel,
         "mosaic_pyramid": Q.q_mosaic_pyramid,
         "hll_sketch": Q.q_hll_sketch,
         "rasterize": Q.q_rasterize,

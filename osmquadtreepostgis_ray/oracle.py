@@ -1707,6 +1707,46 @@ def sql_hard_negatives() -> str:
     SELECT vec_id, nn_id FROM r WHERE rn = 1"""
 
 
+def sql_tile_sobel() -> str:
+    """Twin of queries.q_tile_sobel: the 3x3 Sobel expressed as a
+    9-offset contribution join over the decoded-pixel CTE — a pixel at
+    (y, x) adds k(dy, dx) * p to center (y - dy, x - dx); interior
+    centers always receive all 9 contributions."""
+    from osmquadtreepostgis_ray.stages.images import SOBEL_EDGE_THRESH
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql(f"({ph})")
+    return f"""{_sql_decoded_pixels()},
+    tl AS (
+        SELECT doc_id, {_cell_expr(lon, lat, TILE_DEPTH)} AS tile
+        FROM documents
+    ),
+    off AS (
+        SELECT o1.dy AS dy, o2.dx AS dx,
+               o2.dx * (2 - abs(o1.dy)) AS kx,
+               o1.dy * (2 - abs(o2.dx)) AS ky
+        FROM (SELECT unnest([-1, 0, 1]) AS dy) o1,
+             (SELECT unnest([-1, 0, 1]) AS dx) o2
+    ),
+    g AS (
+        SELECT d.doc_id, d.w, d.h,
+               (d.idx // d.w) - o.dy AS cy, (d.idx % d.w) - o.dx AS cx,
+               sum(o.kx * d.p) AS gx, sum(o.ky * d.p) AS gy
+        FROM dec d, off o
+        GROUP BY d.doc_id, d.w, d.h, cy, cx
+    ),
+    s AS (
+        SELECT doc_id, sum(abs(gx) + abs(gy)) AS grad,
+               sum(CASE WHEN abs(gx) + abs(gy) >= {SOBEL_EDGE_THRESH}
+                   THEN 1 ELSE 0 END) AS edges
+        FROM g
+        WHERE cy >= 1 AND cy <= h - 2 AND cx >= 1 AND cx <= w - 2
+        GROUP BY doc_id
+    )
+    SELECT t.tile, sum(s.grad)::BIGINT AS grad_sum,
+           sum(s.edges)::BIGINT AS edge_px, count(*)::BIGINT AS n_images
+    FROM s JOIN tl t USING (doc_id) GROUP BY t.tile"""
+
+
 def sql_mosaic_pyramid(thumb: int = 8) -> str:
     """Twin of queries.q_mosaic_pyramid: the tile_mosaic aggregate at
     every pyramid depth (tile recomputed per depth; resize shared)."""
@@ -2021,6 +2061,7 @@ def build_oracles() -> dict[str, str]:
         "radius_join": sql_radius_join(),
         "rect_join": sql_rect_join(),
         "tile_mosaic": sql_tile_mosaic(),
+        "tile_sobel": sql_tile_sobel(),
         "dup_spans": sql_dup_spans(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
         "raster_blur": sql_raster_blur(),

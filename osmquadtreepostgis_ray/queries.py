@@ -1873,6 +1873,26 @@ def q_tile_mosaic(sf_dir: str):
         ["tile", "py", "px", "pixel_sum", "n_images", "mean_pixel"])
 
 
+def q_tile_sobel(sf_dir: str):
+    """Edge-energy map tiles (geospatial x image): per map tile, the
+    exact-integer Sobel gradient energy and edge-pixel count of every
+    image geotagged into the tile (stages/images.SobelPartial — decode
+    + 3x3 convolution + per-tile pre-sum inside the batch; the shuffle
+    carries one row per tile per batch, never pixels)."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import SobelPartial
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    part = read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(lambda: SobelPartial(tile_depth=TILE_DEPTH)),
+        batch_format="pyarrow", batch_size=512)
+    return sharded_agg(part, ["tile"],
+                       {"grad_sum": ("grad_sum", "sum"),
+                        "edge_px": ("edge_px", "sum"),
+                        "n_images": ("n_images", "sum")}) \
+        .select_columns(["tile", "grad_sum", "edge_px", "n_images"])
+
+
 def q_hard_negatives(sf_dir: str):
     """All-pairs top-1 cosine neighbor over the embedding corpus (hard-
     negative mining for contrastive training): EVERY vector gets its

@@ -361,3 +361,28 @@ def test_dissolve_matches_union_find(sf_dir):
     # merges are exercised at sf0.01 by the parity harness (9985
     # components from 9989 cells); sf0.001's raster is merge-free and
     # covers the all-isolated / empty-edge-set path instead
+
+
+def test_sobel_kernel_known_values():
+    """SobelPartial's convolution on a hand-built batch: a constant
+    image has zero gradient; a vertical step edge of height s yields
+    |gx| = 4s on the two interior columns flanking the step."""
+    from osmquadtreepostgis_ray.stages.images import SobelPartial
+
+    w = h = 8
+    flat = np.full((h, w), 100, np.uint8)
+    step = np.full((h, w), 10, np.uint8)
+    step[:, 4:] = 110  # step of 100 between columns 3 and 4
+    batch = pa.table({
+        "bytes": pa.array([flat.tobytes(), step.tobytes()], pa.binary()),
+        "w": pa.array([w, w], pa.int64()),
+        "h": pa.array([h, h], pa.int64()),
+        "fmt": pa.array(["raw", "raw"]),
+        "phash": pa.array([7, 7], pa.int64()),  # same tile
+    })
+    out = SobelPartial(tile_depth=8, thresh=300).__call__(batch).to_pandas()
+    assert len(out) == 1 and out["n_images"][0] == 2
+    # step image: |gx| = 400 at interior centers cx in {3, 4}, 6 rows
+    # each -> grad 400 * 12; edge pixels: the same 12 (400 >= 300)
+    assert out["grad_sum"][0] == 400 * 12
+    assert out["edge_px"][0] == 12
