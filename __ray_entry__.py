@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": Q.q_topk_orders,
         "distinct_users": Q.q_distinct_users,
         "sessionize": Q.q_sessionize,
+        "transitions": Q.q_transitions,
         "sample_events": Q.q_sample_events,
         "sample_stratified": Q.q_sample_stratified,
         "topk_per_segment": Q.q_topk_per_segment,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_lsh_exhaustive": Q.q_embed_knn_lsh_exhaustive,
         "embed_neardup": Q.q_embed_neardup,
         "hard_negatives": Q.q_hard_negatives,
+        "ann_recall": Q.q_ann_recall,
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
         "frame_sample": Q.q_frame_sample,

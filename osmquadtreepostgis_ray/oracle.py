@@ -1248,6 +1248,20 @@ def sql_bloom_semi() -> str:
     """
 
 
+def sql_transitions() -> str:
+    """Twin of queries.q_transitions (LEAD window per user)."""
+    return """
+    WITH o AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM o WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type"""
+
+
 def sql_heavy_hitters(phi: float = 0.008) -> str:
     """Twin of queries.q_heavy_hitters: exact phi-heavy hitters (the CM
     sketch is candidate-generation only; the engine's output is exact)."""
@@ -1689,6 +1703,19 @@ def sql_tile_mosaic(thumb: int = 8) -> str:
     GROUP BY t.tile, py, px"""
 
 
+def sql_ann_recall(k: int = 5) -> str:
+    """Twin of queries.q_ann_recall: intersect the brute and pruned-IVF
+    top-k twins per query."""
+    return f"""
+    SELECT b.query_id,
+           count(i.neighbor_id)::BIGINT AS n_hit,
+           ((1000 * count(i.neighbor_id)) // {k})::BIGINT AS recall_permille
+    FROM ({sql_embed_knn(k)}) b
+    LEFT JOIN ({sql_embed_knn_ivf(k)}) i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+
+
 def sql_hard_negatives() -> str:
     """Twin of queries.q_hard_negatives: exhaustive argmax-cosine
     neighbor per vector, ties to smallest nn_id; rank identity only."""
@@ -2021,6 +2048,7 @@ def build_oracles() -> dict[str, str]:
         "simhash": sql_simhash(),
         "embed_knn": sql_embed_knn(),
         "embed_knn_ivf": sql_embed_knn_ivf(),
+        "ann_recall": sql_ann_recall(),
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
         "embed_knn_lsh_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
@@ -2047,6 +2075,7 @@ def build_oracles() -> dict[str, str]:
         "anti_join": sql_semi_join(True),
         "bloom_semi": sql_bloom_semi(),
         "heavy_hitters": sql_heavy_hitters(),
+        "transitions": sql_transitions(),
         "ntile": sql_ntile(),
         "pagerank": sql_pagerank(),
         "pivot": sql_pivot(),

@@ -1616,13 +1616,44 @@ def q_except_keys(sf_dir: str):
     return bucket_semi_join(cust, users, on="user_id", anti=True)
 
 
+def q_transitions(sf_dir: str):
+    """Global event-type transition matrix from per-user event order
+    (the next-event / Markov training-set builder): consecutive events
+    of each user in (ts, event_id) order produce one (from_type,
+    to_type) pair; one user-sharded exchange co-locates each user's
+    rows, pairs count vectorized per shard, and the tiny type x type
+    matrix sums in a final combiner groupby."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        out = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        c = out.groupby(["from_type", "to_type"], sort=False).size() \
+            .reset_index(name="n")
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    part = shard_apply(ds, ["user_id"], pairs)
+    return (part.groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .select_columns(["from_type", "to_type", "n"]))
+
+
 def q_rollup(sf_dir: str):
     """Rollup: per-segment totals plus the grand total (segment =
     '__ALL__') in one result — two combiner aggregates unioned, the
     grand total computed from the per-segment partials (no second pass
     over orders)."""
+    # materialize the (tiny) per-segment aggregate: both result branches
+    # consume it, and a lazy diamond would re-execute the whole
+    # orders-customer join once per branch
     seg = (q_join_orders_customer(sf_dir)
-           .select_columns(["c_mktsegment", "n", "sum_price_cents"]))
+           .select_columns(["c_mktsegment", "n", "sum_price_cents"])
+           .materialize())
 
     def total(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -1891,6 +1922,24 @@ def q_tile_sobel(sf_dir: str):
                         "edge_px": ("edge_px", "sum"),
                         "n_images": ("n_images", "sum")}) \
         .select_columns(["tile", "grad_sum", "edge_px", "n_images"])
+
+
+def q_ann_recall(sf_dir: str, k: int = 5):
+    """Recall@k of the pruned IVF ANN against the exact brute-force
+    top-k — the index-quality gate every ANN deployment monitors.  Both
+    inputs are the existing distributed pipelines; their outputs are
+    nq x k rows by construction, so the per-query set intersection is
+    driver-side pandas on top-k tables, exact integer permille."""
+    brute = q_embed_knn(sf_dir, k=k).to_pandas()
+    ivf = q_embed_knn_ivf(sf_dir, k=k).to_pandas()
+    hit = brute.merge(ivf, on=["query_id", "neighbor_id"], how="left",
+                      suffixes=("", "_i"))
+    g = hit.groupby("query_id", sort=True).agg(
+        n_hit=("rank_i", "count")).reset_index()
+    g["recall_permille"] = (1000 * g["n_hit"].astype(np.int64)) // k
+    g["n_hit"] = g["n_hit"].astype(np.int64)
+    return pa.Table.from_pandas(
+        g[["query_id", "n_hit", "recall_permille"]], preserve_index=False)
 
 
 def q_hard_negatives(sf_dir: str):
