@@ -2389,7 +2389,11 @@ def q_dissolve(sf_dir: str):
                          "gx": pa.array(gx, pa.int64()),
                          "gy": pa.array(gy, pa.int64()),
                          "n": t.column("n")})
-    g = cells.map_batches(to_global, batch_format="pyarrow")
+    # g is consumed TWICE (edge discovery + the label join-back); it is
+    # the distinct-cell AGGREGATE (bounded by raster area, not by row
+    # count), so materializing once beats re-executing the full
+    # read->geotag->rasterize chain per consumer.
+    g = cells.map_batches(to_global, batch_format="pyarrow").materialize()
 
     def fan(t: pa.Table) -> pa.Table:
         gid = t.column("id").to_numpy()

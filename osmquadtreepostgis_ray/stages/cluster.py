@@ -45,6 +45,10 @@ from osmquadtreepostgis_ray.stages.joins import (_HASH_MULT, broadcast_join,
                                                  default_buckets)
 
 SOLVE_LIMIT = 5_000_000  # contracted-edge ceiling for the one-task solve
+# block-contracted mappings at or below this row count skip the
+# star-contract shuffles and solve in one pass (≈3 MB driver-held max —
+# the same order as the broadcast the staged path ships anyway)
+FASTPATH_LIMIT = 200_000
 
 
 def _union_find(a: np.ndarray, b: np.ndarray) -> dict[int, int]:
@@ -92,12 +96,31 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     mapping = edges.map_batches(_local_contract(a_col, b_col),
                                 batch_format="pyarrow",
                                 batch_size=None).materialize()
-    if mapping.count() == 0:
+    n_map = mapping.count()
+    if n_map == 0:
         # no edges at all (every node isolated): a typed empty result so
         # downstream joins still see the (node, component) schema
         return ray.data.from_arrow(pa.table(
             {"node": pa.array([], pa.int64()),
              "component": pa.array([], pa.int64())}))
+
+    if n_map <= FASTPATH_LIMIT:
+        # the block-contracted mapping already fits ONE solve (a far
+        # tighter bound than SOLVE_LIMIT): solving it directly skips the
+        # star-contract + solve + join-back shuffles — three stage
+        # launches that dominate wall time on small/medium graphs.  The
+        # (node, root) rows ARE edges of the induced graph, so one
+        # union-find yields the same min-id components the staged path
+        # produces (bit-identical: component = min node id either way).
+        mt = pa.concat_tables(
+            b for b in mapping.iter_batches(batch_format="pyarrow"))
+        lab = _union_find(mt.column("node").to_numpy(),
+                          mt.column("root").to_numpy())
+        nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+        comps = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "component": pa.array(comps, pa.int64())}))
 
     # induced root edges: shuffle the mapping on node; per node emit the
     # STAR (min root, other root) — self-pairs included so every root
