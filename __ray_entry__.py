@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": Q.q_json_extract,
         "simplify_ways": Q.q_simplify_ways,
         # relational ops (joins, window, topk, agg, diff-merge dedup)
+        "cube_counts": Q.q_cube_counts,
+        "mode_user_type": Q.q_mode_user_type,
+        "sample_weighted": Q.q_sample_weighted,
+        "corr_components": Q.q_corr_components,
+        "nn_join": Q.q_nn_join,
+        "running_total": Q.q_running_total,
         "dedup_latest": Q.q_dedup_latest,
         "window_hourly": Q.q_window_hourly,
         "window_sliding": Q.q_window_sliding,

@@ -1529,6 +1529,96 @@ def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """
 
 
+
+
+# --------------------------------------------------- round-2 widening ops
+
+def sql_cube_counts() -> str:
+    return """
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY CUBE(lang, source)
+    """
+
+
+def sql_mode_user_type() -> str:
+    return """
+    WITH c AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n FROM r WHERE rn = 1
+    """
+
+
+def sql_sample_weighted(scale_div: int = 5) -> str:
+    from osmquadtreepostgis_ray.queries import SAMPLE_MOD, SAMPLE_MULT
+    return f"""
+    SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents
+    WHERE (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}
+          < least(n_chars // {scale_div}, {SAMPLE_MOD})
+    """
+
+
+def sql_corr_components() -> str:
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH b AS (
+        SELECT (event_id % 5)::BIGINT AS bucket,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               {lat}::BIGINT AS y
+        FROM events
+    )
+    SELECT bucket, count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+           sum(y)::BIGINT AS sum_y, sum(x * y)::BIGINT AS sum_xy,
+           sum(x * x)::BIGINT AS sum_x2, sum(y * y)::BIGINT AS sum_y2
+    FROM b GROUP BY bucket
+    """
+
+
+def sql_nn_join() -> str:
+    from osmquadtreepostgis_ray.sources.zones import (
+        GRID_H, GRID_KEEP_LT, GRID_KEEP_MOD, GRID_KEEP_MULT, GRID_W, GX, GY)
+    return f"""
+    WITH {events_geo_cte()},
+    cent AS (
+        SELECT i::BIGINT AS zone_id,
+               ((i % {GX}) * {GRID_W} + {GRID_W // 2})::BIGINT AS cx,
+               ((i // {GX}) * {GRID_H} + {GRID_H // 2})::BIGINT AS cy
+        FROM range(0, {GX * GY}) t(i)
+        WHERE (i * {GRID_KEEP_MULT}) % {GRID_KEEP_MOD} < {GRID_KEEP_LT}
+    ),
+    d AS (
+        SELECT ev.event_id, cent.zone_id,
+               (ev.lon_milli - cent.cx) * (ev.lon_milli - cent.cx)
+             + (ev.lat_milli - cent.cy) * (ev.lat_milli - cent.cy) AS d2,
+               row_number() OVER (PARTITION BY ev.event_id
+                                  ORDER BY (ev.lon_milli - cent.cx) * (ev.lon_milli - cent.cx)
+                                         + (ev.lat_milli - cent.cy) * (ev.lat_milli - cent.cy),
+                                           cent.zone_id) AS rn
+        FROM ev CROSS JOIN cent
+    )
+    SELECT event_id, zone_id AS nn_zone, d2::BIGINT AS d2 FROM d WHERE rn = 1
+    """
+
+
+def sql_running_total() -> str:
+    return """
+    SELECT o_orderkey,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS run_cents
+    FROM orders
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2034,6 +2124,12 @@ def build_oracles() -> dict[str, str]:
         "relation_tags": sql_relation_tags(),
         "parent_tags": sql_parent_tags(),
         "checkpoint": sql_checkpoint(),
+        "cube_counts": sql_cube_counts(),
+        "mode_user_type": sql_mode_user_type(),
+        "sample_weighted": sql_sample_weighted(),
+        "corr_components": sql_corr_components(),
+        "nn_join": sql_nn_join(),
+        "running_total": sql_running_total(),
         "dedup_exact": sql_dedup_exact(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),

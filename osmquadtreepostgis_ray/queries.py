@@ -2496,3 +2496,174 @@ def q_trajectories(sf_dir: str):
     return (shard_apply(ds, ["user_id"], path)
             .select_columns(["user_id", "n_steps", "sum_step2", "max_step2",
                              "net_dx", "net_dy"]))
+
+
+# --------------------------------------------------- round-2 widening ops
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(lang, source) over documents — all four grouping
+    sets in ONE pass: the per-batch combiner emits each distinct
+    (lang, source) partial under its 4 cube keys (sentinel for the
+    rolled-up axis), one sharded sum finishes, and the sentinel maps to
+    NULL at the end.  The shuffle carries 4x the distinct-combination
+    count, never 4x the rows — the standard cube-as-combiner plan."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    SENT = "\x00ALL"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        frames = []
+        for ml, ms in ((False, False), (False, True), (True, False), (True, True)):
+            f = g.copy()
+            if ml:
+                f["lang"] = SENT
+            if ms:
+                f["source"] = SENT
+            frames.append(f)
+        out = pd.concat(frames, ignore_index=True).groupby(
+            ["lang", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["sum_chars"] = out["sum_chars"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang", "source"],
+                      {"n_docs": ("n_docs", "sum"), "sum_chars": ("sum_chars", "sum")})
+
+    def desentinel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = {}
+        for c in ("lang", "source"):
+            col = t.column(c)
+            out[c] = pc.if_else(pc.equal(col, SENT), pa.scalar(None, pa.string()), col)
+        return pa.table({**out, "n_docs": t.column("n_docs"),
+                         "sum_chars": t.column("sum_chars")})
+
+    return agg.map_batches(desentinel, batch_format="pyarrow")
+
+
+def q_mode_user_type(sf_dir: str):
+    """Per-user MODE of event_type (tie -> lexicographically smallest):
+    per-batch (user, type) count combiner, then ONE user-sharded stage
+    that sums partials and picks the argmax per user vectorized —
+    never a per-group Python call on a data-scaled key."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "event_type"], as_index=False).size() \
+              .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "mode_type": pd.Series([], dtype=object),
+                                 "mode_n": pd.Series([], dtype=np.int64)})
+        c = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+        top = c.drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                             "mode_type": top["event_type"].to_numpy(object),
+                             "mode_n": top["n"].to_numpy(np.int64)})
+
+    return shard_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["user_id"], pick)
+
+
+def q_sample_weighted(sf_dir: str, scale_div: int = 5):
+    """Weighted Bernoulli sample: doc kept with probability proportional
+    to its length (permille = min(n_chars // scale_div, 1000)), decided
+    by the row-pure Knuth hash — deterministic, shuffle-free, exact."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        nc = t.column("n_chars").to_numpy().astype(np.int64)
+        w = np.minimum(nc // scale_div, SAMPLE_MOD)
+        m = (ids * SAMPLE_MULT) % SAMPLE_MOD < w
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                         "n_chars": pa.array(nc[m], pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_corr_components(sf_dir: str):
+    """Exact-integer covariance/correlation components per event_type:
+    (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) with x = value cents and
+    y = lat_milli — the one-pass parallel corr shape (driver derives
+    r from the six sums; the engine ships partials only)."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = (t.column("event_id").to_numpy() % 5).astype(np.int64)
+        x = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        y = t.column("lat_milli").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"bucket": et, "one": np.ones(len(x), np.int64),
+                           "x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y})
+        g = df.groupby("bucket", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["bucket"],
+                        {"n": ("one", "sum"), "sum_x": ("x", "sum"),
+                         "sum_y": ("y", "sum"), "sum_xy": ("xy", "sum"),
+                         "sum_x2": ("x2", "sum"), "sum_y2": ("y2", "sum")})
+            .select_columns(["bucket", "n", "sum_x", "sum_y", "sum_xy",
+                             "sum_x2", "sum_y2"]))
+
+
+def q_nn_join(sf_dir: str):
+    """All-rows 1-NN join: every event gets its nearest grid-zone
+    CENTROID (exact int64 squared distance; tie -> lowest zone id).
+    The zone side is tiny and static, so the scale plan is broadcast-
+    argmin per batch (a [B x Z] vectorized distance, no shuffle at
+    all) — the degenerate-but-dominant case of NN joins in practice.
+    For a data-scaled right side the cell-ring machinery
+    (stages/knn.py) is the fallback."""
+    from osmquadtreepostgis_ray.sources import zones as Z
+    gz = Z.grid_zone_ids()
+    cx = (gz % Z.GX) * Z.GRID_W + Z.GRID_W // 2
+    cy = (gz // Z.GX) * Z.GRID_H + Z.GRID_H // 2
+
+    def nn(t: pa.Table) -> pa.Table:
+        x = t.column("lon_milli").to_numpy().astype(np.int64)
+        y = t.column("lat_milli").to_numpy().astype(np.int64)
+        d2 = (x[:, None] - cx[None, :]) ** 2 + (y[:, None] - cy[None, :]) ** 2
+        j = np.argmin(d2, axis=1)          # first hit = lowest zone id
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "nn_zone": pa.array(gz[j], pa.int64()),
+            "d2": pa.array(d2[np.arange(len(x)), j], pa.int64())})
+
+    return prep_events(sf_dir).map_batches(nn, batch_format="pyarrow",
+                                           batch_size=8192)
+
+
+def q_running_total(sf_dir: str):
+    """Global running revenue: SUM(total cents) OVER (ORDER BY
+    o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) — the distributed
+    prefix-sum window (stages/window.keyed_prefix_sum): one sort,
+    per-block per-group sums to the driver, block-local finish."""
+    from osmquadtreepostgis_ray.stages.window import keyed_prefix_sum
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        day = t.column("o_orderdate").cast(pa.int64()).to_numpy()  # epoch us
+        return pa.table({"g": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                         "day": pa.array(day, pa.int64()),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    out = keyed_prefix_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["g"], ["day", "o_orderkey"], "cents",
+                           out_col="run_cents")
+    return out.select_columns(["o_orderkey", "run_cents"])

@@ -93,3 +93,60 @@ def ntile_of(rank: np.ndarray, total: np.ndarray, tiles: int) -> np.ndarray:
     small = np.maximum(q, 1)  # q == 0: every rank sits below boundary
     return np.where(rank < boundary, rank // (q + 1),
                     r + (rank - boundary) // small) + 1
+
+
+def keyed_prefix_sum(ds: ray.data.Dataset, group_cols: list[str],
+                     order_cols: list[str], val_col: str,
+                     out_col: str = "run_sum") -> ray.data.Dataset:
+    """Append the INCLUSIVE per-group running sum of ``val_col`` in
+    (group_cols, order_cols) order — SUM(...) OVER (PARTITION BY g
+    ORDER BY o ROWS UNBOUNDED PRECEDING).  Same machinery as
+    keyed_row_number: one range-partitioned sort; blocks ship per-group
+    VALUE SUMS to the driver (a ~#groups-row partial per block, never
+    rows); the driver exclusive-scans them into per-block bases; blocks
+    finish with a local cumsum.  Exact int64 — callers pass integer
+    units (cents), per the repo's parity discipline."""
+    sorted_ds = ds.sort(list(group_cols) + list(order_cols))
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def gsums(tab: pa.Table) -> pd.DataFrame:
+        if tab.num_rows == 0:
+            return pd.DataFrame(columns=[*group_cols, "s"])
+        gid = _group_key(tab, group_cols)
+        v = tab.column(val_col).to_numpy().astype(np.int64)
+        firsts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        s = np.add.reduceat(v, firsts)
+        out = {c: tab.column(c).to_numpy(zero_copy_only=False)[firsts]
+               for c in group_cols}
+        out["s"] = s.astype(np.int64)
+        return pd.DataFrame(out)
+
+    partials = ray.get([gsums.remote(r) for r in refs])
+
+    running: dict[tuple, int] = {}
+    starts: list[dict[tuple, int]] = []
+    for df in partials:
+        block_start = {}
+        for row in df.itertuples(index=False):
+            key = tuple(row[:-1])
+            block_start[key] = running.get(key, 0)
+            running[key] = block_start[key] + int(row[-1])
+        starts.append(block_start)
+
+    @ray.remote
+    def finish(tab: pa.Table, start: dict) -> pa.Table:
+        if tab.num_rows == 0:
+            return tab.append_column(out_col, pa.array([], pa.int64()))
+        gid = _group_key(tab, group_cols)
+        v = tab.column(val_col).to_numpy().astype(np.int64)
+        firsts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        keys = list(zip(*[tab.column(c).to_numpy(zero_copy_only=False)[firsts]
+                          for c in group_cols]))
+        base = np.array([start[tuple(k)] for k in keys], np.int64)[gid]
+        cs = np.cumsum(v)
+        seg0 = (cs[firsts] - v[firsts])[gid]     # cumsum before group start
+        return tab.append_column(out_col, pa.array(base + cs - seg0, pa.int64()))
+
+    out = [finish.remote(r, s) for r, s in zip(refs, starts)]
+    return ray.data.from_arrow_refs(out)

@@ -1,0 +1,139 @@
+"""Round-2 widening operators: cube grouping sets, per-key mode,
+weighted sampling, corr components, all-rows 1-NN join, and the
+distributed running-total prefix sum.
+
+Each test pins the Ray result against a local pandas/numpy reference on
+sf0.001 (the DuckDB twin is exercised by tools/check_parity.py); the
+prefix-sum test additionally pins block-boundary independence.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from osmquadtreepostgis_ray import queries as Q
+from osmquadtreepostgis_ray.functions import geotag
+from osmquadtreepostgis_ray.queries import SAMPLE_MOD, SAMPLE_MULT
+
+
+def test_cube_counts_grouping_sets(sf_dir):
+    out = Q.q_cube_counts(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"]).to_pandas()
+    # grand total row (both NULL)
+    g = out[out["lang"].isna() & out["source"].isna()]
+    assert len(g) == 1
+    assert int(g["n_docs"].iloc[0]) == len(docs)
+    assert int(g["sum_chars"].iloc[0]) == int(docs["n_chars"].sum())
+    # per-lang rollup matches pandas
+    bylang = out[out["lang"].notna() & out["source"].isna()] \
+        .set_index("lang")["n_docs"].to_dict()
+    ref = docs.groupby("lang").size().to_dict()
+    assert bylang == ref
+    # 4 grouping sets = full + lang + source + grand
+    nl, ns = docs["lang"].nunique(), docs["source"].nunique()
+    nfull = docs.groupby(["lang", "source"]).ngroups
+    assert len(out) == nfull + nl + ns + 1
+
+
+def test_mode_user_type_matches_pandas(sf_dir):
+    out = Q.q_mode_user_type(sf_dir).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    c = ev.groupby(["user_id", "event_type"], as_index=False).size()
+    c = c.sort_values(["user_id", "size", "event_type"],
+                      ascending=[True, False, True], kind="stable")
+    ref = c.drop_duplicates("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert out["mode_type"].tolist() == ref["event_type"].tolist()
+    assert out["mode_n"].tolist() == ref["size"].tolist()
+
+
+def test_sample_weighted_exact_membership(sf_dir):
+    out = Q.q_sample_weighted(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    ids = docs["doc_id"].to_numpy(np.int64)
+    nc = docs["n_chars"].to_numpy(np.int64)
+    w = np.minimum(nc // 5, SAMPLE_MOD)
+    keep = (ids * SAMPLE_MULT) % SAMPLE_MOD < w
+    assert sorted(out["doc_id"].tolist()) == sorted(ids[keep].tolist())
+    # longer docs are sampled at a higher rate by construction
+    assert nc[keep].mean() > nc.mean()
+
+
+def test_corr_components_exact(sf_dir):
+    out = Q.q_corr_components(sf_dir).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+    x = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    _, lat = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                       ev["event_id"].to_numpy())
+    b = (ev["event_id"].to_numpy() % 5).astype(np.int64)
+    ref = pd.DataFrame({"bucket": b, "x": x, "y": lat}) \
+        .groupby("bucket").apply(
+            lambda g: pd.Series({
+                "n": len(g), "sum_x": g["x"].sum(), "sum_y": g["y"].sum(),
+                "sum_xy": (g["x"] * g["y"]).sum(),
+                "sum_x2": (g["x"] ** 2).sum(), "sum_y2": (g["y"] ** 2).sum()}),
+            include_groups=False).reset_index()
+    for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+        assert out[c].tolist() == ref[c].astype(np.int64).tolist(), c
+
+
+def test_nn_join_exact_argmin(sf_dir):
+    from osmquadtreepostgis_ray.sources import zones as Z
+    out = Q.q_nn_join(sf_dir).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    lon, lat = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                         ev["event_id"].to_numpy())
+    gz = Z.grid_zone_ids()
+    cx = (gz % Z.GX) * Z.GRID_W + Z.GRID_W // 2
+    cy = (gz // Z.GX) * Z.GRID_H + Z.GRID_H // 2
+    d2 = (lon[:, None] - cx) ** 2 + (lat[:, None] - cy) ** 2
+    j = np.argmin(d2, axis=1)
+    assert len(out) == len(ev)
+    assert out["nn_zone"].to_numpy(np.int64).tolist() == gz[j].tolist()
+    assert out["d2"].to_numpy(np.int64).tolist() == \
+        d2[np.arange(len(ev)), j].tolist()
+
+
+def test_running_total_matches_pandas(sf_dir):
+    out = Q.q_running_total(sf_dir).to_pandas()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate",
+                                    "o_totalprice"]).to_pandas()
+    orders["cents"] = np.rint(orders["o_totalprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    ref = orders.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+    ref["run_cents"] = ref["cents"].cumsum()
+    merged = out.merge(ref[["o_orderkey", "run_cents"]], on="o_orderkey",
+                       suffixes=("", "_ref"))
+    assert len(merged) == len(orders)
+    assert (merged["run_cents"] == merged["run_cents_ref"]).all()
+
+
+def test_keyed_prefix_sum_block_boundary_independent():
+    # same rows, different block layouts -> identical running sums
+    from osmquadtreepostgis_ray.stages.window import keyed_prefix_sum
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 600).astype(np.int64),
+        "o": np.arange(600, dtype=np.int64),
+        "v": rng.integers(-9, 10, 600).astype(np.int64)})
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        r = keyed_prefix_sum(ds, ["g"], ["o"], "v").to_pandas() \
+            .sort_values(["g", "o"]).reset_index(drop=True)
+        outs.append(r["run_sum"].tolist())
+    assert outs[0] == outs[1]
+    ref = df.sort_values(["g", "o"]).groupby("g")["v"].cumsum()
+    assert outs[0] == df.sort_values(["g", "o"]).assign(rs=ref.values) \
+        .sort_values(["g", "o"])["rs"].tolist()
