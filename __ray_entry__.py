@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": Q.q_json_extract,
         "simplify_ways": Q.q_simplify_ways,
         # relational ops (joins, window, topk, agg, diff-merge dedup)
+        "segment_intersections": Q.q_segment_intersections,
+        "triangles": Q.q_triangles,
         "cube_counts": Q.q_cube_counts,
         "mode_user_type": Q.q_mode_user_type,
         "sample_weighted": Q.q_sample_weighted,

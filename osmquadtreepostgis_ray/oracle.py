@@ -1619,6 +1619,48 @@ def sql_running_total() -> str:
     """
 
 
+
+def sql_segment_intersections() -> str:
+    return f"""
+    WITH {assembly_members_cte()},
+    seg AS (
+        SELECT a.doc_id AS seg_id, a.group_id AS gid,
+               a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM m a JOIN m b ON b.group_id = a.group_id AND b.seq = a.seq + 1
+        WHERE NOT (a.x = b.x AND a.y = b.y)
+    )
+    SELECT s.seg_id AS a_seg, t.seg_id AS b_seg
+    FROM seg s JOIN seg t ON s.gid < t.gid
+    WHERE sign((s.x2 - s.x1) * (t.y1 - s.y1) - (s.y2 - s.y1) * (t.x1 - s.x1))
+        * sign((s.x2 - s.x1) * (t.y2 - s.y1) - (s.y2 - s.y1) * (t.x2 - s.x1)) < 0
+      AND sign((t.x2 - t.x1) * (s.y1 - t.y1) - (t.y2 - t.y1) * (s.x1 - t.x1))
+        * sign((t.x2 - t.x1) * (s.y2 - t.y1) - (t.y2 - t.y1) * (s.x2 - t.x1)) < 0
+    """
+
+
+def sql_triangles() -> str:
+    return """
+    WITH e AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id - 2, doc_id FROM documents
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    t AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    c AS (
+        SELECT x AS node FROM t
+        UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t
+    )
+    SELECT node, count(*)::BIGINT AS n_tri FROM c GROUP BY node
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2124,6 +2166,8 @@ def build_oracles() -> dict[str, str]:
         "relation_tags": sql_relation_tags(),
         "parent_tags": sql_parent_tags(),
         "checkpoint": sql_checkpoint(),
+        "segment_intersections": sql_segment_intersections(),
+        "triangles": sql_triangles(),
         "cube_counts": sql_cube_counts(),
         "mode_user_type": sql_mode_user_type(),
         "sample_weighted": sql_sample_weighted(),

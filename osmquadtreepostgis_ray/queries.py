@@ -2667,3 +2667,207 @@ def q_running_total(sf_dir: str):
                            ["g"], ["day", "o_orderkey"], "cents",
                            out_col="run_cents")
     return out.select_columns(["o_orderkey", "run_cents"])
+
+
+def q_segment_intersections(sf_dir: str):
+    """Segment-intersection spatial join (line x line — the OSM
+    crossing-ways shape; PBSM like stages/rect_join but with the exact
+    integer orientation predicate instead of interval overlap):
+
+    1. way chains (assembly member_table order) -> segments, one
+       group-sharded vectorized pass;
+    2. each segment fans out to the admin-grid cells its bbox covers —
+       candidate pairs only ever form inside one cell, so the only
+       all-to-all is the cell-keyed exchange;
+    3. per cell: bbox-prefilter (chunked broadcast mask), then the
+       exact int64 cross-product sign test (proper crossings only —
+       touching/collinear excluded, so no tie-rounding ambiguity);
+    4. a pair is found in every shared cell -> one sharded distinct.
+
+    Partitioning assumption (documented per CLAUDE.md): cell size ~
+    segment bbox size.  Synthetic chains are domain-length, so the cell
+    grid here is the coarse admin overlay; real map data wants the
+    depth-8 quadtree cells + the skew subdivision in stages/skew.py."""
+    from osmquadtreepostgis_ray.sources.zones import ADMIN_H, ADMIN_W, AX
+    from osmquadtreepostgis_ray.stages.assembly import member_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mem = member_table(docs)
+
+    def segs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"seg_id": np.int64, "gid": np.int64, "x1": np.int64,
+                "y1": np.int64, "x2": np.int64, "y2": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
+        df = df.sort_values(["group_id", "doc_id"], kind="stable")
+        g = df["group_id"].to_numpy(np.int64)
+        x = df["lon_milli"].to_numpy(np.int64)
+        y = df["lat_milli"].to_numpy(np.int64)
+        i = np.flatnonzero(g[1:] == g[:-1])        # row i and i+1 same group
+        x1, y1, x2, y2 = x[i], y[i], x[i + 1], y[i + 1]
+        keep = (x1 != x2) | (y1 != y2)
+        return pd.DataFrame({"seg_id": df["doc_id"].to_numpy(np.int64)[i][keep],
+                             "gid": g[i][keep],
+                             "x1": x1[keep], "y1": y1[keep],
+                             "x2": x2[keep], "y2": y2[keep]})
+
+    seg = shard_apply(mem, ["group_id"], segs)
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cellk", pa.array([], pa.int64()))
+        x1 = t.column("x1").to_numpy(); x2 = t.column("x2").to_numpy()
+        y1 = t.column("y1").to_numpy(); y2 = t.column("y2").to_numpy()
+        cx0 = np.minimum(x1, x2) // ADMIN_W
+        cx1 = np.maximum(x1, x2) // ADMIN_W
+        cy0 = np.minimum(y1, y2) // ADMIN_H
+        cy1 = np.maximum(y1, y2) // ADMIN_H
+        w = cx1 - cx0 + 1
+        cnt = w * (cy1 - cy0 + 1)
+        idx = np.repeat(np.arange(t.num_rows), cnt)
+        starts = np.r_[0, np.cumsum(cnt)[:-1]]
+        local = np.arange(int(cnt.sum()), dtype=np.int64) - starts[idx]
+        cell = (cy0[idx] + local // w[idx]) * AX + cx0[idx] + local % w[idx]
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("cellk", pa.array(cell, pa.int64()))
+
+    fanned = seg.map_batches(fan, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, cdf in df.groupby("cellk", sort=False):
+            m = len(cdf)
+            if m < 2:
+                continue
+            sid = cdf["seg_id"].to_numpy(np.int64)
+            gid = cdf["gid"].to_numpy(np.int64)
+            x1 = cdf["x1"].to_numpy(np.int64); y1 = cdf["y1"].to_numpy(np.int64)
+            x2 = cdf["x2"].to_numpy(np.int64); y2 = cdf["y2"].to_numpy(np.int64)
+            bx0 = np.minimum(x1, x2); bx1 = np.maximum(x1, x2)
+            by0 = np.minimum(y1, y2); by1 = np.maximum(y1, y2)
+            for lo in range(0, m, 512):          # bound the m x m temporaries
+                sl = slice(lo, min(lo + 512, m))
+                mask = ((gid[sl, None] != gid[None, :])
+                        & (sid[sl, None] < sid[None, :])
+                        & (bx0[sl, None] <= bx1[None, :]) & (bx0[None, :] <= bx1[sl, None])
+                        & (by0[sl, None] <= by1[None, :]) & (by0[None, :] <= by1[sl, None]))
+                ii, jj = np.nonzero(mask)
+                if not len(ii):
+                    continue
+                ii = ii + lo
+                ax1, ay1, ax2, ay2 = x1[ii], y1[ii], x2[ii], y2[ii]
+                qx1, qy1, qx2, qy2 = x1[jj], y1[jj], x2[jj], y2[jj]
+                s1 = np.sign((ax2 - ax1) * (qy1 - ay1) - (ay2 - ay1) * (qx1 - ax1))
+                s2 = np.sign((ax2 - ax1) * (qy2 - ay1) - (ay2 - ay1) * (qx2 - ax1))
+                s3 = np.sign((qx2 - qx1) * (ay1 - qy1) - (qy2 - qy1) * (ax1 - qx1))
+                s4 = np.sign((qx2 - qx1) * (ay2 - qy1) - (qy2 - qy1) * (ax2 - qx1))
+                hit = (s1 * s2 < 0) & (s3 * s4 < 0)
+                out_a.append(sid[ii[hit]])
+                out_b.append(sid[jj[hit]])
+        if not out_a:
+            return pd.DataFrame({"a_seg": pd.Series([], dtype=np.int64),
+                                 "b_seg": pd.Series([], dtype=np.int64),
+                                 "one": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        return pd.DataFrame({"a_seg": a, "b_seg": b,
+                             "one": np.ones(len(a), np.int64)})
+
+    cand = shard_apply(fanned, ["cellk"], pairs)
+    return (sharded_agg(cand, ["a_seg", "b_seg"], {"n": ("one", "min")})
+            .select_columns(["a_seg", "b_seg"]))
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over a deterministic document graph —
+    the degree-ordered distributed triangle algorithm (the MapReduce
+    classic): orient every edge from its lower-(degree, id) endpoint so
+    each triangle is generated from exactly one vertex and hub fanout
+    is bounded; wedges (v, w) from a vertex's oriented neighbor pairs
+    close against the oriented edge set via one hash join.
+
+    Edges (row-pure, from each doc row i): (i-1, i) always, and
+    (i-2, i) when (i-2) % 3 == 0 — every third chain step closes a
+    triangle."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    SHIFT = np.int64(1) << np.int64(31)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy().astype(np.int64)
+        c1 = i[i >= 1]
+        a1, b1 = c1 - 1, c1
+        c2 = i[(i >= 2) & ((i - 2) % 3 == 0)]
+        a2, b2 = c2 - 2, c2
+        return pa.table({"a": pa.array(np.r_[a1, a2], pa.int64()),
+                         "b": pa.array(np.r_[b1, b2], pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        n = np.r_[t.column("a").to_numpy(), t.column("b").to_numpy()]
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    # deg and directed are DAG forks (each consumed twice); materialize
+    # so the edge scan + degree shuffle run once, not per consumer.
+    deg = sharded_agg(e.map_batches(endpoints, batch_format="pyarrow"),
+                      ["node"], {"deg": ("deg", "sum")}).materialize()
+
+    da = deg.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
+                         batch_format="pyarrow")
+    db = deg.map_batches(lambda t: t.rename_columns(["b", "deg_b"]),
+                         batch_format="pyarrow")
+    # bucket_hash_join reads .schema() of both sides; on a lazy
+    # groupby-output that call EXECUTES the plan once, and the join then
+    # executes it again — materialize the first join so the second sees
+    # a pinned schema (measured 62s -> ~20s at sf0.1).
+    ed = bucket_hash_join(
+        bucket_hash_join(e, da, on="a").materialize(), db, on="b")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        dega = t.column("deg_a").to_numpy().astype(np.int64)
+        degb = t.column("deg_b").to_numpy().astype(np.int64)
+        fwd = (dega < degb) | ((dega == degb) & (a < b))
+        u = np.where(fwd, a, b); v = np.where(fwd, b, a)
+        du = np.where(fwd, dega, degb); dv = np.where(fwd, degb, dega)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "dv": pa.array(dv, pa.int64())})
+
+    directed = ed.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("u", "v1", "v2", "key")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+        m = df.merge(df, on="u", suffixes=("_1", "_2"))
+        lt = (m["dv_1"] < m["dv_2"]) | ((m["dv_1"] == m["dv_2"])
+                                        & (m["v_1"] < m["v_2"]))
+        m = m[lt]
+        v1 = m["v_1"].to_numpy(np.int64); v2 = m["v_2"].to_numpy(np.int64)
+        return pd.DataFrame({"u": m["u"].to_numpy(np.int64),
+                             "v1": v1, "v2": v2, "key": v1 * SHIFT + v2})
+
+    w = shard_apply(directed, ["u"], wedges).materialize()  # schema tax
+
+    ekey = directed.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            t.column("u").to_numpy().astype(np.int64) * SHIFT
+            + t.column("v").to_numpy().astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    tri = bucket_hash_join(w, ekey, on="key")
+
+    def corners(t: pa.Table) -> pa.Table:
+        n = np.r_[t.column("u").to_numpy(), t.column("v1").to_numpy(),
+                  t.column("v2").to_numpy()].astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_tri": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (sharded_agg(tri.map_batches(corners, batch_format="pyarrow"),
+                        ["node"], {"n_tri": ("n_tri", "sum")})
+            .select_columns(["node", "n_tri"]))

@@ -137,3 +137,65 @@ def test_keyed_prefix_sum_block_boundary_independent():
     ref = df.sort_values(["g", "o"]).groupby("g")["v"].cumsum()
     assert outs[0] == df.sort_values(["g", "o"]).assign(rs=ref.values) \
         .sort_values(["g", "o"])["rs"].tolist()
+
+
+def _brute_segments(sf_dir):
+    import pyarrow.parquet as _pq
+    from osmquadtreepostgis_ray.stages.assembly import GROUP_SIZE
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ids = docs["doc_id"].to_numpy(np.int64)
+    ph = geotag.phash_of(ids)
+    x, y = geotag.lonlat_milli_from_phash(ph)
+    g = ids // GROUP_SIZE
+    i = np.flatnonzero(g[1:] == g[:-1])
+    keep = (x[i] != x[i + 1]) | (y[i] != y[i + 1])
+    i = i[keep]
+    return ids[i], g[i], x[i], y[i], x[i + 1], y[i + 1]
+
+
+def test_segment_intersections_matches_brute_force(sf_dir):
+    out = Q.q_segment_intersections(sf_dir).to_pandas()
+    got = set(zip(out["a_seg"], out["b_seg"]))
+    sid, gid, x1, y1, x2, y2 = _brute_segments(sf_dir)
+    ref = set()
+    for i in range(len(sid)):
+        for j in range(i + 1, len(sid)):
+            if gid[i] == gid[j]:
+                continue
+            s1 = np.sign((x2[i]-x1[i])*(y1[j]-y1[i]) - (y2[i]-y1[i])*(x1[j]-x1[i]))
+            s2 = np.sign((x2[i]-x1[i])*(y2[j]-y1[i]) - (y2[i]-y1[i])*(x2[j]-x1[i]))
+            s3 = np.sign((x2[j]-x1[j])*(y1[i]-y1[j]) - (y2[j]-y1[j])*(x1[i]-x1[j]))
+            s4 = np.sign((x2[j]-x1[j])*(y2[i]-y1[j]) - (y2[j]-y1[j])*(x2[i]-x1[j]))
+            if s1 * s2 < 0 and s3 * s4 < 0:
+                a, b = sorted((int(sid[i]), int(sid[j])))
+                ref.add((a, b))
+    assert got == ref
+    assert len(ref) > 0          # fixture produces real crossings
+
+
+def test_triangles_matches_brute_force(sf_dir):
+    out = Q.q_triangles(sf_dir).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy(np.int64)
+    E = set()
+    for i in ids:
+        if i >= 1:
+            E.add((i - 1, i))
+        if i >= 2 and (i - 2) % 3 == 0:
+            E.add((i - 2, i))
+    from collections import Counter
+    cnt = Counter()
+    EL = sorted(E)
+    ES = set(EL)
+    for (a, b) in EL:
+        for (c, d) in EL:
+            if c != b:
+                continue
+            if (a, d) in ES:        # a<b<d triangle
+                cnt[a] += 1; cnt[b] += 1; cnt[d] += 1
+    assert dict(zip(out["node"], out["n_tri"])) == dict(cnt)
+    assert sum(cnt.values()) > 0
