@@ -1661,6 +1661,45 @@ def sql_triangles() -> str:
     """
 
 
+
+def sql_hex_bin() -> str:
+    from osmquadtreepostgis_ray.queries import HEX_C, HEX_NCOLS, HEX_R
+    C, R = HEX_C, HEX_R
+    half = C // 2
+    return f"""
+    WITH {events_geo_cte()},
+    cand AS (
+        SELECT event_id, lon_milli AS x, lat_milli AS y,
+               (lat_milli // {R}) AS j0
+        FROM ev
+    ),
+    d AS (
+        SELECT *,
+            ((j0 % 2) * {half}) AS o0,
+            (((j0 + 1) % 2) * {half}) AS o1
+        FROM cand
+    ),
+    e AS (
+        SELECT *,
+            ((2 * (x - o0) + {C}) // {2 * C}) AS i0,
+            ((2 * (x - o1) + {C}) // {2 * C}) AS i1
+        FROM d
+    ),
+    f AS (
+        SELECT *,
+            (x - (i0 * {C} + o0)) * (x - (i0 * {C} + o0))
+              + (y - j0 * {R}) * (y - j0 * {R}) AS d20,
+            (x - (i1 * {C} + o1)) * (x - (i1 * {C} + o1))
+              + (y - (j0 + 1) * {R}) * (y - (j0 + 1) * {R}) AS d21
+        FROM e
+    )
+    SELECT (CASE WHEN d20 <= d21 THEN j0 * {HEX_NCOLS} + i0
+                 ELSE (j0 + 1) * {HEX_NCOLS} + i1 END)::BIGINT AS hex_id,
+           count(*)::BIGINT AS n
+    FROM f GROUP BY 1
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2168,6 +2207,7 @@ def build_oracles() -> dict[str, str]:
         "checkpoint": sql_checkpoint(),
         "segment_intersections": sql_segment_intersections(),
         "triangles": sql_triangles(),
+        "hex_bin": sql_hex_bin(),
         "cube_counts": sql_cube_counts(),
         "mode_user_type": sql_mode_user_type(),
         "sample_weighted": sql_sample_weighted(),

@@ -2871,3 +2871,51 @@ def q_triangles(sf_dir: str):
     return (sharded_agg(tri.map_batches(corners, batch_format="pyarrow"),
                         ["node"], {"n_tri": ("n_tri", "sum")})
             .select_columns(["node", "n_tri"]))
+
+
+# hex lattice: C = column pitch, R = row pitch ~ C*sqrt(3)/2 -> the
+# lattice Voronoi cells are hexagons.  Integer constants keep every
+# assignment exact (DuckDB twin bit-for-bit).
+HEX_C = 10_000
+HEX_R = 8_660
+HEX_NCOLS = 38            # > LON_MOD // HEX_C + 1
+
+
+def q_hex_bin(sf_dir: str):
+    """H3-analog hexagonal binning (the north rule's hex-index face of
+    the quadtree cell encode): events assigned to the nearest center of
+    an offset hex lattice — candidate centers are the nearest column of
+    rows j0 = lat//R and j0+1 (provably sufficient for R/C = 0.866),
+    decided by exact int64 squared distance, tie -> lower row.  Pure
+    function of the row; one combiner + sharded sum, same shape as
+    cell_histogram."""
+    C, R = HEX_C, HEX_R
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t.column("lon_milli").to_numpy().astype(np.int64)
+        y = t.column("lat_milli").to_numpy().astype(np.int64)
+        j0 = y // R
+        best_d2 = None
+        bj = bi = None
+        for dj in (0, 1):
+            j = j0 + dj
+            o = (j % 2) * (C // 2)
+            i = (2 * (x - o) + C) // (2 * C)
+            cx = i * C + o
+            cy = j * R
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            if best_d2 is None:
+                best_d2, bj, bi = d2, j.copy(), i.copy()
+            else:
+                better = d2 < best_d2          # tie keeps the lower row
+                bj = np.where(better, j, bj)
+                bi = np.where(better, i, bi)
+                best_d2 = np.where(better, d2, best_d2)
+        hid = bj * HEX_NCOLS + bi
+        u, c = np.unique(hid, return_counts=True)
+        return pa.table({"hex_id": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    part = prep_events(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return (sharded_agg(part, ["hex_id"], {"n": ("n", "sum")})
+            .select_columns(["hex_id", "n"]))

@@ -73,6 +73,22 @@ def _bucket(keys: np.ndarray, buckets: int) -> np.ndarray:
     return (np.asarray(keys, dtype=np.int64) * _HASH_MULT) % buckets
 
 
+
+def _pin_if_lazy_schema(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Joins below need both sides' schemas up front.  On a lazy
+    dataset whose plan contains an all-to-all (groupby/sort output),
+    ``Dataset.schema()`` EXECUTES the whole plan to learn the schema —
+    and the join then executes it a second time for the data.  When the
+    schema is not already known cheaply, materialize once so schema +
+    data come from the same execution (measured 62s -> ~20s on the
+    triangle pipeline's chained joins)."""
+    try:
+        known = ds.schema(fetch_if_missing=False)
+    except Exception:
+        known = None
+    return ds if known is not None else ds.materialize()
+
+
 def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                      buckets: int | None = None,
                      how: str = "inner") -> ray.data.Dataset:
@@ -87,6 +103,7 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     import pyarrow as _pa
 
     buckets = buckets or default_buckets()
+    left, right = _pin_if_lazy_schema(left), _pin_if_lazy_schema(right)
     lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
     rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
     union_fields: dict[str, _pa.DataType] = {}
@@ -130,6 +147,7 @@ def multiway_bucket_join(sides: list[ray.data.Dataset], on: str,
     import pyarrow as _pa
 
     buckets = buckets or default_buckets()
+    sides = [_pin_if_lazy_schema(d) for d in sides]
     schemas = [_pa.schema(list(zip(d.schema().names, d.schema().types))) for d in sides]
     union_fields: dict[str, _pa.DataType] = {}
     int_cols: set[str] = set()
@@ -187,6 +205,7 @@ def salted_bucket_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     make grouping depend on block boundaries."""
     hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
     if id_col is None:
+        left = _pin_if_lazy_schema(left)
         sch = left.schema()
         for nm, ty in zip(sch.names, sch.types):
             if nm != on and pa.types.is_integer(ty):
@@ -272,6 +291,7 @@ def bucket_hash_join_on_cols(left: ray.data.Dataset, right: ray.data.Dataset, on
     participates in bucketing and the per-group merge."""
     import pyarrow as _pa
 
+    left, right = _pin_if_lazy_schema(left), _pin_if_lazy_schema(right)
     lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
     rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
     union_fields: dict[str, _pa.DataType] = {}
@@ -319,6 +339,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     function of (key, ts) or pre-dedupe, keeping the result independent
     of block order — the bit-stability invariant)."""
     buckets = buckets or default_buckets()
+    left, right = _pin_if_lazy_schema(left), _pin_if_lazy_schema(right)
     lnames = list(left.schema().names)
     rnames = [c for c in right.schema().names if c != key]
 

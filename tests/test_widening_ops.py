@@ -199,3 +199,68 @@ def test_triangles_matches_brute_force(sf_dir):
                 cnt[a] += 1; cnt[b] += 1; cnt[d] += 1
     assert dict(zip(out["node"], out["n_tri"])) == dict(cnt)
     assert sum(cnt.values()) > 0
+
+
+def test_hex_bin_two_row_candidates_are_nearest():
+    # the kernel only examines rows y//R and y//R + 1; verify against a
+    # 5-row brute force on a dense integer sweep incl. boundary values
+    from osmquadtreepostgis_ray.queries import HEX_C as C, HEX_R as R
+    rng = np.random.default_rng(11)
+    x = np.r_[rng.integers(0, 360000, 4000), np.arange(0, 30000, 7)]
+    y = np.r_[rng.integers(0, 170000, 4000), np.tile([0, R - 1, R, R + 1], 4286)[:4286]]
+    x = x[:len(y)]
+
+    def kernel(x, y):
+        j0 = y // R
+        best = None
+        for dj in (0, 1):
+            j = j0 + dj
+            o = (j % 2) * (C // 2)
+            i = (2 * (x - o) + C) // (2 * C)
+            d2 = (x - (i * C + o)) ** 2 + (y - j * R) ** 2
+            if best is None:
+                best = (d2, j.copy(), i.copy())
+            else:
+                b = d2 < best[0]
+                best = (np.where(b, d2, best[0]), np.where(b, j, best[1]),
+                        np.where(b, i, best[2]))
+        return best
+
+    d2k, jk, ik = kernel(x, y)
+    # brute force over rows j0-2 .. j0+2 and columns i-1 .. i+1
+    bd = np.full(len(x), np.iinfo(np.int64).max)
+    for dj in (-2, -1, 0, 1, 2):
+        j = y // R + dj
+        o = (j % 2) * (C // 2)
+        ic = (2 * (x - o) + C) // (2 * C)
+        for di in (-1, 0, 1):
+            i = ic + di
+            d2 = (x - (i * C + o)) ** 2 + (y - j * R) ** 2
+            bd = np.minimum(bd, d2)
+    assert (d2k == bd).all()
+
+
+def test_hex_bin_counts_match_local(sf_dir):
+    from osmquadtreepostgis_ray.queries import HEX_C as C, HEX_NCOLS, HEX_R as R
+    out = Q.q_hex_bin(sf_dir).to_pandas()
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    j0 = y // R
+    best = None
+    for dj in (0, 1):
+        j = j0 + dj
+        o = (j % 2) * (C // 2)
+        i = (2 * (x - o) + C) // (2 * C)
+        d2 = (x - (i * C + o)) ** 2 + (y - j * R) ** 2
+        if best is None:
+            best = [d2, j.copy(), i.copy()]
+        else:
+            b = d2 < best[0]
+            best = [np.where(b, d2, best[0]), np.where(b, j, best[1]),
+                    np.where(b, i, best[2])]
+    hid = best[1] * HEX_NCOLS + best[2]
+    ref = pd.Series(hid).value_counts().sort_index()
+    got = out.set_index("hex_id")["n"].sort_index()
+    assert got.to_dict() == ref.to_dict()
