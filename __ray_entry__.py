@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational ops (joins, window, topk, agg, diff-merge dedup)
         "segment_intersections": Q.q_segment_intersections,
         "triangles": Q.q_triangles,
+        "pip_holes": Q.q_pip_holes,
         "hex_bin": Q.q_hex_bin,
         "cube_counts": Q.q_cube_counts,
         "mode_user_type": Q.q_mode_user_type,

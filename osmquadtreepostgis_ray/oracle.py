@@ -1700,6 +1700,53 @@ def sql_hex_bin() -> str:
     """
 
 
+
+def sql_pip_holes() -> str:
+    from osmquadtreepostgis_ray.queries import PIP_HOLES_GROUPS
+    return f"""
+    WITH {events_geo_cte()},
+    {assembly_members_cte()},
+    r AS (
+        SELECT group_id, part, pseq, psize, x, y
+        FROM p WHERE group_id < {PIP_HOLES_GROUPS} AND closed
+    ),
+    os AS (
+        SELECT group_id, sum(x) // count(*) AS cx, sum(y) // count(*) AS cy,
+               min(x) AS bx0, max(x) AS bx1, min(y) AS by0, max(y) AS by1
+        FROM r WHERE part = 1 GROUP BY group_id
+    ),
+    v AS (
+        SELECT r.group_id, r.part, r.pseq, r.psize,
+            CASE WHEN r.part = 2 AND r.group_id % 2 = 0
+                 THEN least(greatest((3 * os.cx + r.x) // 4, os.bx0), os.bx1)
+                 ELSE r.x END AS vx,
+            CASE WHEN r.part = 2 AND r.group_id % 2 = 0
+                 THEN least(greatest((3 * os.cy + r.y) // 4, os.by0), os.by1)
+                 ELSE r.y END AS vy
+        FROM r LEFT JOIN os ON os.group_id = r.group_id
+    ),
+    e AS (
+        SELECT a.group_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+        FROM v a JOIN v b ON b.group_id = a.group_id AND b.part = a.part
+         AND b.pseq = CASE WHEN a.pseq + 1 = a.psize THEN 0 ELSE a.pseq + 1 END
+    ),
+    cr AS (
+        SELECT ev.event_id, e.group_id,
+            CASE WHEN ((e.y1 > ev.lat_milli) <> (e.y2 > ev.lat_milli))
+                 AND ((  (e.y2 - e.y1) > 0
+                       AND (e.x1 - ev.lon_milli) * (e.y2 - e.y1)
+                         + (ev.lat_milli - e.y1) * (e.x2 - e.x1) > 0)
+                   OR (  (e.y2 - e.y1) < 0
+                       AND (e.x1 - ev.lon_milli) * (e.y2 - e.y1)
+                         + (ev.lat_milli - e.y1) * (e.x2 - e.x1) < 0))
+                 THEN 1 ELSE 0 END AS c
+        FROM ev CROSS JOIN e
+    )
+    SELECT event_id, group_id FROM cr
+    GROUP BY event_id, group_id HAVING sum(c) % 2 = 1
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2207,6 +2254,7 @@ def build_oracles() -> dict[str, str]:
         "checkpoint": sql_checkpoint(),
         "segment_intersections": sql_segment_intersections(),
         "triangles": sql_triangles(),
+        "pip_holes": sql_pip_holes(),
         "hex_bin": sql_hex_bin(),
         "cube_counts": sql_cube_counts(),
         "mode_user_type": sql_mode_user_type(),

@@ -2919,3 +2919,78 @@ def q_hex_bin(sf_dir: str):
     part = prep_events(sf_dir).map_batches(assign, batch_format="pyarrow")
     return (sharded_agg(part, ["hex_id"], {"n": ("n", "sum")})
             .select_columns(["hex_id", "n"]))
+
+
+PIP_HOLES_GROUPS = 32      # fixed test-polygon set -> broadcastable
+
+
+def q_pip_holes(sf_dir: str):
+    """Point-in-polygon with HOLE semantics (even-odd ray cast) against
+    the assembled closed groups with group_id < PIP_HOLES_GROUPS — the
+    A2 hole assignment (stages/assembly.py) exercised as a JOIN
+    predicate, like the reference's polygon tables feeding PostGIS
+    ST_Contains (/root/reference/osmquadtreepostgis/__init__.py:368).
+
+    Inside-ness is the crossing parity over ALL of a group's ring edges
+    (outer + shrunk hole for even k>=6 groups — subtracting the hole
+    falls out of the parity), decided by the exact int64 crossing test:
+    edge counts iff (y1>py) != (y2>py) and the signed intercept
+    comparison (x1-px)*dy + (py-y1)*dx matches sign(dy) — no division.
+
+    The polygon side is FIXED-size (driver reads just those groups via
+    parquet filter pushdown, builds the edge table once, closes over
+    it); events stream through a stateless vectorized batch kernel —
+    the same broadcast-small-side plan as pip_zones."""
+    from osmquadtreepostgis_ray.stages.assembly import GROUP_SIZE, member_table
+
+    max_doc = PIP_HOLES_GROUPS * GROUP_SIZE
+    import pyarrow.dataset as pads
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
+                      filter=pads.field("doc_id") < max_doc)
+    mem = member_table(docs).to_pandas().sort_values("doc_id")
+
+    ex1, ey1, ex2, ey2, egrp = [], [], [], [], []
+    for gid, g in mem.groupby("group_id"):
+        k = len(g)
+        closed = bool((g["close_hit"] > 0).any()) and k >= 3
+        if not closed:
+            continue
+        xs = g["lon_milli"].to_numpy(np.int64)
+        ys = g["lat_milli"].to_numpy(np.int64)
+        m = k // 2 if k >= 6 else k
+        rings = [(xs[:m], ys[:m])]
+        if m != k:
+            hx, hy = xs[m:], ys[m:]
+            if gid % 2 == 0:               # A2 hole shrink (assembly.py)
+                ax, ay = xs[:m], ys[:m]
+                cx, cy = int(ax.sum()) // m, int(ay.sum()) // m
+                hx = np.clip((3 * cx + hx) // 4, ax.min(), ax.max())
+                hy = np.clip((3 * cy + hy) // 4, ay.min(), ay.max())
+            rings.append((hx, hy))
+        for rx, ry in rings:
+            ex1.append(rx); ey1.append(ry)
+            ex2.append(np.roll(rx, -1)); ey2.append(np.roll(ry, -1))
+            egrp.append(np.full(len(rx), gid, np.int64))
+    x1 = np.concatenate(ex1); y1 = np.concatenate(ey1)
+    x2 = np.concatenate(ex2); y2 = np.concatenate(ey2)
+    grp = np.concatenate(egrp)
+    order = np.argsort(grp, kind="stable")
+    x1, y1, x2, y2, grp = x1[order], y1[order], x2[order], y2[order], grp[order]
+    gstarts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+    gids = grp[gstarts]
+    dx, dy = x2 - x1, y2 - y1
+
+    def inside(t: pa.Table) -> pa.Table:
+        px = t.column("lon_milli").to_numpy().astype(np.int64)[:, None]
+        py = t.column("lat_milli").to_numpy().astype(np.int64)[:, None]
+        straddle = (y1 > py) != (y2 > py)
+        tnum = (x1 - px) * dy + (py - y1) * dx
+        crosses = straddle & (((dy > 0) & (tnum > 0)) | ((dy < 0) & (tnum < 0)))
+        per_group = np.add.reduceat(crosses.astype(np.int8), gstarts, axis=1)
+        ei, gi = np.nonzero(per_group % 2 == 1)
+        return pa.table({
+            "event_id": t.column("event_id").take(pa.array(ei, pa.int64())),
+            "group_id": pa.array(gids[gi], pa.int64())})
+
+    return prep_events(sf_dir).map_batches(inside, batch_format="pyarrow",
+                                           batch_size=2048)

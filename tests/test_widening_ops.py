@@ -264,3 +264,73 @@ def test_hex_bin_counts_match_local(sf_dir):
     ref = pd.Series(hid).value_counts().sort_index()
     got = out.set_index("hex_id")["n"].sort_index()
     assert got.to_dict() == ref.to_dict()
+
+
+def _even_odd_inside(px, py, rings):
+    c = 0
+    for rx, ry in rings:
+        n = len(rx)
+        for i in range(n):
+            x1, y1, x2, y2 = rx[i], ry[i], rx[(i + 1) % n], ry[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                t = (x1 - px) * (y2 - y1) + (py - y1) * (x2 - x1)
+                if (y2 - y1 > 0 and t > 0) or (y2 - y1 < 0 and t < 0):
+                    c += 1
+    return c % 2 == 1
+
+
+def test_even_odd_hole_semantics_unit():
+    # square outer + square hole: hole interior is OUTSIDE
+    outer = (np.array([0, 100, 100, 0]), np.array([0, 0, 100, 100]))
+    hole = (np.array([40, 60, 60, 40]), np.array([40, 40, 60, 60]))
+    rings = [outer, hole]
+    assert _even_odd_inside(20, 20, rings)          # annulus
+    assert not _even_odd_inside(50, 50, rings)      # inside the hole
+    assert not _even_odd_inside(150, 50, rings)     # outside entirely
+    assert _even_odd_inside(50, 50, [outer])        # no hole -> inside
+
+
+def test_pip_holes_matches_brute_force(sf_dir):
+    from osmquadtreepostgis_ray.queries import PIP_HOLES_GROUPS
+    from osmquadtreepostgis_ray.stages.assembly import GROUP_SIZE
+    out = Q.q_pip_holes(sf_dir).to_pandas()
+    got = set(zip(out["event_id"], out["group_id"]))
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["doc_id"] < PIP_HOLES_GROUPS * GROUP_SIZE] \
+        .sort_values("doc_id")
+    ph = geotag.phash_of(docs["doc_id"].to_numpy(np.int64))
+    x, y = geotag.lonlat_milli_from_phash(ph)
+    docs = docs.assign(x=x, y=y, gid=docs["doc_id"].to_numpy() // GROUP_SIZE)
+    from osmquadtreepostgis_ray.functions.tags import count_word
+    docs["hit"] = count_word(docs["text"], "merge")
+
+    group_rings = {}
+    for gid, g in docs.groupby("gid"):
+        k = len(g)
+        if not ((g["hit"] > 0).any() and k >= 3):
+            continue
+        xs = g["x"].to_numpy(np.int64); ys = g["y"].to_numpy(np.int64)
+        m = k // 2 if k >= 6 else k
+        rings = [(xs[:m], ys[:m])]
+        if m != k:
+            hx, hy = xs[m:], ys[m:]
+            if gid % 2 == 0:
+                cx, cy = int(xs[:m].sum()) // m, int(ys[:m].sum()) // m
+                hx = np.clip((3 * cx + hx) // 4, xs[:m].min(), xs[:m].max())
+                hy = np.clip((3 * cy + hy) // 4, ys[:m].min(), ys[:m].max())
+            rings.append((hx, hy))
+        group_rings[gid] = rings
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    lon, lat = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                         ev["event_id"].to_numpy())
+    ref = set()
+    for eid, px, py in zip(ev["event_id"], lon, lat):
+        for gid, rings in group_rings.items():
+            if _even_odd_inside(int(px), int(py), rings):
+                ref.add((int(eid), int(gid)))
+    assert got == ref
+    assert len(ref) > 0
