@@ -74,6 +74,10 @@ def _pagerank_broadcast(edges, deg, iters: int, scale: int,
     @ray.remote
     def inbox_of(tab: pa.Table, contrib) -> tuple:
         sids, cv = contrib  # ref arg auto-dereferenced (object store, not driver)
+        # Ray can propagate a zero-row block without running upstream
+        # UDFs on it, so its schema may be empty — skip, don't .column()
+        if tab.num_rows == 0 or "src" not in tab.column_names:
+            return np.array([], np.int64), np.array([], np.int64)
         src = tab.column("src").to_numpy()
         dst = tab.column("dst").to_numpy()
         c = cv[np.searchsorted(sids, src)]
