@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_intersections": Q.q_segment_intersections,
         "triangles": Q.q_triangles,
         "pip_holes": Q.q_pip_holes,
+        "dense_rank": Q.q_dense_rank,
+        "lag_delta": Q.q_lag_delta,
+        "outer_join": Q.q_outer_join,
         "hex_bin": Q.q_hex_bin,
         "cube_counts": Q.q_cube_counts,
         "mode_user_type": Q.q_mode_user_type,

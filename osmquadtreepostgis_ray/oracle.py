@@ -1747,6 +1747,49 @@ def sql_pip_holes() -> str:
     """
 
 
+
+def sql_dense_rank() -> str:
+    return """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           dense_rank() OVER (PARTITION BY event_type
+                              ORDER BY CAST(round(value * 100) AS BIGINT))
+               ::BIGINT AS drank
+    FROM events
+    """
+
+
+def sql_lag_delta() -> str:
+    return """
+    WITH w AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+    )
+    SELECT event_id, user_id, (ts_us - prev)::BIGINT AS delta_us
+    FROM w WHERE prev IS NOT NULL
+    """
+
+
+def sql_outer_join() -> str:
+    return """
+    WITH l AS (
+        SELECT o_custkey AS custkey, count(*)::BIGINT AS n_odd
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents3
+        FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(l.custkey, r.custkey)::BIGINT AS custkey,
+           COALESCE(l.n_odd, 0)::BIGINT AS n_odd,
+           COALESCE(r.cents3, 0)::BIGINT AS cents3
+    FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2255,6 +2298,9 @@ def build_oracles() -> dict[str, str]:
         "segment_intersections": sql_segment_intersections(),
         "triangles": sql_triangles(),
         "pip_holes": sql_pip_holes(),
+        "dense_rank": sql_dense_rank(),
+        "lag_delta": sql_lag_delta(),
+        "outer_join": sql_outer_join(),
         "hex_bin": sql_hex_bin(),
         "cube_counts": sql_cube_counts(),
         "mode_user_type": sql_mode_user_type(),

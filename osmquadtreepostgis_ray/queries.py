@@ -2994,3 +2994,133 @@ def q_pip_holes(sf_dir: str):
 
     return prep_events(sf_dir).map_batches(inside, batch_format="pyarrow",
                                            batch_size=2048)
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK per event_type over value cents — the distinct-value
+    window rank: one combiner pass dedupes (type, cents) so the SORT
+    ranks only distinct values (bounded by value cardinality, not row
+    count), then a composite-key bucket join carries the rank back to
+    every row."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join_on_cols
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _ek(et) -> np.ndarray:
+        # composite-key join needs an INT extra key: row-pure string hash
+        # (pandas hash_array, fixed default key — same as shard_apply)
+        return pd.util.hash_array(np.asarray(et, dtype=object)).astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "ek": pa.array(_ek(et), pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["event_type", "cents"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dis = sharded_agg(rows.map_batches(distinct, batch_format="pyarrow"),
+                      ["event_type", "cents"], {"n": ("cents", "count")}) \
+        .map_batches(lambda t: t.select(["event_type", "cents"]),
+                     batch_format="pyarrow")
+    ranked, _ = keyed_row_number(dis, ["event_type"], ["cents"], rank_col="r0")
+    def rank_cols(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table({"ek": pa.array(_ek(et), pa.int64()),
+                         "cents": t.column("cents"),
+                         "drank": pa.compute.add(t.column("r0"), 1)})
+
+    ranked = ranked.map_batches(rank_cols, batch_format="pyarrow")
+    out = bucket_hash_join_on_cols(rows, ranked, on="cents", extra_key="ek")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # typed-union padding floats the other side's int columns
+        # (CLAUDE.md dtype gotcha) — cast back
+        return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
+                         "event_type": t.column("event_type"),
+                         "cents": t.column("cents").cast(pa.int64()),
+                         "drank": t.column("drank").cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lag_delta(sf_dir: str):
+    """LAG window: per-user microsecond gap to the previous event in
+    (ts, event_id) order — one user-sharded exchange, vectorized diff
+    with cross-user boundaries dropped (first event per user emits no
+    row, matching LAG IS NOT NULL)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": np.int64, "user_id": np.int64, "delta_us": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[1:][same],
+            "user_id": uid[1:][same],
+            "delta_us": (ts[1:] - ts[:-1])[same]})
+
+    return shard_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], deltas)
+
+
+def q_outer_join(sf_dir: str):
+    """FULL OUTER join of two derived per-customer aggregates (odd-key
+    order counts vs %3-key cents sums — each side has keys the other
+    lacks), through the typed-union single-shuffle bucket join with
+    how='outer'; missing sides coalesce to 0 so every column stays
+    int64 (the typed-union dtype discipline)."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def sides(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+        k = t.column("o_orderkey").to_numpy()
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        m1 = (k % 2) == 1
+        m2 = (k % 3) == 0
+        l = pd.DataFrame({"custkey": c[m1]}).groupby("custkey", as_index=False) \
+            .size().rename(columns={"size": "n_odd"})
+        r = pd.DataFrame({"custkey": c[m2], "cents3": cents[m2]}) \
+            .groupby("custkey", as_index=False)["cents3"].sum()
+        l["n_odd"] = l["n_odd"].astype(np.int64)
+        return (pa.Table.from_pandas(l, preserve_index=False),
+                pa.Table.from_pandas(r, preserve_index=False))
+
+    left = sharded_agg(orders.map_batches(lambda t: sides(t)[0],
+                                          batch_format="pyarrow"),
+                       ["custkey"], {"n_odd": ("n_odd", "sum")})
+    right = sharded_agg(orders.map_batches(lambda t: sides(t)[1],
+                                           batch_format="pyarrow"),
+                        ["custkey"], {"cents3": ("cents3", "sum")})
+    j = bucket_hash_join(left, right, on="custkey", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.table({
+            "custkey": pa.array(df["custkey"].to_numpy(np.int64), pa.int64()),
+            "n_odd": pa.array(np.nan_to_num(
+                df["n_odd"].to_numpy(np.float64)).astype(np.int64), pa.int64()),
+            "cents3": pa.array(np.nan_to_num(
+                df["cents3"].to_numpy(np.float64)).astype(np.int64), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["custkey", "n_odd", "cents3"])

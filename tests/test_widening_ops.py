@@ -334,3 +334,51 @@ def test_pip_holes_matches_brute_force(sf_dir):
                 ref.add((int(eid), int(gid)))
     assert got == ref
     assert len(ref) > 0
+
+
+def test_dense_rank_matches_pandas(sf_dir):
+    out = Q.q_dense_rank(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    ref = pd.Series(cents).groupby(ev["event_type"]).rank(method="dense") \
+        .astype(np.int64)
+    assert out["drank"].tolist() == ref.tolist()
+    assert out["cents"].tolist() == cents.tolist()
+
+
+def test_lag_delta_matches_pandas(sf_dir):
+    out = Q.q_lag_delta(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+    prev = ev.groupby("user_id")["ts_us"].shift()
+    keep = prev.notna()
+    ref = ev[keep].assign(delta_us=(ev["ts_us"] - prev)[keep].astype(np.int64)) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == ref["event_id"].tolist()
+    assert out["delta_us"].tolist() == ref["delta_us"].tolist()
+
+
+def test_outer_join_matches_pandas(sf_dir):
+    out = Q.q_outer_join(sf_dir).to_pandas() \
+        .sort_values("custkey").reset_index(drop=True)
+    o = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey",
+                               "o_totalprice"]).to_pandas()
+    cents = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    l = o[o["o_orderkey"] % 2 == 1].groupby("o_custkey").size()
+    r = pd.Series(cents[(o["o_orderkey"] % 3 == 0).to_numpy()]) \
+        .groupby(o.loc[(o["o_orderkey"] % 3 == 0).to_numpy(),
+                       "o_custkey"].to_numpy()).sum()
+    keys = sorted(set(l.index) | set(r.index))
+    assert out["custkey"].tolist() == keys
+    assert out["n_odd"].tolist() == [int(l.get(k, 0)) for k in keys]
+    assert out["cents3"].tolist() == [int(r.get(k, 0)) for k in keys]
+    # genuinely full outer: both sides contribute exclusive keys
+    assert any(k not in r.index for k in l.index)
+    assert any(k not in l.index for k in r.index)
