@@ -2777,13 +2777,24 @@ def q_segment_intersections(sf_dir: str):
             .select_columns(["a_seg", "b_seg"]))
 
 
-def q_triangles(sf_dir: str):
+TRI_ID_ORIENT_MAX_DEG = 64   # id-oriented plan is safe below this
+
+
+def q_triangles(sf_dir: str, force_plan: str | None = None):
     """Per-node triangle counts over a deterministic document graph —
     the degree-ordered distributed triangle algorithm (the MapReduce
     classic): orient every edge from its lower-(degree, id) endpoint so
     each triangle is generated from exactly one vertex and hub fanout
     is bounded; wedges (v, w) from a vertex's oriented neighbor pairs
     close against the oriented edge set via one hash join.
+
+    PLAN SELECTION (the pagerank broadcast/bucketed pattern): the
+    degree table is computed anyway; when its MAX degree is bounded
+    (<= TRI_ID_ORIENT_MAX_DEG) the cheaper ID-oriented plan — skip the
+    two degree-attach joins, wedge directly on the lower endpoint — is
+    provably safe (per-vertex wedge fanout <= max_deg^2) and produces
+    the identical triangle multiset; hub-skewed graphs take the
+    degree-ordered plan.  Both plans tested equal.
 
     Edges (row-pure, from each doc row i): (i-1, i) always, and
     (i-2, i) when (i-2) % 3 == 0 — every third chain step closes a
@@ -2814,6 +2825,47 @@ def q_triangles(sf_dir: str):
     # so the edge scan + degree shuffle run once, not per consumer.
     deg = sharded_agg(e.map_batches(endpoints, batch_format="pyarrow"),
                       ["node"], {"deg": ("deg", "sum")}).materialize()
+
+    import pyarrow.compute as _pc
+    max_deg = max((int(_pc.max(t.column("deg")).as_py())
+                   for t in ray.get(deg.to_arrow_refs()) if t.num_rows),
+                  default=0)
+    plan = force_plan or ("id" if max_deg <= TRI_ID_ORIENT_MAX_DEG
+                          else "degree")
+
+    def corners(t: pa.Table) -> pa.Table:
+        n = np.r_[t.column("u").to_numpy(), t.column("v1").to_numpy(),
+                  t.column("v2").to_numpy()].astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "n_tri": pa.array(c.astype(np.int64), pa.int64())})
+
+    if plan == "id":
+        # edges are canonical a<b already: wedge on the lower endpoint,
+        # close against the a<b edge-key set — 3 shuffles total
+        def wedges_id(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ("u", "v1", "v2", "key")
+            if not len(df):
+                return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                     for c in cols})
+            m = df.merge(df, on="a", suffixes=("_1", "_2"))
+            m = m[m["b_1"] < m["b_2"]]
+            v1 = m["b_1"].to_numpy(np.int64)
+            v2 = m["b_2"].to_numpy(np.int64)
+            return pd.DataFrame({"u": m["a"].to_numpy(np.int64),
+                                 "v1": v1, "v2": v2,
+                                 "key": v1 * SHIFT + v2})
+
+        w = shard_apply(e, ["a"], wedges_id).materialize()
+        ekey = e.map_batches(
+            lambda t: pa.table({"key": pa.array(
+                t.column("a").to_numpy().astype(np.int64) * SHIFT
+                + t.column("b").to_numpy().astype(np.int64), pa.int64())}),
+            batch_format="pyarrow")
+        tri = bucket_hash_join(w, ekey, on="key")
+        return (sharded_agg(tri.map_batches(corners, batch_format="pyarrow"),
+                            ["node"], {"n_tri": ("n_tri", "sum")})
+                .select_columns(["node", "n_tri"]))
 
     da = deg.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
                          batch_format="pyarrow")
@@ -2860,13 +2912,6 @@ def q_triangles(sf_dir: str):
             + t.column("v").to_numpy().astype(np.int64), pa.int64())}),
         batch_format="pyarrow")
     tri = bucket_hash_join(w, ekey, on="key")
-
-    def corners(t: pa.Table) -> pa.Table:
-        n = np.r_[t.column("u").to_numpy(), t.column("v1").to_numpy(),
-                  t.column("v2").to_numpy()].astype(np.int64)
-        u, c = np.unique(n, return_counts=True)
-        return pa.table({"node": pa.array(u, pa.int64()),
-                         "n_tri": pa.array(c.astype(np.int64), pa.int64())})
 
     return (sharded_agg(tri.map_batches(corners, batch_format="pyarrow"),
                         ["node"], {"n_tri": ("n_tri", "sum")})

@@ -382,3 +382,12 @@ def test_outer_join_matches_pandas(sf_dir):
     # genuinely full outer: both sides contribute exclusive keys
     assert any(k not in r.index for k in l.index)
     assert any(k not in l.index for k in r.index)
+
+
+def test_triangles_plans_identical(sf_dir):
+    a = Q.q_triangles(sf_dir, force_plan="id").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = Q.q_triangles(sf_dir, force_plan="degree").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
