@@ -1790,6 +1790,20 @@ def sql_outer_join() -> str:
     """
 
 
+
+def sql_ahash_neardup_sampled(max_hamming: int = 3, mod: int = 10) -> str:
+    """sql_ahash_neardup restricted to the deterministic 1-in-mod doc
+    sample (doc_id parses back out of image_id = img%012d)."""
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()}
+    SELECT a.image_id AS a, b.image_id AS b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM ah a JOIN ah b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}
+      AND CAST(substr(a.image_id, 4) AS BIGINT) % {mod} = 0
+      AND CAST(substr(b.image_id, 4) AS BIGINT) % {mod} = 0
+    """
+
+
 ORACLES: dict[str, str] = {}
 
 
@@ -2301,6 +2315,7 @@ def build_oracles() -> dict[str, str]:
         "dense_rank": sql_dense_rank(),
         "lag_delta": sql_lag_delta(),
         "outer_join": sql_outer_join(),
+        "ahash_neardup": sql_ahash_neardup_sampled(),
         "hex_bin": sql_hex_bin(),
         "cube_counts": sql_cube_counts(),
         "mode_user_type": sql_mode_user_type(),

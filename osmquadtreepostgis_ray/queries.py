@@ -3169,3 +3169,24 @@ def q_outer_join(sf_dir: str):
 
     return j.map_batches(finish, batch_format="pyarrow") \
         .select_columns(["custkey", "n_odd", "cents3"])
+
+
+def q_ahash_neardup(sf_dir: str, max_hamming: int = 3, mod: int = 10):
+    """Perceptual near-dup PAIRS over a deterministic 1-in-`mod` image
+    sample (the sampled dedup-audit pattern): banded-hamming candidate
+    buckets (pigeonhole-complete for r<=3) + exact verify, equal to the
+    exhaustive self-join by construction.  Sampling bounds the
+    quadratic pair output on this synthetic gradient corpus (~8
+    effective hash bits — the adversarial case; see
+    stages/images.ahash_neardup_pairs scale note)."""
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.images import ahash_neardup_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t.column("doc_id").to_numpy() % mod == 0))
+
+    imgs = docs.map_batches(keep, batch_format="pyarrow") \
+        .map_batches(synth_images_batch, batch_format="pyarrow")
+    return ahash_neardup_pairs(imgs, max_hamming=max_hamming)
