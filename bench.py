@@ -98,11 +98,14 @@ def run_headline(sf_dir: str, repeat: int = 1) -> dict:
     # repeat-mode lists the same small file tile_repeat times; without an
     # override Ray makes one tiny read task per listing and per-task
     # overhead dominates BOTH levels (22s -> 16s at 4 CPUs, 8.3s -> 5.0s
-    # at 16 CPUs with 128 blocks packing ~3 listings per task).  Fixed
-    # block count keeps the two scaling levels on identical input plans.
+    # at 16 CPUs packing ~3-4 listings per task).  Pack ~4 listings per
+    # block — a pure function of the input plan, so both scaling levels
+    # see identical blocks; over-packing hurts (128 blocks at
+    # repeat=2000 measured 71.6s vs 24.4s at 512).
     from osmquadtreepostgis_ray.config import EngineParams
     tile_params = EngineParams(
-        read_parallelism=128 if tile_repeat > 1 else None)
+        read_parallelism=min(tile_repeat, max(128, tile_repeat // 4))
+        if tile_repeat > 1 else None)
     for b in all_tables_union(sf_dir, params=tile_params,
                               repeat=tile_repeat).map_batches(
             summarize, batch_format="pyarrow").iter_batches(
