@@ -222,34 +222,36 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
     size, while 2->8 gives 0.88) — so the in-ceiling N-vs-4N pair on
     this box is 2 vs 8.  Raw trials for BOTH pairs live in
     BASELINE.md."""
-    out = {}
-    trials: dict[int, list[float]] = {}
-    for cpus in (lo, hi):
-        best = None
-        trials[cpus] = []
-        for _trial in range(3):  # best-of-3: host CPU-steal bursts (4% of
-            # guest jiffies historically) hit individual trials hard
-            env = dict(os.environ)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only",
-                 "--cpus", str(cpus), "--sf-dir", sf_dir,
-                 "--repeat", str(SCALING_REPEAT)],
-                capture_output=True, text=True, env=env, timeout=3600)
-            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-            if r.returncode != 0 or not lines:
-                print(f"# scaling trial failed (cpus={cpus}, rc={r.returncode}): "
-                      f"{r.stderr[-500:]}", file=sys.stderr)
-                continue
-            res = json.loads(lines[-1])
-            trials[cpus].append(res["rows_per_s"])
-            if best is None or res["rows_per_s"] > best["rows_per_s"]:
-                best = res
-        if best is None:
-            raise RuntimeError(f"all scaling trials failed at cpus={cpus}")
-        out[cpus] = best
-    thr_lo = out[lo]["rows_per_s"]
-    thr_hi = out[hi]["rows_per_s"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    def run_pair(plo: int, phi: int, ntrials: int):
+        out = {}
+        trials: dict[int, list[float]] = {}
+        for cpus in (plo, phi):
+            best = None
+            trials[cpus] = []
+            for _trial in range(ntrials):  # best-of-N: host CPU-steal bursts
+                # (4% of guest jiffies historically) hit individual trials hard
+                env = dict(os.environ)
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--headline-only",
+                     "--cpus", str(cpus), "--sf-dir", sf_dir,
+                     "--repeat", str(SCALING_REPEAT)],
+                    capture_output=True, text=True, env=env, timeout=3600)
+                lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+                if r.returncode != 0 or not lines:
+                    print(f"# scaling trial failed (cpus={cpus}, rc={r.returncode}): "
+                          f"{r.stderr[-500:]}", file=sys.stderr)
+                    continue
+                res = json.loads(lines[-1])
+                trials[cpus].append(res["rows_per_s"])
+                if best is None or res["rows_per_s"] > best["rows_per_s"]:
+                    best = res
+            if best is None:
+                raise RuntimeError(f"all scaling trials failed at cpus={cpus}")
+            out[cpus] = best
+        eff = (out[phi]["rows_per_s"] / out[plo]["rows_per_s"]) / (phi / plo)
+        return out, trials, eff
+
+    out, trials, eff = run_pair(lo, hi, ntrials=3)
     # host scaling ceiling measured in the same window: on this shared VM
     # even cache-resident int64 ALU work does not scale 4->16 when the
     # host is oversubscribed (tools/host_probe.py) — the engine cannot
@@ -257,6 +259,12 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     import host_probe
     ceiling = host_probe.probe(lo=lo, hi=hi, alu_only=True)["alu_eff"]
+    # secondary pair 4v16 always reported alongside (ADVICE r2): the
+    # DRAM-ceiling rationale for the 2v8 primary stays independently
+    # checkable — the 4v16 stage breakdown (join_sec/tile_sec per level)
+    # shows WHERE the ceiling binds
+    s_out, s_trials, s_eff = run_pair(2 * lo, 2 * hi, ntrials=2)
+    s_ceiling = host_probe.probe(lo=2 * lo, hi=2 * hi, alu_only=True)["alu_eff"]
     return {
         "metric": "scaling efficiency (headline rows/s, fresh procs)",
         "value": round(eff, 3),
@@ -267,6 +275,15 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
         "trials": {str(c): trials[c] for c in trials},  # raw, for BASELINE.md
         "host_alu_ceiling": ceiling,
         "normalized_efficiency": round(eff / max(ceiling, 1e-9), 3),
+        "secondary_pair": {
+            "pair": [2 * lo, 2 * hi],
+            "efficiency": round(s_eff, 3),
+            "lo": s_out[2 * lo],
+            "hi": s_out[2 * hi],
+            "trials": {str(c): s_trials[c] for c in s_trials},
+            "host_alu_ceiling": s_ceiling,
+            "normalized_efficiency": round(s_eff / max(s_ceiling, 1e-9), 3),
+        },
         "queries": {},
         "num_cpus": hi,
     }

@@ -13,18 +13,24 @@ the reference's dry-run counting semantics (S4).
 
 from __future__ import annotations
 
-from osmquadtreepostgis_ray.config import EngineParams, Style
+from osmquadtreepostgis_ray.config import EngineParams, Style, load_style
 
 
-def _params(stylefn: Style | None, extended: bool, split_multipolygons: bool,
+def _params(stylefn: Style | str | None, extended: bool, split_multipolygons: bool,
             validate_geometry: bool) -> EngineParams:
+    """``stylefn`` mirrors the reference parameter of the same name
+    (osmquadtreepostgis/__init__.py:465): a style FILE path (JSON,
+    config.load_style), or an already-built Style, or None for the
+    default style."""
+    if isinstance(stylefn, str):
+        stylefn = load_style(stylefn)
     return EngineParams(style=stylefn or Style(), extended=extended,
                         split_multipolygons=split_multipolygons,
                         validate_geometry=validate_geometry)
 
 
 def write_to_table_dir(sf_dir: str, out_dir: str | None = None, *,
-                       stylefn: Style | None = None, extended: bool = True,
+                       stylefn: Style | str | None = None, extended: bool = True,
                        split_multipolygons: bool = True, validate_geometry: bool = True,
                        part_depth: int = 4, max_rows_per_part: int | None = None):
     """The write_to_postgis analog: route+project the corpus into the 6
@@ -99,7 +105,7 @@ def assemble_documents(sf_dir: str, *, split_multipolygons: bool = True,
 
 
 def write_to_csvfile(sf_dir: str, outfnprfx: str | None = None, *,
-                     stylefn: Style | None = None, extended: bool = True,
+                     stylefn: Style | str | None = None, extended: bool = True,
                      split_multipolygons: bool = True, validate_geometry: bool = True,
                      header: bool = True):
     """The write_to_csvfile analog (S3): one <prfx><table>.csv.gz per

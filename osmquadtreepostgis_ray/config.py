@@ -36,6 +36,57 @@ class Style:
     add_min_zoom: bool = True
 
 
+def load_style(path: str) -> Style:
+    """Parse a style FILE into a Style — the analog of the reference's
+    ``stylefn`` resolution (write_to_postgis passes a filename through
+    prep_geometry_params, osmquadtreepostgis/__init__.py:465-470), so a
+    user with an existing style JSON can drive the engine from it.
+
+    Two accepted JSON shapes:
+
+    1. explicit lists (this engine's native form)::
+
+         {"feature_keys": ["join", ...],
+          "parent_keys":  ["fast"],          # alias: "parent_tags"
+          "other_keys":   ["scan", ...] | null,   # null => hstore catch-all
+          "add_min_zoom": true}
+
+    2. the oqt-style key->flags mapping the reference's commented
+       coltags line implies (``(k, v.IsNode, v.IsWay, ...)``,
+       osmquadtreepostgis/__init__.py:476)::
+
+         {"join": {"IsFeature": true}, "scan": {}, ...}
+
+       flagged keys become feature_keys; unflagged keys become
+       other_keys (sorted, deterministic).
+    """
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict):
+        raise ValueError(f"style file {path!r}: expected a JSON object")
+
+    if "feature_keys" in doc:
+        other = doc.get("other_keys")
+        return Style(
+            feature_keys=tuple(doc["feature_keys"]),
+            parent_keys=tuple(doc.get("parent_keys",
+                                      doc.get("parent_tags",
+                                              DEFAULT_PARENT_KEYS))),
+            other_keys=None if other is None else tuple(other),
+            add_min_zoom=bool(doc.get("add_min_zoom", True)),
+        )
+
+    # oqt key->flags mapping
+    feature, other = [], []
+    for k, v in doc.items():
+        flags = v if isinstance(v, dict) else {}
+        (feature if flags.get("IsFeature", bool(flags)) else other).append(k)
+    return Style(feature_keys=tuple(sorted(feature)),
+                 other_keys=tuple(sorted(other)) if other else None)
+
+
 @dataclass(frozen=True)
 class EngineParams:
     """Analog of PostgisParameters (src/processpostgis.hpp:33-48)."""

@@ -970,6 +970,53 @@ def sql_embed_knn_ivf(k: int = 5, nq: int = 5, nprobe: int = 6,
     """
 
 
+def sql_embed_knn_lsh(k: int = 5, nq: int = 5, planes: int = 6,
+                      max_hamming: int = 2, dim: int = 64) -> str:
+    """Twin of the PRUNED multi-probe LSH path (queries.q_embed_knn_lsh):
+    the seeded hyperplane coefficients are inlined as SQL list literals,
+    each vector's bucket is its 6 sign bits, queries probe every bucket
+    within `max_hamming` bit flips (xor against the literal flip set),
+    and the exact top-k runs over the probed union only — so the
+    formerly rows-only query is now hash-gated like embed_knn_ivf.
+    Sign-flip risk (numpy BLAS vs DuckDB summation order on a
+    near-zero dot) is negligible on this corpus (|dot| ~ O(1))."""
+    import itertools
+
+    from osmquadtreepostgis_ray.stages.embed import _hyperplanes
+    H = _hyperplanes(planes, dim)
+    flips = [0]
+    for r in range(1, max_hamming + 1):
+        flips += [sum(1 << c for c in combo)
+                  for combo in itertools.combinations(range(planes), r)]
+
+    def hlit(p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in H[p]) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {hlit(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes))
+    flips_lit = ", ".join(f"({f})" for f in flips)
+    dd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH e AS (SELECT vec_id, {dd} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bucket_expr}) AS bucket FROM e),
+    flips(f) AS (VALUES {flips_lit}),
+    probed AS (SELECT DISTINCT xor(bucket, f) AS bucket
+               FROM b CROSS JOIN flips WHERE vec_id < {nq}),
+    sub AS (SELECT b.vec_id, b.v FROM b JOIN probed p ON p.bucket = b.bucket),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {nq}),
+    d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, s.v)
+                 / sqrt(list_dot_product(s.v, s.v))
+                 / sqrt(list_dot_product(q.qv, q.qv)) AS sim
+          FROM q CROSS JOIN sub s WHERE s.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM d)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank FROM r WHERE rank <= {k}
+    """
+
+
 def _sql_json_props() -> str:
     from osmquadtreepostgis_ray.stages.jsonview import json_props_sql
     return json_props_sql()
@@ -2339,6 +2386,7 @@ def build_oracles() -> dict[str, str]:
         "embed_knn_ivf": sql_embed_knn_ivf(),
         "ann_recall": sql_ann_recall(),
         "embed_knn_ivf_exhaustive": sql_embed_knn(),
+        "embed_knn_lsh": sql_embed_knn_lsh(),
         "embed_knn_lsh_exhaustive": sql_embed_knn(),
         "embed_neardup": sql_embed_neardup(),
         "ngram_dups": sql_ngram_dups(),

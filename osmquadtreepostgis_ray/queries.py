@@ -193,12 +193,14 @@ def q_window_hourly(sf_dir: str):
 # --------------------------------------------------------------- TPC-H-ish
 
 def q_join_orders_customer(sf_dir: str):
-    """Broadcast join (A3/A4 pattern): customer is the small side."""
-    from osmquadtreepostgis_ray.stages.joins import broadcast_join
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    """Dimension join (A3/A4 pattern): customer is the small side —
+    broadcast as Dataset BLOCKS (no driver pandas transit; customer is
+    data-scaled), bucket-join fallback above the worker-heap cap."""
+    from osmquadtreepostgis_ray.stages.joins import dim_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .rename_columns({"c_custkey": "o_custkey"})
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = dim_join(orders, cust, on="o_custkey")
 
     # combiner: collapse each joined batch to per-segment partials so the
     # groupby shuffle carries ~5 rows per batch, not the join output
@@ -392,11 +394,11 @@ def q_distinct_users(sf_dir: str):
 def q_topk_per_segment(sf_dir: str, k: int = 3):
     """Windowed rank analog: top-k orders by price per market segment
     (grouped sort + head; ties broken by o_orderkey desc)."""
-    from osmquadtreepostgis_ray.stages.joins import broadcast_join
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    from osmquadtreepostgis_ray.stages.joins import dim_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .rename_columns({"c_custkey": "o_custkey"})
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = dim_join(orders, cust, on="o_custkey")
 
     # combiner: per-batch local top-k per segment, then exact grouped top-k
     def local_topk(t: pa.Table) -> pa.Table:
@@ -846,8 +848,10 @@ def q_embed_knn_ivf_exhaustive(sf_dir: str, k: int = 5):
 
 def q_embed_knn_lsh(sf_dir: str, k: int = 5):
     """LSH-bucketed ANN (multi-probe hamming<=2 over 6 hyperplane sign
-    bits; exact within the probed buckets).  Approximate — rows-only
-    check; recall vs brute force is asserted in tests."""
+    bits; exact within the probed buckets).  Hash-gated since round 3:
+    oracle.sql_embed_knn_lsh inlines the seeded hyperplanes as SQL
+    literals and reproduces the probe-set prune exactly; recall vs
+    brute force is additionally asserted in tests."""
     import hashlib
 
     from osmquadtreepostgis_ray.stages.embed import lsh_knn
@@ -1276,11 +1280,11 @@ def q_pivot(sf_dir: str):
     long-form table; the final widening is a vectorized per-segment
     reshape.  Broadcast join attaches the segment (customer is the
     small side)."""
-    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+    from osmquadtreepostgis_ray.stages.joins import dim_join
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
-        .rename_columns({"c_custkey": "o_custkey"}).to_pandas()
-    joined = broadcast_join(orders, cust, on="o_custkey")
+        .rename_columns({"c_custkey": "o_custkey"})
+    joined = dim_join(orders, cust, on="o_custkey")
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -2512,6 +2516,17 @@ def q_cube_counts(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        # pandas groupby(dropna=True) would silently DROP null lang/source
+        # rows where DuckDB groups them, and a real value containing the
+        # rollup sentinel would collide with rollup rows (ADVICE r2):
+        # assert both preconditions instead of corrupting counts.
+        for c in ("lang", "source"):
+            if df[c].isna().any():
+                raise ValueError(f"q_cube_counts: null {c!r} unsupported "
+                                 f"(add an explicit placeholder upstream)")
+            if (df[c] == SENT).any():
+                raise ValueError(f"q_cube_counts: {c!r} contains the rollup "
+                                 f"sentinel byte")
         g = df.groupby(["lang", "source"], as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
         frames = []
@@ -2594,7 +2609,8 @@ def q_sample_weighted(sf_dir: str, scale_div: int = 5):
 
 
 def q_corr_components(sf_dir: str):
-    """Exact-integer covariance/correlation components per event_type:
+    """Exact-integer covariance/correlation components per
+    ``event_id % 5`` bucket (5 fixed strata — NOT per event_type):
     (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) with x = value cents and
     y = lat_milli — the one-pass parallel corr shape (driver derives
     r from the six sums; the engine ships partials only)."""
@@ -2827,9 +2843,19 @@ def q_triangles(sf_dir: str, force_plan: str | None = None):
                       ["node"], {"deg": ("deg", "sum")}).materialize()
 
     import pyarrow.compute as _pc
-    max_deg = max((int(_pc.max(t.column("deg")).as_py())
-                   for t in ray.get(deg.to_arrow_refs()) if t.num_rows),
-                  default=0)
+    max_deg, max_node = 0, -1
+    for t in ray.get(deg.to_arrow_refs()):
+        if t.num_rows:
+            max_deg = max(max_deg, int(_pc.max(t.column("deg")).as_py()))
+            max_node = max(max_node, int(_pc.max(t.column("node")).as_py()))
+    # the (v1, v2) wedge/edge keys pack as v1*2^31 + v2: ids >= 2^31
+    # would silently collide / overflow int64 (ADVICE r2) — refuse and
+    # point at the unpacked-key join instead of returning wrong counts
+    if max_node >= int(SHIFT):
+        raise ValueError(
+            f"q_triangles packed join keys require node ids < 2^31 "
+            f"(max seen {max_node}); join on (v1, v2) via "
+            f"bucket_hash_join on two columns for wider id spaces")
     plan = force_plan or ("id" if max_deg <= TRI_ID_ORIENT_MAX_DEG
                           else "degree")
 

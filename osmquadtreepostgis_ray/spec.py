@@ -90,7 +90,14 @@ def build_table_specs(style, extended: bool = True, add_min_zoom: bool = True) -
         ]
         cols += [ColumnSpec(f"kv_{k}", ColumnType.BIGINT, ColumnSource.TAG, tag_key=k)
                  for k in style.feature_keys]
-        cols.append(ColumnSpec("tags", ColumnType.HSTORE, ColumnSource.OTHER_TAGS))
+        # postgis_columns parity (osmquadtreepostgis/__init__.py:44-65,
+        # :100-101): other_keys=None -> an hstore catch-all column;
+        # other_keys set -> those keys get dedicated columns, NO hstore
+        if getattr(style, "other_keys", None) is None:
+            cols.append(ColumnSpec("tags", ColumnType.HSTORE, ColumnSource.OTHER_TAGS))
+        else:
+            cols += [ColumnSpec(f"kv_{k}", ColumnType.BIGINT, ColumnSource.TAG, tag_key=k)
+                     for k in style.other_keys]
         if add_min_zoom:
             cols.append(ColumnSpec("minzoom", ColumnType.BIGINT, ColumnSource.MIN_ZOOM))
         cols.append(ColumnSpec("way", geom, ColumnSource.GEOMETRY))

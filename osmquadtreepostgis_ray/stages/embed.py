@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from osmquadtreepostgis_ray.functions import text as T
-from osmquadtreepostgis_ray.util import pool_size, worker_cached
+from osmquadtreepostgis_ray.util import pool_size, topk_per_key, worker_cached
 
 
 def embed_documents(ds: ray.data.Dataset, dim: int = 32,
@@ -90,16 +90,21 @@ class CosineTopK:
 
 def knn_embeddings(corpus: ray.data.Dataset, query_ids: np.ndarray, query_mat: np.ndarray,
                    k: int = 5, id_col: str = "vec_id") -> pa.Table:
-    """Exact brute-force cosine top-k; ranked by (-sim, neighbor_id)."""
+    """Exact brute-force cosine top-k; ranked by (-sim, neighbor_id).
+
+    The FINAL reduce is distributed (util.topk_per_key shards partials by
+    query_id): the driver receives only nq x k rows, never the
+    nq x k x num_blocks partial set — block-count-independent."""
     qref = ray.put({"ids": query_ids, "mat": query_mat})
     partials = corpus.map_batches(worker_cached(lambda: CosineTopK(qref, k, id_col)),
                                   batch_format="pyarrow", batch_size=8192)
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", "neighbor_id"],
-                        ascending=[True, False, True], kind="stable")
-    df = df.groupby("query_id", sort=True).head(k).copy()
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(df[["query_id", "neighbor_id", "rank"]], preserve_index=False)
+    merged = topk_per_key(partials, "query_id", ["query_id", "sim", "neighbor_id"],
+                          [True, False, True], k, ["query_id", "neighbor_id"])
+    if merged is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    return merged
 
 
 def ivf_assign(corpus: ray.data.Dataset, centroids: np.ndarray,
@@ -249,9 +254,29 @@ def lsh_knn(corpus: ray.data.Dataset, query_ids, query_mat, k: int = 5,
 
 
 def cosine_neardup_pairs(corpus: ray.data.Dataset, threshold: float = 0.95,
-                         planes: int = 16, id_col: str = "vec_id") -> pa.Table:
+                         planes: int = 16, id_col: str = "vec_id",
+                         bucket_cap: int = 4096) -> ray.data.Dataset:
     """Near-dup pairs via random-hyperplane LSH blocking + exact verify
-    within buckets (groupby shuffle carries only (bucket, id, vec))."""
+    within buckets (groupby shuffle carries only (bucket, id, vec)).
+
+    Returns a DATASET: the pair table never transits the driver (it is
+    data-scaled on a near-dup-heavy corpus — the exact case this op
+    targets).  Two bounds keep the per-bucket n^2 verify safe:
+
+    - hot-bucket SPLIT: a bucket larger than `bucket_cap` is split by
+      the sign bits of extra hyperplanes (deterministic seeds per round)
+      until every sub-bucket fits.  Identical vectors share every sign
+      bit, so exact dups are never separated; near-identical vectors
+      separate with probability angle/pi per plane (standard SimHash
+      bound) — the price of bounding the quadratic verify.
+    - identical-signature RESIDUE (vectors so close no plane splits
+      them, after 24 extra planes): verified star-wise against the
+      sub-bucket's min id — linear output, full connectivity for
+      dedup-clustering, mirroring images.ahash_neardup's bounded form.
+
+    Dedup to canonical (a, b) rows via shard_apply — no driver pandas."""
+    from osmquadtreepostgis_ray.util import shard_apply
+
     first = corpus.take(1)
     d = len(first[0]["embedding"])
     H = np.random.RandomState(777).standard_normal((planes, d))
@@ -271,28 +296,58 @@ def cosine_neardup_pairs(corpus: ray.data.Dataset, threshold: float = 0.95,
 
     bucketed = corpus.map_batches(worker_cached(Sig), batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "sim_permille": pd.Series([], dtype=np.int64)})
-        ids = g[id_col].to_numpy().astype(np.int64)
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    EMPTY = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "sim_permille": pd.Series([], dtype=np.int64)})
+    MAX_SPLIT_ROUNDS = 24
+
+    def _emit(ids: np.ndarray, m: np.ndarray, star: bool) -> pd.DataFrame:
+        if star:
+            # residue of near-identical vectors: verify vs the min id only
+            root = int(np.argmin(ids))
+            sim = m @ m[root]
+            keep = (sim >= threshold) & (np.arange(len(ids)) != root)
+            other = ids[keep]
+            return pd.DataFrame({
+                "a": np.minimum(other, ids[root]),
+                "b": np.maximum(other, ids[root]),
+                "sim_permille": np.round(sim[keep] * 1000).astype(np.int64)})
         sim = m @ m.T
         ii, jj = np.triu_indices(len(ids), 1)
         keep = sim[ii, jj] >= threshold
         return pd.DataFrame({
             "a": np.minimum(ids[ii[keep]], ids[jj[keep]]),
             "b": np.maximum(ids[ii[keep]], ids[jj[keep]]),
-            "sim_permille": np.round(sim[ii, jj][keep] * 1000).astype(np.int64),
-        })
+            "sim_permille": np.round(sim[ii, jj][keep] * 1000).astype(np.int64)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return EMPTY
+        ids = g[id_col].to_numpy().astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        labels = np.zeros(len(ids), dtype=np.int64)
+        rnd = 0
+        while rnd < MAX_SPLIT_ROUNDS:
+            _, inv, cnts = np.unique(labels, return_inverse=True, return_counts=True)
+            hot = cnts[inv] > bucket_cap
+            if not hot.any():
+                break
+            h = np.random.RandomState(1000 + rnd).standard_normal(m.shape[1])
+            bit = (m @ h > 0).astype(np.int64)
+            labels = labels * 2 + np.where(hot, bit, 0)
+            rnd += 1
+        out = []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            if sel.sum() < 2:
+                continue
+            out.append(_emit(ids[sel], m[sel], star=bool(sel.sum() > bucket_cap)))
+        return pd.concat(out, ignore_index=True) if out else EMPTY
 
     pairs = bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
-    df = pairs.to_pandas()
-    if df.empty:
-        df = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                           "b": pd.Series([], dtype=np.int64),
-                           "sim_permille": pd.Series([], dtype=np.int64)})
-    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).sort_values(["a", "b"], kind="stable")
+
+    return shard_apply(pairs, ["a"], dedupe)

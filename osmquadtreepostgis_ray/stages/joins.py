@@ -57,16 +57,23 @@ BUCKETS = 32
 _HASH_MULT = 2654435761
 
 
-def default_buckets() -> int:
-    """Join bucket count sized to the cluster: ~2 groups per CPU (keeps
-    every core busy through the merge stage and halves stragglers'
-    blast radius) with the single-node floor of 32.  Pure function of
-    cluster size, not of data — bucket ids stay row-pure."""
+def default_buckets(*sides: ray.data.Dataset) -> int:
+    """Join bucket count: max of the cluster floor (~2 groups per CPU,
+    single-node floor 32 — keeps every core busy through the merge
+    stage) and the DATA-AWARE count (combined input-size estimate /
+    64 MB, util.scaled_shards) so one bucket's merged frame fits a
+    worker heap at any input size.  Bucket ids never reach outputs, so
+    the count is a pure blocks knob."""
+    from osmquadtreepostgis_ray.util import estimate_bytes
     try:
         cpus = int(ray.cluster_resources().get("CPU", 16))
     except Exception:
         cpus = 16
-    return max(BUCKETS, 2 * cpus)
+    floor = max(BUCKETS, 2 * cpus)
+    est = sum(estimate_bytes(s) or 0 for s in sides)
+    if est:
+        floor = max(floor, -(-est // (64 << 20)))
+    return floor
 
 
 def _bucket(keys: np.ndarray, buckets: int) -> np.ndarray:
@@ -102,7 +109,7 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     the typed-union dtype gotcha)."""
     import pyarrow as _pa
 
-    buckets = buckets or default_buckets()
+    buckets = buckets or default_buckets(left, right)
     left, right = _pin_if_lazy_schema(left), _pin_if_lazy_schema(right)
     lschema = _pa.schema(list(zip(left.schema().names, left.schema().types)))
     rschema = _pa.schema(list(zip(right.schema().names, right.schema().types)))
@@ -134,6 +141,27 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+DIM_BROADCAST_CAP = 256 << 20  # bytes: worker-heap comfortable on 4 GiB heaps
+
+
+def dim_join(big: ray.data.Dataset, small: ray.data.Dataset, on: str,
+             how: str = "inner",
+             max_broadcast_bytes: int = DIM_BROADCAST_CAP) -> ray.data.Dataset:
+    """Size-guarded dimension join: broadcast the small side (Dataset
+    blocks via to_arrow_refs — never driver pandas) while it fits a
+    worker heap, else fall back to the partitioned bucket_hash_join.
+
+    A 'dimension' table (customer, parent groups) is data-scaled in a
+    TPC-H-shaped corpus — an unconditional broadcast becomes a per-task
+    OOM at 100 TB.  The small side is pinned once (materialize) so the
+    size check and the join read the same execution."""
+    small = small.materialize()
+    size = small.size_bytes() or 0
+    if size <= max_broadcast_bytes:
+        return broadcast_join(big, small, on, how=how)
+    return bucket_hash_join(big, small, on, how=how)
+
+
 def multiway_bucket_join(sides: list[ray.data.Dataset], on: str,
                          buckets: int | None = None) -> ray.data.Dataset:
     """Inner-join N datasets on one int64 key in a SINGLE shuffle: the
@@ -146,7 +174,7 @@ def multiway_bucket_join(sides: list[ray.data.Dataset], on: str,
     mixed buckets — the typed-union dtype gotcha)."""
     import pyarrow as _pa
 
-    buckets = buckets or default_buckets()
+    buckets = buckets or default_buckets(*sides)
     sides = [_pin_if_lazy_schema(d) for d in sides]
     schemas = [_pa.schema(list(zip(d.schema().names, d.schema().types))) for d in sides]
     union_fields: dict[str, _pa.DataType] = {}
@@ -279,10 +307,10 @@ def skew_aware_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     no caller-supplied hot list required."""
     hot = detect_hot_keys(left, on, max_rows_per_key)
     if not len(hot):
-        return bucket_hash_join(left, right, on=on, buckets=buckets or default_buckets())
+        return bucket_hash_join(left, right, on=on, buckets=buckets)
     return salted_bucket_join(left, right, on=on, hot_keys=hot,
                               salt_mod=salt_mod,
-                              buckets=buckets or default_buckets(), id_col=id_col)
+                              buckets=buckets or default_buckets(left, right), id_col=id_col)
 
 
 def bucket_hash_join_on_cols(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
@@ -338,7 +366,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     (key, ts) are collapsed to one (callers make the payload a pure
     function of (key, ts) or pre-dedupe, keeping the result independent
     of block order — the bit-stability invariant)."""
-    buckets = buckets or default_buckets()
+    buckets = buckets or default_buckets(left, right)
     left, right = _pin_if_lazy_schema(left), _pin_if_lazy_schema(right)
     lnames = list(left.schema().names)
     rnames = [c for c in right.schema().names if c != key]
@@ -495,7 +523,7 @@ def bucket_semi_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     separate groupby(key) aggregate a set-intersection query would
     otherwise pay; right-side dups never matter (membership keys are
     uniqued in the merge)."""
-    buckets = buckets or default_buckets()
+    buckets = buckets or default_buckets(left, right)
     lnames = list(left.schema().names)
     lint = {nm for nm, ty in zip(left.schema().names, left.schema().types)
             if pa.types.is_integer(ty)}

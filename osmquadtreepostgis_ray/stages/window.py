@@ -24,6 +24,38 @@ import ray
 import ray.data
 
 
+def _keep_nonempty(refs, partials):
+    """Skip zero-row blocks when assembling the finished output: a
+    zero-row block can arrive with an EMPTY schema (the CLAUDE.md
+    to_arrow_refs hazard) and finish() would give it the {out_col}-only
+    schema, diverging from the other blocks and breaking downstream
+    select_columns (ADVICE r2).  A block is empty iff its per-group
+    partial is empty."""
+    return [i for i, df in enumerate(partials) if len(df)]
+
+
+def _empty_with(ds, sorted_ds, extra_col: str) -> "ray.data.Dataset":
+    """All-blocks-empty fallback: one empty block with the full output
+    schema (input schema + the appended int64 column).  The sorted
+    dataset's schema can be None when every block is empty — fall back
+    to the pre-sort input's schema."""
+    sch = sorted_ds.schema() or ds.schema()
+
+    def atype(t):  # pandas blocks report numpy dtypes
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except Exception:
+            return pa.string()
+
+    cols = {}
+    if sch is not None:
+        cols = {n: pa.array([], atype(t)) for n, t in zip(sch.names, sch.types)}
+    cols[extra_col] = pa.array([], pa.int64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def _group_key(tab: pa.Table, group_cols: list[str]) -> np.ndarray:
     """Row -> group ordinal within one sorted block (groups contiguous)."""
     parts = [tab.column(c).to_numpy(zero_copy_only=False) for c in group_cols]
@@ -81,7 +113,10 @@ def keyed_row_number(ds: ray.data.Dataset, group_cols: list[str],
         local = np.arange(len(gid), dtype=np.int64) - firsts[gid]
         return tab.append_column(rank_col, pa.array(base + local, pa.int64()))
 
-    out = [finish.remote(r, s) for r, s in zip(refs, starts)]
+    keep = _keep_nonempty(refs, partials)
+    if not keep:
+        return _empty_with(ds, sorted_ds, rank_col), totals
+    out = [finish.remote(refs[i], starts[i]) for i in keep]
     return ray.data.from_arrow_refs(out), totals
 
 
@@ -148,5 +183,8 @@ def keyed_prefix_sum(ds: ray.data.Dataset, group_cols: list[str],
         seg0 = (cs[firsts] - v[firsts])[gid]     # cumsum before group start
         return tab.append_column(out_col, pa.array(base + cs - seg0, pa.int64()))
 
-    out = [finish.remote(r, s) for r, s in zip(refs, starts)]
+    keep = _keep_nonempty(refs, partials)
+    if not keep:
+        return _empty_with(ds, sorted_ds, out_col)
+    out = [finish.remote(refs[i], starts[i]) for i in keep]
     return ray.data.from_arrow_refs(out)

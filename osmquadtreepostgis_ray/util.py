@@ -13,8 +13,53 @@ _STAGE_CACHE: dict = {}
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def estimate_bytes(ds: "ray.data.Dataset") -> int | None:
+    """Metadata-only size estimate — NEVER executes the plan (Dataset.
+    size_bytes() runs the whole chain when metadata is missing, which a
+    sizing heuristic must not).  When the head operator can't infer its
+    size (any map_batches), walk to the plan's SOURCES (parquet reads
+    carry file-metadata sizes) and sum those: an upper-bound proxy that
+    scales with the input, which is what shard sizing needs.  None when
+    nothing in the plan knows its size."""
+    def walk(node) -> int | None:
+        try:
+            m = node.infer_metadata()
+            if m.size_bytes is not None:
+                return m.size_bytes
+        except Exception:
+            pass
+        total, known = 0, False
+        for dep in getattr(node, "input_dependencies", None) or []:
+            s = walk(dep)
+            if s is not None:
+                total, known = total + s, True
+        return total if known else None
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:
+        return None
+
+
+SHARD_FLOOR = 256
+SHARD_TARGET_BYTES = 64 << 20  # ~64 MB Arrow per shard: pandas-expanded
+
+
+def scaled_shards(ds: "ray.data.Dataset", floor: int = SHARD_FLOOR,
+                  target_bytes: int = SHARD_TARGET_BYTES) -> int:
+    """Shard count that grows with the DATA: one shard must fit a worker
+    heap at any input size (a fixed 256 means ~400 GB/shard at 100 TB).
+    Derived from the metadata-only estimate; the floor keeps small
+    inputs at the round-2 constants (bit-compatible outputs — shard ids
+    never reach results)."""
+    est = estimate_bytes(ds)
+    if not est:
+        return floor
+    return max(floor, -(-est // target_bytes))
+
+
 def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
-                shards: int = 256) -> "ray.data.Dataset":
+                shards: int | None = None) -> "ray.data.Dataset":
     """Keyed-group apply without the per-group task tax.
 
     ``groupby(key).map_groups(fn)`` pays a Python call (and often a
@@ -30,10 +75,14 @@ def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
     ``__shard`` already dropped) and must do its own per-key grouping
     with vectorized kernels (sort + groupby.tail / reduceat / cumsum
     segments).  Rows with equal key values are guaranteed co-located in
-    one shard.  ``shards`` bounds the shuffle fan-in; at cluster scale
-    raise it so a shard fits a worker heap (it is a blocks knob, not a
-    semantics knob)."""
+    one shard.  ``shards`` bounds the shuffle fan-in; the default is
+    DATA-AWARE (scaled_shards: input-size estimate / 64 MB, floor 256)
+    so a shard fits a worker heap at any input size (it is a blocks
+    knob, not a semantics knob)."""
     import pyarrow as pa
+
+    if shards is None:
+        shards = scaled_shards(ds)
 
     def add_shard(t: "pa.Table") -> "pa.Table":
         h = np.zeros(len(t), np.uint64)
@@ -57,7 +106,7 @@ def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
 
 
 def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
-                shards: int = 256) -> "ray.data.Dataset":
+                shards: int | None = None) -> "ray.data.Dataset":
     """Grouped aggregate for keys whose cardinality scales with the
     data (cells, pixels, (user, hour) pairs, content hashes): one
     hash-shard shuffle + a C-level pandas groupby per shard, instead of
@@ -72,6 +121,36 @@ def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
         return out
 
     return shard_apply(ds, keys, agg, shards=shards)
+
+
+def topk_per_key(partials: "ray.data.Dataset", key: str, by: list[str],
+                 ascending: list[bool], k: int, out_cols: list[str],
+                 shards: int = 64) -> "pa.Table":
+    """Distributed FINAL top-k merge for the ANN/kNN family.
+
+    Partial candidate volume is n_keys x k x num_blocks — it grows with
+    the BLOCK COUNT, so pulling partials to the driver (to_pandas) is a
+    driver-memory + Amdahl scale-killer at 10^5-10^6 blocks.  Instead the
+    partials shard by ``key`` (every key's candidates co-located — the
+    shard assignment is row-pure, see shard_apply) and each shard does
+    the vectorized sort + head(k) + rank; the driver receives only
+    n_keys x k FINAL rows, independent of block count.  The tiny final
+    table is then canonically ordered by (key, rank)."""
+    import pyarrow as pa
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=ascending, kind="stable")
+        g = g.groupby(key, sort=False).head(k).copy()
+        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
+        return g[out_cols + ["rank"]]
+
+    out = shard_apply(partials, [key], merge, shards=shards)
+    tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in out.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    tabs = [t.select(out_cols + ["rank"]) for t in tabs if t.num_rows > 0]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).sort_by([(key, "ascending"), ("rank", "ascending")])
 
 
 def worker_cached(factory):

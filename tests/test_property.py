@@ -182,3 +182,111 @@ def test_simplify_polygon_keeps_holes_inside():
     o, h = out[0], out[1]
     assert h[:, 0].min() >= o[:, 0].min() and h[:, 0].max() <= o[:, 0].max()
     assert h[:, 1].min() >= o[:, 1].min() and h[:, 1].max() <= o[:, 1].max()
+
+
+# ---------------------------------------------- round-3: even-odd repair
+
+def _axis_box(x0, y0, w, h, ccw=True):
+    import numpy as np
+    r = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h],
+                  [x0, y0]], dtype=np.float64)
+    return r if ccw else r[::-1]
+
+
+def _even_odd_area_boxes(boxes):
+    """Exact even-odd area of axis-aligned boxes by cell decomposition."""
+    import numpy as np
+    xs = np.unique(np.concatenate([[b[0], b[0] + b[2]] for b in boxes]))
+    ys = np.unique(np.concatenate([[b[1], b[1] + b[3]] for b in boxes]))
+    total = 0.0
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            cx, cy = (xs[i] + xs[i + 1]) / 2, (ys[j] + ys[j + 1]) / 2
+            cnt = sum(1 for b in boxes
+                      if b[0] < cx < b[0] + b[2] and b[1] < cy < b[1] + b[3])
+            if cnt % 2 == 1:
+                total += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+    return total
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12),
+                          st.integers(1, 8), st.integers(1, 8),
+                          st.booleans()),
+                min_size=1, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_repair_rings_even_odd_area_preserved(raw):
+    """Non-edge-crossing ring sets (scaled so boxes nest or are disjoint,
+    never partially overlap): the repaired polygons are all simple,
+    holes wind CW inside their shell, and the summed signed area equals
+    the exact even-odd area of the input — covering hole-outside-shell,
+    shell-in-shell and island-in-hole inputs."""
+    import numpy as np
+
+    from osmquadtreepostgis_ray.functions.geometry import (
+        polygon_area, repair_rings, ring_is_simple, ring_signed_area)
+
+    # scale each box by its index so any two are nested or disjoint
+    boxes = []
+    for idx, (x0, y0, w, h, _ccw) in enumerate(raw):
+        s = 3 ** idx
+        grown = (x0 - s * 0.25, y0 - s * 0.25, w + s * 0.5, h + s * 0.5)
+        # drop a box that PARTIALLY overlaps an earlier one (edge cross)
+        ok = True
+        for b in boxes:
+            ax0, ay0, ax1, ay1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+            bx0, by0, bx1, by1 = grown[0], grown[1], grown[0] + grown[2], grown[1] + grown[3]
+            disjoint = bx1 <= ax0 or ax1 <= bx0 or by1 <= ay0 or ay1 <= by0
+            a_in_b = bx0 < ax0 and ax1 < bx1 and by0 < ay0 and ay1 < by1
+            b_in_a = ax0 < bx0 and bx1 < ax1 and ay0 < by0 and by1 < ay1
+            if not (disjoint or a_in_b or b_in_a):
+                ok = False
+                break
+        if ok:
+            boxes.append(grown)
+    rings = [_axis_box(*b[:4], ccw=(i % 2 == 0)) for i, b in enumerate(boxes)]
+    polys = repair_rings(rings)
+    got = sum(polygon_area(p) for p in polys)
+    want = _even_odd_area_boxes(boxes)
+    assert abs(got - want) < 1e-6 * max(1.0, want)
+    for p in polys:
+        assert ring_signed_area(p[0]) > 0          # shells CCW
+        for hole in p[1:]:
+            assert ring_signed_area(hole) < 0      # holes CW
+        for r in p:
+            assert ring_is_simple(r)
+
+
+def test_repair_hole_outside_shell_becomes_polygon():
+    import numpy as np
+
+    from osmquadtreepostgis_ray.functions.geometry import (polygon_area,
+                                                           repair_rings)
+    shell = _axis_box(0, 0, 10, 10)
+    stray = _axis_box(20, 20, 4, 4, ccw=False)     # "hole" fully outside
+    polys = repair_rings([shell, stray])
+    assert len(polys) == 2
+    areas = sorted(polygon_area(p) for p in polys)
+    assert areas == [16.0, 100.0]
+
+
+def test_repair_shell_in_shell_becomes_hole():
+    from osmquadtreepostgis_ray.functions.geometry import (polygon_area,
+                                                           repair_rings)
+    outer = _axis_box(0, 0, 10, 10)
+    inner = _axis_box(2, 2, 4, 4)                   # CCW shell inside shell
+    polys = repair_rings([outer, inner])
+    assert len(polys) == 1
+    assert len(polys[0]) == 2                       # shell + hole
+    assert polygon_area(polys[0]) == 100.0 - 16.0
+
+
+def test_repair_island_in_hole_nested_shell():
+    from osmquadtreepostgis_ray.functions.geometry import (polygon_area,
+                                                           repair_rings)
+    outer = _axis_box(0, 0, 20, 20)
+    hole = _axis_box(4, 4, 10, 10, ccw=False)
+    island = _axis_box(6, 6, 2, 2)
+    polys = repair_rings([outer, hole, island])
+    assert len(polys) == 2
+    areas = sorted(polygon_area(p) for p in polys)
+    assert areas == [4.0, 400.0 - 100.0]
