@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geometry assembly + propagation (A1-A4) and checkpoint/lineage
         "assembly": Q.q_assembly,
         "relation_tags": Q.q_relation_tags,
+        "admin_levels": Q.q_admin_levels,
         "parent_tags": Q.q_parent_tags,
         "checkpoint": Q.q_checkpoint,
         "json_props": Q.q_json_props,

@@ -512,6 +512,19 @@ def sql_relation_tags() -> str:
     """
 
 
+def sql_admin_levels() -> str:
+    from osmquadtreepostgis_ray.stages.assembly import ADMIN_STEP, N_BOUNDARY
+    return f"""
+    SELECT doc_id,
+           CAST(min(CASE WHEN (doc_id + b*b) % {ADMIN_STEP} = 0
+                         THEN 2 + (b % 10) END) AS VARCHAR) AS min_admin_level,
+           CAST(max(CASE WHEN (doc_id + b*b) % {ADMIN_STEP} = 0
+                         THEN 2 + (b % 10) END) AS VARCHAR) AS max_admin_level
+    FROM documents CROSS JOIN range({N_BOUNDARY}) t(b)
+    GROUP BY doc_id
+    """
+
+
 def sql_parent_tags() -> str:
     fast = count_word_sql("text", "fast")
     slow = count_word_sql("text", "slow")
@@ -2354,6 +2367,7 @@ def build_oracles() -> dict[str, str]:
         "json_props": _sql_json_props(),
         "assembly": sql_assembly(),
         "relation_tags": sql_relation_tags(),
+        "admin_levels": sql_admin_levels(),
         "parent_tags": sql_parent_tags(),
         "checkpoint": sql_checkpoint(),
         "segment_intersections": sql_segment_intersections(),

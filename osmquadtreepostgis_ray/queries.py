@@ -637,6 +637,14 @@ def q_relation_tags(sf_dir: str):
         .select_columns(["doc_id", "routes"])
 
 
+def q_admin_levels(sf_dir: str):
+    """A3 detail: min/max parent boundary admin_level per member
+    (min_admin_level/max_admin_level text columns of the reference's
+    line/highway tables, docs/output.txt:6)."""
+    from osmquadtreepostgis_ray.stages.assembly import admin_levels
+    return admin_levels(read_table(sf_dir, "documents", columns=["doc_id"]))
+
+
 def q_parent_tags(sf_dir: str):
     """A4: parent-group tag maxima propagated onto members."""
     from osmquadtreepostgis_ray.stages.assembly import parent_tags

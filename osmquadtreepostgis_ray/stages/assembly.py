@@ -232,6 +232,47 @@ def relation_tags(ds: ray.data.Dataset) -> ray.data.Dataset:
             .groupby("shard").map_groups(join_shard, batch_format="pandas"))
 
 
+N_BOUNDARY = 12
+ADMIN_STEP = 13
+
+
+def admin_levels(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """A3 detail: ``min_admin_level`` / ``max_admin_level`` text columns —
+    the per-way min/max of the parent boundary relations' admin_level
+    (reference line/highway output schema, /root/reference
+    docs/output.txt:6, :59; computed by oqt's HandleRelations alongside
+    the bus_routes string-agg).
+
+    Synthetic membership: boundary relation ``b in [0, N_BOUNDARY)``
+    contains doc iff ``(doc_id + b*b) % ADMIN_STEP == 0`` (quadratic so
+    ~46% of docs lie outside every boundary — the NULL path is real),
+    and carries ``admin_level = 2 + b % 10``.  Because membership
+    is a pure function of the row, the min/max fold happens INSIDE the
+    batch kernel — zero shuffles; when relations arrive as a separate
+    member table the same fold is parent_tags' grouped-Max machinery.
+    Docs with no boundary parent get NULL (reference leaves the column
+    empty for ways outside every boundary)."""
+    import pyarrow.compute as pc
+
+    b = np.arange(N_BOUNDARY, dtype=np.int64)
+    lvl = 2 + (b % 10)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hit = ((ids[:, None] + (b * b)[None, :]) % ADMIN_STEP) == 0
+        any_ = hit.any(axis=1)
+        mn = np.where(hit, lvl[None, :], np.int64(999)).min(axis=1)
+        mx = np.where(hit, lvl[None, :], np.int64(-1)).max(axis=1)
+        valid = pa.array(any_)
+        mn_s = pc.if_else(valid, pc.cast(pa.array(mn, pa.int64()), pa.string()), None)
+        mx_s = pc.if_else(valid, pc.cast(pa.array(mx, pa.int64()), pa.string()), None)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "min_admin_level": mn_s,
+                         "max_admin_level": mx_s})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) -> ray.data.Dataset:
     """A4: propagate the group-max of each parent key onto every member —
     combiner aggregate per group, then a size-guarded join back.

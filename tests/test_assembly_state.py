@@ -482,3 +482,36 @@ def test_assemble_documents_api_flags(sf_dir):
         b = merged[(merged["group_id"] == gid) & (merged["kind"] == "polygon")]["measure2"].iloc[0]
         assert a == b
     assert (split["kind"] != "error").all()  # validate_geometry=True filters
+
+
+def test_admin_levels_min_max_and_nulls():
+    """A3 detail (docs/output.txt:6): min/max parent boundary admin_level
+    as text; docs outside every boundary relation get NULL."""
+    from osmquadtreepostgis_ray.stages.assembly import (ADMIN_STEP,
+                                                        N_BOUNDARY,
+                                                        admin_levels)
+
+    ids = list(range(40))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = admin_levels(ds).to_pandas().set_index("doc_id")
+    for d in ids:
+        lv = [2 + (b % 10) for b in range(N_BOUNDARY)
+              if (d + b * b) % ADMIN_STEP == 0]
+        if lv:
+            assert out.loc[d, "min_admin_level"] == str(min(lv))
+            assert out.loc[d, "max_admin_level"] == str(max(lv))
+        else:
+            assert out.loc[d, "min_admin_level"] is None
+            assert out.loc[d, "max_admin_level"] is None
+
+
+def test_admin_levels_null_branch_exercised():
+    """The quadratic membership leaves a real fraction of docs with no
+    boundary parent — the NULL path must actually occur."""
+    from osmquadtreepostgis_ray.stages.assembly import admin_levels
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(100)), pa.int64())}))
+    out = admin_levels(ds).to_pandas()
+    assert out["min_admin_level"].isna().sum() > 20
+    assert out["min_admin_level"].notna().sum() > 20
