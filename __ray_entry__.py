@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": Q.q_ann_recall,
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
+        "image_blur": Q.q_image_blur,
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "image_resize": Q.q_image_resize,

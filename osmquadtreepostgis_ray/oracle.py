@@ -812,6 +812,40 @@ def sql_image_decode() -> str:
     """
 
 
+def sql_image_blur() -> str:
+    """Twin of queries.q_image_blur: the 4-neighbor Laplacian as a
+    5-offset contribution join over the decoded-pixel CTE (the
+    sql_tile_sobel pattern); variance moments are exact int64 and
+    var_milli's integer division has all-non-negative operands (n*s2 -
+    s1^2 >= 0 by Cauchy-Schwarz), so DuckDB trunc == numpy floor."""
+    from osmquadtreepostgis_ray.stages.images import LAP_SHARP_MILLI
+    return f"""{_sql_decoded_pixels()},
+    off AS (
+        SELECT * FROM (VALUES (-1, 0, 1), (1, 0, 1), (0, -1, 1),
+                              (0, 1, 1), (0, 0, -4)) o(dy, dx, k)
+    ),
+    l AS (
+        SELECT d.image_id, d.w, d.h,
+               (d.idx // d.w) - o.dy AS cy, (d.idx % d.w) - o.dx AS cx,
+               sum(o.k * d.p) AS lp
+        FROM dec d, off o
+        GROUP BY d.image_id, d.w, d.h, cy, cx
+    ),
+    s AS (
+        SELECT image_id, count(*) AS n_int, sum(lp) AS s1, sum(lp * lp) AS s2
+        FROM l
+        WHERE cy >= 1 AND cy <= h - 2 AND cx >= 1 AND cx <= w - 2
+        GROUP BY image_id
+    )
+    SELECT image_id, n_int::BIGINT AS n_int,
+           s1::BIGINT AS lap_s1, s2::BIGINT AS lap_s2,
+           ((n_int * s2 - s1 * s1) * 1000 // (n_int * n_int))::BIGINT
+               AS var_milli,
+           (n_int * s2 - s1 * s1) * 1000 // (n_int * n_int)
+               >= {LAP_SHARP_MILLI} AS is_sharp
+    FROM s"""
+
+
 def _sql_ahash_cte() -> str:
     """CTE suffix computing per-image ahash from ``dec`` (appendable
     after _sql_decoded_pixels): 8x8 integer block sums, bit set when
@@ -2393,6 +2427,7 @@ def build_oracles() -> dict[str, str]:
         "fingerprints": sql_fingerprints(),
         "embed_docs": sql_embed_docs(),
         "image_decode": sql_image_decode(),
+        "image_blur": sql_image_blur(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),
         "simhash": sql_simhash(),

@@ -23,7 +23,8 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from osmquadtreepostgis_ray.config import EngineParams
 from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.sources.tables import read_table
-from osmquadtreepostgis_ray.util import pool_size, shard_apply, sharded_agg
+from osmquadtreepostgis_ray.util import (pool_size, reduce_small_or_shard,
+                                         shard_apply, sharded_agg)
 
 CELL_DEPTH = 12
 TILE_DEPTH = 8
@@ -1936,6 +1937,20 @@ def q_tile_sobel(sf_dir: str):
         .select_columns(["tile", "grad_sum", "edge_px", "n_images"])
 
 
+def q_image_blur(sf_dir: str):
+    """Per-image blur screening (training-data quality filter): exact
+    variance-of-Laplacian moments + sharpness flag per image
+    (stages/images.LaplacianBlur).  Fully row-pure — decode, 4-neighbor
+    Laplacian and variance all happen inside the batch; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import LaplacianBlur
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(LaplacianBlur),
+        batch_format="pyarrow", batch_size=512)
+
+
 def q_ann_recall(sf_dir: str, k: int = 5):
     """Recall@k of the pruned IVF ANN against the exact brute-force
     top-k — the index-quality gate every ANN deployment monitors.  Both
@@ -2706,7 +2721,14 @@ def q_segment_intersections(sf_dir: str):
     3. per cell: bbox-prefilter (chunked broadcast mask), then the
        exact int64 cross-product sign test (proper crossings only —
        touching/collinear excluded, so no tie-rounding ambiguity);
-    4. a pair is found in every shared cell -> one sharded distinct.
+    4. exactly-once WITHOUT a distinct shuffle: a crossing pair is
+       emitted only by the cell that OWNS the intersection point (the
+       PBSM reference-point dedup, as stages/rect_join).  The point of
+       a proper crossing of integer segments is rational px = Nx/D; its
+       cell floor(Nx/(D*W)) is exact int64 (|N| <= (|coord|+|d|)*|D| <
+       2^58 for milli-degree domains) and lies inside both segments'
+       bboxes, so the owning cell is always among the fanned cells of
+       BOTH sides — every pair is emitted exactly once.
 
     Partitioning assumption (documented per CLAUDE.md): cell size ~
     segment bbox size.  Synthetic chains are domain-length, so the cell
@@ -2759,7 +2781,7 @@ def q_segment_intersections(sf_dir: str):
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for _, cdf in df.groupby("cellk", sort=False):
+        for ck, cdf in df.groupby("cellk", sort=False):
             m = len(cdf)
             if m < 2:
                 continue
@@ -2781,24 +2803,37 @@ def q_segment_intersections(sf_dir: str):
                 ii = ii + lo
                 ax1, ay1, ax2, ay2 = x1[ii], y1[ii], x2[ii], y2[ii]
                 qx1, qy1, qx2, qy2 = x1[jj], y1[jj], x2[jj], y2[jj]
-                s1 = np.sign((ax2 - ax1) * (qy1 - ay1) - (ay2 - ay1) * (qx1 - ax1))
-                s2 = np.sign((ax2 - ax1) * (qy2 - ay1) - (ay2 - ay1) * (qx2 - ax1))
-                s3 = np.sign((qx2 - qx1) * (ay1 - qy1) - (qy2 - qy1) * (ax1 - qx1))
-                s4 = np.sign((qx2 - qx1) * (ay2 - qy1) - (qy2 - qy1) * (ax2 - qx1))
+                dax = ax2 - ax1; day = ay2 - ay1
+                dbx = qx2 - qx1; dby = qy2 - qy1
+                s1 = np.sign(dax * (qy1 - ay1) - day * (qx1 - ax1))
+                s2 = np.sign(dax * (qy2 - ay1) - day * (qx2 - ax1))
+                s3 = np.sign(dbx * (ay1 - qy1) - dby * (ax1 - qx1))
+                s4 = np.sign(dbx * (ay2 - qy1) - dby * (ax2 - qx1))
                 hit = (s1 * s2 < 0) & (s3 * s4 < 0)
-                out_a.append(sid[ii[hit]])
-                out_b.append(sid[jj[hit]])
+                if not hit.any():
+                    continue
+                # exact rational intersection point of the hit pairs:
+                # p = a1 + (t_num/den) * dA, den != 0 for proper crossings
+                h = np.flatnonzero(hit)
+                den = dax[h] * dby[h] - day[h] * dbx[h]
+                t_num = (qx1[h] - ax1[h]) * dby[h] - (qy1[h] - ay1[h]) * dbx[h]
+                neg = den < 0
+                den = np.where(neg, -den, den)
+                t_num = np.where(neg, -t_num, t_num)
+                px_num = ax1[h] * den + t_num * dax[h]   # px = px_num/den >= 0
+                py_num = ay1[h] * den + t_num * day[h]
+                cx = px_num // (den * ADMIN_W)           # exact floor: all >= 0
+                cy = py_num // (den * ADMIN_H)
+                own = (cy * AX + cx) == ck
+                out_a.append(sid[ii[h[own]]])
+                out_b.append(sid[jj[h[own]]])
         if not out_a:
             return pd.DataFrame({"a_seg": pd.Series([], dtype=np.int64),
-                                 "b_seg": pd.Series([], dtype=np.int64),
-                                 "one": pd.Series([], dtype=np.int64)})
-        a = np.concatenate(out_a); b = np.concatenate(out_b)
-        return pd.DataFrame({"a_seg": a, "b_seg": b,
-                             "one": np.ones(len(a), np.int64)})
+                                 "b_seg": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a_seg": np.concatenate(out_a),
+                             "b_seg": np.concatenate(out_b)})
 
-    cand = shard_apply(fanned, ["cellk"], pairs)
-    return (sharded_agg(cand, ["a_seg", "b_seg"], {"n": ("one", "min")})
-            .select_columns(["a_seg", "b_seg"]))
+    return shard_apply(fanned, ["cellk"], pairs)
 
 
 TRI_ID_ORIENT_MAX_DEG = 64   # id-oriented plan is safe below this
@@ -3077,51 +3112,46 @@ def q_pip_holes(sf_dir: str):
 
 def q_dense_rank(sf_dir: str):
     """DENSE_RANK per event_type over value cents — the distinct-value
-    window rank: one combiner pass dedupes (type, cents) so the SORT
-    ranks only distinct values (bounded by value cardinality, not row
-    count), then a composite-key bucket join carries the rank back to
-    every row."""
-    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join_on_cols
-    from osmquadtreepostgis_ray.stages.window import keyed_row_number
+    window rank in ONE shuffle: a combiner pass dedupes (type, cents)
+    per batch, a single event_type-sharded exchange dedupes globally
+    and ranks (the distinct table is bounded by VALUE CARDINALITY —
+    cents of a bounded-range measure — not row count, so a per-type
+    shard always fits a worker and the result is broadcast-safe), and
+    an Arrow broadcast join carries the rank back to every row with the
+    big side untouched.  Previous plan paid 3 shuffles (distinct agg +
+    rank sort + composite-key bucket join) for the same answer."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
 
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
-    def _ek(et) -> np.ndarray:
-        # composite-key join needs an INT extra key: row-pure string hash
-        # (pandas hash_array, fixed default key — same as shard_apply)
-        return pd.util.hash_array(np.asarray(et, dtype=object)).astype(np.int64)
-
     def prep(t: pa.Table) -> pa.Table:
         cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
         return pa.table({"event_id": t.column("event_id"),
                          "event_type": t.column("event_type"),
-                         "ek": pa.array(_ek(et), pa.int64()),
                          "cents": pa.array(cents, pa.int64())})
 
-    rows = ds.map_batches(prep, batch_format="pyarrow")
+    # materialize: rows feeds BOTH the distinct chain (executed first,
+    # at broadcast time) and the join-back — a lazy fork re-reads parquet
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     def distinct(t: pa.Table) -> pa.Table:
         df = t.to_pandas()[["event_type", "cents"]].drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    dis = sharded_agg(rows.map_batches(distinct, batch_format="pyarrow"),
-                      ["event_type", "cents"], {"n": ("cents", "count")}) \
-        .map_batches(lambda t: t.select(["event_type", "cents"]),
-                     batch_format="pyarrow")
-    ranked, _ = keyed_row_number(dis, ["event_type"], ["cents"], rank_col="r0")
-    def rank_cols(t: pa.Table) -> pa.Table:
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        return pa.table({"ek": pa.array(_ek(et), pa.int64()),
-                         "cents": t.column("cents"),
-                         "drank": pa.compute.add(t.column("r0"), 1)})
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["event_type", "cents"],
+                                            kind="stable")
+        drank = g.groupby("event_type", sort=False).cumcount() + 1
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "cents": g["cents"].to_numpy(np.int64),
+                             "drank": drank.to_numpy(np.int64)})
 
-    ranked = ranked.map_batches(rank_cols, batch_format="pyarrow")
-    out = bucket_hash_join_on_cols(rows, ranked, on="cents", extra_key="ek")
+    ranked = reduce_small_or_shard(
+        rows.map_batches(distinct, batch_format="pyarrow"),
+        ["event_type"], rank_shard, shards=16)
+    out = broadcast_join(rows, ranked, on=["event_type", "cents"])
 
     def finish(t: pa.Table) -> pa.Table:
-        # typed-union padding floats the other side's int columns
-        # (CLAUDE.md dtype gotcha) — cast back
         return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
                          "event_type": t.column("event_type"),
                          "cents": t.column("cents").cast(pa.int64()),

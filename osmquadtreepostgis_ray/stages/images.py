@@ -519,3 +519,67 @@ class SobelPartial:
             "edge_px": pa.array(np.add.reduceat(edge[order], starts), pa.int64()),
             "n_images": pa.array(np.r_[starts[1:], n] - starts, pa.int64()),
         })
+
+
+LAP_SHARP_MILLI = 1_800_000  # Laplacian variance (x1000) sharpness cutoff:
+# the synthetic corpus (gradient + uniform[-16,16] noise) concentrates at
+# var ~1.81M milli with sampling spread by image size — the median cutoff
+# exercises both flag branches at every dims class
+
+
+class LaplacianBlur:
+    """Per-image blur score — the variance-of-Laplacian sharpness
+    measure every large-scale image-training pipeline uses to drop
+    out-of-focus shots, all exact int64 so the DuckDB twin matches
+    bit-for-bit.  Decode groups by (fmt, dims) like DecodeStats; the
+    4-neighbor Laplacian L = up+down+left+right - 4*center is pure
+    shifted-slice sums over the (k, h, w) stack (interior only), and
+    the per-image output carries the raw moments (n, sum L, sum L^2)
+    plus var_milli = (n*s2 - s1^2)*1000 // n^2 — every operand
+    non-negative so numpy floor == DuckDB trunc (CLAUDE.md invariant).
+    Row-pure per image: NO shuffle anywhere in the pipeline."""
+
+    def __init__(self, thresh_milli: int = LAP_SHARP_MILLI):
+        self.decoders = {"raw": codecs.decode_raw, "qlossy": codecs.decode_qlossy}
+        self.th = thresh_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        n = len(data)
+        for f in set(fmt.tolist()) - set(self.decoders):
+            raise NotImplementedError(f"codec {f!r} not available in sandbox")
+        n_int = np.zeros(n, np.int64)
+        s1 = np.zeros(n, np.int64)
+        s2 = np.zeros(n, np.int64)
+        for f in self.decoders:
+            for wi, hi in {(int(a), int(b)) for a, b in zip(w[fmt == f], h[fmt == f])}:
+                m = (fmt == f) & (w == wi) & (h == hi)
+                if not m.any():
+                    continue
+                k = int(m.sum())
+                buf = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                    dtype=np.uint8).reshape(k, hi, wi)
+                if f == "qlossy":
+                    a = (buf.astype(np.int64) * codecs._STEP
+                         + codecs._STEP // 2).clip(0, 255)
+                else:
+                    a = buf.astype(np.int64)
+                lap = (a[:, :-2, 1:-1] + a[:, 2:, 1:-1]
+                       + a[:, 1:-1, :-2] + a[:, 1:-1, 2:]
+                       - 4 * a[:, 1:-1, 1:-1])
+                n_int[m] = (hi - 2) * (wi - 2)
+                s1[m] = lap.sum(axis=(1, 2))
+                s2[m] = (lap * lap).sum(axis=(1, 2))
+        var_milli = (n_int * s2 - s1 * s1) * 1000 // (n_int * n_int)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_int": pa.array(n_int, pa.int64()),
+            "lap_s1": pa.array(s1, pa.int64()),
+            "lap_s2": pa.array(s2, pa.int64()),
+            "var_milli": pa.array(var_milli, pa.int64()),
+            "is_sharp": pa.array(var_milli >= self.th),
+        })

@@ -123,6 +123,36 @@ def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
     return shard_apply(ds, keys, agg, shards=shards)
 
 
+SOLVE_SMALL_BYTES = 1 << 30  # 1 GiB source estimate: one-task-solve cap
+
+
+def reduce_small_or_shard(ds: "ray.data.Dataset", keys: list[str], fn,
+                          max_small_bytes: int = SOLVE_SMALL_BYTES,
+                          shards: int | None = None) -> "ray.data.Dataset":
+    """Global keyed reduce of a combiner-partial Dataset with a
+    size-guarded plan choice (the dim_join/cluster.py admission
+    pattern): when the metadata-only input estimate is under
+    ``max_small_bytes`` the partials coalesce into ONE worker task
+    (repartition(1) — no sort shuffle; measured 0.7 s vs 3.5 s of pure
+    sort coordination on a cardinality-bounded table at sf0.1), else
+    the sort-based shard_apply handles arbitrary partial volume.
+
+    ``fn`` has the shard_apply contract: pandas in/out, does its own
+    per-key grouping, and must be a pure keyed reduce (key co-location
+    is all it needs) — both plans then produce identical rows."""
+    est = estimate_bytes(ds)
+    if est is not None and est <= max_small_bytes:
+        import pyarrow as pa
+
+        def solve(t: "pa.Table") -> "pa.Table":
+            return pa.Table.from_pandas(fn(t.to_pandas()),
+                                        preserve_index=False)
+
+        return ds.repartition(1).map_batches(solve, batch_format="pyarrow",
+                                             batch_size=None)
+    return shard_apply(ds, keys, fn, shards=shards)
+
+
 def topk_per_key(partials: "ray.data.Dataset", key: str, by: list[str],
                  ascending: list[bool], k: int, out_cols: list[str],
                  shards: int = 64) -> "pa.Table":

@@ -391,3 +391,40 @@ def test_triangles_plans_identical(sf_dir):
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_laplacian_blur_exact_and_flag():
+    """LaplacianBlur: constant image has zero Laplacian variance
+    (is_sharp False); a checkerboard maximizes it; moments match an
+    independent per-pixel reference computation."""
+    import numpy as np
+    import pyarrow as pa
+    from osmquadtreepostgis_ray.stages.images import (LAP_SHARP_MILLI,
+                                                      LaplacianBlur)
+
+    flat = np.full((8, 8), 77, np.uint8)
+    board = ((np.add.outer(np.arange(8), np.arange(8)) % 2) * 255).astype(np.uint8)
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    imgs = [flat, board, noisy]
+    batch = pa.table({
+        "image_id": pa.array([f"t{i}" for i in range(3)], pa.string()),
+        "bytes": pa.array([im.tobytes() for im in imgs], pa.binary()),
+        "w": pa.array([8] * 3, pa.int32()),
+        "h": pa.array([8] * 3, pa.int32()),
+        "fmt": pa.array(["raw"] * 3, pa.string()),
+    })
+    out = LaplacianBlur()(batch).to_pandas().set_index("image_id")
+
+    for i, im in enumerate(imgs):
+        a = im.astype(np.int64)
+        lap = (a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] + a[1:-1, 2:]
+               - 4 * a[1:-1, 1:-1])
+        n = lap.size
+        s1, s2 = int(lap.sum()), int((lap * lap).sum())
+        row = out.loc[f"t{i}"]
+        assert row["n_int"] == n and row["lap_s1"] == s1 and row["lap_s2"] == s2
+        assert row["var_milli"] == (n * s2 - s1 * s1) * 1000 // (n * n)
+    assert not out.loc["t0", "is_sharp"]          # flat: var == 0
+    assert out.loc["t1", "is_sharp"]              # checkerboard: huge var
+    assert out.loc["t1", "var_milli"] > LAP_SHARP_MILLI
