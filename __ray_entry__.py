@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
         "image_blur": Q.q_image_blur,
+        "crossmodal_knn": Q.q_crossmodal_knn,
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "image_resize": Q.q_image_resize,

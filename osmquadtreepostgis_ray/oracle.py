@@ -846,6 +846,47 @@ def sql_image_blur() -> str:
     FROM s"""
 
 
+def sql_crossmodal_knn(k: int = 5, nq: int = 8, ngram: int = 9) -> str:
+    """Twin of queries.q_crossmodal_knn: image AHASH (ahash CTE) of the
+    nq fixed query images vs every caption's SIMHASH (the sql_simhash
+    bit-majority), hamming = bit_count(xor(..)) on the signed-int64 bit
+    patterns (two's complement xor == uint64 xor), rank by (hamming,
+    doc_id)."""
+    ones = ",\n               ".join(
+        f"sum(CAST((s // {1 << j}) % 2 AS BIGINT)) AS o{j}" for j in range(64))
+    packed = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN CAST({1 << j} AS HUGEINT) ELSE 0 END"
+        for j in range(64))
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()},
+    {_shingles_cte(ngram)},
+    bits AS (
+        SELECT doc_id, count(*) AS n,
+               {ones}
+        FROM sh0 GROUP BY doc_id
+    ),
+    sval AS (SELECT doc_id, ({packed}) AS v FROM bits),
+    sh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN v >= {1 << 63} THEN v - {_M64} ELSE v END
+                    AS BIGINT) AS simhash
+        FROM sval
+    ),
+    qh AS (
+        SELECT i.doc_id AS query_id, a.ahash
+        FROM ah a JOIN img i USING (image_id) WHERE i.doc_id < {nq}
+    )
+    SELECT query_id, doc_id, hamming, "rank" FROM (
+        SELECT q.query_id, s.doc_id,
+               bit_count(xor(s.simhash, q.ahash))::BIGINT AS hamming,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(s.simhash, q.ahash)), s.doc_id
+               )::BIGINT AS "rank"
+        FROM sh s CROSS JOIN qh q
+    ) WHERE "rank" <= {k}
+    """
+
+
 def _sql_ahash_cte() -> str:
     """CTE suffix computing per-image ahash from ``dec`` (appendable
     after _sql_decoded_pixels): 8x8 integer block sums, bit set when
@@ -2428,6 +2469,7 @@ def build_oracles() -> dict[str, str]:
         "embed_docs": sql_embed_docs(),
         "image_decode": sql_image_decode(),
         "image_blur": sql_image_blur(),
+        "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),
         "simhash": sql_simhash(),

@@ -1937,6 +1937,65 @@ def q_tile_sobel(sf_dir: str):
         .select_columns(["tile", "grad_sum", "edge_px", "n_images"])
 
 
+def q_crossmodal_knn(sf_dir: str, k: int = 5, nq: int = 8):
+    """Cross-modal retrieval (image -> caption): for each of nq fixed
+    query IMAGES, the top-k documents whose caption SIMHASH fingerprint
+    is closest (hamming) to the image's perceptual AHASH — the
+    CLIP-retrieval pipeline shape with deterministic 64-bit fingerprints
+    standing in for the embedding models, so the DuckDB twin is exact.
+
+    Scale design: the nq query fingerprints are a FIXED-size broadcast
+    (the _query_vectors convention); each corpus batch computes the
+    (m, nq) XOR+popcount matrix and emits only nq x k partial rows; the
+    final merge is util.topk_per_key (sharded by query, never the
+    driver)."""
+    import duckdb
+
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.dedup import simhash_buckets
+    from osmquadtreepostgis_ray.stages.images import AHash
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    con = duckdb.connect()
+    qdf = con.sql(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+                  f"WHERE doc_id < {nq} ORDER BY doc_id").df()
+    qb = synth_images_batch(pa.table({
+        "doc_id": pa.array(qdf["doc_id"].to_numpy(np.int64), pa.int64()),
+        "text": pa.array(qdf["text"].tolist(), pa.string())}))
+    qa = AHash()(qb)
+    q_ids = qdf["doc_id"].to_numpy(np.int64)
+    q_hash = qa.column("ahash").to_numpy().view(np.uint64)
+
+    pop8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+    corpus = simhash_buckets(read_table(sf_dir, "documents",
+                                        columns=["doc_id", "text"]))
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        s = t.column("simhash").to_numpy().view(np.uint64)
+        m = len(d)
+        if m == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        x = s[:, None] ^ q_hash[None, :]                     # (m, nq)
+        ham = pop8[x.view(np.uint8)].reshape(m, len(q_ids), 8).sum(axis=2)
+        qi, di, hm = [], [], []
+        for j in range(len(q_ids)):
+            top = np.lexsort((d, ham[:, j]))[:k]             # local top-k
+            qi.append(np.full(len(top), q_ids[j], np.int64))
+            di.append(d[top]); hm.append(ham[top, j])
+        return pa.table({"query_id": pa.array(np.concatenate(qi), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(di), pa.int64()),
+                         "hamming": pa.array(np.concatenate(hm), pa.int64())})
+
+    partials = corpus.map_batches(part, batch_format="pyarrow")
+    return topk_per_key(partials, key="query_id", by=["hamming", "doc_id"],
+                        ascending=[True, True], k=k,
+                        out_cols=["query_id", "doc_id", "hamming"])
+
+
 def q_image_blur(sf_dir: str):
     """Per-image blur screening (training-data quality filter): exact
     variance-of-Laplacian moments + sharpness flag per image

@@ -428,3 +428,39 @@ def test_laplacian_blur_exact_and_flag():
     assert not out.loc["t0", "is_sharp"]          # flat: var == 0
     assert out.loc["t1", "is_sharp"]              # checkerboard: huge var
     assert out.loc["t1", "var_milli"] > LAP_SHARP_MILLI
+
+
+def test_crossmodal_knn_matches_local_brute(sf_dir):
+    """Cross-modal retrieval equals a single-process brute force: for
+    each query image's ahash, the k captions with smallest simhash
+    hamming (tie -> doc_id), regardless of partitioning."""
+    import numpy as np
+    from osmquadtreepostgis_ray import queries as Q
+    from osmquadtreepostgis_ray.sources.tables import read_table
+    from osmquadtreepostgis_ray.stages.dedup import simhash_buckets
+
+    k, nq = 5, 8
+    out = Q.q_crossmodal_knn(sf_dir, k=k, nq=nq).to_pandas()
+    sh = simhash_buckets(read_table(sf_dir, "documents",
+                                    columns=["doc_id", "text"])).to_pandas()
+    d = sh["doc_id"].to_numpy(np.int64)
+    s = sh["simhash"].to_numpy(np.int64).view(np.uint64)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+    import duckdb
+    qdf = duckdb.sql(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+                     f"WHERE doc_id < {nq} ORDER BY doc_id").df()
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.images import AHash
+    import pyarrow as pa
+    qb = synth_images_batch(pa.table({
+        "doc_id": pa.array(qdf["doc_id"].to_numpy(np.int64), pa.int64()),
+        "text": pa.array(qdf["text"].tolist(), pa.string())}))
+    qh = AHash()(qb).column("ahash").to_numpy().view(np.uint64)
+
+    for j, qid in enumerate(qdf["doc_id"].to_numpy(np.int64)):
+        ham = pop8[(s ^ qh[j]).view(np.uint8)].reshape(len(s), 8).sum(axis=1)
+        order = np.lexsort((d, ham))[:k]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == d[order].tolist()
+        assert got["hamming"].tolist() == ham[order].tolist()
