@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hourly": Q.q_window_hourly,
         "window_sliding": Q.q_window_sliding,
         "quantiles": Q.q_quantiles,
+        "quantiles_cont": Q.q_quantiles_cont,
         "outliers": Q.q_outliers,
         "moments": Q.q_moments,
         "join_orders_customer": Q.q_join_orders_customer,

@@ -1315,6 +1315,51 @@ def sql_quantiles() -> str:
     """
 
 
+def sql_quantiles_cont() -> str:
+    """Twin of queries.q_quantiles_cont: the interpolated quantile
+    built from order statistics over the grouped distinct-value cumsum
+    — searchsorted-left == MIN(cents) WHERE running_count >= k+1; all
+    operands non-negative so // truncation equals numpy floor."""
+    from osmquadtreepostgis_ray.queries import QCONT_PERMILLE
+    ql = ", ".join(str(q) for q in QCONT_PERMILLE)
+    return f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS hc
+        FROM c
+    ),
+    tot AS (SELECT event_type, sum(cnt) AS n FROM c GROUP BY event_type),
+    pos AS (
+        SELECT t.event_type, q.qpm,
+               (t.n - 1) * q.qpm // 1000 AS k,
+               (t.n - 1) * q.qpm % 1000 AS rem, t.n
+        FROM tot t, (SELECT unnest([{ql}]) AS qpm) q
+    ),
+    vlo AS (
+        SELECT p.event_type, p.qpm, min(c.cents) AS v
+        FROM pos p JOIN cum c ON c.event_type = p.event_type
+                              AND c.hc >= p.k + 1
+        GROUP BY p.event_type, p.qpm
+    ),
+    vhi AS (
+        SELECT p.event_type, p.qpm, min(c.cents) AS v
+        FROM pos p JOIN cum c ON c.event_type = p.event_type
+                              AND c.hc >= least(p.k + 1, p.n - 1) + 1
+        GROUP BY p.event_type, p.qpm
+    )
+    SELECT p.event_type, CAST(p.qpm AS BIGINT) AS qpm,
+           (vlo.v * (1000 - p.rem) + vhi.v * p.rem)::BIGINT AS interp_milli
+    FROM pos p
+    JOIN vlo ON vlo.event_type = p.event_type AND vlo.qpm = p.qpm
+    JOIN vhi ON vhi.event_type = p.event_type AND vhi.qpm = p.qpm
+    """
+
+
 def sql_pagerank(iters: int = 2) -> str:
     """Twin of queries.q_pagerank: the same 2 damped iterations
     unrolled; every operand non-negative so DuckDB's truncating //
@@ -2497,6 +2542,7 @@ def build_oracles() -> dict[str, str]:
         "sequence_packing": sql_sequence_packing(),
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
+        "quantiles_cont": sql_quantiles_cont(),
         "outliers": sql_outliers(),
         "moments": sql_moments(),
         "semi_join": sql_semi_join(False),

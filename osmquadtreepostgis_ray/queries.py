@@ -1231,6 +1231,52 @@ def q_quantiles(sf_dir: str):
             .select_columns(["event_type", "n", "p25", "p50", "p75"]))
 
 
+QCONT_PERMILLE = (500, 900)
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Interpolated grouped quantiles (percentile_cont shape, p50/p90
+    of value cents per event_type) in EXACT integer milli-cents: the
+    0-based position is (n-1)*q_permille; with k = pos // 1000 and
+    rem = pos % 1000 the answer is v[k]*(1000-rem) + v[k+1]*rem — all
+    operands non-negative int64, so the DuckDB twin matches
+    bit-for-bit (no float percentile_cont on either side).  Same
+    distinct-value combiner as q_quantiles: the shuffle carries
+    (type, cents, count), never rows."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+        g = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        c = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        et, qs, vs = [], [], []
+        for qpm in QCONT_PERMILLE:
+            pos = (n - 1) * qpm
+            k, rem = pos // 1000, pos % 1000
+            vlo = int(c[np.searchsorted(cum, k + 1, side="left")])
+            vhi = int(c[np.searchsorted(cum, min(k + 1, n - 1) + 1, side="left")])
+            et.append(g["event_type"].iloc[0])
+            qs.append(qpm)
+            vs.append(vlo * (1000 - rem) + vhi * rem)
+        return pd.DataFrame({"event_type": et,
+                             "qpm": np.array(qs, np.int64),
+                             "interp_milli": np.array(vs, np.int64)})
+
+    return (counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+            .select_columns(["event_type", "qpm", "interp_milli"]))
+
+
 def _urgent_orders(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 

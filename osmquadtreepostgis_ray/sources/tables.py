@@ -31,7 +31,10 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
     if os.path.exists(lance_path):
         return read_lance_table(lance_path, columns=columns)
     kw = {"override_num_blocks": parallelism} if parallelism else {}
-    if not parallelism:
+    if not parallelism and repeat == 1:
+        # repeat mode (throughput benching) keeps one task per listing /
+        # the caller's explicit packing — its scaling captures were
+        # tuned against that plan shape (BASELINE.md listing packing)
         blocks = _small_read_blocks(path, repeat)
         if blocks:
             kw["override_num_blocks"] = blocks

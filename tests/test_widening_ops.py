@@ -464,3 +464,20 @@ def test_crossmodal_knn_matches_local_brute(sf_dir):
         got = out[out["query_id"] == qid].sort_values("rank")
         assert got["doc_id"].tolist() == d[order].tolist()
         assert got["hamming"].tolist() == ham[order].tolist()
+
+
+def test_quantiles_cont_matches_numpy_linear(sf_dir):
+    """Interpolated quantile equals numpy's percentile(method='linear')
+    x1000 on the expanded multiset (same (n-1)*q position convention)."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray import queries as Q
+
+    out = Q.q_quantiles_cont(sf_dir).to_pandas()
+    ev = duckdb.sql(f"SELECT event_type, CAST(round(value*100) AS BIGINT) "
+                    f"AS cents FROM '{sf_dir}/events.parquet'").df()
+    for (et, qpm), grp in out.groupby(["event_type", "qpm"]):
+        vals = ev[ev["event_type"] == et]["cents"].to_numpy(np.int64)
+        want = round(float(np.percentile(vals, qpm / 10.0,
+                                         method="linear")) * 1000)
+        assert int(grp["interp_milli"].iloc[0]) == want, (et, qpm)
