@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": Q.q_window_sliding,
         "quantiles": Q.q_quantiles,
         "quantiles_cont": Q.q_quantiles_cont,
+        "rank_ties": Q.q_rank_ties,
         "outliers": Q.q_outliers,
         "moments": Q.q_moments,
         "join_orders_customer": Q.q_join_orders_customer,

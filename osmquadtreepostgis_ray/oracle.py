@@ -1360,6 +1360,20 @@ def sql_quantiles_cont() -> str:
     """
 
 
+def sql_rank_ties() -> str:
+    """Twin of queries.q_rank_ties (native RANK window)."""
+    return """
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, event_type, cents,
+           RANK() OVER (PARTITION BY event_type ORDER BY cents)::BIGINT AS rnk
+    FROM e
+    """
+
+
 def sql_pagerank(iters: int = 2) -> str:
     """Twin of queries.q_pagerank: the same 2 damped iterations
     unrolled; every operand non-negative so DuckDB's truncating //
@@ -2543,6 +2557,7 @@ def build_oracles() -> dict[str, str]:
         "window_sliding": sql_window_sliding(),
         "quantiles": sql_quantiles(),
         "quantiles_cont": sql_quantiles_cont(),
+        "rank_ties": sql_rank_ties(),
         "outliers": sql_outliers(),
         "moments": sql_moments(),
         "semi_join": sql_semi_join(False),

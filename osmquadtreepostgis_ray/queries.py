@@ -3265,6 +3265,52 @@ def q_dense_rank(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_rank_ties(sf_dir: str):
+    """RANK() (gap ranking over ties) per event_type by value cents —
+    the dense_rank plan with the rank computed from the running count
+    of strictly-smaller values: the (type, cents, count) distinct table
+    is cardinality-bounded, ranked in a guarded one-task reduce, and
+    broadcast back onto the rows (no data-scaled shuffle)."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["event_type", "cents"], sort=False) \
+            .size().reset_index(name="cnt")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "cents"], sort=False, as_index=False)["cnt"].sum()
+        g = g.sort_values(["event_type", "cents"], kind="stable")
+        cum = g.groupby("event_type", sort=False)["cnt"].cumsum().to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "cents": g["cents"].to_numpy(np.int64),
+                             "rnk": cum - cnt + 1})   # 1 + #smaller
+
+    ranked = reduce_small_or_shard(
+        rows.map_batches(counts, batch_format="pyarrow"),
+        ["event_type"], rank_shard, shards=16)
+    out = broadcast_join(rows, ranked, on=["event_type", "cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
+                         "event_type": t.column("event_type"),
+                         "cents": t.column("cents").cast(pa.int64()),
+                         "rnk": t.column("rnk").cast(pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_lag_delta(sf_dir: str):
     """LAG window: per-user microsecond gap to the previous event in
     (ts, event_id) order — one user-sharded exchange, vectorized diff
