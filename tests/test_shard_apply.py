@@ -209,3 +209,32 @@ def test_pagerank_paths_identical():
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_b, got_j)
     assert got_b["pr"].nunique() > 1  # degrees differ -> ranks differ
+
+
+def test_reduce_small_or_shard_plans_agree():
+    """The guarded one-task solve and the sort-based shard path are the
+    same reduce: identical rows either way (the repo's plan-equivalence
+    convention)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    rng = np.random.RandomState(11)
+    t = pa.table({"k": pa.array(rng.randint(0, 7, 500), pa.int64()),
+                  "v": pa.array(rng.randint(0, 1000, 500), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False)["v"].agg(["sum", "min"])
+        out.columns = ["k", "s", "m"]
+        return out
+
+    small = reduce_small_or_shard(ds, ["k"], fn,
+                                  max_small_bytes=1 << 40).to_pandas()
+    shard = reduce_small_or_shard(ds, ["k"], fn,
+                                  max_small_bytes=0).to_pandas()
+    small = small.sort_values("k").reset_index(drop=True)
+    shard = shard.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, shard)
