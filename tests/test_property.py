@@ -290,3 +290,55 @@ def test_repair_island_in_hole_nested_shell():
     assert len(polys) == 2
     areas = sorted(polygon_area(p) for p in polys)
     assert areas == [4.0, 400.0 - 100.0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.tuples(*[st.integers(0, 359_999) for _ in range(4)]),
+       st.tuples(*[st.integers(0, 169_999) for _ in range(4)]))
+def test_segment_intersection_point_ownership(xs, ys):
+    """The PBSM reference-point dedup invariant of
+    q_segment_intersections: for any PROPER crossing of two integer
+    segments, the int64 ownership formula (a) equals the exact Fraction
+    floor, and (b) names a cell covered by BOTH segments' bbox fanouts
+    — so the pair is emitted exactly once, never zero times."""
+    from fractions import Fraction
+
+    import numpy as np
+    from osmquadtreepostgis_ray.sources.zones import ADMIN_H, ADMIN_W, AX
+
+    ax1, ax2, qx1, qx2 = (np.int64(v) for v in xs)
+    ay1, ay2, qy1, qy2 = (np.int64(v) for v in ys)
+    dax, day = ax2 - ax1, ay2 - ay1
+    dbx, dby = qx2 - qx1, qy2 - qy1
+    s1 = np.sign(dax * (qy1 - ay1) - day * (qx1 - ax1))
+    s2 = np.sign(dax * (qy2 - ay1) - day * (qx2 - ax1))
+    s3 = np.sign(dbx * (ay1 - qy1) - dby * (ax1 - qx1))
+    s4 = np.sign(dbx * (ay2 - qy1) - dby * (ax2 - qx1))
+    if not (s1 * s2 < 0 and s3 * s4 < 0):
+        return  # not a proper crossing — the kernel never reaches ownership
+
+    # the kernel's int64 path
+    den = dax * dby - day * dbx
+    t_num = (qx1 - ax1) * dby - (qy1 - ay1) * dbx
+    if den < 0:
+        den, t_num = -den, -t_num
+    px_num = ax1 * den + t_num * dax
+    py_num = ay1 * den + t_num * day
+    cx = px_num // (den * ADMIN_W)
+    cy = py_num // (den * ADMIN_H)
+
+    # exact rational reference
+    t = Fraction(int(t_num), int(den))
+    px = Fraction(int(ax1)) + t * int(dax)
+    py = Fraction(int(ay1)) + t * int(day)
+    assert cx == px // ADMIN_W and cy == py // ADMIN_H
+
+    # owning cell lies in both bbox fanout rectangles
+    for (x1, x2, y1, y2) in ((ax1, ax2, ay1, ay2), (qx1, qx2, qy1, qy2)):
+        assert min(x1, x2) // ADMIN_W <= cx <= max(x1, x2) // ADMIN_W
+        assert min(y1, y2) // ADMIN_H <= cy <= max(y1, y2) // ADMIN_H
+    assert 0 <= cy * AX + cx
