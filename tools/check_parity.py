@@ -19,7 +19,15 @@ def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if not len(df.columns):
+            # Dataset.to_pandas() drops columns on 0 rows even when the
+            # dataset carries a schema (all-empty blocks) — rebuild the
+            # empty frame from the schema so column comparison holds
+            sch = res.schema()
+            df = pd.DataFrame({n: pd.Series(dtype=t.to_pandas_dtype())
+                               for n, t in zip(sch.names, sch.types)})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
