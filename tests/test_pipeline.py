@@ -61,6 +61,22 @@ def test_image_decode_psnr_invariant(sf_dir):
     assert df["psnr_ok"].all()
 
 
+def test_caption_exact_equality_invariant(sf_dir):
+    """The north rule's per-row invariant: captions pass through the
+    image pipeline byte-exact — every image row's caption equals the
+    source document's text, keyed by doc_id."""
+    import pyarrow.parquet as pq
+
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    img = read_images(sf_dir, with_bytes=True).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    merged = img.merge(docs, on="doc_id", validate="one_to_one")
+    assert len(merged) == len(docs) > 0
+    assert (merged["caption"] == merged["text"]).all()
+
+
 def test_merge_latest_source(sf_dir):
     import ray.data
     from osmquadtreepostgis_ray.sources.tables import merge_latest
