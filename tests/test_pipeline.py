@@ -380,3 +380,18 @@ def test_interval_join_boundaries():
     # v=250: only [15,300) (bin far from lo — replication must reach it)
     assert got == {(1, 100), (2, 100), (2, 200), (3, 200), (4, 200)}
     assert len(out) == len(got)  # no duplicate pairs from multi-bin overlap
+
+
+def test_driver_contract_registration_consistency():
+    """Every oracle key names a registered query, and the rows-only set
+    is exactly the documented one (simplify_ways) — guards against
+    registration drift as operators are added."""
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    E = importlib.import_module("__ray_entry__")
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert set(q) - set(o) == {"simplify_ways"}
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
