@@ -25,6 +25,17 @@ from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.sources.tables import read_table
 from osmquadtreepostgis_ray.util import (pool_size, reduce_small_or_shard,
                                          shard_apply, sharded_agg)
+from osmquadtreepostgis_ray.sources.audio import \
+    payload_batch_size as _audio_payload_batch
+from osmquadtreepostgis_ray.sources.images import \
+    payload_batch_size as _img_payload_batch
+
+# memory-aware rows-per-batch for opaque-payload stages: batch bytes x
+# concurrency must fit a worker heap at ANY payload width (the brief's
+# large-binary rule) — 4096 on this thin synthetic corpus, 32 on real
+# 1-MB images (util.payload_batch_rows)
+IMG_BATCH = _img_payload_batch()
+AUDIO_BATCH = _audio_payload_batch()
 
 CELL_DEPTH = 12
 TILE_DEPTH = 8
@@ -947,7 +958,7 @@ def q_frame_sample(sf_dir: str, stride: int = 2):
         synth_videos_batch, batch_format="pyarrow")
     from osmquadtreepostgis_ray.util import worker_cached
     return vids.map_batches(worker_cached(lambda: FrameSample(stride=stride)),
-                            batch_format="pyarrow", batch_size=512)
+                            batch_format="pyarrow", batch_size=IMG_BATCH)
 
 
 def q_image_decode(sf_dir: str):
@@ -957,7 +968,7 @@ def q_image_decode(sf_dir: str):
     from osmquadtreepostgis_ray.sources.images import read_images
     from osmquadtreepostgis_ray.util import worker_cached
     return read_images(sf_dir, with_bytes=True).map_batches(
-        worker_cached(DecodeStats), batch_format="pyarrow", batch_size=512) \
+        worker_cached(DecodeStats), batch_format="pyarrow", batch_size=IMG_BATCH) \
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])
 
 
@@ -969,7 +980,7 @@ def q_image_ahash(sf_dir: str):
     from osmquadtreepostgis_ray.stages.images import AHash
     from osmquadtreepostgis_ray.util import worker_cached
     return read_images(sf_dir, with_bytes=True).map_batches(
-        worker_cached(AHash), batch_format="pyarrow", batch_size=512) \
+        worker_cached(AHash), batch_format="pyarrow", batch_size=IMG_BATCH) \
         .select_columns(["image_id", "w", "h", "ahash"])
 
 
@@ -1059,7 +1070,8 @@ def q_audio_features(sf_dir: str):
     from osmquadtreepostgis_ray.stages.audio import AudioFeatures
     from osmquadtreepostgis_ray.util import worker_cached
     return read_audio(sf_dir).map_batches(
-        worker_cached(AudioFeatures), batch_format="pyarrow", batch_size=512)
+        worker_cached(AudioFeatures), batch_format="pyarrow",
+        batch_size=AUDIO_BATCH)
 
 
 def q_audio_windows(sf_dir: str, window: int = 256, stride: int = 2):
@@ -1070,7 +1082,7 @@ def q_audio_windows(sf_dir: str, window: int = 256, stride: int = 2):
     from osmquadtreepostgis_ray.util import worker_cached
     return read_audio(sf_dir).map_batches(
         worker_cached(lambda: WindowEnergy(window=window, stride=stride)),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=AUDIO_BATCH)
 
 
 def q_asof_join(sf_dir: str):
@@ -1372,7 +1384,7 @@ def q_image_resize(sf_dir: str, target: tuple = (8, 8)):
     t = tuple(target)
     return read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(lambda: DecodeStats(target=t)),
-        batch_format="pyarrow", batch_size=512) \
+        batch_format="pyarrow", batch_size=IMG_BATCH) \
         .select_columns(["image_id", "mean_pixel", "w_out", "h_out"])
 
 
@@ -1948,7 +1960,7 @@ def q_tile_mosaic(sf_dir: str):
 
     part = read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(lambda: MosaicPartial(tile_depth=TILE_DEPTH)),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=IMG_BATCH)
     agg = sharded_agg(part, ["tile", "py", "px"],
                       {"pixel_sum": ("pixel_sum", "sum"),
                        "n_images": ("n_images", "sum")})
@@ -1975,7 +1987,7 @@ def q_tile_sobel(sf_dir: str):
 
     part = read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(lambda: SobelPartial(tile_depth=TILE_DEPTH)),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=IMG_BATCH)
     return sharded_agg(part, ["tile"],
                        {"grad_sum": ("grad_sum", "sum"),
                         "edge_px": ("edge_px", "sum"),
@@ -2053,7 +2065,7 @@ def q_image_blur(sf_dir: str):
 
     return read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(LaplacianBlur),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=IMG_BATCH)
 
 
 def q_ann_recall(sf_dir: str, k: int = 5):
@@ -2143,7 +2155,7 @@ def q_mosaic_pyramid(sf_dir: str, depths: tuple = MOSAIC_DEPTHS):
     d = tuple(depths)
     part = read_images(sf_dir, with_bytes=True).map_batches(
         worker_cached(lambda: MosaicPartial(depths=d)),
-        batch_format="pyarrow", batch_size=512)
+        batch_format="pyarrow", batch_size=IMG_BATCH)
     agg = sharded_agg(part, ["depth", "tile", "py", "px"],
                       {"pixel_sum": ("pixel_sum", "sum"),
                        "n_images": ("n_images", "sum")})
@@ -2426,7 +2438,7 @@ def q_image_patches(sf_dir: str):
     from osmquadtreepostgis_ray.stages.images import PatchMeans
     from osmquadtreepostgis_ray.util import worker_cached
     return read_images(sf_dir, with_bytes=True).map_batches(
-        worker_cached(PatchMeans), batch_format="pyarrow", batch_size=512)
+        worker_cached(PatchMeans), batch_format="pyarrow", batch_size=IMG_BATCH)
 
 
 def q_rasterize(sf_dir: str):

@@ -109,3 +109,10 @@ def read_audio(sf_dir: str, repeat: int = 1,
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"],
                       repeat=repeat, parallelism=parallelism)
     return docs.map_batches(synth_audio_batch, batch_format="pyarrow")
+
+
+def payload_batch_size() -> int:
+    """Memory-aware rows-per-batch for the audio payload stages: avg
+    decoded size = mean(n_samples) x 2 bytes (pcm16)."""
+    from osmquadtreepostgis_ray.util import payload_batch_rows
+    return payload_batch_rows(float(np.mean([1024, 2048, 3072])) * 2)

@@ -98,3 +98,16 @@ def _synth_meta_batch(batch: pa.Table) -> pa.Table:
         "caption": batch.column("text"),
         "phash": pa.array(geotag.phash_of(ids), pa.int64()),
     })
+
+
+def payload_batch_size() -> int:
+    """Memory-aware rows-per-batch for the image payload stages
+    (util.payload_batch_rows): the synthetic corpus's average decoded
+    size is a pure function of the dims cycle.  With a REAL bytes
+    column this estimate comes from parquet metadata instead
+    (column total_compressed_size / num_rows) — same helper, different
+    numerator."""
+    from osmquadtreepostgis_ray.util import payload_batch_rows
+    avg = float(np.mean((_W_CHOICES.astype(np.int64)
+                         * _H_CHOICES.astype(np.int64))))
+    return payload_batch_rows(avg)

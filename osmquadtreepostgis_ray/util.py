@@ -123,6 +123,23 @@ def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
     return shard_apply(ds, keys, agg, shards=shards)
 
 
+PAYLOAD_TARGET_BYTES = 32 << 20  # ~32 MB of decoded payload per batch
+
+
+def payload_batch_rows(avg_row_bytes: float,
+                       target_bytes: int = PAYLOAD_TARGET_BYTES,
+                       lo: int = 16, hi: int = 4096) -> int:
+    """Memory-aware batch size for stages over opaque binary payloads
+    (images/audio/video): rows per batch so batch x concurrency stays
+    inside a worker heap at ANY payload width — a hardcoded 512 rows is
+    1.5 MB/batch on this synthetic corpus but 512 MB/batch on real
+    1-MB images.  Clamped: `lo` keeps vectorized kernels efficient,
+    `hi` bounds per-batch Python overhead on tiny payloads."""
+    if avg_row_bytes <= 0:
+        return hi
+    return int(min(hi, max(lo, target_bytes // int(avg_row_bytes))))
+
+
 SOLVE_SMALL_BYTES = 1 << 30  # 1 GiB source estimate: one-task-solve cap
 
 

@@ -481,3 +481,14 @@ def test_quantiles_cont_matches_numpy_linear(sf_dir):
         want = round(float(np.percentile(vals, qpm / 10.0,
                                          method="linear")) * 1000)
         assert int(grp["interp_milli"].iloc[0]) == want, (et, qpm)
+
+
+def test_payload_batch_rows_memory_aware():
+    """Batch sizing scales inversely with payload width and clamps."""
+    from osmquadtreepostgis_ray.util import payload_batch_rows
+
+    assert payload_batch_rows(1 << 20) == 32          # 1 MB images
+    assert payload_batch_rows(10 << 20) == 16         # clamp lo
+    assert payload_batch_rows(100.0) == 4096          # clamp hi
+    assert payload_batch_rows(0) == 4096
+    assert payload_batch_rows((32 << 20) / 100) == 100
