@@ -29,34 +29,115 @@ def count_word(texts: pd.Series, word: str) -> np.ndarray:
     return texts.str.count(pat).to_numpy(dtype=np.int64)
 
 
-def count_words_multi(texts, keys: tuple[str, ...]) -> np.ndarray:
-    """Per-row occurrence counts for MANY whole words in one pass:
-    returns an (n_rows, n_keys) int64 matrix.
-
-    Tokenize once (pyarrow C kernel), map tokens to key indices
-    (pc.index_in), scatter-add.  Identical to count_word for the
-    whitespace-separated alphanumeric caption corpus (a token equals the
-    word iff the \\b-regex matches), at ~1/len(keys) the cost — this is
-    the hot kernel of routing + tag projection.
-    """
+def _tokens_of(texts):
+    """Shared tokenize + dictionary-encode: (n, rows, dict_array).
+    rows[i] is the source row of token i; dict_array.indices are the
+    per-token vocabulary codes.  dict_array is None when there are no
+    tokens at all."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     arr = texts if isinstance(texts, pa.Array) else pa.array(
         texts.to_numpy() if hasattr(texts, "to_numpy") else texts, pa.string())
     n = len(arr)
-    out = np.zeros((n, len(keys)), dtype=np.int64)
     if n == 0:
-        return out
+        return 0, np.empty(0, np.int64), None
     lists = pc.utf8_split_whitespace(arr)
     lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(lists)
-    codes = pc.index_in(flat, value_set=pa.array(list(keys))).fill_null(-1) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return n, np.empty(0, np.int64), None
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    hit = codes >= 0
-    np.add.at(out, (rows[hit], codes[hit]), 1)
-    return out
+    return n, rows, flat.dictionary_encode()
+
+
+# Above this many cells the dense (rows x vocab) count matrix would cost
+# more than the tokens themselves — fall back to the sort path.  128 MiB
+# of int64 at the cap; real caption corpora have tiny vocabularies so the
+# dense path is the norm, open-web text hits the fallback.
+_DENSE_CELLS = 1 << 24
+
+
+def caption_word_stats(texts, uniq_keys: tuple[str, ...],
+                       feature_keys: set[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Fused routing kernel: per-row counts for `uniq_keys` AND the
+    hstore leftover literal, from ONE tokenize + dictionary-encode pass.
+
+    Dense path (vocab small, the caption corpus): one np.bincount over
+    row*V+code builds the full (rows x vocab) count matrix; counts are
+    column gathers and the hstore pairs fall out of np.nonzero on
+    word-rank-ordered columns already in render order — no per-token
+    sort at all.  Sparse path (big vocab): one lexsort by (row,
+    word-rank) + run-length encode serves both outputs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n, rows, d = _tokens_of(texts)
+    counts = np.zeros((n, len(uniq_keys)), dtype=np.int64)
+    tags = np.full(n, "", dtype=object)
+    if d is None:
+        return counts, tags
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    words = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    V = len(words)
+    slots = pc.index_in(pa.array(list(uniq_keys), pa.string()),
+                        value_set=d.dictionary).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    drop = np.isin(words, list(feature_keys) + [""])
+    if n * V <= max(_DENSE_CELLS, len(codes)):
+        mat = np.bincount(rows * V + codes, minlength=n * V).reshape(n, V)
+        for i, c in enumerate(slots):
+            if c >= 0:
+                counts[:, i] = mat[:, c]
+        keep_cols = np.flatnonzero(~drop)
+        keep_cols = keep_cols[np.argsort(words[keep_cols], kind="stable")]
+        if len(keep_cols):
+            sub = mat[:, keep_cols]
+            ur, uci = np.nonzero(sub)   # row-major: per row, word-sorted
+            cnt = sub[ur, uci]
+            uc = keep_cols[uci]
+        else:
+            ur = uc = cnt = np.empty(0, np.int64)
+    else:
+        inv = np.full(V, -1, np.int64)
+        ok = slots >= 0
+        inv[slots[ok]] = np.flatnonzero(ok)
+        tok_slot = inv[codes]
+        m = tok_slot >= 0
+        np.add.at(counts, (rows[m], tok_slot[m]), 1)
+        # hstore: single (row, word-rank) sort + run-length
+        keepm = ~drop[codes]
+        r, c = rows[keepm], codes[keepm]
+        if len(r):
+            wrank = np.empty(V, np.int64)
+            wrank[np.argsort(words, kind="stable")] = np.arange(V)
+            order = np.lexsort((wrank[c], r))
+            r, c = r[order], c[order]
+            bound = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+            idx = np.flatnonzero(bound)
+            ur, uc = r[idx], c[idx]
+            cnt = np.diff(np.r_[idx, len(r)])
+        else:
+            ur = uc = cnt = np.empty(0, np.int64)
+    if len(ur):
+        uw_arr = d.dictionary.take(pa.array(uc, pa.int64()))
+        cnt_arr = pc.cast(pa.array(cnt), pa.string())
+        kv = pc.binary_join_element_wise('"', uw_arr, '"=>"', cnt_arr, '"', "")
+        per_row = np.bincount(ur, minlength=n)
+        offsets = pa.array(np.r_[0, np.cumsum(per_row)], pa.int64())
+        joined = pc.binary_join(pa.LargeListArray.from_arrays(offsets, kv), ", ")
+        tags = joined.to_numpy(zero_copy_only=False).astype(object)
+    return counts, tags
+
+
+def count_words_multi(texts, keys: tuple[str, ...]) -> np.ndarray:
+    """Per-row occurrence counts for MANY whole words in one pass:
+    returns an (n_rows, n_keys) int64 matrix.  Identical to count_word
+    for the whitespace-separated alphanumeric caption corpus (a token
+    equals the word iff the \\b-regex matches).  Thin wrapper over the
+    fused caption_word_stats kernel."""
+    counts, _ = caption_word_stats(texts, tuple(keys), set())
+    return counts
 
 
 def count_word_sql(text_expr: str, word: str) -> str:
@@ -85,56 +166,13 @@ def hstore_leftover(texts: pd.Series, feature_keys: set[str]) -> pd.Series:
 
 
 def hstore_leftover_arrow(texts, feature_keys: set[str]) -> np.ndarray:
-    """Arrow/numpy fast path of hstore_leftover (identical output):
-    tokenize once, dictionary-encode tokens, run-length count (row,word)
-    pairs on sorted int codes, render per-pair kv strings vectorized,
-    join per row.  No per-token Python objects until the reduced unique
-    pairs."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    arr = texts if isinstance(texts, pa.Array) else pa.array(
-        texts.to_numpy() if hasattr(texts, "to_numpy") else texts, pa.string())
-    n = len(arr)
-    out = np.full(n, "", dtype=object)
-    if n == 0:
-        return out
-    lists = pc.utf8_split_whitespace(arr)
-    lens = pc.list_value_length(lists).fill_null(0).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(lists)
-    if len(flat) == 0:
-        return out
-    d = flat.dictionary_encode()
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    words = np.asarray(d.dictionary.to_pylist(), dtype=object)
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    # utf8_split_whitespace("") yields one empty token; drop those too
-    keep = ~np.isin(words, list(feature_keys) + [""])[codes]
-    rows, codes = rows[keep], codes[keep]
-    if not len(rows):
-        return out
-    order = np.lexsort((codes, rows))
-    r, c = rows[order], codes[order]
-    bound = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
-    idx = np.flatnonzero(bound)
-    ur, uc = r[idx], c[idx]
-    cnt = np.diff(np.r_[idx, len(r)])
-    # hstore keys sorted by word per row — integer word-rank lexsort
-    # (no object-dtype comparisons), then the whole render is Arrow:
-    # element-wise kv concat + per-row list join (C kernels; the
-    # previous object-array concat + per-row str.join was the flagship
-    # routing hotspot at ~26us/row)
-    wrank = np.empty(len(words), np.int64)
-    wrank[np.argsort(words, kind="stable")] = np.arange(len(words))
-    order2 = np.lexsort((wrank[uc], ur))
-    ur, uc, cnt = ur[order2], uc[order2], cnt[order2]
-    uw_arr = d.dictionary.take(pa.array(uc))
-    cnt_arr = pc.cast(pa.array(cnt), pa.string())
-    kv = pc.binary_join_element_wise('"', uw_arr, '"=>"', cnt_arr, '"', "")
-    per_row = np.bincount(ur, minlength=n)
-    offsets = pa.array(np.r_[0, np.cumsum(per_row)], pa.int32())
-    joined = pc.binary_join(pa.ListArray.from_arrays(offsets, kv), ", ")
-    return joined.to_numpy(zero_copy_only=False).astype(object)
+    """Arrow/numpy fast path of hstore_leftover (identical output).
+    Thin wrapper over the fused caption_word_stats kernel (dense
+    bincount matrix for small vocabularies, single (row, word-rank)
+    lexsort + run-length for big ones; render is pure Arrow C kernels —
+    element-wise kv concat + per-row list join)."""
+    _, tags = caption_word_stats(texts, (), feature_keys)
+    return tags
 
 
 def hstore_leftover_sql(table: str, id_col: str, text_col: str, feature_keys: tuple[str, ...]) -> str:

@@ -35,8 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from osmquadtreepostgis_ray.config import EngineParams
-from osmquadtreepostgis_ray.functions.tags import (count_word, count_words_multi,
-                                                   hstore_leftover_arrow)
+from osmquadtreepostgis_ray.functions.tags import caption_word_stats, count_word
 
 KINDS = ("point", "line", "polygon")
 
@@ -64,7 +63,7 @@ def route_batch(batch: pa.Table, params: EngineParams | None = None) -> pa.Table
     # token to ONE slot, so count unique words once and look up by name
     uniq = tuple(dict.fromkeys(
         (W_ZORDER, W_LAYER, W_BUILDING, W_BOUNDARY) + tuple(p.style.feature_keys)))
-    counts = count_words_multi(cap_arr, uniq)
+    counts, tags = caption_word_stats(cap_arr, uniq, set(p.style.feature_keys))
     col = {k: counts[:, i] for i, k in enumerate(uniq)}
     kind = kind_of(phash)
     z_order = 10 * col[W_ZORDER]
@@ -76,8 +75,7 @@ def route_batch(batch: pa.Table, params: EngineParams | None = None) -> pa.Table
     is_highway = (kind == 1) & (z_order > 0)
     for k in p.style.feature_keys:
         batch = batch.append_column(f"kv_{k}", pa.array(col[k], pa.int64()))
-    batch = batch.append_column(
-        "tags", pa.array(hstore_leftover_arrow(cap_arr, set(p.style.feature_keys)), pa.string()))
+    batch = batch.append_column("tags", pa.array(tags, pa.string()))
     for name, arr, typ in (
         ("kind", kind, pa.int64()), ("z_order", z_order, pa.int64()),
         ("layer", layer, pa.int64()), ("minzoom", minzoom, pa.int64()),

@@ -90,6 +90,28 @@ def test_hstore_arrow_matches_pandas(docs):
     assert (ref == fast).all()
 
 
+@given(st.lists(st.lists(st.sampled_from(WORDS), max_size=30), min_size=1, max_size=20))
+@settings(**SET)
+def test_caption_word_stats_dense_equals_sparse(docs):
+    # The fused routing kernel has a dense (bincount-matrix) path for
+    # small vocabularies and a lexsort fallback for big ones; both must
+    # produce byte-identical counts + hstore literals.
+    import pyarrow as pa
+
+    import osmquadtreepostgis_ray.functions.tags as T
+    texts = pa.array([" ".join(d) for d in docs], pa.string())
+    keys, feats = tuple(WORDS[:5]), {"the", "data"}
+    dense = T.caption_word_stats(texts, keys, feats)
+    old = T._DENSE_CELLS
+    T._DENSE_CELLS = 0
+    try:
+        sparse = T.caption_word_stats(texts, keys, feats)
+    finally:
+        T._DENSE_CELLS = old
+    assert (dense[0] == sparse[0]).all()
+    assert (dense[1] == sparse[1]).all()
+
+
 def test_assembly_error_channel():
     # a closed group whose edges DON'T close (hand-broken): error row out
     import pandas as pd
