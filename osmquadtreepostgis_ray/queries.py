@@ -1400,17 +1400,16 @@ def q_multimodal_fusion(sf_dir: str):
     img = q_image_ahash(sf_dir)
 
     def img_key(batch: pa.Table) -> pa.Table:
-        ids = np.asarray([int(s[3:]) for s in batch.column("image_id").to_pylist()],
-                         dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "ahash": batch.column("ahash")})
+        import pyarrow.compute as pc
+        ids = pc.cast(pc.utf8_slice_codeunits(batch.column("image_id"), 3), pa.int64())
+        return pa.table({"doc_id": ids, "ahash": batch.column("ahash")})
 
     aud = q_audio_features(sf_dir)
 
     def aud_key(batch: pa.Table) -> pa.Table:
-        ids = np.asarray([int(s[3:]) for s in batch.column("audio_id").to_pylist()],
-                         dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        import pyarrow.compute as pc
+        ids = pc.cast(pc.utf8_slice_codeunits(batch.column("audio_id"), 3), pa.int64())
+        return pa.table({"doc_id": ids,
                          "mean_abs": batch.column("mean_abs"),
                          "peak": batch.column("peak")})
 
@@ -3417,3 +3416,127 @@ def q_ahash_neardup(sf_dir: str, max_hamming: int = 3, mod: int = 10):
     imgs = docs.map_batches(keep, batch_format="pyarrow") \
         .map_batches(synth_images_batch, batch_format="pyarrow")
     return ahash_neardup_pairs(imgs, max_hamming=max_hamming)
+
+
+# --------------------------------------------------------- mixture / curation
+
+
+def q_vocab_coverage(sf_dir: str, top_v: int = 20):
+    """Tokenizer-prep vocabulary coverage: corpus top-`top_v` words by
+    (count desc, word asc), then per-doc OOV token count + permille.
+
+    Scale shape: word counts are combiner partials (vocab-sized per
+    batch) reduced by one small groupby; only the VOCABULARY (top_v
+    rows) is driver-materialized and closure-broadcast — per-doc stats
+    never leave their batch.  Docs with zero tokens are absent (the
+    oracle's GROUP BY can't see them either)."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.functions.tags import _tokens_of
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        _, _, d = _tokens_of(batch.column("text"))
+        if d is None:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        c = np.bincount(d.indices.to_numpy(zero_copy_only=False),
+                        minlength=len(d.dictionary))
+        keep = pc.not_equal(d.dictionary, "").to_numpy(zero_copy_only=False)
+        keep = np.asarray(keep, dtype=bool)
+        return pa.table({"w": d.dictionary.filter(pa.array(keep)),
+                         "c": pa.array(c[keep], pa.int64())})
+
+    wc = (docs.map_batches(wc_partial, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("c", alias_name="c"))).to_pandas()
+    wc = wc.sort_values(["c", "w"], ascending=[False, True], kind="stable")
+    vocab = pa.array(wc["w"].head(top_v).tolist(), pa.string())
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        nb = len(ids)
+        _, rows, d = _tokens_of(batch.column("text"))
+        if d is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "oov_tokens": pa.array([], pa.int64()),
+                             "oov_permille": pa.array([], pa.int64())})
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        nonempty = np.asarray(
+            pc.not_equal(d.dictionary, "").to_numpy(zero_copy_only=False), bool)
+        in_vocab = np.asarray(pc.is_in(d.dictionary, value_set=vocab)
+                              .to_numpy(zero_copy_only=False), bool)
+        tok = nonempty[codes]
+        ntok = np.bincount(rows[tok], minlength=nb).astype(np.int64)
+        oov = np.bincount(rows[tok & ~in_vocab[codes]],
+                          minlength=nb).astype(np.int64)
+        keep = ntok > 0
+        permille = np.zeros(nb, np.int64)
+        permille[keep] = 1000 * oov[keep] // ntok[keep]
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_tokens": pa.array(ntok[keep], pa.int64()),
+                         "oov_tokens": pa.array(oov[keep], pa.int64()),
+                         "oov_permille": pa.array(permille[keep], pa.int64())})
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def q_domain_cap(sf_dir: str, cap: int = 100):
+    """Per-source document cap (the per-domain cap of web-crawl
+    curation): keep the first `cap` docs per source by doc_id, emitting
+    the within-source rank.  Shard by source (co-location only, rank is
+    a pure function of the group) + per-shard vectorized rank —
+    identical rows at any parallelism."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def capg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        g["rk"] = (g.groupby("source", sort=False).cumcount() + 1).astype(np.int64)
+        return g[g["rk"] <= cap]
+
+    return shard_apply(docs, ["source"], capg)
+
+
+def q_mixture_quotas(sf_dir: str, target: int = 1000):
+    """Data-mixture allocation: per-(source, lang) sampling quotas
+    proportional to group count, rounded to exactly `target` total by
+    the largest-remainder method — integer-exact.  The grouped table is
+    cardinality-bounded (sources x langs, NOT data-scaled), so after
+    the distributed count the allocation is one worker task
+    (repartition(1) — the util.reduce_small_or_shard one-task-solve
+    plan; allocation needs the global total so it is not a keyed
+    reduce)."""
+    docs = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def cpart(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks may carry an EMPTY schema
+            return pa.table({"source": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = (batch.to_pandas().groupby(["source", "lang"], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (docs.map_batches(cpart, batch_format="pyarrow")
+              .groupby(["source", "lang"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def alloc(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        total = int(df["cnt"].sum())
+        df["base"] = (target * df["cnt"]) // total
+        rem = (target * df["cnt"]) % total
+        order = df.assign(rem=rem).sort_values(
+            ["rem", "source", "lang"], ascending=[False, True, True],
+            kind="stable").index
+        extra = target - int(df["base"].sum())
+        bump = pd.Series(np.arange(len(df)) < extra, index=order)
+        df["quota"] = (df["base"] + bump.reindex(df.index).astype(np.int64))
+        df = df.sort_values(["source", "lang"], kind="stable")
+        out = df[["source", "lang", "cnt", "quota"]].copy()
+        out["quota"] = out["quota"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return counts.repartition(1).map_batches(alloc, batch_format="pyarrow",
+                                             batch_size=None)
