@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": Q.q_repetition,
         "decontaminate": Q.q_decontaminate,
         "pii_redact": Q.q_pii_redact,
+        "vocab_coverage": Q.q_vocab_coverage,
+        "domain_cap": Q.q_domain_cap,
+        "mixture_quotas": Q.q_mixture_quotas,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

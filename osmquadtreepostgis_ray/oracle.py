@@ -2467,6 +2467,53 @@ def sql_trajectories() -> str:
     FROM o GROUP BY user_id"""
 
 
+def sql_vocab_coverage(top_v: int = 20) -> str:
+    """Twin of queries.q_vocab_coverage: whitespace tokens (empties
+    dropped), vocab = top-V by (count desc, word asc), per-doc OOV count
+    + permille.  `//` truncation == floor: all operands non-negative."""
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+                  FROM documents),
+    t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM t GROUP BY w)
+              ORDER BY c DESC, w LIMIT {top_v}),
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)::BIGINT AS oov_tokens
+            FROM t GROUP BY doc_id)
+    SELECT doc_id, n_tokens, oov_tokens,
+           ((1000 * oov_tokens) // n_tokens)::BIGINT AS oov_permille
+    FROM per"""
+
+
+def sql_domain_cap(cap: int = 100) -> str:
+    """Twin of queries.q_domain_cap: row_number per source by doc_id."""
+    return f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM documents) WHERE rk <= {cap}"""
+
+
+def sql_mixture_quotas(target: int = 1000) -> str:
+    """Twin of queries.q_mixture_quotas: exact largest-remainder
+    apportionment of `target` over (source, lang) counts.  Tie-break on
+    equal remainders is (source, lang) asc, same as the Ray sort."""
+    return f"""
+    WITH g AS (SELECT source, lang, count(*)::BIGINT AS cnt
+               FROM documents GROUP BY source, lang),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM g),
+    b AS (SELECT source, lang, cnt,
+                 ({target} * cnt) // total AS base,
+                 ({target} * cnt) % total AS rem
+          FROM g, tot),
+    r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+          FROM b),
+    s AS (SELECT sum(base)::BIGINT AS sb FROM b)
+    SELECT source, lang, cnt,
+           (base + CASE WHEN rk <= {target} - sb THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM r, s"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -2593,4 +2640,7 @@ def build_oracles() -> dict[str, str]:
         "image_patches": sql_image_patches(),
         "rasterize": sql_rasterize(),
         "trajectories": sql_trajectories(),
+        "vocab_coverage": sql_vocab_coverage(),
+        "domain_cap": sql_domain_cap(),
+        "mixture_quotas": sql_mixture_quotas(),
     }
