@@ -43,7 +43,10 @@ def embed_documents(ds: ray.data.Dataset, dim: int = 32,
             slot = (wh % np.uint64(dim)).astype(np.int64)[codes]
             sign = np.where((wh >> np.uint64(32)) % np.uint64(2) == 0, 1.0, -1.0)[codes]
             rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-            np.add.at(out, (rows, slot), sign)
+            # weighted bincount == add.at but C-speed; ±1.0 sums are
+            # exact in float64, so the result is bit-identical
+            out = np.bincount(rows * dim + slot, weights=sign,
+                              minlength=n * dim).reshape(n, dim)
             norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-30)
             out = out / norms
         return pa.table({
