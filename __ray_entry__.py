@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": Q.q_vocab_coverage,
         "domain_cap": Q.q_domain_cap,
         "mixture_quotas": Q.q_mixture_quotas,
+        "retention": Q.q_retention,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

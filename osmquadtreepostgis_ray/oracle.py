@@ -2514,6 +2514,19 @@ def sql_mixture_quotas(target: int = 1000) -> str:
     FROM r, s"""
 
 
+def sql_retention() -> str:
+    """Twin of queries.q_retention: distinct active days per user,
+    cohort = first day, count users per (cohort_day, day_offset)."""
+    return """
+    WITH d AS (SELECT DISTINCT user_id,
+                      (epoch_us(ts) // 86400000000)::BIGINT AS day
+               FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT f.cohort_day, (d.day - f.cohort_day)::BIGINT AS day_offset,
+           count(*)::BIGINT AS users
+    FROM d JOIN f USING (user_id) GROUP BY 1, 2"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -2643,4 +2656,5 @@ def build_oracles() -> dict[str, str]:
         "vocab_coverage": sql_vocab_coverage(),
         "domain_cap": sql_domain_cap(),
         "mixture_quotas": sql_mixture_quotas(),
+        "retention": sql_retention(),
     }

@@ -3540,3 +3540,48 @@ def q_mixture_quotas(sf_dir: str, target: int = 1000):
 
     return counts.repartition(1).map_batches(alloc, batch_format="pyarrow",
                                              batch_size=None)
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by their FIRST active
+    day; for each (cohort_day, day_offset) the count of users active
+    again that day — the activation/retention analysis every
+    large-scale event pipeline runs.
+
+    Plan: per-batch distinct (user, day) pairs (combiner dedup), ONE
+    user-sharded pass computing each user's cohort + offsets (all a
+    user's days co-located; per-shard counts are disjoint partials),
+    then a guarded reduce over the cardinality-BOUNDED (days x days)
+    matrix.  No data-scaled join: the cohort join-back happens inside
+    the shard."""
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "day": t.column("ts").cast(pa.int64()).to_numpy() // DAY_US,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+             .sort_values(["user_id", "day"], kind="stable")
+        first = g.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort_day": first.to_numpy(np.int64),
+            "day_offset": (g["day"] - first).to_numpy(np.int64)})
+        return (out.groupby(["cohort_day", "day_offset"], sort=False)
+                .size().reset_index(name="users").astype(np.int64))
+
+    partials = shard_apply(ds.map_batches(pairs, batch_format="pyarrow"),
+                           ["user_id"], per_user)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["cohort_day", "day_offset"], sort=False)["users"]
+               .sum().reset_index())
+        return out.astype(np.int64)
+
+    return reduce_small_or_shard(partials, ["cohort_day", "day_offset"], total)
