@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": Q.q_domain_cap,
         "mixture_quotas": Q.q_mixture_quotas,
         "retention": Q.q_retention,
+        "funnel": Q.q_funnel,
+        "mixture_sample": Q.q_mixture_sample,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

@@ -2527,6 +2527,38 @@ def sql_retention() -> str:
     FROM d JOIN f USING (user_id) GROUP BY 1, 2"""
 
 
+def sql_funnel() -> str:
+    """Twin of queries.q_funnel: each step's first qualifying event must
+    STRICTLY follow the user's previous step time."""
+    return """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+    t1 AS (SELECT user_id, min(ts) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY e.user_id),
+    t4 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN t3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, count(*)::BIGINT AS users FROM t1
+    UNION ALL SELECT CAST(2 AS BIGINT), count(*)::BIGINT FROM t2
+    UNION ALL SELECT CAST(3 AS BIGINT), count(*)::BIGINT FROM t3
+    UNION ALL SELECT CAST(4 AS BIGINT), count(*)::BIGINT FROM t4"""
+
+
+def sql_mixture_sample(target: int = 1000) -> str:
+    """Twin of queries.q_mixture_sample: rank docs within (source, lang)
+    and keep rk <= quota from the largest-remainder apportionment."""
+    return f"""
+    WITH r AS (SELECT doc_id, source, lang,
+                      row_number() OVER (PARTITION BY source, lang
+                                         ORDER BY doc_id) AS rk
+               FROM documents)
+    SELECT r.doc_id, r.source, r.lang, r.rk::BIGINT AS rk
+    FROM r JOIN ({sql_mixture_quotas(target)}) q USING (source, lang)
+    WHERE r.rk <= q.quota"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -2657,4 +2689,6 @@ def build_oracles() -> dict[str, str]:
         "domain_cap": sql_domain_cap(),
         "mixture_quotas": sql_mixture_quotas(),
         "retention": sql_retention(),
+        "funnel": sql_funnel(),
+        "mixture_sample": sql_mixture_sample(),
     }

@@ -3585,3 +3585,65 @@ def q_retention(sf_dir: str):
         return out.astype(np.int64)
 
     return reduce_small_or_shard(partials, ["cohort_day", "day_offset"], total)
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel completion (signup -> view -> click -> purchase):
+    per step, the number of users whose first qualifying event strictly
+    follows their previous step's time.  ONE user-sharded pass — each
+    step is a vectorized per-user min over the co-located shard; the
+    driver sees only 4-row partials per shard (bounded)."""
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    STEPS = ("signup", "view", "click", "purchase")
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts").cast(pa.int64()),
+                         "event_type": t.column("event_type")})
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        reach = np.zeros(len(STEPS), np.int64)
+        prev = None  # Series: user -> time of previous step
+        for i, typ in enumerate(STEPS):
+            d = g[g["event_type"] == typ]
+            if prev is not None:
+                p = d["user_id"].map(prev)
+                d = d[d["ts"] > p.fillna(np.iinfo(np.int64).max)]
+            cur = d.groupby("user_id")["ts"].min()
+            reach[i] = len(cur)
+            prev = cur
+        return pd.DataFrame({"step": np.arange(1, len(STEPS) + 1, dtype=np.int64),
+                             "users": reach})
+
+    partials = shard_apply(ds.map_batches(to_us, batch_format="pyarrow"),
+                           ["user_id"], funnel)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("step", sort=False)["users"].sum().reset_index()
+                .astype(np.int64))
+
+    return reduce_small_or_shard(partials, ["step"], total)
+
+
+def q_mixture_sample(sf_dir: str, target: int = 1000):
+    """Materialize the data mixture: per (source, lang) keep the first
+    quota_g docs by doc_id, quotas from q_mixture_quotas (exact
+    largest-remainder).  The quota table is cardinality-bounded, so it
+    broadcasts via the UDF closure; the doc stream is group-sharded and
+    ranked vectorized (the domain_cap pattern with per-group caps)."""
+    quotas = q_mixture_quotas(sf_dir, target).to_pandas()[
+        ["source", "lang", "quota"]]
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def samp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "lang", "doc_id"], kind="stable")
+        g["rk"] = (g.groupby(["source", "lang"], sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        m = g.merge(quotas, on=["source", "lang"], how="left")
+        # left-join NaN floats the int column (CLAUDE.md) — cast back
+        m["quota"] = m["quota"].fillna(0).astype(np.int64)
+        return m[m["rk"] <= m["quota"]][["doc_id", "source", "lang", "rk"]]
+
+    return shard_apply(docs, ["source", "lang"], samp)
