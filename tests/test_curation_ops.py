@@ -75,3 +75,45 @@ def test_mixture_quotas_exact_apportionment(sf_dir):
     # counts round-trip
     assert (out.set_index(["source", "lang"])["cnt"].sort_index()
             == cnt.sort_index()).all()
+
+
+def test_retention_matches_pandas(sf_dir):
+    out = Q.q_retention(sf_dir).to_pandas() \
+        .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    d = ev[["user_id", "day"]].drop_duplicates()
+    first = d.groupby("user_id")["day"].min().rename("cohort_day")
+    j = d.merge(first, on="user_id")
+    j["day_offset"] = j["day"] - j["cohort_day"]
+    ref = (j.groupby(["cohort_day", "day_offset"]).size()
+           .reset_index(name="users").sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    assert len(out) == len(ref)
+    for c in ("cohort_day", "day_offset", "users"):
+        assert (out[c].to_numpy(np.int64) == ref[c].to_numpy(np.int64)).all(), c
+    # day 0 of each cohort contains every user of that cohort
+    day0 = out[out["day_offset"] == 0].set_index("cohort_day")["users"]
+    sizes = first.value_counts().sort_index()
+    assert (day0.sort_index() == sizes).all()
+
+
+def test_funnel_ordered_and_monotone(sf_dir):
+    out = Q.q_funnel(sf_dir).to_pandas().sort_values("step") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["ts"] = ev["ts"].astype("int64")
+    prev, ref = None, []
+    for typ in ("signup", "view", "click", "purchase"):
+        d = ev[ev["event_type"] == typ]
+        if prev is not None:
+            p = d["user_id"].map(prev)
+            d = d[d["ts"] > p.fillna(np.iinfo(np.int64).max)]
+        cur = d.groupby("user_id")["ts"].min()
+        ref.append(len(cur))
+        prev = cur
+    assert (out["users"].to_numpy(np.int64) == np.array(ref, np.int64)).all()
+    # defining invariant: the funnel only narrows
+    assert (np.diff(out["users"].to_numpy(np.int64)) <= 0).all()
