@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": Q.q_retention,
         "funnel": Q.q_funnel,
         "mixture_sample": Q.q_mixture_sample,
+        "cluster_dedup_sample": Q.q_cluster_dedup_sample,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

@@ -2559,6 +2559,34 @@ def sql_mixture_sample(target: int = 1000) -> str:
     WHERE r.rk <= q.quota"""
 
 
+def sql_cluster_dedup_sample() -> str:
+    """Twin of queries.q_cluster_dedup_sample: one representative (the
+    min-label component id) per near-dup component, plus every doc not
+    in the edge graph."""
+    return """
+    WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 7 < 3
+        UNION ALL
+        SELECT doc_id AS a, doc_id // 2 AS b FROM documents
+        WHERE doc_id % 11 = 0 AND doc_id > 0
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION
+        SELECT b AS src, a AS dst FROM e0
+    ),
+    walk(v, l) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.dst, w.l FROM walk w JOIN sym e ON e.src = w.v
+    ),
+    comp AS (SELECT v AS node, MIN(l) AS component FROM walk GROUP BY v)
+    SELECT DISTINCT CAST(component AS BIGINT) AS doc_id FROM comp
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp)"""
+
+
 def build_oracles() -> dict[str, str]:
     return {
         "cell_histogram": sql_cell_histogram(),
@@ -2691,4 +2719,5 @@ def build_oracles() -> dict[str, str]:
         "retention": sql_retention(),
         "funnel": sql_funnel(),
         "mixture_sample": sql_mixture_sample(),
+        "cluster_dedup_sample": sql_cluster_dedup_sample(),
     }

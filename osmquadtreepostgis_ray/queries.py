@@ -3647,3 +3647,51 @@ def q_mixture_sample(sf_dir: str, target: int = 1000):
         return m[m["rk"] <= m["quota"]][["doc_id", "source", "lang", "rk"]]
 
     return shard_apply(docs, ["source", "lang"], samp)
+
+
+def q_cluster_dedup_sample(sf_dir: str):
+    """Canonical-representative selection — the step AFTER near-dup
+    clustering: keep exactly one doc per near-dup component (its min
+    doc_id == the component label) plus every isolated doc.  Reps are a
+    zero-copy projection of the component table (components are labeled
+    by their min member); isolated docs come from an exact bucket ANTI
+    join of the corpus against the clustered node set — no driver-side
+    membership state."""
+    from osmquadtreepostgis_ray.stages.cluster import connected_components
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        a1 = ids[ids % 7 < 3]
+        a2 = ids[(ids % 11 == 0) & (ids > 0)]
+        return pa.table({"a": pa.array(np.r_[a1, a2], pa.int64()),
+                         "b": pa.array(np.r_[a1 + 1, a2 // 2], pa.int64())})
+
+    cc = connected_components(docs.map_batches(edges, batch_format="pyarrow"))
+    cc = cc.materialize()  # consumed twice (reps + anti probe): pin the fork
+
+    def reps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        comp = t.column("component") if "component" in t.column_names \
+            else pa.chunked_array([pa.array([], pa.int64())])
+        return pa.table({"doc_id": pc.unique(comp)})
+
+    rep_ds = cc.map_batches(reps, batch_format="pyarrow")
+
+    def node_key(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": t.column("node")})
+
+    isolated = bucket_semi_join(
+        docs, cc.map_batches(node_key, batch_format="pyarrow"),
+        on="doc_id", anti=True)
+
+    def dedup_ids(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_id"])
+
+    # reps can repeat across blocks (component spans blocks) — one
+    # sharded distinct, then the isolated stream unions in (disjoint)
+    return shard_apply(rep_ds, ["doc_id"], dedup_ids).union(isolated)
