@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": Q.q_funnel,
         "mixture_sample": Q.q_mixture_sample,
         "cluster_dedup_sample": Q.q_cluster_dedup_sample,
+        "epoch_shuffle": Q.q_epoch_shuffle,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ngram_dups": Q.q_ngram_dups,

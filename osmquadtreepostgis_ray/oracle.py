@@ -2559,6 +2559,15 @@ def sql_mixture_sample(target: int = 1000) -> str:
     WHERE r.rk <= q.quota"""
 
 
+def sql_epoch_shuffle(seed: int = 1) -> str:
+    """Twin of queries.q_epoch_shuffle."""
+    h = f"((doc_id * {geotag.PHASH_MULT} + {seed}) % {geotag.PHASH_MOD})"
+    return f"""
+    SELECT doc_id,
+           (row_number() OVER (ORDER BY {h}, doc_id) - 1)::BIGINT AS pos
+    FROM documents"""
+
+
 def sql_cluster_dedup_sample() -> str:
     """Twin of queries.q_cluster_dedup_sample: one representative (the
     min-label component id) per near-dup component, plus every doc not
@@ -2720,4 +2729,5 @@ def build_oracles() -> dict[str, str]:
         "funnel": sql_funnel(),
         "mixture_sample": sql_mixture_sample(),
         "cluster_dedup_sample": sql_cluster_dedup_sample(),
+        "epoch_shuffle": sql_epoch_shuffle(),
     }

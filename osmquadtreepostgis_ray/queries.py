@@ -3695,3 +3695,29 @@ def q_cluster_dedup_sample(sf_dir: str):
     # reps can repeat across blocks (component spans blocks) — one
     # sharded distinct, then the isolated stream unions in (disjoint)
     return shard_apply(rep_ds, ["doc_id"], dedup_ids).union(isolated)
+
+
+def q_epoch_shuffle(sf_dir: str, seed: int = 1):
+    """Deterministic epoch shuffle — the training-data ordering op: every
+    doc gets a global 0-based position in seeded pseudo-random order
+    (h = (doc_id * PHASH_MULT + seed) % PHASH_MOD, ties broken by
+    doc_id; the product stays in int64 for doc_id < 3.4e9 — same
+    domain note as geotag.phash_of).  One distributed sort + the
+    per-block prefix-rank finish (stages/window.keyed_row_number) — the
+    driver sees only per-block counts, never rows.  Same seed -> same
+    order at any parallelism; a new seed reshuffles every epoch."""
+    from osmquadtreepostgis_ray.functions.geotag import PHASH_MOD, PHASH_MULT
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (ids * PHASH_MULT + seed) % PHASH_MOD
+        return pa.table({"g": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                         "doc_id": t.column("doc_id"),
+                         "h": pa.array(h, pa.int64())})
+
+    ranked, _ = keyed_row_number(docs.map_batches(key, batch_format="pyarrow"),
+                                 ["g"], ["h", "doc_id"], rank_col="pos")
+    return ranked.select_columns(["doc_id", "pos"])
