@@ -156,16 +156,25 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     total0 = time.time()
 
     # a driver-side timeout (SIGTERM) must not lose the whole run: dump
-    # whatever finished as the one JSON line and exit cleanly
+    # whatever finished as the one JSON line and exit cleanly.  The dump
+    # must be ASYNC-SIGNAL-SAFE w.r.t. the final print: round 2's BENCH
+    # capture ended mid-JSON (n=2 lines, parsed=None) because SIGTERM
+    # landed while the final buffered print was flushing — the handler's
+    # own print interleaved and os._exit dropped the rest of the buffer.
+    # Fix: the handler writes raw bytes to fd 1 (bypassing the Python
+    # buffer), prefixed with a newline so any half-flushed line is
+    # terminated and the LAST stdout line is always complete JSON.
     import signal
 
     def _dump_partial(signum, frame):  # pragma: no cover - timeout path
-        print(json.dumps({
+        payload = ("\n" + json.dumps({
             "metric": "all-queries wall time (PARTIAL: terminated)",
             "value": round(time.time() - total0, 3), "unit": "sec",
             "queries": per_query, "sf": _sf_of(sf_dir), "num_cpus": num_cpus,
             "headline": {"partial": True},
-        }), flush=True)
+        }) + "\n").encode()
+        while payload:  # os.write may be partial on a full pipe
+            payload = payload[os.write(1, payload):]
         os._exit(0)
 
     signal.signal(signal.SIGTERM, _dump_partial)
@@ -320,7 +329,14 @@ def main():
         return
     else:
         res = run_all(sf_dir, cpus)
-    print(json.dumps(res))
+    # the one-line contract: ignore late SIGTERM once results exist, then
+    # emit the line as one unbuffered fd-1 write so no timeout/flush race
+    # can truncate it (BENCH_r02 arrived cut mid-JSON)
+    import signal
+    signal.signal(signal.SIGTERM, signal.SIG_IGN)
+    payload = (json.dumps(res) + "\n").encode()
+    while payload:
+        payload = payload[os.write(1, payload):]
 
 
 if __name__ == "__main__":
