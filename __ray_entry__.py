@@ -153,7 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode paths
         "image_decode": Q.q_image_decode,
         "image_blur": Q.q_image_blur,
+        "image_augment": Q.q_image_augment,
         "crossmodal_knn": Q.q_crossmodal_knn,
+        "crossmodal_align": Q.q_crossmodal_align,
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "image_resize": Q.q_image_resize,

@@ -846,6 +846,41 @@ def sql_image_blur() -> str:
     FROM s"""
 
 
+def sql_image_augment() -> str:
+    """Twin of queries.q_image_augment (stages/images.AugmentCrop):
+    flip/crop parameters recomputed from the HUGEINT phash (exact — the
+    phash is < 2^53 and nonnegative on both sides), the augmented-view
+    membership expressed as a window predicate over source coordinates
+    (flip just mirrors the x-window), and the position weight
+    Y*cw + X + 1 rebuilt from source coords.  All-int aggregates, every
+    integer division nonnegative (CLAUDE.md trunc==floor invariant)."""
+    return f"""{_sql_decoded_pixels()},
+    prm AS (
+        SELECT d.doc_id, d.image_id, d.w, d.h, d.idx, d.p,
+               d.w // 2 AS cw, d.h // 2 AS ch,
+               CAST(i.phash % 2 AS BIGINT) AS flip,
+               CAST((i.phash // 2) % (d.w - d.w // 2 + 1) AS BIGINT) AS ox,
+               CAST((i.phash // 8) % (d.h - d.h // 2 + 1) AS BIGINT) AS oy
+        FROM dec d JOIN img i USING (doc_id)
+    ),
+    c AS (
+        SELECT image_id, flip, ox, oy, cw, ch, p,
+               (idx // w) - oy AS yy,
+               CASE WHEN flip = 1 THEN (w - 1 - ox) - (idx % w)
+                    ELSE (idx % w) - ox END AS xx
+        FROM prm
+    )
+    SELECT image_id, flip = 1 AS flipped, ox, oy,
+           CAST(cw AS BIGINT) AS aug_w, CAST(ch AS BIGINT) AS aug_h,
+           CAST(sum(p) AS BIGINT) AS aug_sum,
+           CAST(sum(p * (yy * cw + xx + 1)) AS BIGINT) AS aug_wsum,
+           CAST(sum(p) // (cw * ch) AS BIGINT) AS aug_mean
+    FROM c
+    WHERE yy >= 0 AND yy < ch AND xx >= 0 AND xx < cw
+    GROUP BY image_id, flip, ox, oy, cw, ch
+    """
+
+
 def sql_crossmodal_knn(k: int = 5, nq: int = 8, ngram: int = 9) -> str:
     """Twin of queries.q_crossmodal_knn: image AHASH (ahash CTE) of the
     nq fixed query images vs every caption's SIMHASH (the sql_simhash
@@ -884,6 +919,39 @@ def sql_crossmodal_knn(k: int = 5, nq: int = 8, ngram: int = 9) -> str:
                )::BIGINT AS "rank"
         FROM sh s CROSS JOIN qh q
     ) WHERE "rank" <= {k}
+    """
+
+
+def sql_crossmodal_align(ngram: int = 9) -> str:
+    """Twin of queries.q_crossmodal_align (stages/images.CrossmodalAlign):
+    per-row image AHASH (ah CTE) joined back to the doc's caption
+    SIMHASH (the sql_simhash bit-majority inlined), hamming =
+    bit_count(xor(..)) on the signed-int64 views (two's-complement xor
+    == uint64 xor), aligned at the ALIGN_MAX_HAMMING threshold."""
+    from osmquadtreepostgis_ray.stages.images import ALIGN_MAX_HAMMING
+    ones = ",\n               ".join(
+        f"sum(CAST((s // {1 << j}) % 2 AS BIGINT)) AS o{j}" for j in range(64))
+    packed = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN CAST({1 << j} AS HUGEINT) ELSE 0 END"
+        for j in range(64))
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()},
+    {_shingles_cte(ngram)},
+    bits AS (
+        SELECT doc_id, count(*) AS n,
+               {ones}
+        FROM sh0 GROUP BY doc_id
+    ),
+    sval AS (SELECT doc_id, ({packed}) AS v FROM bits),
+    sh AS (
+        SELECT doc_id,
+               CAST(CASE WHEN v >= {1 << 63} THEN v - {_M64} ELSE v END
+                    AS BIGINT) AS simhash
+        FROM sval
+    )
+    SELECT i.doc_id, i.image_id, a.ahash, s.simhash,
+           bit_count(xor(s.simhash, a.ahash))::BIGINT AS hamming,
+           bit_count(xor(s.simhash, a.ahash)) <= {ALIGN_MAX_HAMMING} AS aligned
+    FROM img i JOIN ah a USING (image_id) JOIN sh s ON s.doc_id = i.doc_id
     """
 
 
@@ -2657,6 +2725,8 @@ def build_oracles() -> dict[str, str]:
         "embed_docs": sql_embed_docs(),
         "image_decode": sql_image_decode(),
         "image_blur": sql_image_blur(),
+        "image_augment": sql_image_augment(),
+        "crossmodal_align": sql_crossmodal_align(),
         "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),

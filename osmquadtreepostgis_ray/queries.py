@@ -972,6 +972,19 @@ def q_image_decode(sf_dir: str):
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])
 
 
+def q_image_augment(sf_dir: str):
+    """Deterministic seeded train-time augmentation (flip + crop) with
+    exact-int64 stats of the augmented view (stages/images.AugmentCrop).
+    Row-pure — decode/flip/crop/reduce all inside the batch, no shuffle;
+    the same epoch re-runs bit-identically at any parallelism because
+    the augmentation parameters are a pure function of phash."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import AugmentCrop
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(AugmentCrop), batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
 def q_image_ahash(sf_dir: str):
     """Perceptual average-hash feature extraction (image-payload
     fingerprint): decode -> 8x8 integer block means -> 64-bit hash.
@@ -2051,6 +2064,19 @@ def q_crossmodal_knn(sf_dir: str, k: int = 5, nq: int = 8):
     return topk_per_key(partials, key="query_id", by=["hamming", "doc_id"],
                         ascending=[True, True], k=k,
                         out_cols=["query_id", "doc_id", "hamming"])
+
+
+def q_crossmodal_align(sf_dir: str):
+    """Per-pair caption<->image alignment gate (CLIP-score-filter shape,
+    stages/images.CrossmodalAlign): fused ahash+simhash fingerprints and
+    their hamming score per row, aligned flag at the drop threshold.
+    Row-pure — no shuffle; bit-stable at any parallelism."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import CrossmodalAlign
+    from osmquadtreepostgis_ray.util import worker_cached
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(CrossmodalAlign), batch_format="pyarrow",
+        batch_size=IMG_BATCH)
 
 
 def q_image_blur(sf_dir: str):

@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from osmquadtreepostgis_ray.functions import codecs, geotag, quadtree
+from osmquadtreepostgis_ray.functions import text as _text
 from osmquadtreepostgis_ray.util import shard_apply, worker_cached
 
 PSNR_FLOOR_DB = 40.0
@@ -582,4 +583,127 @@ class LaplacianBlur:
             "lap_s2": pa.array(s2, pa.int64()),
             "var_milli": pa.array(var_milli, pa.int64()),
             "is_sharp": pa.array(var_milli >= self.th),
+        })
+
+
+class AugmentCrop:
+    """Deterministic seeded train-time augmentation (the random-crop +
+    horizontal-flip pair every vision-training pipeline applies), made
+    reproducible: the "random" parameters are a pure function of the
+    row's ``phash`` (reference analog: the per-object quadtree hash
+    seeding, /root/reference/src/postgiswriter.cpp:417), so the same
+    epoch re-runs bit-identically at any parallelism.
+
+    Per image: flip = phash % 2; crop window cw x ch = w//2 x h//2 at
+    ox = (phash // 2) % (w - cw + 1), oy = (phash // 8) % (h - ch + 1);
+    augmented pixel A[Y, X] = S[oy + Y, flip ? w-1-(ox+X) : ox+X].
+    Outputs exact-int64 per-image features of the AUGMENTED view
+    (sum, position-weighted sum, floor mean) — the stats a data-quality
+    monitor tracks across augmented epochs.  Row-pure: decode, flip,
+    crop all inside the batch, NO shuffle; decode grouped per
+    (fmt, dims) like DecodeStats so the crop gather is one vectorized
+    fancy-index per group, never a per-row loop."""
+
+    def __init__(self):
+        self.decoders = {"raw": codecs.decode_raw, "qlossy": codecs.decode_qlossy}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        ph = batch.column("phash").to_numpy().astype(np.int64)  # nonneg < 2^53
+        fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        n = len(data)
+        for f in set(fmt.tolist()) - set(self.decoders):
+            raise NotImplementedError(f"codec {f!r} not available in sandbox")
+        flip = (ph % 2).astype(bool)
+        out_ox = np.zeros(n, np.int64)
+        out_oy = np.zeros(n, np.int64)
+        out_cw = np.zeros(n, np.int64)
+        out_ch = np.zeros(n, np.int64)
+        s1 = np.zeros(n, np.int64)
+        ws = np.zeros(n, np.int64)
+        for f in self.decoders:
+            for wi, hi in {(int(a), int(b)) for a, b in zip(w[fmt == f], h[fmt == f])}:
+                m = (fmt == f) & (w == wi) & (h == hi)
+                if not m.any():
+                    continue
+                k = int(m.sum())
+                buf = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                    dtype=np.uint8).reshape(k, hi, wi)
+                if f == "qlossy":
+                    a = (buf.astype(np.int64) * codecs._STEP
+                         + codecs._STEP // 2).clip(0, 255)
+                else:
+                    a = buf.astype(np.int64)
+                cw, ch = wi // 2, hi // 2
+                p = ph[m]
+                ox = (p // 2) % (wi - cw + 1)
+                oy = (p // 8) % (hi - ch + 1)
+                fl = flip[m]
+                ys = oy[:, None] + np.arange(ch, dtype=np.int64)[None, :]
+                xb = np.arange(cw, dtype=np.int64)[None, :]
+                xs = np.where(fl[:, None], (wi - 1 - ox)[:, None] - xb,
+                              ox[:, None] + xb)
+                crop = a[np.arange(k)[:, None, None], ys[:, :, None], xs[:, None, :]]
+                wt = (np.arange(ch, dtype=np.int64)[:, None] * cw
+                      + np.arange(cw, dtype=np.int64)[None, :] + 1)
+                out_ox[m], out_oy[m] = ox, oy
+                out_cw[m], out_ch[m] = cw, ch
+                s1[m] = crop.sum(axis=(1, 2))
+                ws[m] = (crop * wt).sum(axis=(1, 2))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "flipped": pa.array(flip),
+            "ox": pa.array(out_ox, pa.int64()),
+            "oy": pa.array(out_oy, pa.int64()),
+            "aug_w": pa.array(out_cw, pa.int64()),
+            "aug_h": pa.array(out_ch, pa.int64()),
+            "aug_sum": pa.array(s1, pa.int64()),
+            "aug_wsum": pa.array(ws, pa.int64()),
+            "aug_mean": pa.array(s1 // np.maximum(out_cw * out_ch, 1), pa.int64()),
+        })
+
+
+ALIGN_MAX_HAMMING = 30
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+
+class CrossmodalAlign:
+    """Per-pair caption<->image alignment gate (the CLIP-score filter
+    every multimodal curation pipeline runs before training): one fused
+    row-pure pass computes the image's perceptual AHASH and the
+    caption's SIMHASH and scores hamming(ahash, simhash) in [0, 64];
+    rows above the threshold are flagged misaligned for downstream
+    drop.  Deterministic 64-bit fingerprints stand in for the CLIP
+    encoders (no model weights in this sandbox) so the DuckDB twin is
+    exact; the real-model variant swaps the two fingerprint kernels
+    for batched encoder inference inside this same actor-pool stage
+    shape.  NO shuffle — decode, both fingerprints and the score never
+    leave the batch (vs q_crossmodal_knn, which RANKS across the
+    corpus and therefore needs the sharded top-k merge)."""
+
+    def __init__(self, ngram: int = 9, thresh: int = ALIGN_MAX_HAMMING):
+        self.ahash = AHash()
+        self.T = _text  # module-top import (worker pickle-by-value rule)
+        self.ngram = ngram
+        self.thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ah = self.ahash(batch).column("ahash").to_numpy().view(np.uint64)
+        texts = batch.column("caption").to_pylist()
+        shingles, seg = self.T.char_shingles_batch(texts, self.ngram)
+        sh = self.T.simhash_batch(shingles, seg, n).view(np.uint64)
+        x = ah ^ sh
+        ham = _POP8[x.view(np.uint8)].reshape(n, 8).sum(axis=1) if n else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "image_id": batch.column("image_id"),
+            "ahash": pa.array(ah.view(np.int64), pa.int64()),
+            "simhash": pa.array(sh.view(np.int64), pa.int64()),
+            "hamming": pa.array(ham, pa.int64()),
+            "aligned": pa.array(ham <= self.thresh),
         })

@@ -492,3 +492,85 @@ def test_payload_batch_rows_memory_aware():
     assert payload_batch_rows(100.0) == 4096          # clamp hi
     assert payload_batch_rows(0) == 4096
     assert payload_batch_rows((32 << 20) / 100) == 100
+
+
+def test_augment_crop_matches_per_row_reference():
+    """AugmentCrop: the vectorized per-(fmt,dims)-group flip+crop gather
+    equals a per-image Python reference (explicit flip then window
+    slice), across both codecs, mixed dims, and both flip parities."""
+    import numpy as np
+    import pyarrow as pa
+    from osmquadtreepostgis_ray.functions import codecs
+    from osmquadtreepostgis_ray.stages.images import AugmentCrop
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # phash values chosen to hit flip on/off and varied offsets
+    for i, (w, h, fmt, ph) in enumerate([
+            (16, 16, "raw", 2), (16, 16, "raw", 3), (32, 32, "qlossy", 101),
+            (64, 48, "raw", 9007199254740990), (32, 32, "raw", 40),
+            (64, 48, "qlossy", 7)]):
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        rows.append((f"t{i}", codecs.encode(img, fmt), w, h, fmt, ph, img))
+    batch = pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "w": pa.array([r[2] for r in rows], pa.int32()),
+        "h": pa.array([r[3] for r in rows], pa.int32()),
+        "fmt": pa.array([r[4] for r in rows], pa.string()),
+        "phash": pa.array([r[5] for r in rows], pa.int64()),
+    })
+    out = AugmentCrop()(batch).to_pandas().set_index("image_id")
+
+    for rid, _data, w, h, fmt, ph, img in rows:
+        dec = codecs.decode(codecs.encode(img, fmt), w, h, fmt).astype(np.int64)
+        cw, ch = w // 2, h // 2
+        flip = bool(ph % 2)
+        ox = (ph // 2) % (w - cw + 1)
+        oy = (ph // 8) % (h - ch + 1)
+        src = dec[:, ::-1] if flip else dec
+        # flipped source x-window starts at w-1-(ox+cw-1) in source
+        # coords == ox in flipped coords; reference crops the FLIPPED
+        # image at the same (ox, oy) the kernel maps back to the source
+        crop = src[oy:oy + ch, (w - 1 - ox - (cw - 1)) if flip else ox:][:, :cw] \
+            if flip else src[oy:oy + ch, ox:ox + cw]
+        if flip:
+            crop = dec[oy:oy + ch, :][:, [w - 1 - ox - x for x in range(cw)]]
+        wt = np.arange(ch)[:, None] * cw + np.arange(cw)[None, :] + 1
+        row = out.loc[rid]
+        assert row["flipped"] == flip and row["ox"] == ox and row["oy"] == oy
+        assert row["aug_w"] == cw and row["aug_h"] == ch
+        assert row["aug_sum"] == int(crop.sum())
+        assert row["aug_wsum"] == int((crop * wt).sum())
+        assert row["aug_mean"] == int(crop.sum()) // (cw * ch)
+
+
+def test_crossmodal_align_matches_independent_kernels():
+    """CrossmodalAlign fused pass == running AHash and simhash
+    separately then XOR-popcounting; aligned flag splits both ways at
+    the default threshold on the synthetic corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from osmquadtreepostgis_ray.functions import text as T
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.images import (ALIGN_MAX_HAMMING,
+                                                      AHash, CrossmodalAlign)
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    batch = synth_images_batch(docs)
+    out = CrossmodalAlign()(batch)
+
+    ah = AHash()(batch).column("ahash").to_numpy().view(np.uint64)
+    sh0, seg = T.char_shingles_batch(batch.column("caption").to_pylist(), 9)
+    sh = T.simhash_batch(sh0, seg, batch.num_rows).view(np.uint64)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+    x = ah ^ sh
+    ham = pop8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+
+    assert (out.column("ahash").to_numpy().view(np.uint64) == ah).all()
+    assert (out.column("simhash").to_numpy().view(np.uint64) == sh).all()
+    assert (out.column("hamming").to_numpy() == ham).all()
+    flags = out.column("aligned").to_numpy(zero_copy_only=False)
+    assert (flags == (ham <= ALIGN_MAX_HAMMING)).all()
+    assert flags.any() and not flags.all()   # threshold splits the corpus
