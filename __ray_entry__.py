@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cells": Q.q_agg_cells,
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,
+        "pip_anti": Q.q_pip_anti,
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,
         "zonal_stats": Q.q_zonal_stats,
         "pushdown_filter": Q.q_pushdown_filter,

@@ -65,6 +65,17 @@ def sql_pip_zones() -> str:
     )"""
 
 
+def sql_pip_anti() -> str:
+    """Twin of queries.q_pip_anti: events whose grid cell has no kept
+    zone (the NOT-EXISTS containment inversion; admin zones tile the
+    domain and are excluded on both sides)."""
+    _zid, keep = Z.zone_match_sql("lon_milli", "lat_milli")
+    return f"""
+    WITH {events_geo_cte()}
+    SELECT event_id, lon_milli, lat_milli FROM ev WHERE NOT {keep}
+    """
+
+
 def sql_knn(k: int = 5, nq: int = 10) -> str:
     return f"""
     WITH {events_geo_cte()},
@@ -2670,6 +2681,7 @@ def build_oracles() -> dict[str, str]:
         "tile_assign": sql_tile_assign(),
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
+        "pip_anti": sql_pip_anti(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

@@ -116,6 +116,24 @@ def q_pip_zones(sf_dir: str):
     return pip_zones_ds(sf_dir)
 
 
+def q_pip_anti(sf_dir: str):
+    """Spatial ANTI join / coverage-gap finder: events contained in NO
+    grid zone (stages/pip_join.PipAnti over the grid-kind zone subset;
+    admin zones tile the whole domain, so the full-set anti is empty by
+    construction).  Same broadcast-small-side plan and containment
+    kernel as pip_zones, membership inverted — row-pure, no shuffle."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_anti_fn
+    grid = zones_table()
+    grid = grid.filter(pc.equal(grid.column("kind"), "grid"))
+    zref = ray.put(grid)
+    return prep_events(sf_dir).map_batches(
+        pip_anti_fn(zref), batch_format="pyarrow", batch_size=8192) \
+        .select_columns(["event_id", "lon_milli", "lat_milli"])
+
+
 def q_pip_zones_partitioned(sf_dir: str):
     """Co-partitioned PIP join (groupby-on-cell shuffle, per-partition
     GridIndex) — the big-polygon-side scale path; same oracle as the

@@ -184,6 +184,46 @@ def pip_join_fn(zones_ref=None, **kwargs):
     return fn
 
 
+class PipAnti:
+    """Spatial ANTI join (coverage-gap finder): emit only the points
+    contained in NO polygon of the broadcast zone set — the PostGIS
+    ``WHERE NOT EXISTS (ST_Contains...)`` analog, the question every
+    service-coverage / geofence audit asks.  Same GridIndex containment
+    kernel as PipJoin (so the boundary convention is identical, proven
+    by the pip_zones oracle), membership inverted per batch: a point
+    survives iff the index finds zero containing polygons.  Row-pure
+    filter — no shuffle, output is a subset of the input batch."""
+
+    def __init__(self, zones_ref=None, lon_col: str = "lon", lat_col: str = "lat"):
+        zt = ray.get(zones_ref) if zones_ref is not None else zones_table()
+        self.index = build_zone_index(zt)
+        self.lon_col, self.lat_col = lon_col, lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pts = np.stack([batch.column(self.lon_col).to_numpy(),
+                        batch.column(self.lat_col).to_numpy()], axis=1)
+        pi, _zi = self.index.query(pts)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        hit[pi] = True
+        return batch.filter(pa.array(~hit))
+
+
+def pip_anti_fn(zones_ref=None, **kwargs):
+    """Task form of PipAnti (same per-worker cache rationale as
+    pip_join_fn — the zone side is tiny, actors would cost more than
+    they save)."""
+    key = ("anti", zones_ref.hex() if zones_ref is not None else "default",
+           tuple(sorted(kwargs.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        join = _TASK_CACHE.get(key)
+        if join is None:
+            join = _TASK_CACHE[key] = PipAnti(zones_ref, **kwargs)
+        return join(batch)
+
+    return fn
+
+
 # ------------------------------------------------------------ radius join
 
 def radius_join(points: ray.data.Dataset, radius_milli: int = 2000,

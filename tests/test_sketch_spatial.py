@@ -386,3 +386,18 @@ def test_sobel_kernel_known_values():
     # each -> grad 400 * 12; edge pixels: the same 12 (400 >= 300)
     assert out["grad_sum"][0] == 400 * 12
     assert out["edge_px"][0] == 12
+
+
+def test_pip_anti_is_exact_complement(sf_dir):
+    """pip_anti ∪ {points with a grid containment} == all events, and
+    the two sets are disjoint — the anti join is the exact complement
+    of the positive join's grid rows (same containment kernel)."""
+    from osmquadtreepostgis_ray.queries import q_pip_anti, q_pip_zones
+
+    anti = set(q_pip_anti(sf_dir).to_pandas()["event_id"])
+    pos = q_pip_zones(sf_dir).to_pandas()
+    hit = set(pos.loc[pos["kind"] == "grid", "event_id"])
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert anti.isdisjoint(hit)
+    assert len(anti) + len(hit) == n

@@ -21,7 +21,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "segment_intersections", "pip_holes", "outer_join",
              "vocab_coverage", "domain_cap", "mixture_quotas", "retention",
              "funnel", "mixture_sample", "cluster_dedup_sample",
-             "epoch_shuffle", "image_augment", "crossmodal_align"):
+             "epoch_shuffle", "image_augment", "crossmodal_align",
+             "pip_anti"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
