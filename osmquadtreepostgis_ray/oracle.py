@@ -933,6 +933,25 @@ def sql_crossmodal_knn(k: int = 5, nq: int = 8, ngram: int = 9) -> str:
     """
 
 
+def sql_image_norm_stats() -> str:
+    """Twin of queries.q_image_norm_stats: per-format exact pixel
+    moments over the decoded-pixel CTE (DuckDB sums in HUGEINT, so the
+    n*s2 product is exact int128 — the Ray side finishes in Python
+    ints); every division has nonnegative operands (variance numerator
+    >= 0 by Cauchy-Schwarz), so trunc == floor."""
+    return f"""{_sql_decoded_pixels()}
+    SELECT i.fmt,
+           count(*)::BIGINT AS n_px,
+           CAST(sum(d.p) AS BIGINT) AS sum_p,
+           CAST(sum(d.p * d.p) AS BIGINT) AS sum_p2,
+           CAST(1000 * sum(d.p) // count(*) AS BIGINT) AS mean_milli,
+           CAST((count(*) * sum(d.p * d.p) - sum(d.p) * sum(d.p)) * 1000
+                // (count(*) * count(*)) AS BIGINT) AS var_milli
+    FROM dec d JOIN img i USING (doc_id)
+    GROUP BY i.fmt
+    """
+
+
 def sql_crossmodal_align(ngram: int = 9) -> str:
     """Twin of queries.q_crossmodal_align (stages/images.CrossmodalAlign):
     per-row image AHASH (ah CTE) joined back to the doc's caption
@@ -2739,6 +2758,7 @@ def build_oracles() -> dict[str, str]:
         "image_blur": sql_image_blur(),
         "image_augment": sql_image_augment(),
         "crossmodal_align": sql_crossmodal_align(),
+        "image_norm_stats": sql_image_norm_stats(),
         "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),

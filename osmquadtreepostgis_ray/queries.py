@@ -2084,6 +2084,41 @@ def q_crossmodal_knn(sf_dir: str, k: int = 5, nq: int = 8):
                         out_cols=["query_id", "doc_id", "hamming"])
 
 
+def q_image_norm_stats(sf_dir: str):
+    """Dataset-wide pixel normalization constants per format (the
+    mean/std every vision training run computes once and bakes into its
+    input transform): decode -> per-batch (fmt, n_px, sum_p, sum_p2)
+    partials (stages/images.NormStatsPartial — pixels never cross the
+    shuffle) -> format-cardinality groupby -> exact milli mean/variance
+    finished in arbitrary-precision Python ints on the <=2-row table."""
+    from ray.data.aggregate import Sum
+
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import NormStatsPartial
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    agg = read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(NormStatsPartial), batch_format="pyarrow",
+        batch_size=IMG_BATCH) \
+        .groupby("fmt") \
+        .aggregate(Sum("n_px", alias_name="n_px"),
+                   Sum("sum_p", alias_name="sum_p"),
+                   Sum("sum_p2", alias_name="sum_p2"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()   # format-cardinality (<= #codecs rows)
+        for r in rows:         # Python ints: n*s2 can exceed int64
+            n, s1, s2 = int(r["n_px"]), int(r["sum_p"]), int(r["sum_p2"])
+            r["mean_milli"] = 1000 * s1 // n
+            r["var_milli"] = (n * s2 - s1 * s1) * 1000 // (n * n)
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("fmt", pa.string()), ("n_px", pa.int64()), ("sum_p", pa.int64()),
+            ("sum_p2", pa.int64()), ("mean_milli", pa.int64()),
+            ("var_milli", pa.int64())]))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_crossmodal_align(sf_dir: str):
     """Per-pair caption<->image alignment gate (CLIP-score-filter shape,
     stages/images.CrossmodalAlign): fused ahash+simhash fingerprints and

@@ -707,3 +707,55 @@ class CrossmodalAlign:
             "hamming": pa.array(ham, pa.int64()),
             "aligned": pa.array(ham <= self.thresh),
         })
+
+
+class NormStatsPartial:
+    """Per-batch partial for the dataset-wide pixel normalization
+    constants (the mean/std every vision training run computes once
+    and bakes into its input transform): decode per (fmt, dims) group,
+    emit ONE (fmt, n_px, sum_p, sum_p2) row per format present — the
+    shuffle carries a handful of 4-int rows per batch, never pixels.
+    Finishing math (mean/var in milli) happens on the format-cardinality
+    result table in exact arbitrary-precision Python ints, so the final
+    n*s2 product can never overflow even when the int64 partials sit
+    near their bound (same caveat class as q_moments: at 10^12-image
+    scale the per-format Sum accumulator itself needs 128 bits — split
+    hi/lo partials before then)."""
+
+    def __init__(self):
+        self.decoders = {"raw": codecs.decode_raw, "qlossy": codecs.decode_qlossy}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data = batch.column("bytes").to_pylist()
+        w = batch.column("w").to_numpy()
+        h = batch.column("h").to_numpy()
+        fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        for f in set(fmt.tolist()) - set(self.decoders):
+            raise NotImplementedError(f"codec {f!r} not available in sandbox")
+        out: dict[str, list[int]] = {}
+        for f in self.decoders:
+            n_px = s1 = s2 = 0
+            for wi, hi in {(int(a), int(b)) for a, b in zip(w[fmt == f], h[fmt == f])}:
+                m = (fmt == f) & (w == wi) & (h == hi)
+                if not m.any():
+                    continue
+                k = int(m.sum())
+                buf = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                    dtype=np.uint8).reshape(k, hi, wi)
+                if f == "qlossy":
+                    a = (buf.astype(np.int64) * codecs._STEP
+                         + codecs._STEP // 2).clip(0, 255)
+                else:
+                    a = buf.astype(np.int64)
+                n_px += k * hi * wi
+                s1 += int(a.sum())
+                s2 += int((a * a).sum())
+            if n_px:
+                out[f] = [n_px, s1, s2]
+        fmts = sorted(out)
+        return pa.table({
+            "fmt": pa.array(fmts, pa.string()),
+            "n_px": pa.array([out[f][0] for f in fmts], pa.int64()),
+            "sum_p": pa.array([out[f][1] for f in fmts], pa.int64()),
+            "sum_p2": pa.array([out[f][2] for f in fmts], pa.int64()),
+        })

@@ -574,3 +574,32 @@ def test_crossmodal_align_matches_independent_kernels():
     flags = out.column("aligned").to_numpy(zero_copy_only=False)
     assert (flags == (ham <= ALIGN_MAX_HAMMING)).all()
     assert flags.any() and not flags.all()   # threshold splits the corpus
+
+
+def test_norm_stats_partial_matches_direct_moments():
+    """NormStatsPartial over the whole synthetic corpus batch equals
+    direct decoded-pixel moments computed per format."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from osmquadtreepostgis_ray.functions import codecs
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.images import NormStatsPartial
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    batch = synth_images_batch(docs)
+    out = NormStatsPartial()(batch).to_pandas().set_index("fmt")
+
+    ref = {}
+    for i in range(batch.num_rows):
+        f = batch.column("fmt")[i].as_py()
+        p = codecs.decode(batch.column("bytes")[i].as_py(),
+                          batch.column("w")[i].as_py(),
+                          batch.column("h")[i].as_py(), f).astype(np.int64)
+        n, s1, s2 = ref.get(f, (0, 0, 0))
+        ref[f] = (n + p.size, s1 + int(p.sum()), s2 + int((p * p).sum()))
+    assert set(out.index) == set(ref)
+    for f, (n, s1, s2) in ref.items():
+        assert out.loc[f, "n_px"] == n
+        assert out.loc[f, "sum_p"] == s1
+        assert out.loc[f, "sum_p2"] == s2
