@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,
         "pip_anti": Q.q_pip_anti,
+        "zone_distance": Q.q_zone_distance,
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,
         "zonal_stats": Q.q_zonal_stats,
         "pushdown_filter": Q.q_pushdown_filter,

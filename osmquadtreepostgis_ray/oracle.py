@@ -76,6 +76,41 @@ def sql_pip_anti() -> str:
     """
 
 
+def sql_zone_distance() -> str:
+    """Twin of queries.q_zone_distance: kept grid zones regenerated in
+    SQL (same keep hash), point clamped into each closed-left/open-right
+    box, arg-min by (dist_sq, zone_id) via row_number."""
+    return f"""
+    WITH {events_geo_cte()},
+    g AS (
+        SELECT CAST(i AS BIGINT) AS zone_id,
+               (i % {Z.GX}) * {Z.GRID_W} AS x0,
+               (i // {Z.GX}) * {Z.GRID_H} AS y0,
+               (i % {Z.GX} + 1) * {Z.GRID_W} - 1 AS x1,
+               (i // {Z.GX} + 1) * {Z.GRID_H} - 1 AS y1
+        FROM (SELECT unnest(range(0, {Z.GX * Z.GY})) AS i)
+        WHERE (i * {Z.GRID_KEEP_MULT}) % {Z.GRID_KEEP_MOD} < {Z.GRID_KEEP_LT}
+    ),
+    d AS (
+        SELECT e.event_id, g.zone_id,
+               (e.lon_milli - least(greatest(e.lon_milli, g.x0), g.x1))
+             * (e.lon_milli - least(greatest(e.lon_milli, g.x0), g.x1))
+             + (e.lat_milli - least(greatest(e.lat_milli, g.y0), g.y1))
+             * (e.lat_milli - least(greatest(e.lat_milli, g.y0), g.y1))
+               AS dist_sq
+        FROM ev e CROSS JOIN g
+    ),
+    r AS (
+        SELECT event_id, zone_id, dist_sq,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY dist_sq, zone_id) AS rn
+        FROM d
+    )
+    SELECT event_id, zone_id, CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM r WHERE rn = 1
+    """
+
+
 def sql_knn(k: int = 5, nq: int = 10) -> str:
     return f"""
     WITH {events_geo_cte()},
@@ -2701,6 +2736,7 @@ def build_oracles() -> dict[str, str]:
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
         "pip_anti": sql_pip_anti(),
+        "zone_distance": sql_zone_distance(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

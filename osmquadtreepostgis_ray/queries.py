@@ -134,6 +134,26 @@ def q_pip_anti(sf_dir: str):
         .select_columns(["event_id", "lon_milli", "lat_milli"])
 
 
+def q_zone_distance(sf_dir: str):
+    """Distance to the nearest grid zone per event (the PostGIS
+    ST_Distance / nearest-polygon analog, stages/pip_join.ZoneDistance):
+    0 for covered points, exact squared milli euclid to the nearest
+    kept rectangle otherwise, tie -> lowest zone_id.  Broadcast small
+    side, vectorized clamp matrix per batch — no shuffle."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import ZoneDistance
+    from osmquadtreepostgis_ray.util import worker_cached
+    grid = zones_table()
+    grid = grid.filter(pc.equal(grid.column("kind"), "grid"))
+    zref = ray.put(grid)
+    return prep_events(sf_dir).map_batches(
+        worker_cached(lambda: ZoneDistance(zref)),
+        batch_format="pyarrow", batch_size=8192) \
+        .select_columns(["event_id", "zone_id", "dist_sq"])
+
+
 def q_pip_zones_partitioned(sf_dir: str):
     """Co-partitioned PIP join (groupby-on-cell shuffle, per-partition
     GridIndex) — the big-polygon-side scale path; same oracle as the

@@ -208,6 +208,44 @@ class PipAnti:
         return batch.filter(pa.array(~hit))
 
 
+class ZoneDistance:
+    """Exact distance-to-nearest-polygon (the PostGIS ST_Distance /
+    nearest-zone analog, completing the PIP family: in / not-in /
+    how-far): for every point, the squared milli-degree euclid distance
+    to the nearest zone RECTANGLE (clamp point into the box, distance
+    to the clamped point — 0 inside) and that zone's id, tie -> lowest
+    zone_id.  Vectorized (n_points x n_zones) clamp matrix per batch
+    against the broadcast zone table; the small-side-broadcast plan of
+    PipJoin (a data-scaled zone side would move to the co-partitioned
+    cell plan with a ring-expansion closeout, as knn_cellring does)."""
+
+    def __init__(self, zones_ref=None, id_col: str = "event_id"):
+        zt = ray.get(zones_ref) if zones_ref is not None else zones_table()
+        order = np.argsort(zt.column("zone_id").to_numpy(), kind="stable")
+        self.zid = zt.column("zone_id").to_numpy()[order]
+        # closed-left/open-right milli boxes: interior x in [lon0, lon1)
+        self.x0 = zt.column("lon0").to_numpy()[order]
+        self.y0 = zt.column("lat0").to_numpy()[order]
+        self.x1 = zt.column("lon1").to_numpy()[order] - 1
+        self.y1 = zt.column("lat1").to_numpy()[order] - 1
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("lon_milli").to_numpy().astype(np.int64)
+        y = batch.column("lat_milli").to_numpy().astype(np.int64)
+        cx = np.clip(x[:, None], self.x0[None, :], self.x1[None, :])
+        cy = np.clip(y[:, None], self.y0[None, :], self.y1[None, :])
+        dx = x[:, None] - cx
+        dy = y[:, None] - cy
+        d = dx * dx + dy * dy                    # (n, z) int64
+        best = np.argmin(d, axis=1)              # first min == lowest zone_id
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "zone_id": pa.array(self.zid[best], pa.int64()),
+            "dist_sq": pa.array(d[np.arange(len(x)), best], pa.int64()),
+        })
+
+
 def pip_anti_fn(zones_ref=None, **kwargs):
     """Task form of PipAnti (same per-worker cache rationale as
     pip_join_fn — the zone side is tiny, actors would cost more than

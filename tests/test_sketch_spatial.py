@@ -401,3 +401,32 @@ def test_pip_anti_is_exact_complement(sf_dir):
     n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
     assert anti.isdisjoint(hit)
     assert len(anti) + len(hit) == n
+
+
+def test_zone_distance_zero_iff_covered_and_matches_brute(sf_dir):
+    """zone_distance: dist_sq == 0 exactly for the grid-covered points
+    (complement of pip_anti), and a numpy brute-force clamp distance
+    over all kept rectangles reproduces every row."""
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import q_pip_anti, q_zone_distance
+    from osmquadtreepostgis_ray.sources import zones as Z
+
+    out = q_zone_distance(sf_dir).to_pandas().set_index("event_id").sort_index()
+    anti = set(q_pip_anti(sf_dir).to_pandas()["event_id"])
+    assert set(out.index[out["dist_sq"] > 0]) == anti
+
+    gz = Z.grid_zone_ids()
+    x0 = (gz % Z.GX) * Z.GRID_W
+    y0 = (gz // Z.GX) * Z.GRID_H
+    x1 = x0 + Z.GRID_W - 1
+    y1 = y0 + Z.GRID_H - 1
+    anti_pts = q_pip_anti(sf_dir).to_pandas().set_index("event_id")
+    for eid in list(anti)[:50]:
+        px = int(anti_pts.loc[eid, "lon_milli"])
+        py = int(anti_pts.loc[eid, "lat_milli"])
+        dx = px - np.clip(px, x0, x1)
+        dy = py - np.clip(py, y0, y1)
+        d = dx * dx + dy * dy
+        best = int(np.argmin(d))
+        assert out.loc[eid, "dist_sq"] == d[best]
+        assert out.loc[eid, "zone_id"] == gz[best]
