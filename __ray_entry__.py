@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossmodal_knn": Q.q_crossmodal_knn,
         "crossmodal_align": Q.q_crossmodal_align,
         "image_norm_stats": Q.q_image_norm_stats,
+        "image_transcode": Q.q_image_transcode,
         "frame_sample": Q.q_frame_sample,
         "image_ahash": Q.q_image_ahash,
         "image_resize": Q.q_image_resize,

@@ -101,3 +101,44 @@ def resize_nearest(img: np.ndarray, ow: int, oh: int) -> np.ndarray:
     yi = (np.arange(oh) * h) // oh
     xi = (np.arange(ow) * w) // ow
     return img[yi[:, None], xi[None, :]]
+
+
+def rle_runs_q(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized run counts for the RLE-over-quantized codec: imgs is
+    (k, n_px) uint8 DECODED pixels; runs are over the row-major
+    quantized (//_STEP) sequence, uint16 run counts (every corpus image
+    is < 65536 px, so runs never split).  n_runs = 1 + #adjacent
+    changes — one whole-matrix compare, no per-image loop."""
+    q = (np.ascontiguousarray(imgs, dtype=np.uint8) // _STEP)
+    if q.shape[1] == 0:
+        return np.zeros(q.shape[0], np.int64)
+    return 1 + (q[:, 1:] != q[:, :-1]).sum(axis=1).astype(np.int64)
+
+
+def encode_rleq(img: np.ndarray) -> bytes:
+    """RLE over the quantized image: per run, 1 byte level + 2 bytes
+    little-endian count.  Lossy exactly like qlossy (same quantizer,
+    PSNR >= 40 dB), but variable-length — the 'real codec' slot for
+    the transcode stage."""
+    q = (np.ascontiguousarray(img, dtype=np.uint8) // _STEP).ravel()
+    if len(q) == 0:
+        return b""
+    b = np.flatnonzero(q[1:] != q[:-1])
+    starts = np.concatenate([[0], b + 1])
+    ends = np.concatenate([b + 1, [len(q)]])
+    out = np.empty((len(starts), 3), np.uint8)
+    out[:, 0] = q[starts]
+    counts = (ends - starts).astype(np.uint16)
+    out[:, 1] = counts & 0xFF
+    out[:, 2] = counts >> 8
+    return out.tobytes()
+
+
+def decode_rleq(data: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of encode_rleq -> mid-bucket dequantized uint8 (h, w),
+    identical pixels to decode_qlossy of the same source image."""
+    rec = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    counts = rec[:, 1].astype(np.int64) | (rec[:, 2].astype(np.int64) << 8)
+    q = np.repeat(rec[:, 0], counts)
+    return (q.astype(np.uint16) * _STEP + _STEP // 2).clip(0, 255) \
+        .astype(np.uint8)[: w * h].reshape(h, w)

@@ -968,6 +968,32 @@ def sql_crossmodal_knn(k: int = 5, nq: int = 8, ngram: int = 9) -> str:
     """
 
 
+def sql_image_transcode() -> str:
+    """Twin of queries.q_image_transcode (stages/images.TranscodeRLE):
+    raw-format pixels quantized (// 4), run count = 1 + adjacent
+    changes via LAG over the row-major pixel index; psnr_ok is TRUE by
+    construction (quantizer max error 2 -> PSNR >= 40 dB; the Ray side
+    MEASURES it per image — the sql_image_decode convention)."""
+    return f"""{_sql_decoded_pixels()},
+    raw AS (
+        SELECT d.image_id, d.idx, d.p // 4 AS q, d.w * d.h AS n_px
+        FROM dec d JOIN img i USING (doc_id) WHERE i.fmt = 'raw'
+    ),
+    chg AS (
+        SELECT image_id, n_px,
+               CASE WHEN lag(q) OVER w IS NULL THEN 1
+                    WHEN q <> lag(q) OVER w THEN 1 ELSE 0 END AS c
+        FROM raw WINDOW w AS (PARTITION BY image_id ORDER BY idx)
+    )
+    SELECT image_id, CAST(n_px AS BIGINT) AS n_px,
+           CAST(sum(c) AS BIGINT) AS n_runs,
+           CAST(3 * sum(c) AS BIGINT) AS enc_bytes,
+           CAST(1000 * 3 * sum(c) // n_px AS BIGINT) AS ratio_permille,
+           TRUE AS psnr_ok
+    FROM chg GROUP BY image_id, n_px
+    """
+
+
 def sql_image_norm_stats() -> str:
     """Twin of queries.q_image_norm_stats: per-format exact pixel
     moments over the decoded-pixel CTE (DuckDB sums in HUGEINT, so the
@@ -2795,6 +2821,7 @@ def build_oracles() -> dict[str, str]:
         "image_augment": sql_image_augment(),
         "crossmodal_align": sql_crossmodal_align(),
         "image_norm_stats": sql_image_norm_stats(),
+        "image_transcode": sql_image_transcode(),
         "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),

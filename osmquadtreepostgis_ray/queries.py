@@ -2104,6 +2104,27 @@ def q_crossmodal_knn(sf_dir: str, k: int = 5, nq: int = 8):
                         out_cols=["query_id", "doc_id", "hamming"])
 
 
+def q_image_transcode(sf_dir: str):
+    """Ingest -> training-format transcode (stages/images.TranscodeRLE):
+    raw payloads re-encoded with the quantized-RLE codec, PSNR invariant
+    verified per image, codec telemetry (runs / bytes / ratio) emitted.
+    Runs over the raw-format subset (a predicate the 100-TB job pushes
+    into the read); row-pure, no shuffle."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import TranscodeRLE
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    def only_raw(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("fmt"), "raw"))
+
+    return read_images(sf_dir, with_bytes=True) \
+        .map_batches(only_raw, batch_format="pyarrow") \
+        .map_batches(worker_cached(TranscodeRLE), batch_format="pyarrow",
+                     batch_size=IMG_BATCH)
+
+
 def q_image_norm_stats(sf_dir: str):
     """Dataset-wide pixel normalization constants per format (the
     mean/std every vision training run computes once and bakes into its

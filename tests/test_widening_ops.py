@@ -603,3 +603,47 @@ def test_norm_stats_partial_matches_direct_moments():
         assert out.loc[f, "n_px"] == n
         assert out.loc[f, "sum_p"] == s1
         assert out.loc[f, "sum_p2"] == s2
+
+
+def test_rleq_codec_roundtrip_and_transcode_stage():
+    """encode_rleq/decode_rleq: decoded pixels equal the qlossy
+    mid-bucket dequant of the same source (PSNR >= 40 dB invariant),
+    run counts match the vectorized rle_runs_q, and TranscodeRLE's
+    telemetry matches a per-image reference."""
+    import numpy as np
+    import pyarrow as pa
+    from osmquadtreepostgis_ray.functions import codecs
+    from osmquadtreepostgis_ray.stages.images import TranscodeRLE
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (16, 16)).astype(np.uint8),
+            np.full((32, 32), 77, np.uint8),                 # one long run
+            codecs.synth_pixels(12345, 64, 48)]
+    for img in imgs:
+        h, w = img.shape
+        data = codecs.encode_rleq(img)
+        dec = codecs.decode_rleq(data, w, h)
+        ref = codecs.decode_qlossy(codecs.encode_qlossy(img), w, h)
+        assert (dec == ref).all()
+        assert codecs.psnr(img, dec) >= 40.0
+        q = (img // codecs._STEP).ravel()
+        n_runs = 1 + int((q[1:] != q[:-1]).sum())
+        assert len(data) == 3 * n_runs
+        assert codecs.rle_runs_q(img.reshape(1, -1))[0] == n_runs
+
+    batch = pa.table({
+        "image_id": pa.array([f"t{i}" for i in range(3)], pa.string()),
+        "bytes": pa.array([im.tobytes() for im in imgs], pa.binary()),
+        "w": pa.array([im.shape[1] for im in imgs], pa.int32()),
+        "h": pa.array([im.shape[0] for im in imgs], pa.int32()),
+        "fmt": pa.array(["raw"] * 3, pa.string()),
+    })
+    out = TranscodeRLE()(batch).to_pandas().set_index("image_id")
+    for i, img in enumerate(imgs):
+        q = (img // codecs._STEP).ravel()
+        n_runs = 1 + int((q[1:] != q[:-1]).sum())
+        row = out.loc[f"t{i}"]
+        assert row["n_px"] == img.size and row["n_runs"] == n_runs
+        assert row["enc_bytes"] == 3 * n_runs
+        assert row["ratio_permille"] == 1000 * 3 * n_runs // img.size
+        assert row["psnr_ok"]
