@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank": Q.q_dense_rank,
         "lag_delta": Q.q_lag_delta,
         "outer_join": Q.q_outer_join,
+        "snapshot_diff": Q.q_snapshot_diff,
         "ahash_neardup": Q.q_ahash_neardup,
         "hex_bin": Q.q_hex_bin,
         "cube_counts": Q.q_cube_counts,

@@ -127,6 +127,32 @@ def sql_knn(k: int = 5, nq: int = 10) -> str:
     """
 
 
+def sql_snapshot_diff() -> str:
+    """Twin of queries.q_snapshot_diff: the two snapshot predicates
+    regenerated in SQL, FULL OUTER JOIN on the key, status from side
+    presence + cents equality, absent sides as -1 (BIGINT)."""
+    return """
+    WITH old AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE (event_id * 2654435761) % 10 < 8
+    ),
+    new AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT)
+               + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END AS cents
+        FROM events WHERE (event_id * 7919) % 10 < 9
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CAST(COALESCE(o.cents, -1) AS BIGINT) AS old_cents,
+           CAST(COALESCE(n.cents, -1) AS BIGINT) AS new_cents,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.cents = n.cents THEN 'same'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    """
+
+
 def sql_dedup_latest() -> str:
     return """
     SELECT user_id, event_type, event_id FROM (
@@ -2763,6 +2789,7 @@ def build_oracles() -> dict[str, str]:
         "pip_zones": sql_pip_zones(),
         "pip_anti": sql_pip_anti(),
         "zone_distance": sql_zone_distance(),
+        "snapshot_diff": sql_snapshot_diff(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

@@ -3471,6 +3471,59 @@ def q_lag_delta(sf_dir: str):
                        ["user_id"], deltas)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC diff between two table snapshots (the version audit every
+    incremental-export pipeline runs; reference analog: the diff-merge
+    import, /root/reference/osmquadtreepostgis/__init__.py update path):
+    v_old keeps (event_id*2654435761)%10 < 8 of events, v_new keeps
+    (event_id*7919)%10 < 9 with value bumped +100 cents on
+    event_id%7==0 rows.  ONE typed-union FULL OUTER bucket join on the
+    key; status (added/removed/changed/same) from side presence +
+    value equality; absent sides emit -1 cents so every column stays
+    int64 (the typed-union dtype discipline)."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        m = (e * 2654435761) % 10 < 8
+        return pa.table({"event_id": pa.array(e[m], pa.int64()),
+                         "old_cents": pa.array(cents[m], pa.int64())})
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        cents = cents + np.where(e % 7 == 0, 100, 0)
+        m = (e * 7919) % 10 < 9
+        return pa.table({"event_id": pa.array(e[m], pa.int64()),
+                         "new_cents": pa.array(cents[m], pa.int64())})
+
+    old = ds.map_batches(mk_old, batch_format="pyarrow")
+    new = ds.map_batches(mk_new, batch_format="pyarrow")
+    j = bucket_hash_join(old, new, on="event_id", how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        o = df["old_cents"].to_numpy(np.float64)
+        n = df["new_cents"].to_numpy(np.float64)
+        o_abs, n_abs = np.isnan(o), np.isnan(n)
+        status = np.where(o_abs, "added",
+                          np.where(n_abs, "removed",
+                                   np.where(o == n, "same", "changed")))
+        to_i = lambda a, absent: np.where(absent, -1,
+                                          np.nan_to_num(a)).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64), pa.int64()),
+            "old_cents": pa.array(to_i(o, o_abs), pa.int64()),
+            "new_cents": pa.array(to_i(n, n_abs), pa.int64()),
+            "status": pa.array(status.astype(object), pa.string()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def q_outer_join(sf_dir: str):
     """FULL OUTER join of two derived per-customer aggregates (odd-key
     order counts vs %3-key cents sums — each side has keys the other

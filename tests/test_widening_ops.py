@@ -647,3 +647,39 @@ def test_rleq_codec_roundtrip_and_transcode_stage():
         assert row["enc_bytes"] == 3 * n_runs
         assert row["ratio_permille"] == 1000 * 3 * n_runs // img.size
         assert row["psnr_ok"]
+
+
+def test_snapshot_diff_matches_pandas_reference(sf_dir):
+    """snapshot_diff == a pandas full-outer reference over the same
+    snapshot predicates; all four statuses present."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from osmquadtreepostgis_ray.queries import q_snapshot_diff
+
+    out = q_snapshot_diff(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    ev = duckdb.sql(
+        f"SELECT event_id, value FROM '{sf_dir}/events.parquet'").df()
+    e = ev["event_id"].to_numpy(np.int64)
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    old = pd.DataFrame({"event_id": e, "old_cents": cents})[
+        (e * 2654435761) % 10 < 8]
+    new = pd.DataFrame({"event_id": e,
+                        "new_cents": cents + np.where(e % 7 == 0, 100, 0)})[
+        (e * 7919) % 10 < 9]
+    ref = old.merge(new, on="event_id", how="outer").sort_values("event_id") \
+        .reset_index(drop=True)
+    o_abs = ref["old_cents"].isna().to_numpy()
+    n_abs = ref["new_cents"].isna().to_numpy()
+    status = np.where(o_abs, "added", np.where(n_abs, "removed", np.where(
+        ref["old_cents"].to_numpy() == ref["new_cents"].to_numpy(),
+        "same", "changed")))
+    assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy(np.int64)).all()
+    assert (out["status"].to_numpy() == status).all()
+    assert (out["old_cents"].to_numpy() ==
+            np.where(o_abs, -1, ref["old_cents"].fillna(-1)).astype(np.int64)).all()
+    assert (out["new_cents"].to_numpy() ==
+            np.where(n_abs, -1, ref["new_cents"].fillna(-1)).astype(np.int64)).all()
+    assert set(np.unique(status)) == {"added", "removed", "changed", "same"}
