@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": Q.q_neardup_clusters,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
+        "embed_calibration": Q.q_embed_calibration,
         "multimodal_fusion": Q.q_multimodal_fusion,
     }
 

@@ -127,6 +127,29 @@ def sql_knn(k: int = 5, nq: int = 10) -> str:
     """
 
 
+def sql_embed_calibration() -> str:
+    """Twin of queries.q_embed_calibration: parallel unnest zips the
+    dimension index with the floor-1024 quantized value (the
+    sql_kmeans_embed list_transform expression), then one GROUP BY
+    dim."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    return f"""
+    WITH q AS (
+        SELECT CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+               unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)
+                        + {KM_SHIFT})) AS v
+        FROM embeddings
+    )
+    SELECT dim, count(*)::BIGINT AS n,
+           CAST(min(v) AS BIGINT) AS min_q,
+           CAST(max(v) AS BIGINT) AS max_q,
+           CAST(sum(v) AS BIGINT) AS sum_q,
+           CAST(1000 * sum(v) // count(*) AS BIGINT) AS mean_milli_q
+    FROM q GROUP BY dim
+    """
+
+
 def sql_snapshot_diff() -> str:
     """Twin of queries.q_snapshot_diff: the two snapshot predicates
     regenerated in SQL, FULL OUTER JOIN on the key, status from side
@@ -2790,6 +2813,7 @@ def build_oracles() -> dict[str, str]:
         "pip_anti": sql_pip_anti(),
         "zone_distance": sql_zone_distance(),
         "snapshot_diff": sql_snapshot_diff(),
+        "embed_calibration": sql_embed_calibration(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

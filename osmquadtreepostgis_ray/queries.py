@@ -3471,6 +3471,58 @@ def q_lag_delta(sf_dir: str):
                        ["user_id"], deltas)
 
 
+def q_embed_calibration(sf_dir: str):
+    """Per-dimension embedding calibration stats (the min/max/mean scan
+    an INT8 embedding-quantization deployment runs once over the
+    corpus before choosing scales): values in the house floor-1024
+    fixed point (stages/cluster._quantize convention — floor, not
+    round: round's half-tie resolves differently between numpy and
+    DuckDB).  Per-batch (dim, n, min, max, sum) partials -> one
+    dim-cardinality groupby; embedding lists never cross the shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "min_q": pa.array([], pa.int64()),
+                             "max_q": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        flat = pc.list_flatten(t.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // n
+        q = (np.floor(flat * KM_SCALE).astype(np.int64) + KM_SHIFT).reshape(n, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, n, np.int64), pa.int64()),
+            "min_q": pa.array(q.min(axis=0), pa.int64()),
+            "max_q": pa.array(q.max(axis=0), pa.int64()),
+            "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim") \
+        .aggregate(Sum("n", alias_name="n"), Min("min_q", alias_name="min_q"),
+                   Max("max_q", alias_name="max_q"),
+                   Sum("sum_q", alias_name="sum_q"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        s = t.column("sum_q").to_numpy()
+        # quantized values are shifted strictly positive -> floor == trunc
+        return t.append_column("mean_milli_q",
+                               pa.array(1000 * s // np.maximum(n, 1), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["dim", "n", "min_q", "max_q", "sum_q", "mean_milli_q"])
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC diff between two table snapshots (the version audit every
     incremental-export pipeline runs; reference analog: the diff-merge

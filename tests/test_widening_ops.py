@@ -683,3 +683,25 @@ def test_snapshot_diff_matches_pandas_reference(sf_dir):
     assert (out["new_cents"].to_numpy() ==
             np.where(n_abs, -1, ref["new_cents"].fillna(-1)).astype(np.int64)).all()
     assert set(np.unique(status)) == {"added", "removed", "changed", "same"}
+
+
+def test_embed_calibration_matches_numpy(sf_dir):
+    """embed_calibration per-dim stats == direct numpy over the whole
+    embeddings table in the same floor-1024 fixed point."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import q_embed_calibration
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+
+    out = q_embed_calibration(sf_dir).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'").df()["embedding"]
+    m = np.stack([np.asarray(v, np.float64) for v in emb])
+    q = np.floor(m * KM_SCALE).astype(np.int64) + KM_SHIFT
+    assert (out["dim"].to_numpy() == np.arange(q.shape[1])).all()
+    assert (out["n"].to_numpy() == q.shape[0]).all()
+    assert (out["min_q"].to_numpy() == q.min(axis=0)).all()
+    assert (out["max_q"].to_numpy() == q.max(axis=0)).all()
+    assert (out["sum_q"].to_numpy() == q.sum(axis=0)).all()
+    assert (out["mean_milli_q"].to_numpy() == 1000 * q.sum(axis=0) // q.shape[0]).all()
