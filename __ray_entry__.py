@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_zones": Q.q_pip_zones,
         "pip_anti": Q.q_pip_anti,
         "zone_distance": Q.q_zone_distance,
+        "zone_border_dist": Q.q_zone_border_dist,
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,
         "zonal_stats": Q.q_zonal_stats,
         "pushdown_filter": Q.q_pushdown_filter,

@@ -76,6 +76,28 @@ def sql_pip_anti() -> str:
     """
 
 
+def sql_zone_border_dist(margin: int = 2000) -> str:
+    """Twin of queries.q_zone_border_dist: min of the four edge offsets
+    inside the containing admin rectangle (all operands nonnegative)."""
+    return f"""
+    WITH {events_geo_cte()},
+    a AS (
+        SELECT event_id,
+               lon_milli // {Z.ADMIN_W} AS ax, lat_milli // {Z.ADMIN_H} AS ay,
+               lon_milli - (lon_milli // {Z.ADMIN_W}) * {Z.ADMIN_W} AS dl,
+               lat_milli - (lat_milli // {Z.ADMIN_H}) * {Z.ADMIN_H} AS db
+        FROM ev
+    )
+    SELECT event_id,
+           CAST(ay * {Z.AX} + ax + {Z.ADMIN_ID_BASE} AS BIGINT) AS zone_id,
+           CAST(least(dl, {Z.ADMIN_W} - 1 - dl, db, {Z.ADMIN_H} - 1 - db)
+                AS BIGINT) AS edge_dist,
+           least(dl, {Z.ADMIN_W} - 1 - dl, db, {Z.ADMIN_H} - 1 - db)
+               < {margin} AS near_border
+    FROM a
+    """
+
+
 def sql_zone_distance() -> str:
     """Twin of queries.q_zone_distance: kept grid zones regenerated in
     SQL (same keep hash), point clamped into each closed-left/open-right
@@ -2812,6 +2834,7 @@ def build_oracles() -> dict[str, str]:
         "pip_zones": sql_pip_zones(),
         "pip_anti": sql_pip_anti(),
         "zone_distance": sql_zone_distance(),
+        "zone_border_dist": sql_zone_border_dist(),
         "snapshot_diff": sql_snapshot_diff(),
         "embed_calibration": sql_embed_calibration(),
         "pip_zones_partitioned": sql_pip_zones(),

@@ -134,6 +134,29 @@ def q_pip_anti(sf_dir: str):
         .select_columns(["event_id", "lon_milli", "lat_milli"])
 
 
+def q_zone_border_dist(sf_dir: str, margin: int = 2000):
+    """Distance to the containing admin zone's BOUNDARY per event (the
+    geofence-margin audit: how close is each point to leaving its
+    zone; the ST_Distance-to-ST_Boundary analog).  Admin zones tile
+    the domain, so every point is inside exactly one; the boundary
+    distance of an interior point of a rectangle is the min of its
+    four edge offsets — exact int milli, closed-left/open-right
+    convention.  Row-pure vectorized kernel, no shuffle."""
+    from osmquadtreepostgis_ray.sources.zones import admin_border_dist
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        zid, d = admin_border_dist(batch.column("lon_milli").to_numpy(),
+                                   batch.column("lat_milli").to_numpy())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "zone_id": pa.array(zid, pa.int64()),
+            "edge_dist": pa.array(d, pa.int64()),
+            "near_border": pa.array(d < margin),
+        })
+
+    return prep_events(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def q_zone_distance(sf_dir: str):
     """Distance to the nearest grid zone per event (the PostGIS
     ST_Distance / nearest-polygon analog, stages/pip_join.ZoneDistance):

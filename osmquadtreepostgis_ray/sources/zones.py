@@ -89,3 +89,18 @@ def admin_zone_sql(lon_expr: str, lat_expr: str) -> str:
     ax = f"(({lon_expr}) // {ADMIN_W})"
     ay = f"(({lat_expr}) // {ADMIN_H})"
     return f"({ay} * {AX} + {ax} + {ADMIN_ID_BASE})"
+
+
+def admin_border_dist(lon_milli: np.ndarray, lat_milli: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(containing admin zone_id, exact milli distance to its boundary)
+    — min of the four edge offsets inside the closed-left/open-right
+    rectangle; admin zones tile the domain so every point is inside
+    exactly one."""
+    x = np.asarray(lon_milli, dtype=np.int64)
+    y = np.asarray(lat_milli, dtype=np.int64)
+    ax, ay = x // ADMIN_W, y // ADMIN_H
+    x0, y0 = ax * ADMIN_W, ay * ADMIN_H
+    d = np.minimum.reduce([x - x0, x0 + ADMIN_W - 1 - x,
+                           y - y0, y0 + ADMIN_H - 1 - y])
+    return ay * AX + ax + ADMIN_ID_BASE, d

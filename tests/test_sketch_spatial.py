@@ -430,3 +430,26 @@ def test_zone_distance_zero_iff_covered_and_matches_brute(sf_dir):
         best = int(np.argmin(d))
         assert out.loc[eid, "dist_sq"] == d[best]
         assert out.loc[eid, "zone_id"] == gz[best]
+
+
+def test_zone_border_dist_consistent_with_zone_membership(sf_dir):
+    """zone_border_dist: edge_dist within [0, half the smaller zone
+    span], both flag classes present, and the shared kernel helper
+    gives 0 on an exact zone edge and the true min at a center point."""
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import q_zone_border_dist
+    from osmquadtreepostgis_ray.sources import zones as Z
+    from osmquadtreepostgis_ray.sources.zones import admin_border_dist
+
+    out = q_zone_border_dist(sf_dir).to_pandas()
+    assert (out["edge_dist"] >= 0).all()
+    assert (out["edge_dist"] <= min(Z.ADMIN_W, Z.ADMIN_H) // 2).all()
+    assert out["near_border"].any() and not out["near_border"].all()
+
+    zid, d = admin_border_dist(
+        np.array([Z.ADMIN_W, Z.ADMIN_W + Z.ADMIN_W // 2]),
+        np.array([Z.ADMIN_H // 2, Z.ADMIN_H // 2]))
+    assert d[0] == 0                              # on the left edge
+    assert d[1] == min(Z.ADMIN_W - 1 - Z.ADMIN_W // 2, Z.ADMIN_H // 2,
+                       Z.ADMIN_H - 1 - Z.ADMIN_H // 2)
+    assert zid[0] == Z.ADMIN_ID_BASE + 1          # second column, first row
