@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geospatial core (cell encode, tiling, PIP, kNN)
         "cell_histogram": Q.q_cell_histogram,
         "tile_assign": Q.q_tile_assign,
+        "tile_quadkey": Q.q_tile_quadkey,
         "agg_cells": Q.q_agg_cells,
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,

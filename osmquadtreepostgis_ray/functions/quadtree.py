@@ -166,3 +166,36 @@ def interleave_sql(ix_expr: str, iy_expr: str, depth: int) -> str:
         terms.append(f"((({ix_expr}) >> {b}) & 1) * {1 << (2 * b)}")
         terms.append(f"((({iy_expr}) >> {b}) & 1) * {1 << (2 * b + 1)}")
     return "((" + " + ".join(terms) + ") * 64 + " + str(depth) + ")"
+
+
+def quadkey(cell: np.ndarray) -> np.ndarray:
+    """Bing-style quadkey strings for UNIFORM-depth cells (the tile
+    address a web-map server keys its pyramid by; digit k at level k+1
+    is x_bit + 2*y_bit, most-significant level first).  Packed first as
+    a base-10 int (digits are 0-3, so base-10 packing is lossless),
+    then zero-padded — one vectorized printf, no per-row loop."""
+    cell = np.asarray(cell, dtype=np.int64)
+    if len(cell) == 0:
+        return np.empty(0, dtype=object)
+    ix, iy, d = decode(cell)
+    depth = int(d[0])
+    if (d != depth).any():
+        raise ValueError("quadkey requires uniform-depth cells")
+    qnum = np.zeros(len(cell), np.int64)
+    for k in range(depth):
+        shift = depth - 1 - k
+        digit = ((ix >> shift) & 1) + 2 * ((iy >> shift) & 1)
+        qnum = qnum * 10 + digit
+    return np.char.mod(f"%0{depth}d", qnum).astype(object)
+
+
+def quadkey_sql(ix_expr: str, iy_expr: str, depth: int) -> str:
+    """DuckDB twin of ``quadkey``: the same base-10 digit packing,
+    rendered with printf zero-padding."""
+    terms = []
+    for k in range(depth):
+        shift = depth - 1 - k
+        terms.append(f"(((({ix_expr}) >> {shift}) & 1)"
+                     f" + 2 * ((({iy_expr}) >> {shift}) & 1))"
+                     f" * {10 ** (depth - 1 - k)}")
+    return f"printf('%0{depth}d', " + " + ".join(terms) + ")"

@@ -53,6 +53,28 @@ def sql_agg_cells() -> str:
             f"FROM ev GROUP BY tile")
 
 
+def sql_tile_quadkey() -> str:
+    """Twin of queries.q_tile_quadkey: tile ix/iy recomputed from the
+    milli coords (the _cell_expr internals), quadkey via the shared
+    base-10 digit packing (quadtree.quadkey_sql), GROUP BY tile (ix/iy
+    are functionally dependent on it)."""
+    n = 1 << TILE_DEPTH
+    qk = quadtree.quadkey_sql("ix", "iy", TILE_DEPTH)
+    return f"""
+    WITH {events_geo_cte()},
+    t AS (
+        SELECT tile,
+               ((lon_milli * 10000 * {n}) // {quadtree.LON_SPAN}) AS ix,
+               (((lat_milli + 5000) * 10000 * {n}) // {quadtree.LAT_SPAN}) AS iy
+        FROM ev
+    )
+    SELECT tile, CAST({TILE_DEPTH} AS BIGINT) AS z,
+           CAST(ix AS BIGINT) AS x, CAST(iy AS BIGINT) AS y,
+           {qk} AS quadkey, count(*)::BIGINT AS n
+    FROM t GROUP BY tile, ix, iy
+    """
+
+
 def sql_pip_zones() -> str:
     zid, keep = Z.zone_match_sql("lon_milli", "lat_milli")
     admin = Z.admin_zone_sql("lon_milli", "lat_milli")
@@ -2832,6 +2854,7 @@ def build_oracles() -> dict[str, str]:
         "tile_assign": sql_tile_assign(),
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
+        "tile_quadkey": sql_tile_quadkey(),
         "pip_anti": sql_pip_anti(),
         "zone_distance": sql_zone_distance(),
         "zone_border_dist": sql_zone_border_dist(),

@@ -112,6 +112,37 @@ def q_agg_cells(sf_dir: str):
             .select_columns(["tile", "n", "sum_value_cents"]))
 
 
+def q_tile_quadkey(sf_dir: str):
+    """Tile-serving manifest (the web-map pyramid index the reference's
+    PostGIS output ultimately feeds): one row per occupied tile with
+    its z/x/y address, Bing-style quadkey string and event count.
+    Combiner per-batch distinct-tile counts -> one tile-cardinality
+    groupby; the z/x/y/quadkey enrichment runs on the aggregated
+    (bounded: 4^z) table."""
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles, counts = np.unique(batch.column("tile").to_numpy(),
+                                  return_counts=True)
+        return pa.table({"tile": pa.array(tiles, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = sharded_agg(prep_events(sf_dir).map_batches(
+        partial, batch_format="pyarrow"), ["tile"], {"n": ("n", "sum")})
+
+    def enrich(t: pa.Table) -> pa.Table:
+        cells = t.column("tile").to_numpy()
+        ix, iy, d = quadtree.decode(cells)
+        return pa.table({
+            "tile": pa.array(cells, pa.int64()),
+            "z": pa.array(d, pa.int64()),
+            "x": pa.array(ix, pa.int64()),
+            "y": pa.array(iy, pa.int64()),
+            "quadkey": pa.array(list(quadtree.quadkey(cells)), pa.string()),
+            "n": t.column("n"),
+        })
+
+    return agg.map_batches(enrich, batch_format="pyarrow")
+
+
 def q_pip_zones(sf_dir: str):
     return pip_zones_ds(sf_dir)
 

@@ -76,3 +76,35 @@ def test_sql_interleave_matches_numpy():
     ix, iy = qt.fixed_to_ixy(lonm * 10000, (latm + 5000) * 10000, depth)
     cells = qt.encode_ixy(ix, iy, depth)
     assert np.array_equal(rows["cell"].astype(np.int64), cells)
+
+
+def test_quadkey_roundtrip_and_prefix_property():
+    """quadkey: digits rebuild (ix, iy) exactly; a child's quadkey is
+    its parent's quadkey plus one digit (the pyramid prefix property
+    web-map servers rely on); uniform-depth guard raises."""
+    import numpy as np
+    import pytest
+    from osmquadtreepostgis_ray.functions import quadtree as qt
+
+    rng = np.random.RandomState(7)
+    depth = 8
+    ix = rng.randint(0, 1 << depth, 200).astype(np.int64)
+    iy = rng.randint(0, 1 << depth, 200).astype(np.int64)
+    cells = qt.encode_ixy(ix, iy, depth)
+    qks = qt.quadkey(cells)
+    assert all(len(q) == depth for q in qks)
+    for q, x, y in zip(qks, ix, iy):
+        rx = ry = 0
+        for ch in q:
+            d = int(ch)
+            rx = rx * 2 + (d & 1)
+            ry = ry * 2 + (d >> 1)
+        assert (rx, ry) == (x, y)
+
+    parents = qt.parent(cells)
+    pqk = qt.quadkey(parents)
+    assert all(q[:-1] == p for q, p in zip(qks, pqk))
+
+    mixed = np.concatenate([cells[:1], parents[:1]])
+    with pytest.raises(ValueError):
+        qt.quadkey(mixed)
