@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": Q.q_image_resize,
         "image_patches": Q.q_image_patches,
         "ahash_dups": Q.q_ahash_dups,
+        "geo_dup_groups": Q.q_geo_dup_groups,
         "audio_features": Q.q_audio_features,
         "audio_windows": Q.q_audio_windows,
         # dedup clustering

@@ -1087,6 +1087,25 @@ def sql_image_transcode() -> str:
     """
 
 
+def sql_geo_dup_groups() -> str:
+    """Twin of queries.q_geo_dup_groups: per-image ahash (ah CTE) keyed
+    with the depth-2 cell of the phash-derived geotag (the same
+    milli -> fixed -> morton chain as _cell_expr), grouped on the
+    composite key, >= 2 filter."""
+    from osmquadtreepostgis_ray.queries import GEO_DUP_DEPTH
+    lon, lat = geotag.lonlat_milli_sql("phash")
+    cell = _cell_expr(lon, lat, GEO_DUP_DEPTH)
+    return f"""{_sql_decoded_pixels()}{_sql_ahash_cte()},
+    k AS (
+        SELECT a.ahash, CAST({cell} AS BIGINT) AS cell, i.doc_id
+        FROM ah a JOIN img i USING (image_id)
+    )
+    SELECT ahash, cell, count(*)::BIGINT AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM k GROUP BY ahash, cell HAVING count(*) >= 2
+    """
+
+
 def sql_image_norm_stats() -> str:
     """Twin of queries.q_image_norm_stats: per-format exact pixel
     moments over the decoded-pixel CTE (DuckDB sums in HUGEINT, so the
@@ -2919,6 +2938,7 @@ def build_oracles() -> dict[str, str]:
         "crossmodal_align": sql_crossmodal_align(),
         "image_norm_stats": sql_image_norm_stats(),
         "image_transcode": sql_image_transcode(),
+        "geo_dup_groups": sql_geo_dup_groups(),
         "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),

@@ -1064,6 +1064,53 @@ def q_image_decode(sf_dir: str):
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])
 
 
+GEO_DUP_DEPTH = 2
+
+
+def q_geo_dup_groups(sf_dir: str):
+    """Geo-constrained perceptual dedup — the graft's two axes fused
+    (image fingerprint x quadtree cell): images sharing BOTH the ahash
+    AND the depth-2 cell of their phash-derived geotag form one
+    duplicate-at-location group (a repost of the same shot at the same
+    place — distinct from a lookalike elsewhere, which ahash_dups alone
+    would conflate).  Combiner-first: per-batch (ahash, cell) partial
+    counts + min doc; one sharded composite-key aggregate; >=2 filter
+    on the aggregated table."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import AHash
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    hasher_fn = worker_cached(AHash)
+
+    def part(b: pa.Table) -> pa.Table:
+        a = hasher_fn(b)  # row-aligned with the input batch
+        ph = b.column("phash").to_numpy()
+        lon, lat = geotag.lonlat_milli_from_phash(ph)
+        fx, fy = geotag.milli_to_fixed(lon, lat)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, GEO_DUP_DEPTH)
+        df = pd.DataFrame({
+            "ahash": a.column("ahash").to_numpy(),
+            "cell": quadtree.encode_ixy(ix, iy, GEO_DUP_DEPTH),
+            "doc": b.column("doc_id").to_numpy()})
+        g = df.groupby(["ahash", "cell"], as_index=False).agg(
+            n=("doc", "size"), min_doc=("doc", "min"))
+        for c in ("n", "min_doc"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(read_images(sf_dir, with_bytes=True).map_batches(
+        part, batch_format="pyarrow", batch_size=IMG_BATCH),
+        ["ahash", "cell"], {"n": ("n", "sum"), "min_doc": ("min_doc", "min")})
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), 2))
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow") \
+        .select_columns(["ahash", "cell", "n", "min_doc"])
+
+
 def q_image_augment(sf_dir: str):
     """Deterministic seeded train-time augmentation (flip + crop) with
     exact-int64 stats of the augmented view (stages/images.AugmentCrop).

@@ -705,3 +705,37 @@ def test_embed_calibration_matches_numpy(sf_dir):
     assert (out["max_q"].to_numpy() == q.max(axis=0)).all()
     assert (out["sum_q"].to_numpy() == q.sum(axis=0)).all()
     assert (out["mean_milli_q"].to_numpy() == 1000 * q.sum(axis=0) // q.shape[0]).all()
+
+
+def test_geo_dup_groups_matches_local_counter(sf_dir):
+    """geo_dup_groups == a local Counter over (ahash, depth-2 cell) of
+    the whole synthetic corpus, kept at n >= 2."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+    from osmquadtreepostgis_ray.queries import GEO_DUP_DEPTH, q_geo_dup_groups
+    from osmquadtreepostgis_ray.sources.images import synth_images_batch
+    from osmquadtreepostgis_ray.stages.images import AHash
+
+    out = q_geo_dup_groups(sf_dir).to_pandas() \
+        .sort_values(["ahash", "cell"]).reset_index(drop=True)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    b = synth_images_batch(docs)
+    ah = AHash()(b).column("ahash").to_numpy()
+    ph = b.column("phash").to_numpy()
+    lon, lat = geotag.lonlat_milli_from_phash(ph)
+    fx, fy = geotag.milli_to_fixed(lon, lat)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, GEO_DUP_DEPTH)
+    cell = quadtree.encode_ixy(ix, iy, GEO_DUP_DEPTH)
+    doc = b.column("doc_id").to_numpy()
+    groups: dict = collections.defaultdict(list)
+    for a, c, d in zip(ah.tolist(), cell.tolist(), doc.tolist()):
+        groups[(a, c)].append(d)
+    ref = sorted((a, c, len(ds_), min(ds_))
+                 for (a, c), ds_ in groups.items() if len(ds_) >= 2)
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
