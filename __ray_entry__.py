@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": Q.q_window_sliding,
         "quantiles": Q.q_quantiles,
         "quantiles_cont": Q.q_quantiles_cont,
+        "histogram_quantiles": Q.q_histogram_quantiles,
         "rank_ties": Q.q_rank_ties,
         "outliers": Q.q_outliers,
         "moments": Q.q_moments,

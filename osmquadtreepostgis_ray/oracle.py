@@ -194,6 +194,34 @@ def sql_embed_calibration() -> str:
     """
 
 
+def sql_histogram_quantiles() -> str:
+    """Twin of queries.q_histogram_quantiles: the same fixed-width
+    bucketing, running-count window, smallest bucket whose cumulative
+    count reaches the ceil-rank, reported as the bucket upper bound."""
+    from osmquadtreepostgis_ray.queries import HIST_BUCKET_CENTS, HIST_MAX_BUCKET
+    W, M = HIST_BUCKET_CENTS, HIST_MAX_BUCKET
+    return f"""
+    WITH h AS (
+        SELECT event_type,
+               least(CAST(round(value * 100) AS BIGINT) // {W}, {M}) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY event_type, bucket
+    ),
+    c AS (
+        SELECT event_type, bucket, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM h
+    )
+    SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+           CAST((min(CASE WHEN cum >= (tot * 500 + 999) // 1000
+                          THEN bucket END) + 1) * {W} AS BIGINT) AS p50_cents_ub,
+           CAST((min(CASE WHEN cum >= (tot * 950 + 999) // 1000
+                          THEN bucket END) + 1) * {W} AS BIGINT) AS p95_cents_ub
+    FROM c GROUP BY event_type
+    """
+
+
 def sql_snapshot_diff() -> str:
     """Twin of queries.q_snapshot_diff: the two snapshot predicates
     regenerated in SQL, FULL OUTER JOIN on the key, status from side
@@ -2879,6 +2907,7 @@ def build_oracles() -> dict[str, str]:
         "zone_border_dist": sql_zone_border_dist(),
         "snapshot_diff": sql_snapshot_diff(),
         "embed_calibration": sql_embed_calibration(),
+        "histogram_quantiles": sql_histogram_quantiles(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

@@ -1707,6 +1707,56 @@ def q_sequence_packing(sf_dir: str, capacity: int = 64):
     return sequence_packing(chunks, capacity=capacity)
 
 
+HIST_BUCKET_CENTS = 100   # fixed-width histogram bucket (1 currency unit)
+HIST_MAX_BUCKET = 1023    # overflow cap -> bounded sketch size
+
+
+def q_histogram_quantiles(sf_dir: str):
+    """Fixed-memory mergeable-histogram quantiles (the 100-TB-scale
+    alternative to q_quantiles' distinct-value combiner, whose state
+    grows with value cardinality): every batch emits bounded
+    (event_type, bucket, n) partials (<=1024 buckets per type
+    regardless of input size), one sharded sum merges them, and
+    p50/p95 read off the cumulative counts as bucket UPPER BOUNDS —
+    deterministic, exact-integer, rank error bounded by the bucket
+    width.  The sketch never exceeds types x 1024 rows anywhere."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+        b = np.minimum(cents // HIST_BUCKET_CENTS, HIST_MAX_BUCKET)
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "bucket": b})
+        g = df.groupby(["event_type", "bucket"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "bucket"], {"n": ("n", "sum")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("bucket")
+            cum = grp["n"].to_numpy().cumsum()
+            tot = int(cum[-1])
+            bks = grp["bucket"].to_numpy()
+            row = {"event_type": et, "n": tot}
+            for name, p in (("p50_cents_ub", 500), ("p95_cents_ub", 950)):
+                rank = (tot * p + 999) // 1000
+                b = int(bks[np.searchsorted(cum, rank)])
+                row[name] = (b + 1) * HIST_BUCKET_CENTS
+            out.append(row)
+        return pd.DataFrame(out, columns=["event_type", "n",
+                                          "p50_cents_ub", "p95_cents_ub"]) \
+            .astype({"n": np.int64, "p50_cents_ub": np.int64,
+                     "p95_cents_ub": np.int64})
+
+    from osmquadtreepostgis_ray.util import shard_apply
+    return shard_apply(agg, ["event_type"], finish)
+
+
 def q_outliers(sf_dir: str):
     """Quantile-based outlier detection: count events above their
     event_type's p75 (per-type thresholds computed distributed, then

@@ -739,3 +739,26 @@ def test_geo_dup_groups_matches_local_counter(sf_dir):
                  for (a, c), ds_ in groups.items() if len(ds_) >= 2)
     got = list(out.itertuples(index=False, name=None))
     assert got == ref
+
+
+def test_histogram_quantiles_bounds_exact_quantile(sf_dir):
+    """histogram_quantiles: the bucket upper bound is >= the exact
+    quantile value and within one bucket width of it (the sketch's
+    rank-error contract), per event_type."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import (HIST_BUCKET_CENTS,
+                                                q_histogram_quantiles)
+
+    out = q_histogram_quantiles(sf_dir).to_pandas().set_index("event_type")
+    ev = duckdb.sql(f"SELECT event_type, value FROM "
+                    f"'{sf_dir}/events.parquet'").df()
+    for et, grp in ev.groupby("event_type"):
+        cents = np.sort(np.rint(grp["value"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        for col, p in (("p50_cents_ub", 500), ("p95_cents_ub", 950)):
+            exact = int(cents[(n * p + 999) // 1000 - 1])
+            ub = int(out.loc[et, col])
+            assert ub >= exact
+            assert ub - exact <= HIST_BUCKET_CENTS
+        assert out.loc[et, "n"] == n
