@@ -22,7 +22,10 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "vocab_coverage", "domain_cap", "mixture_quotas", "retention",
              "funnel", "mixture_sample", "cluster_dedup_sample",
              "epoch_shuffle", "image_augment", "crossmodal_align",
-             "pip_anti"):
+             "pip_anti", "image_norm_stats", "zone_distance",
+             "image_transcode", "snapshot_diff", "embed_calibration",
+             "zone_border_dist", "tile_quadkey", "geo_dup_groups",
+             "histogram_quantiles"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
