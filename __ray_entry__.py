@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_histogram": Q.q_cell_histogram,
         "tile_assign": Q.q_tile_assign,
         "tile_quadkey": Q.q_tile_quadkey,
+        "tile_bundle": Q.q_tile_bundle,
         "agg_cells": Q.q_agg_cells,
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,

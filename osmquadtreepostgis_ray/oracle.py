@@ -53,6 +53,29 @@ def sql_agg_cells() -> str:
             f"FROM ev GROUP BY tile")
 
 
+def sql_tile_bundle() -> str:
+    """Twin of queries.q_tile_bundle: ordered string_agg per tile, md5
+    over the identical canonical record encoding."""
+    return f"""
+    WITH {events_geo_cte()},
+    r AS (
+        SELECT tile, event_id,
+               CAST(event_id AS VARCHAR) || ':' ||
+               CAST(lon_milli AS VARCHAR) || ':' ||
+               CAST(lat_milli AS VARCHAR) AS rec
+        FROM ev
+    ),
+    b AS (
+        SELECT tile, count(*)::BIGINT AS n,
+               string_agg(rec, ';' ORDER BY event_id) AS blob
+        FROM r GROUP BY tile
+    )
+    SELECT tile, n, CAST(length(blob) AS BIGINT) AS bytes_len,
+           md5(blob) AS digest
+    FROM b
+    """
+
+
 def sql_tile_quadkey() -> str:
     """Twin of queries.q_tile_quadkey: tile ix/iy recomputed from the
     milli coords (the _cell_expr internals), quadkey via the shared
@@ -2902,6 +2925,7 @@ def build_oracles() -> dict[str, str]:
         "agg_cells": sql_agg_cells(),
         "pip_zones": sql_pip_zones(),
         "tile_quadkey": sql_tile_quadkey(),
+        "tile_bundle": sql_tile_bundle(),
         "pip_anti": sql_pip_anti(),
         "zone_distance": sql_zone_distance(),
         "zone_border_dist": sql_zone_border_dist(),

@@ -143,6 +143,46 @@ def q_tile_quadkey(sf_dir: str):
     return agg.map_batches(enrich, batch_format="pyarrow")
 
 
+def q_tile_bundle(sf_dir: str):
+    """Per-tile byte-exact export bundle (the MVT / COPY-per-tile sink
+    shape: the reference writes one CsvBlock per quadtree tile —
+    src/postgiswriter.cpp:1099): each tile's events render to canonical
+    'id:lon:lat' records, id-ordered, ';'-joined into ONE blob whose
+    md5 both engines compute identically.  One tile-keyed shard
+    exchange co-locates each tile's rows (inherent to blob assembly);
+    rendering is vectorized pandas str ops, the only per-group work is
+    the md5 over group slices."""
+    import hashlib
+
+    from osmquadtreepostgis_ray.util import shard_apply
+
+    pts = prep_events(sf_dir).select_columns(
+        ["tile", "event_id", "lon_milli", "lat_milli"])
+
+    def bundle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tile", "event_id"], kind="stable")
+        rec = (g["event_id"].astype(str) + ":"
+               + g["lon_milli"].astype(str) + ":"
+               + g["lat_milli"].astype(str)).to_numpy(dtype=object)
+        tiles = g["tile"].to_numpy()
+        bounds = np.flatnonzero(np.diff(tiles)) + 1
+        out_t, out_n, out_len, out_md5 = [], [], [], []
+        for chunk, t0 in zip(np.split(rec, bounds),
+                             tiles[np.concatenate([[0], bounds])] if len(tiles)
+                             else []):
+            blob = ";".join(chunk).encode()
+            out_t.append(int(t0))
+            out_n.append(len(chunk))
+            out_len.append(len(blob))
+            out_md5.append(hashlib.md5(blob).hexdigest())
+        return pd.DataFrame({"tile": np.array(out_t, np.int64),
+                             "n": np.array(out_n, np.int64),
+                             "bytes_len": np.array(out_len, np.int64),
+                             "digest": out_md5})
+
+    return shard_apply(pts, ["tile"], bundle)
+
+
 def q_pip_zones(sf_dir: str):
     return pip_zones_ds(sf_dir)
 

@@ -453,3 +453,37 @@ def test_zone_border_dist_consistent_with_zone_membership(sf_dir):
     assert d[1] == min(Z.ADMIN_W - 1 - Z.ADMIN_W // 2, Z.ADMIN_H // 2,
                        Z.ADMIN_H - 1 - Z.ADMIN_H // 2)
     assert zid[0] == Z.ADMIN_ID_BASE + 1          # second column, first row
+
+
+def test_tile_bundle_digest_matches_local(sf_dir):
+    """tile_bundle: per-tile blob digests equal a local single-process
+    reference built from the same canonical encoding, independent of
+    the shard layout."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+    from osmquadtreepostgis_ray.queries import TILE_DEPTH, q_tile_bundle
+
+    out = q_tile_bundle(sf_dir).to_pandas() \
+        .sort_values("tile").reset_index(drop=True)
+
+    ev = duckdb.sql(f"SELECT event_id, user_id FROM "
+                    f"'{sf_dir}/events.parquet'").df()
+    lon, lat = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                         ev["event_id"].to_numpy())
+    fx, fy = geotag.milli_to_fixed(lon, lat)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, TILE_DEPTH)
+    tile = quadtree.encode_ixy(ix, iy, TILE_DEPTH)
+    ref: dict = {}
+    order = np.lexsort((ev["event_id"].to_numpy(), tile))
+    for i in order:
+        ref.setdefault(int(tile[i]), []).append(
+            f"{int(ev['event_id'][i])}:{int(lon[i])}:{int(lat[i])}")
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        blob = ";".join(ref[int(row["tile"])]).encode()
+        assert row["n"] == len(ref[int(row["tile"])])
+        assert row["bytes_len"] == len(blob)
+        assert row["digest"] == hashlib.md5(blob).hexdigest()
