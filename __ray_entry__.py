@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_patches": Q.q_image_patches,
         "ahash_dups": Q.q_ahash_dups,
         "geo_dup_groups": Q.q_geo_dup_groups,
+        "caption_stats_by_zone": Q.q_caption_stats_by_zone,
         "audio_features": Q.q_audio_features,
         "audio_windows": Q.q_audio_windows,
         # dedup clustering

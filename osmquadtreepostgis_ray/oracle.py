@@ -1138,6 +1138,26 @@ def sql_image_transcode() -> str:
     """
 
 
+def sql_caption_stats_by_zone() -> str:
+    """Twin of queries.q_caption_stats_by_zone: phash geotag -> admin
+    zone formula, bounded grouped sums, exact milli mean."""
+    ph = geotag.phash_sql("doc_id")
+    lon, lat = geotag.lonlat_milli_sql(f"({ph})")
+    return f"""
+    WITH d AS (
+        SELECT CAST((({lat}) // {Z.ADMIN_H}) * {Z.AX}
+                    + (({lon}) // {Z.ADMIN_W}) + {Z.ADMIN_ID_BASE}
+               AS BIGINT) AS zone_id,
+               n_chars
+        FROM documents
+    )
+    SELECT zone_id, count(*)::BIGINT AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1000 * sum(n_chars) // count(*) AS BIGINT) AS mean_chars_milli
+    FROM d GROUP BY zone_id
+    """
+
+
 def sql_geo_dup_groups() -> str:
     """Twin of queries.q_geo_dup_groups: per-image ahash (ah CTE) keyed
     with the depth-2 cell of the phash-derived geotag (the same
@@ -2992,6 +3012,7 @@ def build_oracles() -> dict[str, str]:
         "image_norm_stats": sql_image_norm_stats(),
         "image_transcode": sql_image_transcode(),
         "geo_dup_groups": sql_geo_dup_groups(),
+        "caption_stats_by_zone": sql_caption_stats_by_zone(),
         "crossmodal_knn": sql_crossmodal_knn(),
         "frame_sample": sql_frame_sample(),
         "minhash_pairs": sql_minhash_pairs(),

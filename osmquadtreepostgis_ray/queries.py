@@ -1104,6 +1104,47 @@ def q_image_decode(sf_dir: str):
         .select_columns(["image_id", "psnr_ok", "mean_pixel", "w_out", "h_out"])
 
 
+def q_caption_stats_by_zone(sf_dir: str):
+    """Per-admin-zone caption statistics (text x geo fusion: the
+    regional content profile a geotagged-corpus curation dashboard
+    shows): each document's phash-derived geotag places it in exactly
+    one admin zone; combiner (zone, n, sum_chars) partials -> one
+    bounded (AX*AY-row) grouped sum; mean in exact milli."""
+    from ray.data.aggregate import Sum
+
+    from osmquadtreepostgis_ray.sources import zones as Z
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        ph = geotag.phash_of(ids)
+        lon, lat = geotag.lonlat_milli_from_phash(ph)
+        zone = (lat // Z.ADMIN_H) * Z.AX + (lon // Z.ADMIN_W) + Z.ADMIN_ID_BASE
+        df = pd.DataFrame({"zone_id": zone,
+                           "chars": batch.column("n_chars").to_numpy()})
+        g = df.groupby("zone_id", as_index=False).agg(
+            n=("chars", "size"), sum_chars=("chars", "sum"))
+        for c in ("n", "sum_chars"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("zone_id") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        s = t.column("sum_chars").to_numpy()
+        return t.append_column(
+            "mean_chars_milli",
+            pa.array(1000 * s // np.maximum(n, 1), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["zone_id", "n", "sum_chars", "mean_chars_milli"])
+
+
 GEO_DUP_DEPTH = 2
 
 

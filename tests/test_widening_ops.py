@@ -762,3 +762,25 @@ def test_histogram_quantiles_bounds_exact_quantile(sf_dir):
             assert ub >= exact
             assert ub - exact <= HIST_BUCKET_CENTS
         assert out.loc[et, "n"] == n
+
+
+def test_caption_stats_by_zone_partitions_corpus(sf_dir):
+    """caption_stats_by_zone: zone counts partition the corpus exactly
+    (admin zones tile the domain) and sums match a local reference."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.functions import geotag
+    from osmquadtreepostgis_ray.queries import q_caption_stats_by_zone
+    from osmquadtreepostgis_ray.sources import zones as Z
+
+    out = q_caption_stats_by_zone(sf_dir).to_pandas().set_index("zone_id")
+    docs = duckdb.sql(f"SELECT doc_id, n_chars FROM "
+                      f"'{sf_dir}/documents.parquet'").df()
+    ph = geotag.phash_of(docs["doc_id"].to_numpy())
+    lon, lat = geotag.lonlat_milli_from_phash(ph)
+    zone = (lat // Z.ADMIN_H) * Z.AX + (lon // Z.ADMIN_W) + Z.ADMIN_ID_BASE
+    assert out["n"].sum() == len(docs)
+    for z in np.unique(zone):
+        m = zone == z
+        assert out.loc[z, "n"] == int(m.sum())
+        assert out.loc[z, "sum_chars"] == int(docs["n_chars"].to_numpy()[m].sum())
