@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,
+        "embed_pq": Q.q_embed_pq,
         "multimodal_fusion": Q.q_multimodal_fusion,
     }
 

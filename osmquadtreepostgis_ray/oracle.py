@@ -2642,16 +2642,20 @@ def sql_hll_sketch() -> str:
 
 
 
-def sql_kmeans_embed(k: int = 4, iters: int = 3) -> str:
+def sql_kmeans_embed(k: int = 4, iters: int = 3,
+                     vexpr: str | None = None) -> str:
     """Unrolled-CTE Lloyd twin of stages/cluster.kmeans_assign: same
     floor(x*1024)+1024 quantization, per-dim exploded distance sums,
     row_number tie-break on (d2, j), integer-mean centroid update with
-    empty-cluster carry-over (coalesce)."""
+    empty-cluster carry-over (coalesce).  ``vexpr`` overrides the
+    quantized-vector expression (sql_embed_pq slices subspaces)."""
     from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    if vexpr is None:
+        vexpr = ("list_transform(embedding, "
+                 f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+                 f" + {KM_SHIFT})")
     ctes = [
-        ("qv AS (SELECT vec_id, list_transform(embedding, "
-         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) + {KM_SHIFT}) AS v "
-         "FROM embeddings)"),
+        f"qv AS (SELECT vec_id, {vexpr} AS v FROM embeddings)",
         "e AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM qv)",
         (f"c0 AS (SELECT vec_id AS j, generate_subscripts(v, 1) AS i, unnest(v) AS x "
          f"FROM qv WHERE vec_id < {k})"),
@@ -2678,6 +2682,25 @@ def sql_kmeans_embed(k: int = 4, iters: int = 3) -> str:
             f"SELECT vec_id, j::BIGINT AS cluster, d2::BIGINT AS d2 FROM a{iters}")
 
 
+
+
+def sql_embed_pq(m: int = 4, k: int = 4, iters: int = 3) -> str:
+    """Twin of queries.q_embed_pq: one Lloyd block (sql_kmeans_embed)
+    per subspace over the list_slice'd quantized vector, UNION ALL with
+    the subspace tag.  Slice-then-quantize == quantize-then-slice
+    (floor is elementwise), so slicing the quantized list is exact."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    q = ("list_transform(embedding, "
+         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+         f" + {KM_SHIFT})")
+    blocks = []
+    for s in range(m):
+        vexpr = (f"list_slice({q}, {s} * (len(embedding) // {m}) + 1, "
+                 f"({s} + 1) * (len(embedding) // {m}))")
+        blocks.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, cluster, d2 "
+            f"FROM ({sql_kmeans_embed(k, iters, vexpr=vexpr)})")
+    return "\n    UNION ALL\n    ".join(blocks)
 
 
 def sql_inverted_index() -> str:
@@ -2952,6 +2975,7 @@ def build_oracles() -> dict[str, str]:
         "snapshot_diff": sql_snapshot_diff(),
         "embed_calibration": sql_embed_calibration(),
         "histogram_quantiles": sql_histogram_quantiles(),
+        "embed_pq": sql_embed_pq(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

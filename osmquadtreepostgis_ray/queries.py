@@ -3755,6 +3755,51 @@ def q_embed_calibration(sf_dir: str):
         .select_columns(["dim", "n", "min_q", "max_q", "sum_q", "mean_milli_q"])
 
 
+def q_embed_pq(sf_dir: str, m: int = 4, k: int = 4, iters: int = 3):
+    """Product-quantization encoding (THE embedding-compression scheme
+    ANN deployments run at 100-TB scale: split each vector into m
+    subspaces, k-means each subspace, store only the m small codes):
+    reuses the integer-exact distributed Lloyd (stages/cluster.
+    kmeans_assign) per subspace slice, emitting one (vec_id, subspace,
+    cluster, d2) row per code — d2 is the exact per-subspace
+    quantization error the recall-vs-compression tradeoff is tuned on.
+    m sequential kmeans runs, each combiner-topology (no shuffle
+    growth with corpus size); codes fully determined by data order-
+    independently, so bit-stable at any parallelism."""
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.stages.cluster import kmeans_assign
+
+    parts = []
+    for s in range(m):
+        def slice_s(t: pa.Table, s=s) -> pa.Table:
+            emb = t.column("embedding")
+            if t.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "embedding": emb})
+            d = len(emb[0])
+            sd = d // m
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "embedding": pc.list_slice(emb, s * sd, (s + 1) * sd)})
+
+        sub = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]) \
+            .map_batches(slice_s, batch_format="pyarrow")
+        a = kmeans_assign(sub, k=k, iters=iters)
+
+        def tag(t: pa.Table, s=s) -> pa.Table:
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "subspace": pa.array(np.full(t.num_rows, s, np.int64),
+                                     pa.int64()),
+                "cluster": t.column("cluster"),
+                "d2": t.column("d2")})
+
+        parts.append(a.map_batches(tag, batch_format="pyarrow"))
+    return parts[0].union(*parts[1:])
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC diff between two table snapshots (the version audit every
     incremental-export pipeline runs; reference analog: the diff-merge

@@ -784,3 +784,40 @@ def test_caption_stats_by_zone_partitions_corpus(sf_dir):
         m = zone == z
         assert out.loc[z, "n"] == int(m.sum())
         assert out.loc[z, "sum_chars"] == int(docs["n_chars"].to_numpy()[m].sum())
+
+
+def test_embed_pq_matches_numpy_lloyd(sf_dir):
+    """embed_pq: each subspace's codes equal an independent in-memory
+    Lloyd run (same floor-1024 quantization, argmin tie -> smallest j,
+    integer-mean update, empty-cluster carry-over)."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import q_embed_pq
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+
+    m, k, iters = 4, 4, 3
+    out = q_embed_pq(sf_dir, m=m, k=k, iters=iters).to_pandas()
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM "
+                     f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").df()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    M = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    Q = np.floor(M * KM_SCALE).astype(np.int64) + KM_SHIFT
+    d = Q.shape[1]
+    sd = d // m
+    assert len(out) == m * len(ids)
+    for s in range(m):
+        Qs = Q[:, s * sd:(s + 1) * sd]
+        cents = Qs[np.argsort(ids)[:k]].copy()  # vec_id < k init
+        for it in range(iters):
+            d2 = ((Qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            if it < iters - 1:
+                for j in range(k):
+                    if (a == j).any():
+                        cents[j] = Qs[a == j].sum(axis=0) // (a == j).sum()
+        sub = out[out["subspace"] == s].sort_values("vec_id")
+        assert (sub["vec_id"].to_numpy() == np.sort(ids)).all()
+        order = np.argsort(ids)
+        assert (sub["cluster"].to_numpy() == a[order]).all()
+        assert (sub["d2"].to_numpy()
+                == d2[np.arange(len(ids)), a][order]).all()
