@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,
         "embed_pq": Q.q_embed_pq,
+        "embed_knn_pq": Q.q_embed_knn_pq,
         "multimodal_fusion": Q.q_multimodal_fusion,
     }
 

@@ -2643,7 +2643,8 @@ def sql_hll_sketch() -> str:
 
 
 def sql_kmeans_embed(k: int = 4, iters: int = 3,
-                     vexpr: str | None = None) -> str:
+                     vexpr: str | None = None,
+                     emit: str = "assign") -> str:
     """Unrolled-CTE Lloyd twin of stages/cluster.kmeans_assign: same
     floor(x*1024)+1024 quantization, per-dim exploded distance sums,
     row_number tie-break on (d2, j), integer-mean centroid update with
@@ -2678,6 +2679,12 @@ def sql_kmeans_embed(k: int = 4, iters: int = 3,
                 f"c{t} AS (SELECT c.j, c.i, coalesce(s.x, c.x) AS x "
                 f"FROM {prev} c LEFT JOIN s{t} s ON c.j = s.j AND c.i = s.i)")
     body = ",\n    ".join(ctes)
+    if emit == "centroids":
+        # the codebook the final assign pass used (what a PQ encoder
+        # stores) — c{iters-1} is exactly kmeans_assign's `cents`
+        return (f"WITH {body}\n    "
+                f"SELECT j::BIGINT AS j, i::BIGINT AS i, x::BIGINT AS x "
+                f"FROM c{iters - 1}")
     return (f"WITH {body}\n    "
             f"SELECT vec_id, j::BIGINT AS cluster, d2::BIGINT AS d2 FROM a{iters}")
 
@@ -2701,6 +2708,57 @@ def sql_embed_pq(m: int = 4, k: int = 4, iters: int = 3) -> str:
             f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, cluster, d2 "
             f"FROM ({sql_kmeans_embed(k, iters, vexpr=vexpr)})")
     return "\n    UNION ALL\n    ".join(blocks)
+
+
+def sql_embed_knn_pq(k: int = 5, nq: int = 5, m: int = 4,
+                     kc: int = 4, iters: int = 3) -> str:
+    """Twin of queries.q_embed_knn_pq: per-subspace centroids (the
+    Lloyd CTE with emit='centroids') and codes (the assign emit), a
+    per-query LUT join, approx distance = sum of the m LUT entries,
+    row_number rank with tie -> lowest neighbor."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    q = ("list_transform(embedding, "
+         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+         f" + {KM_SHIFT})")
+    pieces = []
+    for s in range(m):
+        vex = (f"list_slice({q}, {s} * (len(embedding) // {m}) + 1, "
+               f"({s} + 1) * (len(embedding) // {m}))")
+        pieces.append(
+            f"cent{s} AS (SELECT * FROM "
+            f"({sql_kmeans_embed(kc, iters, vexpr=vex, emit='centroids')}))")
+        pieces.append(
+            f"code{s} AS (SELECT vec_id, cluster FROM "
+            f"({sql_kmeans_embed(kc, iters, vexpr=vex)}))")
+        pieces.append(
+            f"qd{s} AS (SELECT vec_id AS qid, generate_subscripts(v, 1) AS i, "
+            f"unnest(v) AS qx FROM (SELECT vec_id, {vex} AS v FROM embeddings "
+            f"WHERE vec_id < {nq}))")
+        pieces.append(
+            f"lut{s} AS (SELECT q.qid, c.j, "
+            f"sum((q.qx - c.x) * (q.qx - c.x)) AS d2 "
+            f"FROM qd{s} q JOIN cent{s} c USING (i) GROUP BY q.qid, c.j)")
+        pieces.append(
+            f"ct{s} AS (SELECT l.qid, a.vec_id, l.d2 "
+            f"FROM code{s} a JOIN lut{s} l ON l.j = a.cluster)")
+    union = " UNION ALL ".join(f"SELECT * FROM ct{s}" for s in range(m))
+    body = ",\n    ".join(pieces)
+    return f"""
+    WITH {body},
+    tot AS (
+        SELECT qid, vec_id, sum(d2) AS approx
+        FROM ({union}) GROUP BY qid, vec_id
+    ),
+    r AS (
+        SELECT qid AS query_id, vec_id AS neighbor_id, approx,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY approx, vec_id) AS rn
+        FROM tot WHERE vec_id <> qid
+    )
+    SELECT query_id, neighbor_id, CAST(approx AS BIGINT) AS approx_d2,
+           rn::BIGINT AS rank
+    FROM r WHERE rn <= {k}
+    """
 
 
 def sql_inverted_index() -> str:
@@ -2976,6 +3034,7 @@ def build_oracles() -> dict[str, str]:
         "embed_calibration": sql_embed_calibration(),
         "histogram_quantiles": sql_histogram_quantiles(),
         "embed_pq": sql_embed_pq(),
+        "embed_knn_pq": sql_embed_knn_pq(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

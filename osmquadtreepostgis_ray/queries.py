@@ -3800,6 +3800,103 @@ def q_embed_pq(sf_dir: str, m: int = 4, k: int = 4, iters: int = 3):
     return parts[0].union(*parts[1:])
 
 
+def q_embed_knn_pq(sf_dir: str, k: int = 5, nq: int = 5, m: int = 4,
+                   kc: int = 4, iters: int = 3):
+    """PQ asymmetric-distance ANN (the ADC scan that makes PQ codes
+    useful: per-query lookup tables against the m codebooks, corpus
+    vectors scored as the SUM of m table entries — at 100 TB the scan
+    touches only the m-byte codes, never the raw vectors): codebooks
+    from q_embed_pq's per-subspace integer-exact Lloyd, LUT built once
+    on the driver (nq x m x kc ints — fixed size), one streaming scan
+    emits per-batch local top-k partials, topk_per_key sharded merge.
+    Exact integers end-to-end, tie -> lowest neighbor_id."""
+    import duckdb
+
+    from osmquadtreepostgis_ray.stages.cluster import (KM_SCALE, KM_SHIFT,
+                                                       kmeans_assign)
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    import pyarrow.compute as pc
+
+    def slice_of(s):
+        def slice_s(t: pa.Table) -> pa.Table:
+            emb = t.column("embedding")
+            if t.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "embedding": emb})
+            d = len(emb[0])
+            sd = d // m
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "embedding": pc.list_slice(emb, s * sd, (s + 1) * sd)})
+        return slice_s
+
+    cents = []
+    for s in range(m):
+        sub = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]) \
+            .map_batches(slice_of(s), batch_format="pyarrow")
+        _, C = kmeans_assign(sub, k=kc, iters=iters, return_centroids=True)
+        cents.append(C)                                   # (kc, sd) int64
+
+    qdf = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {nq} ORDER BY vec_id").df()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    Qm = np.floor(np.stack([np.asarray(v, np.float64)
+                            for v in qdf["embedding"]])
+                  * KM_SCALE).astype(np.int64) + KM_SHIFT  # (nq, d)
+    sd = Qm.shape[1] // m
+    lut = np.stack([((Qm[:, s * sd:(s + 1) * sd][:, None, :]
+                      - cents[s][None, :, :]) ** 2).sum(axis=2)
+                    for s in range(m)])                    # (m, nq, kc)
+    bref = ray.put((np.stack(cents), lut, qids))
+
+    def scan(t: pa.Table) -> pa.Table:
+        C, L, qi = ray.get(bref)                           # (m,kc,sd),(m,nq,kc)
+        emb = t.column("embedding")
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "approx_d2": pa.array([], pa.int64())})
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = len(flat) // n
+        Q = (np.floor(flat * KM_SCALE).astype(np.int64) + KM_SHIFT) \
+            .reshape(n, d)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        approx = np.zeros((len(qi), n), np.int64)          # (nq, n)
+        for s in range(m):
+            Qs = Q[:, s * sd:(s + 1) * sd]
+            code = ((Qs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2) \
+                .argmin(axis=1)                            # ties -> smallest j
+            approx += L[s][:, code]
+        approx = np.where(ids[None, :] == qi[:, None],
+                          np.iinfo(np.int64).max, approx)
+        kk = min(k, n)
+        part = np.argpartition(approx, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(qi, kk), pa.int64()),
+            "neighbor_id": pa.array(ids[part.ravel()], pa.int64()),
+            "approx_d2": pa.array(
+                np.take_along_axis(approx, part, axis=1).ravel(), pa.int64()),
+        })
+
+    partials = read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(scan, batch_format="pyarrow")
+    import pyarrow.compute as _pc
+    partials = partials.map_batches(
+        lambda b: b.filter(_pc.less(b.column("approx_d2"),
+                                    np.iinfo(np.int64).max)),
+        batch_format="pyarrow")
+    return topk_per_key(partials, "query_id",
+                        ["query_id", "approx_d2", "neighbor_id"],
+                        [True, True, True], k,
+                        ["query_id", "neighbor_id", "approx_d2"])
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC diff between two table snapshots (the version audit every
     incremental-export pipeline runs; reference analog: the diff-merge

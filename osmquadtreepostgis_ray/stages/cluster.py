@@ -218,7 +218,8 @@ def _qmat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, flat.reshape(len(ids), -1)
 
 
-def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3) -> ray.data.Dataset:
+def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3,
+                  return_centroids: bool = False):
     """Distributed Lloyd over (vec_id, embedding) rows: `iters` assign
     passes with `iters - 1` integer-mean centroid updates between them.
 
@@ -270,4 +271,9 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3) -> ray.data.
                          "cluster": pa.array(a.astype(np.int64), pa.int64()),
                          "d2": pa.array(d2[np.arange(len(a)), a], pa.int64())})
 
-    return corpus.map_batches(assign, batch_format="pyarrow")
+    out = corpus.map_batches(assign, batch_format="pyarrow")
+    if return_centroids:
+        # the (k x dim) int codebook the assign pass used — what a PQ
+        # encoder stores alongside the codes (tiny, driver-held)
+        return out, cents
+    return out

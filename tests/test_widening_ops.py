@@ -821,3 +821,51 @@ def test_embed_pq_matches_numpy_lloyd(sf_dir):
         assert (sub["cluster"].to_numpy() == a[order]).all()
         assert (sub["d2"].to_numpy()
                 == d2[np.arange(len(ids)), a][order]).all()
+
+
+def test_embed_knn_pq_matches_local_adc(sf_dir):
+    """embed_knn_pq == a local numpy ADC scan using codebooks trained
+    by the same per-subspace Lloyd (shared kmeans_assign path)."""
+    import duckdb
+    import numpy as np
+    import pyarrow.compute as pc
+    from osmquadtreepostgis_ray.queries import q_embed_knn_pq, read_table
+    from osmquadtreepostgis_ray.stages.cluster import (KM_SCALE, KM_SHIFT,
+                                                       kmeans_assign)
+    import pyarrow as pa
+
+    k, nq, m, kc, iters = 5, 5, 4, 4, 3
+    out = q_embed_knn_pq(sf_dir, k=k, nq=nq, m=m, kc=kc, iters=iters) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM "
+                     f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").df()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    Q = np.floor(np.stack([np.asarray(v, np.float64)
+                           for v in emb["embedding"]])
+                 * KM_SCALE).astype(np.int64) + KM_SHIFT
+    d = Q.shape[1]
+    sd = d // m
+    approx = np.zeros((nq, len(ids)), np.int64)
+    for s in range(m):
+        def slice_s(t, s=s):
+            e = t.column("embedding")
+            dd = len(e[0])
+            return pa.table({"vec_id": t.column("vec_id"),
+                             "embedding": pc.list_slice(e, s * (dd // m),
+                                                        (s + 1) * (dd // m))})
+        sub = read_table(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]) \
+            .map_batches(slice_s, batch_format="pyarrow")
+        _, C = kmeans_assign(sub, k=kc, iters=iters, return_centroids=True)
+        Qs = Q[:, s * sd:(s + 1) * sd]
+        code = ((Qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        lut = ((Qs[:nq, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (nq, kc)
+        approx += lut[:, code]
+    for qi in range(nq):
+        row = approx[qi].copy()
+        row[ids == qi] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, row))[:k]
+        got = out[out["query_id"] == qi]
+        assert (got["neighbor_id"].to_numpy() == ids[order]).all()
+        assert (got["approx_d2"].to_numpy() == row[order]).all()
