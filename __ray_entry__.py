@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_calibration": Q.q_embed_calibration,
         "embed_pq": Q.q_embed_pq,
         "embed_knn_pq": Q.q_embed_knn_pq,
+        "embed_knn_quant": Q.q_embed_knn_quant,
+        "pq_recall": Q.q_pq_recall,
         "multimodal_fusion": Q.q_multimodal_fusion,
     }
 

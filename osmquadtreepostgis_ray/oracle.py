@@ -2761,6 +2761,46 @@ def sql_embed_knn_pq(k: int = 5, nq: int = 5, m: int = 4,
     """
 
 
+def sql_embed_knn_quant(k: int = 5, nq: int = 5) -> str:
+    """Twin of queries.q_embed_knn_quant: exact quantized-euclid brute
+    top-k via a dim-exploded distance join."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    q = ("list_transform(embedding, "
+         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+         f" + {KM_SHIFT})")
+    return f"""
+    WITH e AS (SELECT vec_id, {q} AS v FROM embeddings),
+    ed AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+           FROM e),
+    qd AS (SELECT vec_id AS qid, i, x AS qx FROM ed WHERE vec_id < {nq}),
+    d AS (SELECT q.qid, e.vec_id,
+                 sum((q.qx - e.x) * (q.qx - e.x)) AS d2
+          FROM qd q JOIN ed e USING (i)
+          WHERE e.vec_id <> q.qid
+          GROUP BY q.qid, e.vec_id),
+    r AS (SELECT qid AS query_id, vec_id AS neighbor_id, d2,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY d2, vec_id) AS rn
+          FROM d)
+    SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           rn::BIGINT AS rank
+    FROM r WHERE rn <= {k}
+    """
+
+
+def sql_pq_recall(k: int = 5, nq: int = 5) -> str:
+    """Twin of queries.q_pq_recall: intersect the exact quantized-euclid
+    and ADC top-k twins per query (the sql_ann_recall shape)."""
+    return f"""
+    SELECT b.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           ((1000 * count(a.neighbor_id)) // {k})::BIGINT AS recall_permille
+    FROM ({sql_embed_knn_quant(k, nq)}) b
+    LEFT JOIN ({sql_embed_knn_pq(k, nq)}) a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+
+
 def sql_inverted_index() -> str:
     return f"""
     WITH {_word_tokens_cte()},
@@ -3035,6 +3075,8 @@ def build_oracles() -> dict[str, str]:
         "histogram_quantiles": sql_histogram_quantiles(),
         "embed_pq": sql_embed_pq(),
         "embed_knn_pq": sql_embed_knn_pq(),
+        "embed_knn_quant": sql_embed_knn_quant(),
+        "pq_recall": sql_pq_recall(),
         "pip_zones_partitioned": sql_pip_zones(),
         "zonal_stats": sql_zonal_stats(),
         "pushdown_filter": sql_pushdown_filter(),

@@ -3897,6 +3897,81 @@ def q_embed_knn_pq(sf_dir: str, k: int = 5, nq: int = 5, m: int = 4,
                         ["query_id", "neighbor_id", "approx_d2"])
 
 
+def q_embed_knn_quant(sf_dir: str, k: int = 5, nq: int = 5):
+    """Exact brute top-k in the QUANTIZED-euclid metric (floor-1024
+    fixed point) — the ground truth the PQ ADC scan is measured
+    against.  Broadcast query matrix, per-batch vectorized distance
+    block, local top-k partials, sharded topk_per_key merge."""
+    import duckdb
+
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    qdf = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id < {nq} ORDER BY vec_id").df()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    Qm = np.floor(np.stack([np.asarray(v, np.float64)
+                            for v in qdf["embedding"]])
+                  * KM_SCALE).astype(np.int64) + KM_SHIFT
+    bref = ray.put((Qm, qids))
+
+    def scan(t: pa.Table) -> pa.Table:
+        QM, qi = ray.get(bref)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        flat = pc.list_flatten(t.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // n
+        Q = (np.floor(flat * KM_SCALE).astype(np.int64) + KM_SHIFT) \
+            .reshape(n, d)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        dm = ((QM[:, None, :] - Q[None, :, :]) ** 2).sum(axis=2)  # (nq, n)
+        dm = np.where(ids[None, :] == qi[:, None],
+                      np.iinfo(np.int64).max, dm)
+        kk = min(k, n)
+        part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(qi, kk), pa.int64()),
+            "neighbor_id": pa.array(ids[part.ravel()], pa.int64()),
+            "d2": pa.array(np.take_along_axis(dm, part, axis=1).ravel(),
+                           pa.int64()),
+        })
+
+    partials = read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"]) \
+        .map_batches(scan, batch_format="pyarrow") \
+        .map_batches(lambda b: b.filter(
+            pc.less(b.column("d2"), np.iinfo(np.int64).max)),
+            batch_format="pyarrow")
+    return topk_per_key(partials, "query_id",
+                        ["query_id", "d2", "neighbor_id"],
+                        [True, True, True], k,
+                        ["query_id", "neighbor_id", "d2"])
+
+
+def q_pq_recall(sf_dir: str, k: int = 5, nq: int = 5):
+    """Recall@k of the PQ ADC scan against the exact quantized-euclid
+    brute top-k — the compression-quality gate a PQ deployment tunes
+    (m, kc) on.  Both inputs are nq x k by construction, so the
+    per-query intersection is driver-side pandas on top-k tables."""
+    adc = q_embed_knn_pq(sf_dir, k=k, nq=nq).to_pandas()
+    exact = q_embed_knn_quant(sf_dir, k=k, nq=nq).to_pandas()
+    hit = exact.merge(adc, on=["query_id", "neighbor_id"], how="left",
+                      suffixes=("", "_a"))
+    g = hit.groupby("query_id", sort=True).agg(
+        n_hit=("rank_a", "count")).reset_index()
+    g["recall_permille"] = (1000 * g["n_hit"].astype(np.int64)) // k
+    g["n_hit"] = g["n_hit"].astype(np.int64)
+    return pa.Table.from_pandas(
+        g[["query_id", "n_hit", "recall_permille"]], preserve_index=False)
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC diff between two table snapshots (the version audit every
     incremental-export pipeline runs; reference analog: the diff-merge

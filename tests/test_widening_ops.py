@@ -869,3 +869,34 @@ def test_embed_knn_pq_matches_local_adc(sf_dir):
         got = out[out["query_id"] == qi]
         assert (got["neighbor_id"].to_numpy() == ids[order]).all()
         assert (got["approx_d2"].to_numpy() == row[order]).all()
+
+
+def test_pq_recall_bounds_and_exact_self_consistency(sf_dir):
+    """pq_recall: one row per query, recall in [0, 1000]; and the exact
+    quantized-euclid brute (the ground-truth side) agrees with a local
+    numpy scan."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.queries import q_embed_knn_quant, q_pq_recall
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+
+    nq, k = 5, 5
+    rec = q_pq_recall(sf_dir, k=k, nq=nq).to_pandas()
+    assert len(rec) == nq
+    assert rec["recall_permille"].between(0, 1000).all()
+    assert (rec["recall_permille"] == 1000 * rec["n_hit"] // k).all()
+
+    exact = q_embed_knn_quant(sf_dir, k=k, nq=nq).to_pandas()
+    emb = duckdb.sql(f"SELECT vec_id, embedding FROM "
+                     f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id").df()
+    ids = emb["vec_id"].to_numpy(np.int64)
+    Q = np.floor(np.stack([np.asarray(v, np.float64)
+                           for v in emb["embedding"]])
+                 * KM_SCALE).astype(np.int64) + KM_SHIFT
+    for qi in range(nq):
+        d = ((Q - Q[ids == qi][0]) ** 2).sum(axis=1)
+        d[ids == qi] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, d))[:k]
+        got = exact[exact["query_id"] == qi].sort_values("rank")
+        assert (got["neighbor_id"].to_numpy() == ids[order]).all()
+        assert (got["d2"].to_numpy() == d[order]).all()
