@@ -66,6 +66,70 @@ def write_csv_gz(tables: dict[str, ray.data.Dataset], out_prefix: str,
     return counts
 
 
+def write_jsonl_gz(tables: dict[str, "ray.data.Dataset"], out_prefix: str,
+                   sharded: bool = True) -> dict[str, int]:
+    """Gz-JSONL export (the interchange format modern training-data
+    consumers ingest): binary columns as lowercase hex, floats 1-dp
+    (the CSV sink's F4/F5 rendering discipline so both compat sinks
+    agree byte-for-byte on shared cells), NaN-free canonical JSON.
+
+    ``sharded=True`` writes ``<prefix><table>/part-<i>.jsonl.gz`` one
+    file per input block IN PARALLEL via map_batches (the scale path —
+    no single-writer bottleneck, resumable per part); ``False`` keeps
+    the single-file compat stream like write_csv_gz."""
+    import json
+    import os
+
+    def render(batch: pa.Table) -> list[str]:
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        types = [f.type for f in batch.schema]
+        names = batch.schema.names
+        out = []
+        for r in range(batch.num_rows):
+            rec = {}
+            for name, col, t in zip(names, cols, types):
+                v = col[r]
+                if v is not None and pa.types.is_binary(t):
+                    v = v.hex()
+                elif v is not None and pa.types.is_floating(t):
+                    v = round(float(v), 1)
+                rec[name] = v
+            out.append(json.dumps(rec, separators=(",", ":"),
+                                  allow_nan=False, sort_keys=False))
+        return out
+
+    counts: dict[str, int] = {}
+    for name, ds in tables.items():
+        if sharded:
+            d = f"{out_prefix}{name}"
+            os.makedirs(d, exist_ok=True)
+
+            def dump(batch: pa.Table, d=d) -> pa.Table:
+                tid = ray.get_runtime_context().get_task_id()
+                path = os.path.join(d, f"part-{tid[:16]}.jsonl.gz")
+                with gzip.open(path, "at", encoding="utf-8") as fh:
+                    for line in render(batch):
+                        fh.write(line + "\n")
+                return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+            import pyarrow.compute as pc
+            parts = ds.map_batches(dump, batch_format="pyarrow")
+            counts[name] = sum(
+                int(pc.sum(b.column("n")).as_py() or 0)
+                for b in parts.iter_batches(batch_format="pyarrow"))
+        else:
+            n = 0
+            with gzip.open(f"{out_prefix}{name}.jsonl.gz", "wt",
+                           encoding="utf-8") as fh:
+                for batch in ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=8192):
+                    for line in render(batch):
+                        fh.write(line + "\n")
+                    n += batch.num_rows
+            counts[name] = n
+    return counts
+
+
 # ------------------------------------------------------------- PGCOPY binary
 
 PGCOPY_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"

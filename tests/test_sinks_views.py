@@ -234,3 +234,41 @@ def test_pgcopy_binary_sink_roundtrip(tmp_path, sf_dir):
             assert got.decode() == str(want)
         elif _pa.types.is_binary(typ):
             assert got == bytes(want)
+
+
+def test_jsonl_gz_sink_roundtrip(tmp_path, sf_dir):
+    """write_jsonl_gz: sharded and single-file outputs decode to the
+    same records as the source Dataset (hex binary, 1-dp floats), and
+    the sharded path writes one part per block."""
+    import glob
+    import gzip
+    import json
+
+    import ray.data
+    from osmquadtreepostgis_ray.sinks import write_jsonl_gz
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet") \
+        .select_columns(["event_id", "event_type", "value"])
+    rows = {r["event_id"]: r for r in ds.take_all()}
+
+    out = str(tmp_path) + "/"
+    counts = write_jsonl_gz({"events": ds}, out, sharded=True)
+    assert counts["events"] == len(rows)
+    got = {}
+    for f in glob.glob(f"{out}events/part-*.jsonl.gz"):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                got[rec["event_id"]] = rec
+    assert len(got) == len(rows)
+    for eid, rec in got.items():
+        assert rec["event_type"] == rows[eid]["event_type"]
+        assert rec["value"] == round(float(rows[eid]["value"]), 1)
+
+    counts1 = write_jsonl_gz({"events": ds}, out + "single_",
+                             sharded=False)
+    assert counts1["events"] == len(rows)
+    with gzip.open(f"{out}single_events.jsonl.gz", "rt",
+                   encoding="utf-8") as fh:
+        single = [json.loads(l) for l in fh]
+    assert {r["event_id"] for r in single} == set(rows)
