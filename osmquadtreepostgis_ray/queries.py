@@ -3755,49 +3755,44 @@ def q_embed_calibration(sf_dir: str):
         .select_columns(["dim", "n", "min_q", "max_q", "sum_q", "mean_milli_q"])
 
 
+_PQ_CODEBOOKS: dict = {}
+
+
+def _pq_codebooks(sf_dir: str, m: int, kc: int, iters: int):
+    """Memoized PQ training: ONE shared materialized quantized corpus
+    and one combiner round per Lloyd iteration covering ALL m subspaces
+    (stages/cluster.pq_train) — vs m sequential kmeans runs; the tiny
+    (m x kc x sd) codebook set is cached per process so embed_pq /
+    embed_knn_pq / pq_recall within one session train once.  Training
+    is deterministic (integer-exact, order-independent partials), so
+    the cache never changes results."""
+    key = (sf_dir, m, kc, iters)
+    if key not in _PQ_CODEBOOKS:
+        from osmquadtreepostgis_ray.stages.cluster import pq_train
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        corpus, cents = pq_train(ds, m=m, kc=kc, iters=iters)
+        _PQ_CODEBOOKS[key] = cents
+    return _PQ_CODEBOOKS[key]
+
+
 def q_embed_pq(sf_dir: str, m: int = 4, k: int = 4, iters: int = 3):
     """Product-quantization encoding (THE embedding-compression scheme
     ANN deployments run at 100-TB scale: split each vector into m
     subspaces, k-means each subspace, store only the m small codes):
-    reuses the integer-exact distributed Lloyd (stages/cluster.
-    kmeans_assign) per subspace slice, emitting one (vec_id, subspace,
-    cluster, d2) row per code — d2 is the exact per-subspace
-    quantization error the recall-vs-compression tradeoff is tuned on.
-    m sequential kmeans runs, each combiner-topology (no shuffle
-    growth with corpus size); codes fully determined by data order-
-    independently, so bit-stable at any parallelism."""
-    import pyarrow.compute as pc
+    codebooks from the single-pass multi-subspace Lloyd
+    (stages/cluster.pq_train — bit-identical per subspace to
+    kmeans_assign over the slice, pinned by the oracle), then ONE
+    streaming assign pass emits (vec_id, subspace, cluster, d2) for
+    every code — d2 is the exact per-subspace quantization error the
+    recall-vs-compression tradeoff is tuned on.  Bit-stable at any
+    parallelism."""
+    from osmquadtreepostgis_ray.stages.cluster import _quantize, pq_assign
 
-    from osmquadtreepostgis_ray.stages.cluster import kmeans_assign
-
-    parts = []
-    for s in range(m):
-        def slice_s(t: pa.Table, s=s) -> pa.Table:
-            emb = t.column("embedding")
-            if t.num_rows == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "embedding": emb})
-            d = len(emb[0])
-            sd = d // m
-            return pa.table({
-                "vec_id": t.column("vec_id"),
-                "embedding": pc.list_slice(emb, s * sd, (s + 1) * sd)})
-
-        sub = read_table(sf_dir, "embeddings",
-                         columns=["vec_id", "embedding"]) \
-            .map_batches(slice_s, batch_format="pyarrow")
-        a = kmeans_assign(sub, k=k, iters=iters)
-
-        def tag(t: pa.Table, s=s) -> pa.Table:
-            return pa.table({
-                "vec_id": t.column("vec_id"),
-                "subspace": pa.array(np.full(t.num_rows, s, np.int64),
-                                     pa.int64()),
-                "cluster": t.column("cluster"),
-                "d2": t.column("d2")})
-
-        parts.append(a.map_batches(tag, batch_format="pyarrow"))
-    return parts[0].union(*parts[1:])
+    cents = _pq_codebooks(sf_dir, m, k, iters)
+    corpus = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"]) \
+        .map_batches(_quantize, batch_format="pyarrow")
+    return pq_assign(corpus, cents, m)
 
 
 def q_embed_knn_pq(sf_dir: str, k: int = 5, nq: int = 5, m: int = 4,
@@ -3812,32 +3807,12 @@ def q_embed_knn_pq(sf_dir: str, k: int = 5, nq: int = 5, m: int = 4,
     Exact integers end-to-end, tie -> lowest neighbor_id."""
     import duckdb
 
-    from osmquadtreepostgis_ray.stages.cluster import (KM_SCALE, KM_SHIFT,
-                                                       kmeans_assign)
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
     from osmquadtreepostgis_ray.util import topk_per_key
 
     import pyarrow.compute as pc
 
-    def slice_of(s):
-        def slice_s(t: pa.Table) -> pa.Table:
-            emb = t.column("embedding")
-            if t.num_rows == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "embedding": emb})
-            d = len(emb[0])
-            sd = d // m
-            return pa.table({
-                "vec_id": t.column("vec_id"),
-                "embedding": pc.list_slice(emb, s * sd, (s + 1) * sd)})
-        return slice_s
-
-    cents = []
-    for s in range(m):
-        sub = read_table(sf_dir, "embeddings",
-                         columns=["vec_id", "embedding"]) \
-            .map_batches(slice_of(s), batch_format="pyarrow")
-        _, C = kmeans_assign(sub, k=kc, iters=iters, return_centroids=True)
-        cents.append(C)                                   # (kc, sd) int64
+    cents = _pq_codebooks(sf_dir, m, kc, iters)           # [(kc, sd)] x m
 
     qdf = duckdb.sql(
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "

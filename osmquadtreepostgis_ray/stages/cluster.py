@@ -277,3 +277,89 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3,
         # encoder stores alongside the codes (tiny, driver-held)
         return out, cents
     return out
+
+
+def pq_train(ds: ray.data.Dataset, m: int = 4, kc: int = 4, iters: int = 3):
+    """Train all m product-quantization codebooks in ONE pass per Lloyd
+    round (vs m sequential kmeans_assign runs = m materializations and
+    m x (iters-1) combiner rounds): the quantized corpus materializes
+    once, each round's map_batches emits (subspace, cluster, cnt, sums)
+    partials for EVERY subspace, and the driver combines the bounded
+    m x kc x sd int table.  Per-subspace math is bit-identical to
+    kmeans_assign over the sliced corpus (same vec_id < kc init, same
+    argmin tie, same integer-mean update with empty-cluster carry-over)
+    — pinned by the embed_pq oracle.  Returns (materialized quantized
+    corpus, [m x (kc, sd) centroid arrays])."""
+    corpus = ds.map_batches(_quantize, batch_format="pyarrow").materialize()
+    init = corpus.filter(expr=f"vec_id < {kc}").to_pandas().sort_values("vec_id")
+    Q0 = np.stack(init["q"].to_numpy())[:kc].astype(np.int64)
+    d = Q0.shape[1]
+    sd = d // m
+    cents = [Q0[:, s * sd:(s + 1) * sd].copy() for s in range(m)]
+
+    for _it in range(iters - 1):
+        cref = ray.put(np.stack(cents))          # (m, kc, sd)
+
+        def part(t: pa.Table, cref=cref) -> pa.Table:
+            C = ray.get(cref)
+            _ids, Qf = _qmat(t)
+            ss, jj, cc, sums_l = [], [], [], []
+            for s in range(m):
+                Qs = Qf[:, s * sd:(s + 1) * sd]
+                a = ((Qs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2) \
+                    .argmin(axis=1)
+                cnt = np.bincount(a, minlength=kc).astype(np.int64)
+                sums = np.zeros((kc, sd), dtype=np.int64)
+                np.add.at(sums, a, Qs)           # int64-exact (CLAUDE.md)
+                ss.append(np.full(kc, s, np.int64))
+                jj.append(np.arange(kc, dtype=np.int64))
+                cc.append(cnt)
+                sums_l.append(sums)
+            return pa.table({
+                "subspace": pa.array(np.concatenate(ss), pa.int64()),
+                "cluster": pa.array(np.concatenate(jj), pa.int64()),
+                "cnt": pa.array(np.concatenate(cc), pa.int64()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(sums_l).ravel(), pa.int64()), sd),
+            })
+
+        parts = corpus.map_batches(part, batch_format="pyarrow").to_pandas()
+        cnt = np.zeros((m, kc), dtype=np.int64)
+        sums = np.zeros((m, kc, sd), dtype=np.int64)
+        for _, row in parts.iterrows():
+            cnt[row["subspace"], row["cluster"]] += row["cnt"]
+            sums[row["subspace"], row["cluster"]] += np.asarray(
+                row["sums"], dtype=np.int64)
+        for s in range(m):
+            nz = cnt[s] > 0
+            cents[s][nz] = sums[s][nz] // cnt[s][nz, None]
+    return corpus, cents
+
+
+def pq_assign(corpus: ray.data.Dataset, cents: list, m: int) -> ray.data.Dataset:
+    """One streaming pass emitting ALL m PQ codes per vector:
+    (vec_id, subspace, cluster, d2) rows — the q_embed_pq output shape."""
+    C = np.stack(cents)
+    sd = C.shape[2]
+    cref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cs = ray.get(cref)
+        ids, Qf = _qmat(t)
+        n = len(ids)
+        out_s, out_j, out_d = [], [], []
+        for s in range(m):
+            Qs = Qf[:, s * sd:(s + 1) * sd]
+            d2 = ((Qs[:, None, :] - Cs[s][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            out_s.append(np.full(n, s, np.int64))
+            out_j.append(a.astype(np.int64))
+            out_d.append(d2[np.arange(n), a])
+        return pa.table({
+            "vec_id": pa.array(np.tile(ids, m), pa.int64()),
+            "subspace": pa.array(np.concatenate(out_s), pa.int64()),
+            "cluster": pa.array(np.concatenate(out_j), pa.int64()),
+            "d2": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    return corpus.map_batches(assign, batch_format="pyarrow")
