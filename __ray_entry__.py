@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cover": Q.q_tile_cover,
         "pip_zones": Q.q_pip_zones,
         "pip_anti": Q.q_pip_anti,
+        "viewport": Q.q_viewport,
         "zone_distance": Q.q_zone_distance,
         "zone_border_dist": Q.q_zone_border_dist,
         "pip_zones_partitioned": Q.q_pip_zones_partitioned,

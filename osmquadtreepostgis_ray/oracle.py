@@ -110,6 +110,20 @@ def sql_pip_zones() -> str:
     )"""
 
 
+def sql_viewport() -> str:
+    """Twin of queries.q_viewport: the plain half-open bbox predicate
+    (the Ray side proves the partition PRUNE; values must match a full
+    scan exactly)."""
+    from osmquadtreepostgis_ray.queries import VIEWPORT
+    lon0, lat0, lon1, lat1 = VIEWPORT
+    return f"""
+    WITH {events_geo_cte()}
+    SELECT event_id, lon_milli, lat_milli FROM ev
+    WHERE lon_milli >= {lon0} AND lon_milli < {lon1}
+      AND lat_milli >= {lat0} AND lat_milli < {lat1}
+    """
+
+
 def sql_pip_anti() -> str:
     """Twin of queries.q_pip_anti: events whose grid cell has no kept
     zone (the NOT-EXISTS containment inversion; admin zones tile the
@@ -3068,6 +3082,7 @@ def build_oracles() -> dict[str, str]:
         "tile_quadkey": sql_tile_quadkey(),
         "tile_bundle": sql_tile_bundle(),
         "pip_anti": sql_pip_anti(),
+        "viewport": sql_viewport(),
         "zone_distance": sql_zone_distance(),
         "zone_border_dist": sql_zone_border_dist(),
         "snapshot_diff": sql_snapshot_diff(),

@@ -183,6 +183,81 @@ def q_tile_bundle(sf_dir: str):
     return shard_apply(pts, ["tile"], bundle)
 
 
+# tile-server viewport: (lon0, lat0, lon1, lat1) milli, half-open
+VIEWPORT = (120_000, 60_000, 180_000, 100_000)
+VIEWPORT_PART_DEPTH = 4
+
+
+def q_viewport(sf_dir: str):
+    """Tile-server viewport read (the bbox query every map client
+    issues): the corpus caches hive-partitioned by its depth-4 quadtree
+    ancestor ONCE per process (state/partcache — the partitioned table
+    layout a serving deployment maintains), each viewport read then
+    touches ONLY the partitions intersecting the bbox (a storage-path
+    prune proven via parquet metadata in pytest) and applies the exact
+    half-open bbox filter inside.  At 100 TB this is the difference
+    between a full scan per pan/zoom and an O(viewport) read."""
+    import tempfile
+
+    from osmquadtreepostgis_ray.state.partcache import (cache_partitioned,
+                                                        read_partitions)
+    import pyarrow.compute as pc
+
+    lon0, lat0, lon1, lat1 = VIEWPORT
+
+    def part_of(batch: pa.Table) -> pa.Table:
+        part = quadtree.at_depth(batch.column("cell").to_numpy(),
+                                 VIEWPORT_PART_DEPTH)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "lon_milli": batch.column("lon_milli"),
+            "lat_milli": batch.column("lat_milli"),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    path = viewport_cache_path(sf_dir)
+    cache_partitioned(prep_events(sf_dir).map_batches(
+        part_of, batch_format="pyarrow"), path, "part")
+
+    # covered depth-4 cells of the bbox corners' ixy rectangle
+    fx, fy = geotag.milli_to_fixed(np.array([lon0, lon1 - 1]),
+                                   np.array([lat0, lat1 - 1]))
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, VIEWPORT_PART_DEPTH)
+    xs = np.arange(ix[0], ix[1] + 1)
+    ys = np.arange(iy[0], iy[1] + 1)
+    gx, gy = np.meshgrid(xs, ys)
+    parts = quadtree.encode_ixy(gx.ravel(), gy.ravel(), VIEWPORT_PART_DEPTH)
+
+    sub = read_partitions(path, "part", np.unique(parts))
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "lon_milli": pa.array([], pa.int64()),
+                      "lat_milli": pa.array([], pa.int64())})
+    if sub is None:
+        return ray.data.from_arrow(empty)
+
+    def in_bbox(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lon_milli" not in t.column_names:
+            return empty          # zero-row block with empty schema
+        x = t.column("lon_milli").to_numpy()
+        y = t.column("lat_milli").to_numpy()
+        m = (x >= lon0) & (x < lon1) & (y >= lat0) & (y < lat1)
+        return t.filter(pa.array(m)).select(
+            ["event_id", "lon_milli", "lat_milli"])
+
+    return sub.map_batches(in_bbox, batch_format="pyarrow")
+
+
+def viewport_cache_path(sf_dir: str) -> str:
+    """Stable per-sf_dir cache dir for the viewport layout (the
+    _SUCCESS marker makes re-use across processes safe; a killed build
+    leaves no marker and rebuilds)."""
+    import hashlib
+    import os
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"viewport_{tag}")
+
+
 def q_pip_zones(sf_dir: str):
     return pip_zones_ds(sf_dir)
 

@@ -487,3 +487,46 @@ def test_tile_bundle_digest_matches_local(sf_dir):
         assert row["n"] == len(ref[int(row["tile"])])
         assert row["bytes_len"] == len(blob)
         assert row["digest"] == hashlib.md5(blob).hexdigest()
+
+
+def test_viewport_prunes_partitions(sf_dir):
+    """viewport: result equals the exact bbox filter AND the pruned
+    read provably scans fewer rows than the corpus (parquet metadata),
+    i.e. the partition prune is a storage-path prune, not a row
+    filter over a full scan."""
+    import duckdb
+    import numpy as np
+    from osmquadtreepostgis_ray.functions import geotag
+    from osmquadtreepostgis_ray.queries import (VIEWPORT,
+                                                VIEWPORT_PART_DEPTH,
+                                                q_viewport,
+                                                viewport_cache_path)
+    from osmquadtreepostgis_ray.state.partcache import (partition_rows,
+                                                        partition_values)
+
+    out = q_viewport(sf_dir).to_pandas().sort_values("event_id")
+    lon0, lat0, lon1, lat1 = VIEWPORT
+    ev = duckdb.sql(f"SELECT event_id, user_id FROM "
+                    f"'{sf_dir}/events.parquet'").df()
+    lon, lat = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                         ev["event_id"].to_numpy())
+    m = (lon >= lon0) & (lon < lon1) & (lat >= lat0) & (lat < lat1)
+    assert (out["event_id"].to_numpy()
+            == np.sort(ev["event_id"].to_numpy()[m])).all()
+
+    path = viewport_cache_path(sf_dir)
+    all_parts = partition_values(path, "part")
+    total = partition_rows(path, "part", all_parts)
+    # rows in the partitions the viewport actually reads
+    from osmquadtreepostgis_ray.functions import quadtree
+    fx, fy = geotag.milli_to_fixed(np.array([lon0, lon1 - 1]),
+                                   np.array([lat0, lat1 - 1]))
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, VIEWPORT_PART_DEPTH)
+    gx, gy = np.meshgrid(np.arange(ix[0], ix[1] + 1),
+                         np.arange(iy[0], iy[1] + 1))
+    parts = np.unique(quadtree.encode_ixy(gx.ravel(), gy.ravel(),
+                                          VIEWPORT_PART_DEPTH))
+    touched = partition_rows(path, "part", parts)
+    assert total == len(ev)
+    assert touched < total        # the prune scans strictly less
+    assert touched >= len(out)    # and at least the matching rows
