@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_windows": Q.q_audio_windows,
         # dedup clustering
         "neardup_clusters": Q.q_neardup_clusters,
+        "dbscan": Q.q_dbscan,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,

@@ -2046,6 +2046,59 @@ def sql_neardup_clusters() -> str:
     """
 
 
+def sql_dbscan(eps: int = 1500, min_pts: int = 4) -> str:
+    """Twin of queries.q_dbscan (stages/cluster.dbscan): eps-pairs via
+    self-join, core = degree+1 >= min_pts, components = recursive-CTE
+    min-label closure over core-core edges (+ core self edges so
+    isolated cores keep their own label), border = MIN component among
+    eps-reachable cores, noise = -1."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_id, {lon} AS x, {lat} AS y FROM events
+    ),
+    pairs AS (
+        SELECT a.event_id AS a, b.event_id AS b
+        FROM ev a JOIN ev b
+          ON b.x BETWEEN a.x - {eps} AND a.x + {eps}
+         AND b.y BETWEEN a.y - {eps} AND a.y + {eps}
+         AND a.event_id <> b.event_id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {eps * eps}
+    ),
+    core AS (
+        SELECT a AS id FROM pairs GROUP BY a HAVING count(*) + 1 >= {min_pts}
+    ),
+    ce AS (
+        SELECT p.a AS src, p.b AS dst FROM pairs p
+        JOIN core ca ON ca.id = p.a
+        JOIN core cb ON cb.id = p.b
+        UNION ALL
+        SELECT id, id FROM core
+    ),
+    walk(v, l) AS (
+        SELECT src, src FROM ce
+        UNION
+        SELECT e.dst, w.l FROM walk w JOIN ce e ON e.src = w.v
+    ),
+    comp AS (SELECT v AS node, MIN(l) AS component FROM walk GROUP BY v),
+    border AS (
+        SELECT p.a AS id, MIN(c.component) AS lbl
+        FROM pairs p
+        JOIN comp c ON c.node = p.b
+        LEFT JOIN core k ON k.id = p.a
+        WHERE k.id IS NULL
+        GROUP BY p.a
+    ),
+    lab AS (
+        SELECT node AS id, component AS lbl FROM comp
+        UNION ALL
+        SELECT id, lbl FROM border
+    )
+    SELECT e.event_id, CAST(COALESCE(l.lbl, -1) AS BIGINT) AS label
+    FROM ev e LEFT JOIN lab l ON l.id = e.event_id
+    """
+
+
 def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """Twin of queries.q_split_leakage_safe: recursive-CTE components
     LEFT-joined onto documents (isolated docs label themselves), split
@@ -3170,6 +3223,7 @@ def build_oracles() -> dict[str, str]:
         "image_resize": sql_image_resize(),
         "multimodal_fusion": sql_multimodal_fusion(),
         "neardup_clusters": sql_neardup_clusters(),
+        "dbscan": sql_dbscan(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

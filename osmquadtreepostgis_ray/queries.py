@@ -2930,6 +2930,24 @@ def q_raster_blur(sf_dir: str):
             .select_columns(["tile", "py", "px", "blur_sum"]))
 
 
+DBSCAN_EPS = 1500
+DBSCAN_MIN_PTS = 4
+
+
+def q_dbscan(sf_dir: str):
+    """Density clustering of event geotags — grid-based distributed
+    DBSCAN (stages/cluster.dbscan): one cell exchange for neighbor
+    counts + pairs, bucket join for the candidate flag, contraction
+    connected-components over core-core edges, sharded border min,
+    noise -1.  Labels are the min core event_id per cluster (order-free
+    deterministic variant).  Oracle: self-join pairs + recursive-CTE
+    closure over the core graph."""
+    from osmquadtreepostgis_ray.stages.cluster import dbscan
+    pts = prep_events(sf_dir).select_columns(
+        ["event_id", "lon_milli", "lat_milli"])
+    return dbscan(pts, eps_milli=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
 def q_dissolve(sf_dir: str):
     """Raster dissolve (polygon dissolve on the pixel grid): adjacent
     (4-neighbor) cells of the heatmap raster with EQUAL counts merge

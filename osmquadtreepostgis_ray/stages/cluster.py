@@ -37,11 +37,15 @@ edges were blocked.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
-from osmquadtreepostgis_ray.util import sharded_agg
+from osmquadtreepostgis_ray.functions import geotag, quadtree
+from osmquadtreepostgis_ray.util import shard_apply, sharded_agg
 from osmquadtreepostgis_ray.stages.joins import (_HASH_MULT, broadcast_join,
+                                                 bucket_hash_join,
                                                  default_buckets)
 
 SOLVE_LIMIT = 5_000_000  # contracted-edge ceiling for the one-task solve
@@ -363,3 +367,207 @@ def pq_assign(corpus: ray.data.Dataset, cents: list, m: int) -> ray.data.Dataset
         })
 
     return corpus.map_batches(assign, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ DBSCAN
+
+def dbscan(points: ray.data.Dataset, eps_milli: int = 1500, min_pts: int = 4,
+           depth: int = 6) -> ray.data.Dataset:
+    """Grid-based distributed DBSCAN over exact integer milli-degree
+    points — the density analog of the reference's fixed-depth quadtree
+    grouping (src/sortblocks groups by cell; here groups emerge from
+    spatial density).  Returns ``(event_id, label)``: label = the MIN
+    core event_id of the cluster, ``-1`` for noise; a border point takes
+    the MIN label among its eps-reachable cores (deterministic and
+    scan-order-free, unlike classic DBSCAN's first-reached rule — the
+    CLAUDE.md bit-stability invariant).
+
+    Plan — pair volume = n x avg eps-degree (the inherent DBSCAN cost);
+    no data-scaled driver state at any stage:
+
+    1. ONE groupby(cell) exchange at ``depth`` (requires eps <= cell
+       width, so an eps-disk bbox covers <= 3x3 cells): each point lands
+       once as OWNER in its home cell and fans as CANDIDATE to every
+       cell its eps-bbox overlaps.  Every eps-neighbor of an owner
+       appears in the owner's home group exactly once, so the per-owner
+       neighbor count (core flag) is complete locally and each ordered
+       pair is emitted exactly once.
+    2. one bucket join attaches the candidate's core flag to each pair.
+    3. core-core edges + one self edge per core -> connected_components
+       (block contraction, worker-side solve; self edges keep isolated
+       cores labelled).
+    4. border pairs join the component on b, then a sharded min per a.
+    5. full labelling via a left join; unmatched -> -1 (noise).
+
+    Partitioning assumption (SURVEY §2 custom-operator rule): cell
+    population is bounded by spatial density x cell area, never by
+    dataset size; hot cells split by raising ``depth`` (and lowering
+    eps accordingly).
+    """
+    cell_w = min(geotag.LON_MOD, 180_000) >> depth
+    if eps_milli > cell_w:
+        raise ValueError(f"eps {eps_milli} > cell width {cell_w} at depth {depth}")
+    eps2 = eps_milli * eps_milli
+    points = points.materialize()  # consumed twice (fan + final labelling)
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        eid = t.column("event_id").to_numpy()
+        x = t.column("lon_milli").to_numpy()
+        y = t.column("lat_milli").to_numpy()
+        fx, fy = geotag.milli_to_fixed(x, y)
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+        own = quadtree.encode_ixy(ix, iy, depth)
+        # candidate fanout: the full cell rectangle of the eps-disk bbox
+        # (corner-only enumeration misses middle cells when 2*eps spans
+        # more than two cell boundaries — same rule as radius_join)
+        lo_x = np.clip(x - eps_milli, 0, geotag.LON_MOD - 1)
+        lo_y = np.clip(y - eps_milli, 0, geotag.LAT_MOD - 1)
+        hi_x = np.clip(x + eps_milli, 0, geotag.LON_MOD - 1)
+        hi_y = np.clip(y + eps_milli, 0, geotag.LAT_MOD - 1)
+        fx0, fy0 = geotag.milli_to_fixed(lo_x, lo_y)
+        fx1, fy1 = geotag.milli_to_fixed(hi_x, hi_y)
+        ix0, iy0 = quadtree.fixed_to_ixy(fx0, fy0, depth)
+        ix1, iy1 = quadtree.fixed_to_ixy(fx1, fy1, depth)
+        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+        reps = nx * ny
+        total = int(reps.sum())
+        local = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        ny_r = np.repeat(ny, reps)
+        cix = np.repeat(ix0, reps) + local // ny_r
+        ciy = np.repeat(iy0, reps) + local % ny_r
+        cells = np.concatenate([own, quadtree.encode_ixy(cix, ciy, depth)])
+        side = np.concatenate([np.zeros(len(eid), np.int8),
+                               np.ones(total, np.int8)])
+        ids = np.concatenate([eid, np.repeat(eid, reps)])
+        xs = np.concatenate([x, np.repeat(x, reps)])
+        ys = np.concatenate([y, np.repeat(y, reps)])
+        return pa.table({"cell": pa.array(cells, pa.int64()),
+                         "side": pa.array(side, pa.int8()),
+                         "id": pa.array(ids, pa.int64()),
+                         "x": pa.array(xs, pa.int64()),
+                         "y": pa.array(ys, pa.int64())})
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["side"] == 0]
+        cand = g[g["side"] == 1]
+        oid = own["id"].to_numpy(np.int64)
+        if not len(oid) or not len(cand):
+            z = np.empty(0, np.int64)
+            return pd.DataFrame({"a": z, "b": z,
+                                 "a_core": np.empty(0, np.int8),
+                                 "f": np.empty(0, np.int8)})
+        cid = cand["id"].to_numpy(np.int64)
+        dx = cand["x"].to_numpy(np.int64)[None, :] - own["x"].to_numpy(np.int64)[:, None]
+        dy = cand["y"].to_numpy(np.int64)[None, :] - own["y"].to_numpy(np.int64)[:, None]
+        m = (dx * dx + dy * dy <= eps2) & (cid[None, :] != oid[:, None])
+        deg = m.sum(1)
+        core = (deg + 1 >= min_pts).astype(np.int8)
+        oi, ci = np.nonzero(m)
+        return pd.DataFrame({
+            "a": np.concatenate([oid[oi], oid]),
+            "b": np.concatenate([cid[ci], np.full(len(oid), -1, np.int64)]),
+            "a_core": np.concatenate([core[oi], core]),
+            "f": np.concatenate([np.zeros(len(oi), np.int8),
+                                 np.ones(len(oid), np.int8)])})
+
+    raw = (points.map_batches(fan, batch_format="pyarrow")
+           .groupby("cell").map_groups(grp, batch_format="pandas")
+           .materialize())  # forked below (pairs / flags / self edges)
+
+    def _typed(t: pa.Table) -> bool:
+        return t.num_rows > 0 and "f" in t.column_names
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        if not _typed(t):
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z, "a_core": pa.array([], pa.int8())})
+        t = t.filter(pc.equal(t.column("f"), 0))
+        return t.drop(["f"])
+
+    def to_flags(t: pa.Table) -> pa.Table:
+        if not _typed(t):
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "b_core": pa.array([], pa.int8())})
+        t = t.filter(pc.equal(t.column("f"), 1))
+        return pa.table({"b": t.column("a"), "b_core": t.column("a_core")})
+
+    def to_self_edges(t: pa.Table) -> pa.Table:
+        if not _typed(t):
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z})
+        t = t.filter(pc.and_(pc.equal(t.column("f"), 1),
+                             pc.equal(t.column("a_core"), 1)))
+        return pa.table({"a": t.column("a"), "b": t.column("a")})
+
+    pairs2 = bucket_hash_join(raw.map_batches(to_pairs, batch_format="pyarrow"),
+                              raw.map_batches(to_flags, batch_format="pyarrow"),
+                              on="b")
+
+    def core_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # a_core/b_core may have floated in mixed typed-union buckets
+        k = df[(df["a_core"] == 1) & (df["b_core"] == 1)]
+        return pd.DataFrame({"a": k["a"].to_numpy(np.int64),
+                             "b": k["b"].to_numpy(np.int64)})
+
+    def border_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[(df["a_core"] == 0) & (df["b_core"] == 1)]
+        return pd.DataFrame({"a": k["a"].to_numpy(np.int64),
+                             "b": k["b"].to_numpy(np.int64)})
+
+    pairs2 = pairs2.materialize()  # forked (core edges / border)
+    edges = pairs2.map_batches(core_edges, batch_format="pandas").union(
+        raw.map_batches(to_self_edges, batch_format="pyarrow"))
+    comp = connected_components(edges, "a", "b").materialize()  # forked
+
+    def comp_as_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("node"),
+                         "label": t.column("component")})
+
+    def comp_on_b(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t.column("node"),
+                         "component": t.column("component")})
+
+    # Ray skips UDFs on zero-row blocks, so a map over an empty comp has
+    # an Unknown schema — anchor with a typed empty table before joining.
+    comp_b = ray.data.from_arrow(pa.table(
+        {"b": pa.array([], pa.int64()),
+         "component": pa.array([], pa.int64())})).union(
+        comp.map_batches(comp_on_b, batch_format="pyarrow"))
+    bj = bucket_hash_join(pairs2.map_batches(border_pairs, batch_format="pandas"),
+                          comp_b, on="b")
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("a", as_index=False)["component"].min()
+        return pd.DataFrame({"event_id": r["a"].to_numpy(np.int64),
+                             "label": r["component"].to_numpy(np.int64)})
+
+    # typed empty anchor: when there are no borders (or no cores at all)
+    # the shard_apply/map_groups side yields ZERO blocks and the union's
+    # schema would be None (the check_parity empty-map_groups hazard) —
+    # the anchor pins the (event_id, label) schema unconditionally.
+    anchor = ray.data.from_arrow(pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "label": pa.array([], pa.int64())}))
+    labels = anchor.union(
+        comp.map_batches(comp_as_labels, batch_format="pyarrow"),
+        shard_apply(bj, ["a"], min_label))
+
+    def base(t: pa.Table) -> pa.Table:
+        return t.select(["event_id"])
+
+    out = bucket_hash_join(points.map_batches(base, batch_format="pyarrow"),
+                           labels, on="event_id", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["label"] = df["label"].fillna(-1).astype(np.int64)
+        df["event_id"] = df["event_id"].astype(np.int64)
+        return df[["event_id", "label"]]
+
+    return out.map_batches(finish, batch_format="pandas")

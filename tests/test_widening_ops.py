@@ -900,3 +900,69 @@ def test_pq_recall_bounds_and_exact_self_consistency(sf_dir):
         got = exact[exact["query_id"] == qi].sort_values("rank")
         assert (got["neighbor_id"].to_numpy() == ids[order]).all()
         assert (got["d2"].to_numpy() == d[order]).all()
+
+
+def _dbscan_ref(eid, x, y, eps, minp):
+    """Brute-force DBSCAN with the engine's deterministic rules (label =
+    min core event_id per component; border takes MIN over reachable
+    cores; noise -1)."""
+    dx = x[None, :] - x[:, None]
+    dy = y[None, :] - y[:, None]
+    m = (dx * dx + dy * dy <= eps * eps) & (eid[None, :] != eid[:, None])
+    core = m.sum(1) + 1 >= minp
+    n = len(eid)
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ai, bi = np.nonzero(m)
+    for a, b in zip(ai, bi):
+        if core[a] and core[b]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, eid[i]), eid[i])
+    label = np.full(n, -1, np.int64)
+    for i in range(n):  # pass 1: cores only (border min must see final core labels)
+        if core[i]:
+            label[i] = comp_min[find(i)]
+    for i in range(n):  # pass 2: borders
+        if not core[i]:
+            nb = np.nonzero(m[i] & core)[0]
+            if len(nb):
+                label[i] = min(label[j] for j in nb)
+    return pd.DataFrame({"event_id": eid, "label": label}) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def test_dbscan_matches_numpy_reference(sf_dir):
+    from osmquadtreepostgis_ray.stages.cluster import dbscan
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    eid = ev["event_id"].to_numpy(np.int64)
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(), eid)
+
+    # registered parameters (sparse at sf0.001: exercises the all-noise
+    # / empty-core degenerate paths end-to-end)
+    out = Q.q_dbscan(sf_dir).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, _dbscan_ref(eid, x, y, Q.DBSCAN_EPS, Q.DBSCAN_MIN_PTS))
+
+    # denser radius at coarser grid: real clusters, borders and noise
+    pts = Q.prep_events(sf_dir).select_columns(
+        ["event_id", "lon_milli", "lat_milli"])
+    out2 = dbscan(pts, eps_milli=5000, min_pts=4, depth=5).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ref2 = _dbscan_ref(eid, x, y, 5000, 4)
+    pd.testing.assert_frame_equal(out2, ref2)
+    assert (out2["label"] >= 0).any() and (out2["label"] == -1).any()
+    assert (ref2["label"] >= 0).sum() > 20  # non-degenerate structure
