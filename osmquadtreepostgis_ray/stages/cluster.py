@@ -45,7 +45,6 @@ import ray.data
 from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.util import shard_apply, sharded_agg
 from osmquadtreepostgis_ray.stages.joins import (_HASH_MULT, broadcast_join,
-                                                 bucket_hash_join,
                                                  default_buckets)
 
 SOLVE_LIMIT = 5_000_000  # contracted-edge ceiling for the one-task solve
@@ -97,6 +96,16 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
     node id in the node's connected component.  Nodes are the edge
     endpoints (an isolated document simply keeps its own id — callers
     union it in if they need every row labelled)."""
+    # _local_contract emits one (node, root) row per distinct node per
+    # BLOCK: many tiny edge blocks (e.g. a 256-shard upstream) duplicate
+    # every shared node ~blocks times, inflating the mapping past the
+    # one-task fastpath for graphs that easily fit it.  Coalesce small
+    # edge inputs to ~1 block/CPU first (repartition without sort keys —
+    # a split/merge, not a key exchange); big inputs keep their blocks.
+    from osmquadtreepostgis_ray.util import estimate_bytes, pool_size
+    est = estimate_bytes(edges)
+    if est is not None and est <= 256 << 20:
+        edges = edges.repartition(pool_size())
     mapping = edges.map_batches(_local_contract(a_col, b_col),
                                 batch_format="pyarrow",
                                 batch_size=None).materialize()
@@ -175,7 +184,10 @@ def connected_components(edges: ray.data.Dataset, a_col: str = "a",
         return pa.table({"root": pa.array(nodes, pa.int64()),
                          "component": pa.array(roots, pa.int64())})
 
-    root_labels = contracted.groupby("one").map_groups(solve, batch_format="pyarrow")
+    # materialize: to_arrow_refs below executes the chain, and a lazy
+    # schema probe on the sort output would re-execute it (CLAUDE.md)
+    root_labels = contracted.groupby("one").map_groups(
+        solve, batch_format="pyarrow").materialize()
 
     # label join-back: root_labels is the CONTRACTED table (bounded by
     # SOLVE_LIMIT — the same bound the solve step already requires), so
@@ -392,12 +404,18 @@ def dbscan(points: ray.data.Dataset, eps_milli: int = 1500, min_pts: int = 4,
        appears in the owner's home group exactly once, so the per-owner
        neighbor count (core flag) is complete locally and each ordered
        pair is emitted exactly once.
-    2. one bucket join attaches the candidate's core flag to each pair.
+    2. each unordered pair's TWO directed emissions (one from each
+       end's home group) co-locate in one shard keyed by (lo, hi) —
+       a vectorized merge combines both core flags with no join stage.
     3. core-core edges + one self edge per core -> connected_components
        (block contraction, worker-side solve; self edges keep isolated
        cores labelled).
-    4. border pairs join the component on b, then a sharded min per a.
-    5. full labelling via a left join; unmatched -> -1 (noise).
+    4. border rows shard with comp on the core id (one shard_apply
+       replaces the bucket join), emitting per-border candidate labels.
+    5. final labelling: ONE shard_apply on event_id over the typed
+       union [owner rows | core labels | border labels] — min label per
+       point, -1 when none (noise).  Owner rows double as the base
+       point list, so the input is consumed exactly once.
 
     Partitioning assumption (SURVEY §2 custom-operator rule): cell
     population is bounded by spatial density x cell area, never by
@@ -408,7 +426,6 @@ def dbscan(points: ray.data.Dataset, eps_milli: int = 1500, min_pts: int = 4,
     if eps_milli > cell_w:
         raise ValueError(f"eps {eps_milli} > cell width {cell_w} at depth {depth}")
     eps2 = eps_milli * eps_milli
-    points = points.materialize()  # consumed twice (fan + final labelling)
 
     def fan(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "event_id" not in t.column_names:
@@ -476,28 +493,65 @@ def dbscan(points: ray.data.Dataset, eps_milli: int = 1500, min_pts: int = 4,
             "f": np.concatenate([np.zeros(len(oi), np.int8),
                                  np.ones(len(oid), np.int8)])})
 
-    raw = (points.map_batches(fan, batch_format="pyarrow")
-           .groupby("cell").map_groups(grp, batch_format="pandas")
-           .materialize())  # forked below (pairs / flags / self edges)
-
     def _typed(t: pa.Table) -> bool:
         return t.num_rows > 0 and "f" in t.column_names
 
-    def to_pairs(t: pa.Table) -> pa.Table:
+    def to_dirpairs(t: pa.Table) -> pa.Table:
+        """Directed pair rows keyed by the unordered pair (lo, hi)."""
         if not _typed(t):
             z = pa.array([], pa.int64())
-            return pa.table({"a": z, "b": z, "a_core": pa.array([], pa.int8())})
+            return pa.table({"lo": z, "hi": z,
+                             "src_lo": pa.array([], pa.int8()),
+                             "core": pa.array([], pa.int8())})
         t = t.filter(pc.equal(t.column("f"), 0))
-        return t.drop(["f"])
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        lo = np.minimum(a, b)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(np.maximum(a, b), pa.int64()),
+                         "src_lo": pa.array((a == lo).astype(np.int8), pa.int8()),
+                         "core": t.column("a_core").cast(pa.int8())})
 
-    def to_flags(t: pa.Table) -> pa.Table:
-        if not _typed(t):
-            return pa.table({"b": pa.array([], pa.int64()),
-                             "b_core": pa.array([], pa.int8())})
-        t = t.filter(pc.equal(t.column("f"), 1))
-        return pa.table({"b": t.column("a"), "b_core": t.column("a_core")})
+    def merge_pair(g: pd.DataFrame) -> pd.DataFrame:
+        """Both directed emissions of an unordered pair co-locate here
+        (symmetric distance guarantees exactly one per end): a
+        vectorized merge combines the two core flags; emits CC edges
+        (kind 0: both core) and border rows (kind 1: u = the non-core
+        end, v = the core end)."""
+        left = g[g["src_lo"] == 1]
+        right = g[g["src_lo"] == 0]
+        m = left.merge(right, on=["lo", "hi"], suffixes=("_l", "_r"))
+        lo = m["lo"].to_numpy(np.int64)
+        hi = m["hi"].to_numpy(np.int64)
+        cl = m["core_l"].to_numpy(np.int8)
+        cr = m["core_r"].to_numpy(np.int8)
+        both = (cl == 1) & (cr == 1)
+        blo = (cl == 0) & (cr == 1)   # lo is the border end
+        bhi = (cl == 1) & (cr == 0)   # hi is the border end
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(int(both.sum()), np.int8),
+                                    np.ones(int(blo.sum() + bhi.sum()), np.int8)]),
+            "u": np.concatenate([lo[both], lo[blo], hi[bhi]]),
+            "v": np.concatenate([hi[both], hi[blo], lo[bhi]])})
 
-    def to_self_edges(t: pa.Table) -> pa.Table:
+    raw = (points.map_batches(fan, batch_format="pyarrow")
+           .groupby("cell").map_groups(grp, batch_format="pandas")
+           .materialize())  # forked: pair stream / owner stream (x2)
+    merged = shard_apply(raw.map_batches(to_dirpairs, batch_format="pyarrow"),
+                         ["lo", "hi"], merge_pair) \
+        .materialize()      # forked: CC edges / border rows
+
+    def _merged_ok(t: pa.Table) -> bool:
+        return t.num_rows > 0 and "kind" in t.column_names
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if not _merged_ok(t):
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z})
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        return pa.table({"a": t.column("u"), "b": t.column("v")})
+
+    def self_edges(t: pa.Table) -> pa.Table:
         if not _typed(t):
             z = pa.array([], pa.int64())
             return pa.table({"a": z, "b": z})
@@ -505,69 +559,106 @@ def dbscan(points: ray.data.Dataset, eps_milli: int = 1500, min_pts: int = 4,
                              pc.equal(t.column("a_core"), 1)))
         return pa.table({"a": t.column("a"), "b": t.column("a")})
 
-    pairs2 = bucket_hash_join(raw.map_batches(to_pairs, batch_format="pyarrow"),
-                              raw.map_batches(to_flags, batch_format="pyarrow"),
-                              on="b")
-
-    def core_edges(df: pd.DataFrame) -> pd.DataFrame:
-        # a_core/b_core may have floated in mixed typed-union buckets
-        k = df[(df["a_core"] == 1) & (df["b_core"] == 1)]
-        return pd.DataFrame({"a": k["a"].to_numpy(np.int64),
-                             "b": k["b"].to_numpy(np.int64)})
-
-    def border_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[(df["a_core"] == 0) & (df["b_core"] == 1)]
-        return pd.DataFrame({"a": k["a"].to_numpy(np.int64),
-                             "b": k["b"].to_numpy(np.int64)})
-
-    pairs2 = pairs2.materialize()  # forked (core edges / border)
-    edges = pairs2.map_batches(core_edges, batch_format="pandas").union(
-        raw.map_batches(to_self_edges, batch_format="pyarrow"))
+    # typed anchor: zero-row blocks propagate with an EMPTY schema and a
+    # union of all-empty streams would have schema None (CLAUDE.md)
+    edges = ray.data.from_arrow(pa.table(
+        {"a": pa.array([], pa.int64()),
+         "b": pa.array([], pa.int64())})).union(
+        merged.map_batches(to_edges, batch_format="pyarrow"),
+        raw.map_batches(self_edges, batch_format="pyarrow"))
     comp = connected_components(edges, "a", "b").materialize()  # forked
 
-    def comp_as_labels(t: pa.Table) -> pa.Table:
+    # stage 4: border rows + comp co-shard on the core id; vectorized
+    # positional lookup attaches the component (every core is in comp
+    # via its self edge, so a miss is a hard error, not a fill)
+    _S1 = {"k": pa.int64(), "a": pa.int64(), "component": pa.int64(),
+           "s": pa.int8()}
+
+    def _s1_empty() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in _S1.items()})
+
+    def border_keyed(t: pa.Table) -> pa.Table:
+        if not _merged_ok(t):
+            return _s1_empty()
+        t = t.filter(pc.equal(t.column("kind"), 1))
+        n = t.num_rows
+        return pa.table({"k": t.column("v"), "a": t.column("u"),
+                         "component": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "s": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def comp_keyed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _s1_empty()
+        n = t.num_rows
+        return pa.table({"k": t.column("node"),
+                         "a": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "component": t.column("component"),
+                         "s": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    def border_label(g: pd.DataFrame) -> pd.DataFrame:
+        cm = g[g["s"] == 1]
+        bd = g[g["s"] == 0]
+        pos = pd.Index(cm["k"].to_numpy(np.int64)).get_indexer(
+            bd["k"].to_numpy(np.int64))
+        assert (pos >= 0).all(), "border core missing from components"
+        return pd.DataFrame({
+            "event_id": bd["a"].to_numpy(np.int64),
+            "label": cm["component"].to_numpy(np.int64)[pos]})
+
+    s1_in = ray.data.from_arrow(_s1_empty()).union(
+        merged.map_batches(border_keyed, batch_format="pyarrow"),
+        comp.map_batches(comp_keyed, batch_format="pyarrow"))
+    border_lab = shard_apply(s1_in, ["k"], border_label)
+
+    # stage 5: one shard on event_id over [owner rows | core labels |
+    # border labels]; exactly one owner row exists per input point, so
+    # the owner stream IS the base point list (points read only once)
+    _S2 = {"event_id": pa.int64(), "label": pa.int64(), "has": pa.int8()}
+
+    def _s2_empty() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in _S2.items()})
+
+    def owner_base(t: pa.Table) -> pa.Table:
+        if not _typed(t):
+            return _s2_empty()
+        t = t.filter(pc.equal(t.column("f"), 1))
+        n = t.num_rows
+        return pa.table({"event_id": t.column("a"),
+                         "label": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "has": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    def comp_lab(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _s2_empty()
+        n = t.num_rows
         return pa.table({"event_id": t.column("node"),
-                         "label": t.column("component")})
+                         "label": t.column("component"),
+                         "has": pa.array(np.ones(n, np.int8), pa.int8())})
 
-    def comp_on_b(t: pa.Table) -> pa.Table:
-        return pa.table({"b": t.column("node"),
-                         "component": t.column("component")})
+    def border_as_s2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return _s2_empty()
+        n = t.num_rows
+        return pa.table({"event_id": t.column("event_id"),
+                         "label": t.column("label"),
+                         "has": pa.array(np.ones(n, np.int8), pa.int8())})
 
-    # Ray skips UDFs on zero-row blocks, so a map over an empty comp has
-    # an Unknown schema — anchor with a typed empty table before joining.
-    comp_b = ray.data.from_arrow(pa.table(
-        {"b": pa.array([], pa.int64()),
-         "component": pa.array([], pa.int64())})).union(
-        comp.map_batches(comp_on_b, batch_format="pyarrow"))
-    bj = bucket_hash_join(pairs2.map_batches(border_pairs, batch_format="pandas"),
-                          comp_b, on="b")
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["has"] == 0]
+        lab = g[g["has"] == 1]
+        ids = base["event_id"].to_numpy(np.int64)
+        mn = lab.groupby("event_id", sort=False)["label"].min()
+        vals = mn.to_numpy(np.int64)
+        if not len(vals):  # all-noise shard
+            return pd.DataFrame({"event_id": ids,
+                                 "label": np.full(len(ids), -1, np.int64)})
+        # exact int64 end-to-end: positional lookup, no NaN/float fill
+        pos = pd.Index(mn.index.to_numpy(np.int64)).get_indexer(ids)
+        out = np.where(pos >= 0, vals[np.maximum(pos, 0)], np.int64(-1))
+        return pd.DataFrame({"event_id": ids, "label": out})
 
-    def min_label(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.groupby("a", as_index=False)["component"].min()
-        return pd.DataFrame({"event_id": r["a"].to_numpy(np.int64),
-                             "label": r["component"].to_numpy(np.int64)})
-
-    # typed empty anchor: when there are no borders (or no cores at all)
-    # the shard_apply/map_groups side yields ZERO blocks and the union's
-    # schema would be None (the check_parity empty-map_groups hazard) —
-    # the anchor pins the (event_id, label) schema unconditionally.
-    anchor = ray.data.from_arrow(pa.table(
-        {"event_id": pa.array([], pa.int64()),
-         "label": pa.array([], pa.int64())}))
-    labels = anchor.union(
-        comp.map_batches(comp_as_labels, batch_format="pyarrow"),
-        shard_apply(bj, ["a"], min_label))
-
-    def base(t: pa.Table) -> pa.Table:
-        return t.select(["event_id"])
-
-    out = bucket_hash_join(points.map_batches(base, batch_format="pyarrow"),
-                           labels, on="event_id", how="left")
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["label"] = df["label"].fillna(-1).astype(np.int64)
-        df["event_id"] = df["event_id"].astype(np.int64)
-        return df[["event_id", "label"]]
-
-    return out.map_batches(finish, batch_format="pandas")
+    s2_in = ray.data.from_arrow(_s2_empty()).union(
+        raw.map_batches(owner_base, batch_format="pyarrow"),
+        comp.map_batches(comp_lab, batch_format="pyarrow"),
+        border_lab.map_batches(border_as_s2, batch_format="pyarrow"))
+    return shard_apply(s2_in, ["event_id"], finish)
