@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup clustering
         "neardup_clusters": Q.q_neardup_clusters,
         "dbscan": Q.q_dbscan,
+        "idw": Q.q_idw,
+        "moran": Q.q_moran,
+        "seq_pack": Q.q_seq_pack,
+        "zonal_mode": Q.q_zonal_mode,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,

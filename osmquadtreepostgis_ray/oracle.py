@@ -787,10 +787,38 @@ def sql_token_bpe() -> str:
             f"FROM documents GROUP BY source")
 
 
+# whitespace token count (twin of functions/text.token_count)
+_NTOK = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
+
+
 def sql_token_totals() -> str:
-    ntok = r"(CASE WHEN trim(text) = '' THEN 0 ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')) + 1 END)"
-    return (f"SELECT source, sum({ntok})::BIGINT AS tokens, count(*)::BIGINT AS docs "
+    return (f"SELECT source, sum({_NTOK})::BIGINT AS tokens, count(*)::BIGINT AS docs "
             f"FROM documents GROUP BY source")
+
+
+def sql_seq_pack(budget: int = 2048, shards: int = 32) -> str:
+    """Twin of queries.q_seq_pack: the exclusive per-shard running token
+    sum via a window frame; chunk/offset by truncating division (all
+    operands non-negative — the CLAUDE.md `//` rule)."""
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % {shards} AS shard, {_NTOK} AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS excl
+        FROM d
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(excl // {budget} AS BIGINT) AS chunk,
+           CAST(excl % {budget} AS BIGINT) AS tok_offset
+    FROM r
+    """
 
 
 def sql_fingerprints() -> str:
@@ -2099,6 +2127,83 @@ def sql_dbscan(eps: int = 1500, min_pts: int = 4) -> str:
     """
 
 
+def sql_idw(radius: int = 2500) -> str:
+    """Twin of queries.q_idw (stages/spatialstats.idw_grid): DISTINCT
+    depth-6 cell centers (exact in quarter-milli: widths 22500/11250)
+    range-joined to events with the integer linear kernel R^2 - d^2;
+    LEFT join keeps occupied cells whose own events sit farther than R
+    from the center."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    r4 = 4 * radius
+    r2 = r4 * r4
+    return f"""
+    WITH ev AS (
+        SELECT 4 * ({lon}) AS x4, 4 * (({lat}) + 5000) AS y4,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ctr AS (
+        SELECT ix, iy, ix * 22500 + 11250 AS cx4, iy * 11250 + 5625 AS cy4
+        FROM (SELECT DISTINCT x4 // 22500 AS ix, y4 // 11250 AS iy FROM ev)
+    ),
+    w AS (
+        SELECT c.ix, c.iy, e.cents,
+               {r2} - ((e.x4 - c.cx4) * (e.x4 - c.cx4)
+                       + (e.y4 - c.cy4) * (e.y4 - c.cy4)) AS wt
+        FROM ctr c JOIN ev e
+          ON e.x4 BETWEEN c.cx4 - {r4} AND c.cx4 + {r4}
+         AND e.y4 BETWEEN c.cy4 - {r4} AND c.cy4 + {r4}
+         AND (e.x4 - c.cx4) * (e.x4 - c.cx4)
+             + (e.y4 - c.cy4) * (e.y4 - c.cy4) < {r2}
+    )
+    SELECT CAST(c.ix AS BIGINT) AS ix, CAST(c.iy AS BIGINT) AS iy,
+           CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_src,
+           CAST(COALESCE(a.num, 0) AS BIGINT) AS num,
+           CAST(COALESCE(a.den, 0) AS BIGINT) AS den
+    FROM ctr c LEFT JOIN (
+        SELECT ix, iy, count(*) AS cnt, sum(cents * wt) AS num,
+               sum(wt) AS den
+        FROM w GROUP BY ix, iy) a USING (ix, iy)
+    """
+
+
+def sql_moran() -> str:
+    """Twin of queries.q_moran (stages/spatialstats.moran): per-cell
+    counts, n-scaled deviations, equi-join on the four rook offsets."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH ev AS (SELECT ({lon}) * 64 // 360000 AS ix,
+                       (({lat}) + 5000) * 64 // 180000 AS iy FROM events),
+    c AS (SELECT ix, iy, count(*)::BIGINT AS n FROM ev GROUP BY ix, iy),
+    s AS (SELECT count(*)::BIGINT AS nc, sum(n)::BIGINT AS tot FROM c),
+    d AS (SELECT ix, iy, s.nc * c.n - s.tot AS dev FROM c, s),
+    adj AS (
+        SELECT a.dev AS da, b.dev AS db
+        FROM d a
+        JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy) ON true
+        JOIN d b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+    )
+    SELECT (SELECT nc FROM s) AS n_cells,
+           CAST((SELECT count(*) FROM adj) AS BIGINT) AS w_pairs,
+           CAST(COALESCE((SELECT sum(da * db) FROM adj), 0) AS BIGINT) AS num,
+           (SELECT CAST(sum(dev * dev) AS BIGINT) FROM d) AS den
+    """
+
+
+def sql_zonal_mode() -> str:
+    """Twin of queries.q_zonal_mode: per-zone type counts over the PIP
+    pair twin, rank 1 by (count DESC, type ASC)."""
+    return f"""
+    SELECT zone_id, kind, event_type AS mode_type, n AS n_mode FROM (
+        SELECT p.zone_id, p.kind, e.event_type, count(*)::BIGINT AS n,
+               row_number() OVER (PARTITION BY p.zone_id, p.kind
+                                  ORDER BY count(*) DESC, e.event_type) AS rk
+        FROM ({sql_pip_zones()}) p JOIN events e USING (event_id)
+        GROUP BY p.zone_id, p.kind, e.event_type
+    ) WHERE rk = 1
+    """
+
+
 def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """Twin of queries.q_split_leakage_safe: recursive-CTE components
     LEFT-joined onto documents (isolated docs label themselves), split
@@ -3224,6 +3329,10 @@ def build_oracles() -> dict[str, str]:
         "multimodal_fusion": sql_multimodal_fusion(),
         "neardup_clusters": sql_neardup_clusters(),
         "dbscan": sql_dbscan(),
+        "idw": sql_idw(),
+        "moran": sql_moran(),
+        "seq_pack": sql_seq_pack(),
+        "zonal_mode": sql_zonal_mode(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

@@ -2948,6 +2948,126 @@ def q_dbscan(sf_dir: str):
     return dbscan(pts, eps_milli=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
 
 
+IDW_RADIUS = 2500
+
+
+def q_idw(sf_dir: str):
+    """Grid interpolation (IDW analog with the integer linear kernel
+    R^2 - d^2; stages/spatialstats.idw_grid): per occupied depth-6 cell,
+    the exact numerator/denominator of the kernel-weighted event-value
+    estimate at the cell CENTER.  One groupby(cell) exchange — events
+    fan as sources to every cell their radius-bbox overlaps.  Oracle:
+    DISTINCT-cell centers range-joined to events."""
+    from osmquadtreepostgis_ray.stages.spatialstats import idw_grid
+    ev = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lon_milli": t.column("lon_milli"),
+            "lat_milli": t.column("lat_milli"),
+            "cents": pa.array(np.rint(t.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64())})
+
+    return idw_grid(ev.map_batches(cents, batch_format="pyarrow"),
+                    radius_milli=IDW_RADIUS)
+
+
+def q_moran(sf_dir: str):
+    """Global Moran's I spatial autocorrelation over depth-6 cell
+    counts, rook adjacency (stages/spatialstats.moran): one row of
+    exact integer parts (n_cells, w_pairs, num, den) with deviations
+    scaled by n_cells so I = (n_cells/w_pairs)*(num/den) stays
+    rational.  Combiner-partial count aggregate + a neighbor fan over
+    the structurally bounded cell table."""
+    from osmquadtreepostgis_ray.stages.spatialstats import moran
+    return moran(prep_events(sf_dir).select_columns(
+        ["lon_milli", "lat_milli"]))
+
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 32
+
+
+def q_seq_pack(sf_dir: str):
+    """Training-sequence packing (the LM-pretraining concat-and-slice
+    layout): documents order by doc_id within doc_id%32 shards; each
+    document's first training chunk is floor(exclusive-prefix-tokens /
+    BUDGET) and its intra-chunk token offset — the document-boundary
+    map a packed-sequence loader needs.  ONE distributed sort (the
+    keyed prefix-sum window, stages/window.keyed_prefix_sum) is the
+    only exchange; token counts are the whitespace tokenizer shared
+    with token_totals."""
+    from osmquadtreepostgis_ray.functions.text import token_count
+    from osmquadtreepostgis_ray.stages.window import keyed_prefix_sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        ntok = token_count(t.column("text").to_pandas())
+        return pa.table({"shard": pa.array(did % PACK_SHARDS, pa.int64()),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "n_tokens": pa.array(ntok, pa.int64())})
+
+    out = keyed_prefix_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["shard"], ["doc_id"], "n_tokens",
+                           out_col="run_tokens")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "run_tokens" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"shard": z, "doc_id": z, "n_tokens": z,
+                             "chunk": z, "tok_offset": z})
+        excl = (t.column("run_tokens").to_numpy()
+                - t.column("n_tokens").to_numpy())
+        return pa.table({"shard": t.column("shard"),
+                         "doc_id": t.column("doc_id"),
+                         "n_tokens": t.column("n_tokens"),
+                         "chunk": pa.array(excl // PACK_BUDGET, pa.int64()),
+                         "tok_offset": pa.array(excl % PACK_BUDGET, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_zonal_mode(sf_dir: str):
+    """Zonal MODE (majority vote per zone — the categorical zonal
+    statistic): the most frequent event_type per PIP zone, smallest
+    type string on ties.  The measure rides through the PIP join
+    (carry columns); combiner partials shuffle one (zone, type,
+    partial) row per batch; the argmax runs in the guarded keyed
+    reduce (zone x type cardinality is bounded)."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_fn
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    ev = prep_events(sf_dir, columns=["event_id", "user_id", "event_type"])
+    zref = ray.put(zones_table())
+    joined = ev.map_batches(pip_join_fn(zref, carry=("event_type",)),
+                            batch_format="pyarrow", batch_size=8192)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["zone_id", "kind", "event_type"], sort=False) \
+              .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(joined.map_batches(partial, batch_format="pyarrow"),
+                      ["zone_id", "kind", "event_type"], {"n": ("n", "sum")})
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # max count, tie -> lexicographically smallest type (order by
+        # -n then event_type, take first per zone)
+        g = g.sort_values(["zone_id", "kind", "n", "event_type"],
+                          ascending=[True, True, False, True], kind="mergesort")
+        top = g.groupby(["zone_id", "kind"], sort=False).head(1)
+        return pd.DataFrame({"zone_id": top["zone_id"].to_numpy(np.int64),
+                             "kind": top["kind"].to_numpy(object),
+                             "mode_type": top["event_type"].to_numpy(object),
+                             "n_mode": top["n"].to_numpy(np.int64)})
+
+    return reduce_small_or_shard(agg, ["zone_id", "kind"], argmax)
+
+
 def q_dissolve(sf_dir: str):
     """Raster dissolve (polygon dissolve on the pixel grid): adjacent
     (4-neighbor) cells of the heatmap raster with EQUAL counts merge

@@ -40,7 +40,7 @@ _W4 = 4 * geotag.LON_MOD >> IDW_DEPTH    # 22500
 _H4 = 4 * 180_000 >> IDW_DEPTH           # 11250
 
 
-def idw_grid(points: ray.data.Dataset, radius_milli: int = 3000,
+def idw_grid(points: ray.data.Dataset, radius_milli: int = 2500,
              value_col: str = "cents") -> ray.data.Dataset:
     """Linear-kernel inverse-distance interpolation onto occupied
     depth-6 grid-cell centers: per cell, ``num = sum(v * (R^2 - d^2))``
@@ -161,10 +161,8 @@ def moran(points: ray.data.Dataset, depth: int = 6) -> ray.data.Dataset:
     counts = sharded_agg(points.map_batches(partial, batch_format="pyarrow"),
                          ["ix", "iy"], {"n": ("n", "sum")}).materialize()
     # global scalars: bounded (<= 4^depth rows), driver gets two ints
-    stats = counts.aggregate(ray.data.aggregate.Count(),
-                             ray.data.aggregate.Sum("n"))
-    n_cells = int(stats["count()"])
-    total = int(stats["sum(n)"])
+    n_cells = int(counts.count())
+    total = int(counts.sum("n"))
     side = np.int64(1) << np.int64(depth)
 
     def fan(t: pa.Table) -> pa.Table:

@@ -966,3 +966,98 @@ def test_dbscan_matches_numpy_reference(sf_dir):
     pd.testing.assert_frame_equal(out2, ref2)
     assert (out2["label"] >= 0).any() and (out2["label"] == -1).any()
     assert (ref2["label"] >= 0).sum() > 20  # non-degenerate structure
+
+
+def test_idw_matches_numpy_reference(sf_dir):
+    out = Q.q_idw(sf_dir).to_pandas().sort_values(["ix", "iy"]) \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    x4, y4 = 4 * x, 4 * (y + 5000)
+    ix, iy = x4 // 22500, y4 // 11250
+    r4 = 4 * Q.IDW_RADIUS
+    r2 = r4 * r4
+    rows = []
+    for cix, ciy in sorted(set(zip(ix, iy))):
+        cx4, cy4 = cix * 22500 + 11250, ciy * 11250 + 5625
+        d2 = (x4 - cx4) ** 2 + (y4 - cy4) ** 2
+        k = d2 < r2
+        w = r2 - d2[k]
+        rows.append((cix, ciy, int(k.sum()), int((cents[k] * w).sum()),
+                     int(w.sum())))
+    ref = pd.DataFrame(rows, columns=["ix", "iy", "n_src", "num", "den"])
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["n_src"] == 0).any()  # corner-only occupied cells exist
+
+
+def test_moran_matches_numpy_reference(sf_dir):
+    out = Q.q_moran(sf_dir).to_pandas()
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    ix, iy = x * 64 // 360000, (y + 5000) * 64 // 180000
+    key = ix * (1 << 32) + iy
+    u, n = np.unique(key, return_counts=True)
+    nc = len(u)
+    d = nc * n.astype(np.int64) - int(n.sum())
+    dev = dict(zip(u, d))
+    num = w = 0
+    for k, dk in dev.items():
+        kx, ky = k >> 32, k & 0xFFFFFFFF
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = dev.get((kx + dx) * (1 << 32) + (ky + dy))
+            if nb is not None:
+                num += dk * nb
+                w += 1
+    assert out.shape == (1, 4)
+    r = out.iloc[0]
+    assert (int(r["n_cells"]), int(r["w_pairs"]), int(r["num"]),
+            int(r["den"])) == (nc, w, int(num), int((d * d).sum()))
+    assert w > 0
+
+
+def test_seq_pack_matches_pandas_reference(sf_dir):
+    from osmquadtreepostgis_ray.functions.text import token_count
+    out = Q.q_seq_pack(sf_dir).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs["n_tokens"] = token_count(docs["text"])
+    docs["shard"] = docs["doc_id"] % Q.PACK_SHARDS
+    excl = (docs.groupby("shard", sort=False)["n_tokens"].cumsum()
+            - docs["n_tokens"])
+    ref = pd.DataFrame({"shard": docs["shard"], "doc_id": docs["doc_id"],
+                        "n_tokens": docs["n_tokens"],
+                        "chunk": excl // Q.PACK_BUDGET,
+                        "tok_offset": excl % Q.PACK_BUDGET})
+    pd.testing.assert_frame_equal(out, ref)
+    # packing invariants: chunk ids are dense-monotone per shard in doc
+    # order; offsets stay inside the budget
+    assert (out["tok_offset"] < Q.PACK_BUDGET).all()
+    assert (out.sort_values(["shard", "doc_id"])
+               .groupby("shard")["chunk"].diff().dropna() >= 0).all()
+
+
+def test_zonal_mode_matches_pandas_reference(sf_dir):
+    out = Q.q_zonal_mode(sf_dir).to_pandas() \
+        .sort_values(["zone_id", "kind"]).reset_index(drop=True)
+    pairs = Q.q_pip_zones(sf_dir).to_pandas()
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "event_type"]).to_pandas()
+    m = pairs.merge(ev, on="event_id")
+    cnt = m.groupby(["zone_id", "kind", "event_type"], as_index=False) \
+           .size().rename(columns={"size": "n"})
+    cnt = cnt.sort_values(["zone_id", "kind", "n", "event_type"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+    top = cnt.groupby(["zone_id", "kind"], sort=False).head(1) \
+        .rename(columns={"event_type": "mode_type", "n": "n_mode"}) \
+        .sort_values(["zone_id", "kind"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out, top[["zone_id", "kind", "mode_type", "n_mode"]],
+        check_dtype=False)
