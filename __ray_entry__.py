@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moran": Q.q_moran,
         "seq_pack": Q.q_seq_pack,
         "zonal_mode": Q.q_zonal_mode,
+        "hotspot": Q.q_hotspot,
+        "od_flows": Q.q_od_flows,
+        "staypoints": Q.q_staypoints,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,

@@ -2204,6 +2204,74 @@ def sql_zonal_mode() -> str:
     """
 
 
+def sql_hotspot() -> str:
+    """Twin of queries.q_hotspot (stages/spatialstats.hotspot_gi):
+    per-cell counts, queen-neighborhood (incl self) equi-join on the
+    nine offsets."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH ev AS (SELECT ({lon}) * 64 // 360000 AS ix,
+                       (({lat}) + 5000) * 64 // 180000 AS iy FROM events),
+    c AS (SELECT ix, iy, count(*)::BIGINT AS n FROM ev GROUP BY ix, iy)
+    SELECT a.ix, a.iy, a.n,
+           CAST(sum(b.n) AS BIGINT) AS nbr_sum,
+           count(*)::BIGINT AS nbr_cnt
+    FROM c a
+    JOIN (VALUES {offs}) o(dx, dy) ON true
+    JOIN c b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+    GROUP BY a.ix, a.iy, a.n
+    """
+
+
+def sql_od_flows() -> str:
+    """Twin of queries.q_od_flows: LEAD tile per user in (ts, event_id)
+    order, grouped transition counts."""
+    return f"""
+    WITH {events_geo_cte()},
+    o AS (
+        SELECT tile AS from_tile,
+               lead(tile) OVER (PARTITION BY ev.user_id
+                                ORDER BY e.ts, ev.event_id) AS to_tile
+        FROM ev JOIN events e USING (event_id)
+    )
+    SELECT from_tile, to_tile, count(*)::BIGINT AS n
+    FROM o WHERE to_tile IS NOT NULL
+    GROUP BY from_tile, to_tile"""
+
+
+def sql_staypoints(d: int = 100_000, min_pts: int = 3) -> str:
+    """Twin of queries.q_staypoints: LAG step-distance break flags ->
+    windowed run ids -> per-run aggregates, HAVING count >= min_pts."""
+    return f"""
+    WITH {events_geo_cte()},
+    o AS (
+        SELECT ev.user_id, ev.event_id, lon_milli AS x, lat_milli AS y,
+               e.ts,
+               lag(lon_milli) OVER w AS px, lag(lat_milli) OVER w AS py
+        FROM ev JOIN events e USING (event_id)
+        WINDOW w AS (PARTITION BY ev.user_id ORDER BY e.ts, ev.event_id)
+    ),
+    f AS (
+        SELECT *, CASE WHEN px IS NULL
+                        OR (x - px) * (x - px) + (y - py) * (y - py)
+                           > {d * d} THEN 1 ELSE 0 END AS brk
+        FROM o
+    ),
+    r AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM f
+    )
+    SELECT user_id,
+           first(event_id ORDER BY ts, event_id) AS start_event_id,
+           count(*)::BIGINT AS n_pts,
+           date_diff('microsecond', min(ts), max(ts))::BIGINT AS dur_us,
+           sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y
+    FROM r GROUP BY user_id, rid HAVING count(*) >= {min_pts}
+    """
+
+
 def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """Twin of queries.q_split_leakage_safe: recursive-CTE components
     LEFT-joined onto documents (isolated docs label themselves), split
@@ -3333,6 +3401,9 @@ def build_oracles() -> dict[str, str]:
         "moran": sql_moran(),
         "seq_pack": sql_seq_pack(),
         "zonal_mode": sql_zonal_mode(),
+        "hotspot": sql_hotspot(),
+        "od_flows": sql_od_flows(),
+        "staypoints": sql_staypoints(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

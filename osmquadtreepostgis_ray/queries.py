@@ -2984,6 +2984,101 @@ def q_moran(sf_dir: str):
         ["lon_milli", "lat_milli"]))
 
 
+def q_hotspot(sf_dir: str):
+    """Getis-Ord Gi* hot-spot inputs (stages/spatialstats.hotspot_gi):
+    per occupied depth-6 cell its count, queen-neighborhood (self + 8,
+    occupied) count sum and member count — exact integer parts of the
+    local-statistic z-score.  Oracle: 9-offset equi-join."""
+    from osmquadtreepostgis_ray.stages.spatialstats import hotspot_gi
+    return hotspot_gi(prep_events(sf_dir).select_columns(
+        ["lon_milli", "lat_milli"]))
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix (the trajectory-aggregation
+    surface a movement dataset serves): consecutive events of each user
+    in (ts, event_id) order produce one (from_tile, to_tile) transition;
+    one user-sharded exchange, vectorized lag per shard, partial counts
+    through the data-scaled sharded aggregate."""
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "tile": t.column("tile"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    j = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .map_batches(epoch, batch_format="pyarrow")
+
+    def flows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        tile = g["tile"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        out = pd.DataFrame({"from_tile": tile[:-1][same],
+                            "to_tile": tile[1:][same]})
+        c = out.groupby(["from_tile", "to_tile"], sort=False).size() \
+            .reset_index(name="n")
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    part = shard_apply(j, ["user_id"], flows)
+    return sharded_agg(part, ["from_tile", "to_tile"], {"n": ("n", "sum")}) \
+        .select_columns(["from_tile", "to_tile", "n"])
+
+
+STAY_D = 100_000   # max squared-step radicand guard: milli-degrees
+STAY_MIN = 3       # minimum run length
+
+
+def q_staypoints(sf_dir: str):
+    """Stay-point (dwell-segment) detection over user trajectories:
+    maximal runs of consecutive events (per user, (ts, event_id) order)
+    whose step distance stays <= STAY_D; runs of >= STAY_MIN points
+    emit (user_id, start_event_id, n_pts, dur_us, sum_x, sum_y) — the
+    centroid numerators stay exact ints.  One user-sharded exchange;
+    run segmentation is a vectorized flag-cumsum.  Oracle: LAG window
+    step flags -> windowed run ids -> HAVING count >= STAY_MIN."""
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "lon_milli": t.column("lon_milli"),
+                         "lat_milli": t.column("lat_milli"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    j = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .map_batches(epoch, batch_format="pyarrow")
+    d2max = STAY_D * STAY_D
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["lon_milli"].to_numpy(np.int64)
+        y = g["lat_milli"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        d2 = (x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d2 > d2max)]
+        rid = np.cumsum(brk) - 1
+        firsts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[firsts, len(rid)])
+        keep = lens >= STAY_MIN
+        if not keep.any():
+            z = np.empty(0, np.int64)
+            return pd.DataFrame({"user_id": z, "start_event_id": z,
+                                 "n_pts": z, "dur_us": z,
+                                 "sum_x": z, "sum_y": z})
+        cs_x = np.r_[0, np.cumsum(x)]
+        cs_y = np.r_[0, np.cumsum(y)]
+        f, l = firsts[keep], firsts[keep] + lens[keep]
+        return pd.DataFrame({
+            "user_id": u[f], "start_event_id": e[f],
+            "n_pts": lens[keep].astype(np.int64),
+            "dur_us": t[l - 1] - t[f],
+            "sum_x": cs_x[l] - cs_x[f], "sum_y": cs_y[l] - cs_y[f]})
+
+    return shard_apply(j, ["user_id"], runs)
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 32
 

@@ -210,3 +210,70 @@ def moran(points: ray.data.Dataset, depth: int = 6) -> ray.data.Dataset:
     # per-cell partials are bounded by 4^depth — one-task final merge
     return parts.repartition(1).map_batches(finish, batch_format="pyarrow",
                                             batch_size=None)
+
+
+def hotspot_gi(points: ray.data.Dataset, depth: int = 6) -> ray.data.Dataset:
+    """Getis-Ord Gi* hot-spot inputs per occupied cell: own count ``n``,
+    queen-neighborhood (8 neighbors + self, occupied only) count sum
+    ``nbr_sum`` and member count ``nbr_cnt`` — the exact integer parts
+    the Gi* z-score is computed from (the global mean/variance are
+    derivable from the same rows, so nothing is lost keeping the output
+    rational).  Same two-exchange shape as ``moran``: a data-scaled
+    combiner count aggregate, then a 9-way fan over the structurally
+    bounded cell table."""
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lon_milli" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"ix": z, "iy": z, "n": z})
+        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
+                                       t.column("lat_milli").to_numpy())
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, depth)
+        key = (ix << np.int64(32)) | iy
+        u, counts = np.unique(key, return_counts=True)
+        return pa.table({"ix": pa.array(u >> np.int64(32), pa.int64()),
+                         "iy": pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    counts = sharded_agg(points.map_batches(partial, batch_format="pyarrow"),
+                         ["ix", "iy"], {"n": ("n", "sum")})
+    side = np.int64(1) << np.int64(depth)
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ix" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"key": z, "role": pa.array([], pa.int8()),
+                             "n": z})
+        ix = t.column("ix").to_numpy()
+        iy = t.column("iy").to_numpy()
+        n = t.column("n").to_numpy()
+        keys, roles, ns = [], [], []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            ok = (tx >= 0) & (tx < side) & (ty >= 0) & (ty < side)
+            keys.append((tx[ok] << np.int64(32)) | ty[ok])
+            roles.append(np.full(int(ok.sum()),
+                                 0 if (dx, dy) == (0, 0) else 1, np.int8))
+            ns.append(n[ok])
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "role": pa.array(np.concatenate(roles), pa.int8()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g["role"] == 0]
+        if not len(home):  # messenger into an unoccupied cell
+            z = np.empty(0, np.int64)
+            return pd.DataFrame({"ix": z, "iy": z, "n": z,
+                                 "nbr_sum": z, "nbr_cnt": z})
+        k = np.int64(home["key"].iloc[0])
+        n_home = np.int64(home["n"].iloc[0])
+        msg = g.loc[g["role"] == 1, "n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "ix": np.array([k >> np.int64(32)], np.int64),
+            "iy": np.array([k & np.int64(0xFFFFFFFF)], np.int64),
+            "n": np.array([n_home], np.int64),
+            "nbr_sum": np.array([n_home + msg.sum()], np.int64),
+            "nbr_cnt": np.array([1 + len(msg)], np.int64)})
+
+    return (counts.map_batches(fan, batch_format="pyarrow")
+            .groupby("key").map_groups(grp, batch_format="pandas"))

@@ -1061,3 +1061,76 @@ def test_zonal_mode_matches_pandas_reference(sf_dir):
     pd.testing.assert_frame_equal(
         out, top[["zone_id", "kind", "mode_type", "n_mode"]],
         check_dtype=False)
+
+
+def test_hotspot_matches_numpy_reference(sf_dir):
+    out = Q.q_hotspot(sf_dir).to_pandas().sort_values(["ix", "iy"]) \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    ix, iy = x * 64 // 360000, (y + 5000) * 64 // 180000
+    cnt = {}
+    for a, b in zip(ix, iy):
+        cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    rows = []
+    for (a, b), n in sorted(cnt.items()):
+        s = c = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                v = cnt.get((a + dx, b + dy))
+                if v is not None:
+                    s += v
+                    c += 1
+        rows.append((a, b, n, s, c))
+    ref = pd.DataFrame(rows, columns=["ix", "iy", "n", "nbr_sum", "nbr_cnt"])
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["nbr_cnt"] > 1).any()
+
+
+def test_od_flows_matches_pandas_reference(sf_dir):
+    out = Q.q_od_flows(sf_dir).to_pandas() \
+        .sort_values(["from_tile", "to_tile"]).reset_index(drop=True)
+    ev = Q.prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                 kind="mergesort")
+    u = ev["user_id"].to_numpy()
+    tile = ev["tile"].to_numpy(np.int64)
+    same = u[1:] == u[:-1]
+    ref = pd.DataFrame({"from_tile": tile[:-1][same],
+                        "to_tile": tile[1:][same]}) \
+        .groupby(["from_tile", "to_tile"], as_index=False).size() \
+        .rename(columns={"size": "n"}) \
+        .sort_values(["from_tile", "to_tile"]).reset_index(drop=True)
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+    # flow conservation: total transitions = total events - #users
+    assert out["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+def test_staypoints_matches_numpy_reference(sf_dir):
+    out = Q.q_staypoints(sf_dir).to_pandas() \
+        .sort_values(["user_id", "start_event_id"]).reset_index(drop=True)
+    ev = Q.prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                 kind="mergesort").reset_index(drop=True)
+    u = ev["user_id"].to_numpy(np.int64)
+    x = ev["lon_milli"].to_numpy(np.int64)
+    y = ev["lat_milli"].to_numpy(np.int64)
+    e = ev["event_id"].to_numpy(np.int64)
+    t = ev["ts"].astype("int64").to_numpy()
+    d2 = (x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2
+    brk = np.r_[True, (u[1:] != u[:-1]) | (d2 > Q.STAY_D * Q.STAY_D)]
+    firsts = np.flatnonzero(brk)
+    lens = np.diff(np.r_[firsts, len(u)])
+    rows = []
+    for f, ln in zip(firsts, lens):
+        if ln >= Q.STAY_MIN:
+            rows.append((u[f], e[f], ln, t[f + ln - 1] - t[f],
+                         x[f:f + ln].sum(), y[f:f + ln].sum()))
+    ref = pd.DataFrame(rows, columns=["user_id", "start_event_id", "n_pts",
+                                      "dur_us", "sum_x", "sum_y"]) \
+        .sort_values(["user_id", "start_event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0 and (out["n_pts"] >= Q.STAY_MIN).all()

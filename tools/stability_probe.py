@@ -27,7 +27,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "zone_border_dist", "tile_quadkey", "geo_dup_groups",
              "histogram_quantiles", "tile_bundle", "caption_stats_by_zone",
              "embed_pq", "embed_knn_pq", "embed_knn_quant", "pq_recall",
-             "viewport", "dbscan", "idw", "moran", "seq_pack", "zonal_mode"):
+             "viewport", "dbscan", "idw", "moran", "seq_pack", "zonal_mode",
+             "hotspot", "od_flows", "staypoints"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
