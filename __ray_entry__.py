@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot": Q.q_hotspot,
         "od_flows": Q.q_od_flows,
         "staypoints": Q.q_staypoints,
+        "hilbert": Q.q_hilbert,
+        "bpe_pairs": Q.q_bpe_pairs,
+        "spacetime_cube": Q.q_spacetime_cube,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,

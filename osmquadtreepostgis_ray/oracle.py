@@ -2272,6 +2272,59 @@ def sql_staypoints(d: int = 100_000, min_pts: int = 3) -> str:
     """
 
 
+def sql_hilbert() -> str:
+    """Twin of queries.q_hilbert: the same xy2d rounds unrolled as a
+    CTE chain (functions/hilbert.xy2d_sql — ONE definition site)."""
+    from osmquadtreepostgis_ray.functions import hilbert
+    lon, lat = geotag.event_lonlat_milli_sql()
+    ctes = hilbert.xy2d_sql(f"((({lon}) * 256) // 360000)",
+                            f"(((({lat}) + 5000) * 256) // 180000)",
+                            8, "events", "event_id")
+    per_bucket = (4 ** 8) // 256
+    return (f"WITH {ctes} SELECT event_id, d AS hilbert, "
+            f"d // {per_bucket} AS bucket FROM h8")
+
+
+def sql_bpe_pairs() -> str:
+    """Twin of queries.q_bpe_pairs: BPE pre-tokens via the shared regex,
+    lateral generate_series over each word's adjacent positions."""
+    return r"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(
+            text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS word
+        FROM documents
+    ),
+    i AS (
+        SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM w WHERE length(word) >= 2
+    ),
+    p AS (
+        SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+               substring(word, CAST(i AS INTEGER) + 1, 1) AS b
+        FROM i
+    )
+    SELECT a, b, count(*)::BIGINT AS n FROM p GROUP BY a, b
+    """
+
+
+def sql_spacetime_cube() -> str:
+    """Twin of queries.q_spacetime_cube: hour from epoch microseconds
+    (shared no-calendar definition), per-tile permille share."""
+    return f"""
+    WITH {events_geo_cte()},
+    c AS (
+        SELECT tile, (epoch_us(e.ts) // 3600000000) % 24 AS hour,
+               count(*)::BIGINT AS n
+        FROM ev JOIN events e USING (event_id)
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT tile, sum(n) AS tot FROM c GROUP BY tile)
+    SELECT c.tile, CAST(c.hour AS BIGINT) AS hour, c.n,
+           CAST((1000 * c.n) // t.tot AS BIGINT) AS permille
+    FROM c JOIN t USING (tile)
+    """
+
+
 def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """Twin of queries.q_split_leakage_safe: recursive-CTE components
     LEFT-joined onto documents (isolated docs label themselves), split
@@ -3404,6 +3457,9 @@ def build_oracles() -> dict[str, str]:
         "hotspot": sql_hotspot(),
         "od_flows": sql_od_flows(),
         "staypoints": sql_staypoints(),
+        "hilbert": sql_hilbert(),
+        "bpe_pairs": sql_bpe_pairs(),
+        "spacetime_cube": sql_spacetime_cube(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

@@ -3079,6 +3079,118 @@ def q_staypoints(sf_dir: str):
     return shard_apply(j, ["user_id"], runs)
 
 
+HILBERT_DEPTH = 8
+HILBERT_BUCKETS = 256
+
+
+def q_hilbert(sf_dir: str):
+    """Hilbert-curve bulk-load ordering (functions/hilbert.xy2d): each
+    event's position on the depth-8 Hilbert curve over the tile grid,
+    plus its equal-width curve-range bucket — the locality-preserving
+    partition assignment spatial stores cluster bulk loads by (better
+    seam behavior than the Morton order the tile ids use).  Pure
+    row-local map; the oracle is the same rounds unrolled as CTEs."""
+    from osmquadtreepostgis_ray.functions.hilbert import xy2d
+
+    def enc(t: pa.Table) -> pa.Table:
+        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
+                                       t.column("lat_milli").to_numpy())
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, HILBERT_DEPTH)
+        d = xy2d(ix, iy, HILBERT_DEPTH)
+        bucket = d // ((4 ** HILBERT_DEPTH) // HILBERT_BUCKETS)
+        return pa.table({"event_id": t.column("event_id"),
+                         "hilbert": pa.array(d, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return prep_events(sf_dir).select_columns(
+        ["event_id", "lon_milli", "lat_milli"]) \
+        .map_batches(enc, batch_format="pyarrow")
+
+
+# byte-class table for the BPE pre-tokenizer classes: 0 letter, 1 digit,
+# 2 other symbol, 3 whitespace (pairs only form inside one class run —
+# exactly the [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+ token boundaries)
+_BPE_CLS = np.full(256, 2, np.int8)
+_BPE_CLS[[9, 10, 11, 12, 13, 32]] = 3
+for _c in range(48, 58):
+    _BPE_CLS[_c] = 1
+for _c in list(range(65, 91)) + list(range(97, 123)):
+    _BPE_CLS[_c] = 0
+
+
+def q_bpe_pairs(sf_dir: str):
+    """One BPE vocabulary-induction merge round: corpus-wide counts of
+    adjacent character pairs INSIDE BPE pre-tokens (the statistic each
+    merge step of tokenizer training maximizes).  A pair is in-token
+    iff both bytes share a character class and neither is whitespace —
+    so the kernel needs no tokenization at all: one byte-class lookup +
+    one dense 65536-bin bincount per batch (fixed-size, data-
+    independent — the CLAUDE.md dense-bincount guard is structural
+    here).  Pair cardinality is bounded by the alphabet squared, so the
+    global sum is the guarded small reduce.  ASCII corpus (bytes ==
+    chars; matches the substring-based SQL twin)."""
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        blob = "\n".join(t.column("text").to_pylist())
+        b = np.frombuffer(blob.encode("ascii"), np.uint8)
+        if len(b) < 2:
+            z = pa.array([], pa.string())
+            return pa.table({"a": z, "b": z,
+                             "n": pa.array([], pa.int64())})
+        cls = _BPE_CLS[b]
+        ok = (cls[:-1] == cls[1:]) & (cls[:-1] != 3)
+        key = b[:-1].astype(np.int64) * 256 + b[1:]
+        cnt = np.bincount(key[ok], minlength=65536)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "a": pa.array([chr(k >> 8) for k in nz], pa.string()),
+            "b": pa.array([chr(k & 255) for k in nz], pa.string()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+    part = docs.map_batches(partial, batch_format="pyarrow")
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum()
+
+    return reduce_small_or_shard(part, ["a", "b"], total)
+
+
+def q_spacetime_cube(sf_dir: str):
+    """Space-time cube: per (tile, hour-of-day) event count and its
+    exact permille share of the tile's total — the diurnal-profile
+    aggregation a movement dataset serves.  Combiner partials, one
+    bounded-cardinality keyed aggregate, then the per-tile share in
+    the guarded reduce (tile x 24 is structurally bounded).  Hour from
+    epoch microseconds on BOTH engines (no calendar/timezone path)."""
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tile = t.column("tile").to_numpy()
+        hour = (t.column("ts").cast(pa.int64()).to_numpy()
+                // 3_600_000_000) % 24
+        key = tile * 24 + hour
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"tile": pa.array(u // 24, pa.int64()),
+                         "hour": pa.array(u % 24, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["tile", "hour"], {"n": ("n", "sum")})
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        tot = g.groupby("tile")["n"].transform("sum")
+        g["permille"] = (1000 * g["n"]) // tot
+        return g[["tile", "hour", "n", "permille"]]
+
+    return reduce_small_or_shard(agg, ["tile"], share)
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 32
 

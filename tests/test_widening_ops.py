@@ -1134,3 +1134,65 @@ def test_staypoints_matches_numpy_reference(sf_dir):
         .sort_values(["user_id", "start_event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref)
     assert len(out) > 0 and (out["n_pts"] >= Q.STAY_MIN).all()
+
+
+def test_hilbert_matches_reference_and_curve_properties(sf_dir):
+    from osmquadtreepostgis_ray.functions.hilbert import xy2d
+    out = Q.q_hilbert(sf_dir).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    ix, iy = x * 256 // 360000, (y + 5000) * 256 // 180000
+    d = xy2d(ix, iy, 8)
+    assert out["hilbert"].to_numpy(np.int64).tolist() == d.tolist()
+    assert (out["bucket"].to_numpy(np.int64) == d // 256).all()
+    # curve properties at depth 4: bijective and unit-step continuous
+    n = 16
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = xy2d(gx.ravel(), gy.ravel(), 4)
+    assert sorted(full.tolist()) == list(range(n * n))
+    order = np.argsort(full)
+    steps = (np.abs(np.diff(gx.ravel()[order]))
+             + np.abs(np.diff(gy.ravel()[order])))
+    assert (steps == 1).all()
+
+
+def test_bpe_pairs_matches_python_reference(sf_dir):
+    import re
+    out = Q.q_bpe_pairs(sf_dir).to_pandas().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    rx = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+    cnt: dict[tuple, int] = {}
+    for txt in docs["text"]:
+        for w in rx.findall(txt):
+            for i in range(len(w) - 1):
+                k = (w[i], w[i + 1])
+                cnt[k] = cnt.get(k, 0) + 1
+    ref = pd.DataFrame([(a, b, n) for (a, b), n in sorted(cnt.items())],
+                       columns=["a", "b", "n"])
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 50  # non-trivial alphabet coverage
+
+
+def test_spacetime_cube_matches_pandas_reference(sf_dir):
+    out = Q.q_spacetime_cube(sf_dir).to_pandas() \
+        .sort_values(["tile", "hour"]).reset_index(drop=True)
+    ev = Q.prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .to_pandas()
+    hour = (ev["ts"].astype("int64") // 3_600_000_000) % 24
+    c = ev.assign(hour=hour).groupby(["tile", "hour"], as_index=False) \
+        .size().rename(columns={"size": "n"})
+    c["n"] = c["n"].astype(np.int64)
+    tot = c.groupby("tile")["n"].transform("sum")
+    c["permille"] = (1000 * c["n"]) // tot
+    pd.testing.assert_frame_equal(
+        out, c.sort_values(["tile", "hour"]).reset_index(drop=True))
+    # shares within a tile sum to <= 1000 (floor division)
+    s = out.groupby("tile")["permille"].sum()
+    assert (s <= 1000).all() and (s > 900).all()
