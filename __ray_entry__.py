@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert": Q.q_hilbert,
         "bpe_pairs": Q.q_bpe_pairs,
         "spacetime_cube": Q.q_spacetime_cube,
+        "colocation": Q.q_colocation,
+        "headings": Q.q_headings,
+        "thin": Q.q_thin,
         "split_leakage_safe": Q.q_split_leakage_safe,
         "kmeans_embed": Q.q_kmeans_embed,
         "embed_calibration": Q.q_embed_calibration,

@@ -2325,6 +2325,80 @@ def sql_spacetime_cube() -> str:
     """
 
 
+def sql_colocation(t_us: int = 14_400_000_000) -> str:
+    """Twin of queries.q_colocation: depth-6 cell + time-window self
+    join, event pairs counted once in (ts, event_id) order, grouped by
+    the unordered user pair."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t,
+               ({lon}) * 64 // 360000 AS ix,
+               (({lat}) + 5000) * 64 // 180000 AS iy
+        FROM events
+    )
+    SELECT least(a.user_id, b.user_id) AS ua,
+           greatest(a.user_id, b.user_id) AS ub,
+           count(*)::BIGINT AS n
+    FROM p a JOIN p b
+      ON a.ix = b.ix AND a.iy = b.iy
+     AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+     AND b.t - a.t <= {t_us}
+     AND a.user_id <> b.user_id
+    GROUP BY 1, 2
+    """
+
+
+def sql_headings() -> str:
+    """Twin of queries.q_headings: LAG step deltas, the SAME eight
+    mutually exclusive octant predicates (numpy's where-chain order is
+    safe to mirror as CASE because the predicates are disjoint)."""
+    return f"""
+    WITH {events_geo_cte()},
+    o AS (
+        SELECT ev.user_id, lon_milli AS x, lat_milli AS y,
+               lag(lon_milli) OVER w AS px, lag(lat_milli) OVER w AS py
+        FROM ev JOIN events e USING (event_id)
+        WINDOW w AS (PARTITION BY ev.user_id ORDER BY e.ts, ev.event_id)
+    ),
+    d AS (
+        SELECT user_id, x - px AS dx, y - py AS dy,
+               abs(x - px) AS ax, abs(y - py) AS ay
+        FROM o WHERE px IS NOT NULL
+    )
+    SELECT user_id, CAST(CASE
+        WHEN dx > 0 AND dy >= 0 AND ax > ay THEN 0
+        WHEN dy > 0 AND dx > 0 AND ay >= ax THEN 1
+        WHEN dy > 0 AND dx <= 0 AND ay > ax THEN 2
+        WHEN dx < 0 AND dy > 0 AND ax >= ay THEN 3
+        WHEN dx < 0 AND dy <= 0 AND ax > ay THEN 4
+        WHEN dy < 0 AND dx < 0 AND ay >= ax THEN 5
+        WHEN dy < 0 AND dx >= 0 AND ay > ax THEN 6
+        WHEN dx > 0 AND dy < 0 AND ax >= ay THEN 7
+        ELSE -1 END AS BIGINT) AS octant,
+        count(*)::BIGINT AS n
+    FROM d GROUP BY 1, 2
+    """
+
+
+def sql_thin(k: int = 2) -> str:
+    """Twin of queries.q_thin: per-cell smallest-k event ids."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH ev AS (
+        SELECT event_id, ({lon}) * 64 // 360000 AS ix,
+               (({lat}) + 5000) * 64 // 180000 AS iy
+        FROM events
+    )
+    SELECT ix, iy, event_id FROM (
+        SELECT ix, iy, event_id,
+               row_number() OVER (PARTITION BY ix, iy
+                                  ORDER BY event_id) AS rk
+        FROM ev
+    ) WHERE rk <= {k}
+    """
+
+
 def sql_split_leakage_safe(train_permille: int = 800) -> str:
     """Twin of queries.q_split_leakage_safe: recursive-CTE components
     LEFT-joined onto documents (isolated docs label themselves), split
@@ -3460,6 +3534,9 @@ def build_oracles() -> dict[str, str]:
         "hilbert": sql_hilbert(),
         "bpe_pairs": sql_bpe_pairs(),
         "spacetime_cube": sql_spacetime_cube(),
+        "colocation": sql_colocation(),
+        "headings": sql_headings(),
+        "thin": sql_thin(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

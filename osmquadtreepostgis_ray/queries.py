@@ -3191,6 +3191,154 @@ def q_spacetime_cube(sf_dir: str):
     return reduce_small_or_shard(agg, ["tile"], share)
 
 
+COLOC_T_US = 14_400_000_000   # 4 h contact window
+COLOC_DEPTH = 6
+
+
+def q_colocation(sf_dir: str):
+    """Spatio-temporal co-location (contact) join: unordered user pairs
+    with events in the SAME depth-6 cell within 4 h of each other, with
+    contact counts — the contact-tracing / co-visitation shape.  ONE
+    groupby((cell, time-bucket)) exchange: every event is OWNER in its
+    own bucket and fans as CANDIDATE to (bucket, bucket-1), so each
+    qualifying event pair forms exactly once in the EARLIER event's
+    bucket ((ts, event_id) lexicographic order breaks ties); per-group
+    work is a vectorized time-window mask.  Pair volume is bounded by
+    spatio-temporal density x window, never dataset size."""
+    def fan(t: pa.Table) -> pa.Table:
+        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
+                                       t.column("lat_milli").to_numpy())
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, COLOC_DEPTH)
+        cell = quadtree.encode_ixy(ix, iy, COLOC_DEPTH)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        b = ts // COLOC_T_US
+        assert (b < 1_000_000).all()  # packing headroom (epoch-us / 4 h)
+        e = t.column("event_id").to_numpy()
+        u = t.column("user_id").to_numpy()
+        key0 = cell * 1_000_000 + b          # owner: own bucket
+        keyc = cell * 1_000_000 + (b - 1)    # candidate: previous too
+        return pa.table({
+            "key": pa.array(np.concatenate([key0, key0, keyc]), pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(e), np.int8), np.ones(2 * len(e), np.int8)]),
+                pa.int8()),
+            "e": pa.array(np.concatenate([e, e, e]), pa.int64()),
+            "u": pa.array(np.concatenate([u, u, u]), pa.int64()),
+            "t": pa.array(np.concatenate([ts, ts, ts]), pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # many near-singleton (cell, bucket) keys per shard: a keyed
+        # MERGE forms every owner x candidate pair at C speed (the
+        # shard_apply contract — no per-group Python)
+        own = g[g["side"] == 0]
+        cand = g[g["side"] == 1]
+        z = np.empty(0, np.int64)
+        if not len(own) or not len(cand):
+            return pd.DataFrame({"ua": z, "ub": z, "n": z})
+        m = own[["key", "e", "u", "t"]].merge(
+            cand[["key", "e", "u", "t"]], on="key", suffixes=("_o", "_c"))
+        to = m["t_o"].to_numpy(np.int64)
+        tc = m["t_c"].to_numpy(np.int64)
+        eo = m["e_o"].to_numpy(np.int64)
+        ec = m["e_c"].to_numpy(np.int64)
+        uo = m["u_o"].to_numpy(np.int64)
+        uc = m["u_c"].to_numpy(np.int64)
+        later = (tc > to) | ((tc == to) & (ec > eo))   # strict event order
+        keep = later & (tc - to <= COLOC_T_US) & (uc != uo)
+        a, b = uo[keep], uc[keep]
+        df = pd.DataFrame({"ua": np.minimum(a, b), "ub": np.maximum(a, b)})
+        c = df.groupby(["ua", "ub"], sort=False).size().reset_index(name="n")
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    part = shard_apply(
+        prep_events(sf_dir, columns=["event_id", "user_id", "ts"])
+        .select_columns(["event_id", "user_id", "ts",
+                         "lon_milli", "lat_milli"])
+        .map_batches(fan, batch_format="pyarrow"), ["key"], pairs)
+    return sharded_agg(part, ["ua", "ub"], {"n": ("n", "sum")}) \
+        .select_columns(["ua", "ub", "n"])
+
+
+def q_headings(sf_dir: str):
+    """Per-user heading (movement-direction) octant histogram from
+    consecutive trajectory steps — exact integer octant classification
+    (sign + |dx| vs |dy| comparisons, diagonal ties to the
+    counter-clockwise sector, stationary steps octant -1), one
+    user-sharded exchange."""
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "lon_milli": t.column("lon_milli"),
+                         "lat_milli": t.column("lat_milli"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    j = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .map_batches(epoch, batch_format="pyarrow")
+
+    def oct_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["lon_milli"].to_numpy(np.int64)
+        y = g["lat_milli"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        uu = u[1:][same]
+        ax, ay = np.abs(dx), np.abs(dy)
+        # octants 0..7 CCW from east; sector [k*45, (k+1)*45) degrees
+        o = np.full(len(dx), -1, np.int64)
+        o = np.where((dx > 0) & (dy >= 0) & (ax > ay), 0, o)    # [0,45)
+        o = np.where((dy > 0) & (dx > 0) & (ay >= ax), 1, o)    # [45,90)
+        o = np.where((dy > 0) & (dx <= 0) & (ay > ax), 2, o)    # [90,135)
+        o = np.where((dx < 0) & (dy > 0) & (ax >= ay), 3, o)    # [135,180)
+        o = np.where((dx < 0) & (dy <= 0) & (ax > ay), 4, o)    # [180,225)
+        o = np.where((dy < 0) & (dx < 0) & (ay >= ax), 5, o)    # [225,270)
+        o = np.where((dy < 0) & (dx >= 0) & (ay > ax), 6, o)    # [270,315)
+        o = np.where((dx > 0) & (dy < 0) & (ax >= ay), 7, o)    # [315,360)
+        c = pd.DataFrame({"user_id": uu, "octant": o}) \
+            .groupby(["user_id", "octant"], sort=False).size() \
+            .reset_index(name="n")
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    part = shard_apply(j, ["user_id"], oct_counts)
+    return sharded_agg(part, ["user_id", "octant"], {"n": ("n", "sum")}) \
+        .select_columns(["user_id", "octant", "n"])
+
+
+THIN_K = 2
+
+
+def q_thin(sf_dir: str):
+    """Spatial feature thinning (the tile-render density cap — the
+    engine-side analog of the reference's minzoom visibility cut): per
+    depth-6 cell keep the THIN_K smallest event_ids.  Combiner per
+    batch first (each batch keeps at most K per cell, so the shuffle
+    carries at most K x occupied-cells rows per batch), then the final
+    per-cell head in a sharded vectorized pass."""
+    def enc(t: pa.Table) -> pa.Table:
+        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
+                                       t.column("lat_milli").to_numpy())
+        ix, iy = quadtree.fixed_to_ixy(fx, fy, COLOC_DEPTH)
+        df = pd.DataFrame({"ix": ix, "iy": iy,
+                           "event_id": t.column("event_id").to_numpy()})
+        df = df.sort_values(["ix", "iy", "event_id"], kind="mergesort")
+        keep = df.groupby(["ix", "iy"], sort=False).head(THIN_K)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    part = prep_events(sf_dir).select_columns(
+        ["event_id", "lon_milli", "lat_milli"]) \
+        .map_batches(enc, batch_format="pyarrow")
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ix", "iy", "event_id"], kind="mergesort")
+        return g.groupby(["ix", "iy"], sort=False).head(THIN_K)
+
+    return shard_apply(part, ["ix", "iy"], head) \
+        .select_columns(["ix", "iy", "event_id"])
+
+
 PACK_BUDGET = 2048
 PACK_SHARDS = 32
 

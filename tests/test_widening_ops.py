@@ -1196,3 +1196,93 @@ def test_spacetime_cube_matches_pandas_reference(sf_dir):
     # shares within a tile sum to <= 1000 (floor division)
     s = out.groupby("tile")["permille"].sum()
     assert (s <= 1000).all() and (s > 900).all()
+
+
+def test_colocation_matches_numpy_reference(sf_dir):
+    out = Q.q_colocation(sf_dir).to_pandas().sort_values(["ua", "ub"]) \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    ix, iy = x * 64 // 360000, (y + 5000) * 64 // 180000
+    t = ev["ts"].astype("int64").to_numpy()
+    e = ev["event_id"].to_numpy(np.int64)
+    u = ev["user_id"].to_numpy(np.int64)
+    cnt = {}
+    n = len(e)
+    for i in range(n):
+        for j in range(n):
+            if (ix[i] == ix[j] and iy[i] == iy[j] and u[i] != u[j]
+                    and (t[j] > t[i] or (t[j] == t[i] and e[j] > e[i]))
+                    and t[j] - t[i] <= Q.COLOC_T_US):
+                k = (min(u[i], u[j]), max(u[i], u[j]))
+                cnt[k] = cnt.get(k, 0) + 1
+    ref = pd.DataFrame([(a, b, c) for (a, b), c in sorted(cnt.items())],
+                       columns=["ua", "ub", "n"])
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out) > 0
+
+
+def test_headings_matches_pandas_reference(sf_dir):
+    out = Q.q_headings(sf_dir).to_pandas() \
+        .sort_values(["user_id", "octant"]).reset_index(drop=True)
+    ev = Q.prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                 kind="mergesort")
+    u = ev["user_id"].to_numpy(np.int64)
+    x = ev["lon_milli"].to_numpy(np.int64)
+    y = ev["lat_milli"].to_numpy(np.int64)
+    same = u[1:] == u[:-1]
+    dx, dy, uu = (x[1:] - x[:-1])[same], (y[1:] - y[:-1])[same], u[1:][same]
+
+    def octant(dx, dy):
+        ax, ay = abs(dx), abs(dy)
+        if dx > 0 and dy >= 0 and ax > ay:
+            return 0
+        if dy > 0 and dx > 0 and ay >= ax:
+            return 1
+        if dy > 0 and dx <= 0 and ay > ax:
+            return 2
+        if dx < 0 and dy > 0 and ax >= ay:
+            return 3
+        if dx < 0 and dy <= 0 and ax > ay:
+            return 4
+        if dy < 0 and dx < 0 and ay >= ax:
+            return 5
+        if dy < 0 and dx >= 0 and ay > ax:
+            return 6
+        if dx > 0 and dy < 0 and ax >= ay:
+            return 7
+        return -1
+
+    ref = pd.DataFrame({"user_id": uu,
+                        "octant": [octant(a, b) for a, b in zip(dx, dy)]}) \
+        .groupby(["user_id", "octant"], as_index=False).size() \
+        .rename(columns={"size": "n"}) \
+        .sort_values(["user_id", "octant"]).reset_index(drop=True)
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+    # octant kernel unit cases: axes and diagonals
+    assert [octant(*p) for p in
+            [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+             (0, -1), (1, -1), (0, 0)]] == [0, 1, 2, 3, 4, 5, 6, 7, -1]
+
+
+def test_thin_matches_pandas_reference(sf_dir):
+    out = Q.q_thin(sf_dir).to_pandas().sort_values(["ix", "iy", "event_id"]) \
+        .reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id"]).to_pandas()
+    x, y = geotag.event_lonlat_milli(ev["user_id"].to_numpy(),
+                                     ev["event_id"].to_numpy())
+    ref = pd.DataFrame({"ix": x * 64 // 360000,
+                        "iy": (y + 5000) * 64 // 180000,
+                        "event_id": ev["event_id"].to_numpy(np.int64)}) \
+        .sort_values(["ix", "iy", "event_id"], kind="mergesort") \
+        .groupby(["ix", "iy"], sort=False).head(Q.THIN_K) \
+        .sort_values(["ix", "iy", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+    assert out.groupby(["ix", "iy"]).size().max() <= Q.THIN_K
+    assert len(out) < len(ev)  # it actually thinned something
