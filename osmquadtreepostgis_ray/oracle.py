@@ -2523,15 +2523,92 @@ def sql_running_total() -> str:
 
 
 
-def sql_segment_intersections() -> str:
-    return f"""
-    WITH {assembly_members_cte()},
+def way_segments_cte() -> str:
+    """Twin of queries.way_segments: member chains -> segments (shared
+    by segment_intersections / densify / line_raster / map_match)."""
+    return f"""{assembly_members_cte()},
     seg AS (
         SELECT a.doc_id AS seg_id, a.group_id AS gid,
                a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
         FROM m a JOIN m b ON b.group_id = a.group_id AND b.seq = a.seq + 1
         WHERE NOT (a.x = b.x AND a.y = b.y)
+    )"""
+
+
+def dense_points_sql(k: int) -> str:
+    """Exact-integer segment interpolation (twin of queries._densify):
+    every operand non-negative so DuckDB trunc `//` == numpy floor."""
+    return f"""
+    dense AS (
+        SELECT seg_id, gid, js.j,
+               (x1 * ({k} - js.j) + x2 * js.j) // {k} AS px,
+               (y1 * ({k} - js.j) + y2 * js.j) // {k} AS py
+        FROM seg CROSS JOIN (SELECT unnest(generate_series(0, {k})) AS j) js
+    )"""
+
+
+def sql_densify() -> str:
+    from osmquadtreepostgis_ray.queries import DENSIFY_K
+    return f"""
+    WITH {way_segments_cte()}, {dense_points_sql(DENSIFY_K)}
+    SELECT seg_id, j, px, py FROM dense
+    """
+
+
+def sql_line_raster() -> str:
+    from osmquadtreepostgis_ray.queries import DENSIFY_K, RASTER_N
+    return f"""
+    WITH {way_segments_cte()}, {dense_points_sql(DENSIFY_K)},
+    dc AS (
+        SELECT DISTINCT seg_id,
+               px * {RASTER_N} // {geotag.LON_MOD} AS cx,
+               (py + 5000) * {RASTER_N} // 180000 AS cy
+        FROM dense
     )
+    SELECT cx, cy, count(*)::BIGINT AS n FROM dc GROUP BY cx, cy
+    """
+
+
+def sql_map_match() -> str:
+    from osmquadtreepostgis_ray.queries import (DENSIFY_K, MM_EVENT_MOD,
+                                                MM_GID_MOD, MM_RID_W)
+    return f"""
+    WITH {way_segments_cte()}, {dense_points_sql(DENSIFY_K)},
+    road AS (
+        SELECT seg_id * {MM_RID_W} + j AS rid, px, py
+        FROM dense WHERE gid % {MM_GID_MOD} = 0
+    ),
+    {events_geo_cte()},
+    pts AS (
+        SELECT event_id, lon_milli AS ex, lat_milli AS ey
+        FROM ev WHERE event_id % {MM_EVENT_MOD} = 0
+    ),
+    d AS (
+        SELECT event_id, rid,
+               (ex - px) * (ex - px) + (ey - py) * (ey - py) AS d2
+        FROM pts CROSS JOIN road
+    )
+    SELECT event_id, rid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY d2, rid) AS rk
+        FROM d
+    ) WHERE rk = 1
+    """
+
+
+def sql_geohash() -> str:
+    from osmquadtreepostgis_ray.functions import geohash
+    code, chars = geohash.encode_sql("lon_milli", "lat_milli")
+    return f"""
+    WITH {events_geo_cte()},
+    c AS (SELECT ({code}) AS code FROM ev)
+    SELECT ({chars}) AS gh, count(*)::BIGINT AS n FROM c GROUP BY 1
+    """
+
+
+def sql_segment_intersections() -> str:
+    return f"""
+    WITH {way_segments_cte()}
     SELECT s.seg_id AS a_seg, t.seg_id AS b_seg
     FROM seg s JOIN seg t ON s.gid < t.gid
     WHERE sign((s.x2 - s.x1) * (t.y1 - s.y1) - (s.y2 - s.y1) * (t.x1 - s.x1))
@@ -3537,6 +3614,10 @@ def build_oracles() -> dict[str, str]:
         "colocation": sql_colocation(),
         "headings": sql_headings(),
         "thin": sql_thin(),
+        "densify": sql_densify(),
+        "line_raster": sql_line_raster(),
+        "map_match": sql_map_match(),
+        "geohash": sql_geohash(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

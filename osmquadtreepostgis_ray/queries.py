@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from osmquadtreepostgis_ray.config import EngineParams
-from osmquadtreepostgis_ray.functions import geotag, quadtree
+from osmquadtreepostgis_ray.functions import geohash, geotag, quadtree
 from osmquadtreepostgis_ray.sources.tables import read_table
 from osmquadtreepostgis_ray.util import (pool_size, reduce_small_or_shard,
                                          shard_apply, sharded_agg)
@@ -3744,6 +3744,37 @@ def q_running_total(sf_dir: str):
     return out.select_columns(["o_orderkey", "run_cents"])
 
 
+def _segments_of(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-group member chain -> line segments (consecutive doc pairs
+    within a way group; zero-length segments dropped)."""
+    cols = {"seg_id": np.int64, "gid": np.int64, "x1": np.int64,
+            "y1": np.int64, "x2": np.int64, "y2": np.int64}
+    if not len(df):
+        return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
+    df = df.sort_values(["group_id", "doc_id"], kind="stable")
+    g = df["group_id"].to_numpy(np.int64)
+    x = df["lon_milli"].to_numpy(np.int64)
+    y = df["lat_milli"].to_numpy(np.int64)
+    i = np.flatnonzero(g[1:] == g[:-1])        # row i and i+1 same group
+    x1, y1, x2, y2 = x[i], y[i], x[i + 1], y[i + 1]
+    keep = (x1 != x2) | (y1 != y2)
+    return pd.DataFrame({"seg_id": df["doc_id"].to_numpy(np.int64)[i][keep],
+                         "gid": g[i][keep],
+                         "x1": x1[keep], "y1": y1[keep],
+                         "x2": x2[keep], "y2": y2[keep]})
+
+
+def way_segments(sf_dir: str) -> ray.data.Dataset:
+    """Way chains -> segments (seg_id, gid, x1, y1, x2, y2): the shared
+    road-network derivation behind segment_intersections / densify /
+    line_raster / map_match.  One group-sharded vectorized pass over
+    the assembly member chains (stages/assembly.member_table — the
+    reference's way-node refs, SURVEY.md §2.4)."""
+    from osmquadtreepostgis_ray.stages.assembly import member_table
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return shard_apply(member_table(docs), ["group_id"], _segments_of)
+
+
 def q_segment_intersections(sf_dir: str):
     """Segment-intersection spatial join (line x line — the OSM
     crossing-ways shape; PBSM like stages/rect_join but with the exact
@@ -3771,29 +3802,8 @@ def q_segment_intersections(sf_dir: str):
     grid here is the coarse admin overlay; real map data wants the
     depth-8 quadtree cells + the skew subdivision in stages/skew.py."""
     from osmquadtreepostgis_ray.sources.zones import ADMIN_H, ADMIN_W, AX
-    from osmquadtreepostgis_ray.stages.assembly import member_table
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    mem = member_table(docs)
-
-    def segs(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"seg_id": np.int64, "gid": np.int64, "x1": np.int64,
-                "y1": np.int64, "x2": np.int64, "y2": np.int64}
-        if not len(df):
-            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in cols.items()})
-        df = df.sort_values(["group_id", "doc_id"], kind="stable")
-        g = df["group_id"].to_numpy(np.int64)
-        x = df["lon_milli"].to_numpy(np.int64)
-        y = df["lat_milli"].to_numpy(np.int64)
-        i = np.flatnonzero(g[1:] == g[:-1])        # row i and i+1 same group
-        x1, y1, x2, y2 = x[i], y[i], x[i + 1], y[i + 1]
-        keep = (x1 != x2) | (y1 != y2)
-        return pd.DataFrame({"seg_id": df["doc_id"].to_numpy(np.int64)[i][keep],
-                             "gid": g[i][keep],
-                             "x1": x1[keep], "y1": y1[keep],
-                             "x2": x2[keep], "y2": y2[keep]})
-
-    seg = shard_apply(mem, ["group_id"], segs)
+    seg = way_segments(sf_dir)
 
     def fan(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -4938,3 +4948,155 @@ def q_epoch_shuffle(sf_dir: str, seed: int = 1):
     ranked, _ = keyed_row_number(docs.map_batches(key, batch_format="pyarrow"),
                                  ["g"], ["h", "doc_id"], rank_col="pos")
     return ranked.select_columns(["doc_id", "pos"])
+
+
+# --------------------------------------------- road-network raster/match ops
+
+DENSIFY_K = 8            # interpolation steps per segment
+RASTER_N = 64            # 64x64 density raster (the q_thin grid)
+MM_GID_MOD = 101         # road subsample: 1 in 101 way chains
+MM_EVENT_MOD = 10        # GPS-trace sample: 1 in 10 events
+MM_RID_W = 16            # rid = seg_id * 16 + j (j <= DENSIFY_K < 16)
+
+
+def _densify(t: pa.Table, k: int) -> pa.Table:
+    """Segments -> k+1 interpolated points each (1->N explode).  Exact
+    integer interpolation px = (x1*(k-j) + x2*j) // k with EVERY operand
+    non-negative (milli coords >= 0), so numpy's floor `//` equals
+    DuckDB's truncating `//` (the CLAUDE.md shared-division rule)."""
+    if t.num_rows == 0:
+        return pa.table({"seg_id": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "px": pa.array([], pa.int64()),
+                         "py": pa.array([], pa.int64())})
+    x1 = t.column("x1").to_numpy(); x2 = t.column("x2").to_numpy()
+    y1 = t.column("y1").to_numpy(); y2 = t.column("y2").to_numpy()
+    sid = t.column("seg_id").to_numpy()
+    idx = np.repeat(np.arange(t.num_rows), k + 1)
+    j = np.tile(np.arange(k + 1, dtype=np.int64), t.num_rows)
+    px = (x1[idx] * (k - j) + x2[idx] * j) // k
+    py = (y1[idx] * (k - j) + y2[idx] * j) // k
+    return pa.table({"seg_id": pa.array(sid[idx], pa.int64()),
+                     "j": pa.array(j, pa.int64()),
+                     "px": pa.array(px, pa.int64()),
+                     "py": pa.array(py, pa.int64())})
+
+
+def _densify_k(t: pa.Table) -> pa.Table:
+    return _densify(t, DENSIFY_K)
+
+
+def q_densify(sf_dir: str):
+    """Polyline densification / resampling (the vector-tile and
+    map-matching preprocessing step; reference analog: the node
+    interpolation inside oqt's simplification, SURVEY.md §2.3 F10):
+    each way segment explodes into DENSIFY_K+1 points at exact integer
+    fractions.  Row-pure after the shared way_segments derivation — no
+    extra shuffle."""
+    return way_segments(sf_dir).map_batches(_densify_k, batch_format="pyarrow")
+
+
+def q_line_raster(sf_dir: str):
+    """Line rasterization (road-density raster — the raster<->vector
+    direction the north rule names): each segment marks the RASTER_N^2
+    grid cells its densified points visit; output = per-cell count of
+    DISTINCT segments.  The per-batch distinct is globally correct by
+    construction: one segment's densified points are emitted inside the
+    single batch that carries the segment row, so a (seg, cell) pair can
+    never recur across batches; the shuffle then carries bounded
+    (cell, n) partials (<= RASTER_N^2 per batch), never points."""
+    def cells(t: pa.Table) -> pa.Table:
+        d = _densify(t, DENSIFY_K)
+        if d.num_rows == 0:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cx = d.column("px").to_numpy() * RASTER_N // geotag.LON_MOD
+        cy = (d.column("py").to_numpy() + 5000) * RASTER_N // 180000
+        df = pd.DataFrame({"seg_id": d.column("seg_id").to_numpy(),
+                           "cx": cx, "cy": cy}).drop_duplicates()
+        g = df.groupby(["cx", "cy"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = way_segments(sf_dir).map_batches(cells, batch_format="pyarrow")
+    return sharded_agg(part, ["cx", "cy"], {"n": ("n", "sum")}) \
+        .select_columns(["cx", "cy", "n"])
+
+
+def q_map_match(sf_dir: str):
+    """Map matching (snap GPS samples to the nearest road point — the
+    trajectory-to-network join every mobility pipeline runs): the road
+    side is the MM_GID_MOD-subsampled way network densified at
+    DENSIFY_K (at real scale the road network is a FIXED small input
+    table — the classic broadcast side; here it derives from the corpus
+    so its size is documented as the broadcast bound), sorted by rid
+    and broadcast once via ray.put; each sampled-event batch computes
+    exact int64 squared distances in rid-ordered chunks (bounded
+    batch x chunk temporaries) keeping a running argmin — ties resolve
+    to the smallest rid because chunks arrive rid-ascending and updates
+    require a STRICT improvement.  No shuffle at all: one streaming
+    pass over events."""
+    def road_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keep = t.column("gid").to_numpy() % MM_GID_MOD == 0
+        return t.filter(pa.array(keep))
+
+    roads = way_segments(sf_dir) \
+        .map_batches(road_filter, batch_format="pyarrow") \
+        .map_batches(_densify_k, batch_format="pyarrow")
+    tabs = [t for t in ray.get(roads.to_arrow_refs()) if t.num_rows]
+    rt = pa.concat_tables(tabs)
+    rid = rt.column("seg_id").to_numpy() * MM_RID_W + rt.column("j").to_numpy()
+    order = np.argsort(rid, kind="stable")
+    rid = np.ascontiguousarray(rid[order])
+    rpx = np.ascontiguousarray(rt.column("px").to_numpy()[order])
+    rpy = np.ascontiguousarray(rt.column("py").to_numpy()[order])
+    ref = ray.put((rid, rpx, rpy))
+
+    def match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "rid": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        rid_, rpx_, rpy_ = ray.get(ref)
+        eid = t.column("event_id").to_numpy()
+        keep = eid % MM_EVENT_MOD == 0
+        eid = eid[keep]
+        ex = t.column("lon_milli").to_numpy()[keep]
+        ey = t.column("lat_milli").to_numpy()[keep]
+        best = np.full(len(eid), np.iinfo(np.int64).max, np.int64)
+        bid = np.zeros(len(eid), np.int64)
+        for lo in range(0, len(rid_), 1024):
+            dx = ex[:, None] - rpx_[None, lo:lo + 1024]
+            dy = ey[:, None] - rpy_[None, lo:lo + 1024]
+            d2 = dx * dx + dy * dy
+            jm = d2.argmin(axis=1)          # first occurrence = lowest rid
+            dm = d2[np.arange(len(eid)), jm]
+            upd = dm < best                 # strict: earlier chunks win ties
+            best[upd] = dm[upd]
+            bid[upd] = rid_[lo + jm[upd]]
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "rid": pa.array(bid, pa.int64()),
+                         "d2": pa.array(best, pa.int64())})
+
+    return prep_events(sf_dir).map_batches(match, batch_format="pyarrow",
+                                           batch_size=8192)
+
+
+def q_geohash(sf_dir: str):
+    """Geohash-4 cell counts (the interop spatial key — see
+    functions/geohash.py): combiner per-batch distinct-geohash counts,
+    one bounded (<= 2^20 cells) sharded sum.  The string render happens
+    AFTER the per-batch distinct, so string work is cell-bounded."""
+    def part(t: pa.Table) -> pa.Table:
+        code = geohash.encode_codes(t.column("lon_milli").to_numpy(),
+                                    t.column("lat_milli").to_numpy())
+        u, c = np.unique(code, return_counts=True)
+        return pa.table({"gh": pa.array(geohash.render(u), pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    part_ds = prep_events(sf_dir).map_batches(part, batch_format="pyarrow")
+    return sharded_agg(part_ds, ["gh"], {"n": ("n", "sum")}) \
+        .select_columns(["gh", "n"])
