@@ -1332,16 +1332,16 @@ def sql_ahash_neardup(max_hamming: int = 3) -> str:
     """
 
 
-def sql_frame_sample(stride: int = 2) -> str:
-    """Twin of the video frame-sampling pipeline (stages/images.
-    FrameSample over synth_videos_batch): 16x16 frames, n_frames =
-    doc_id%4+2, frame f pixels = splitmix synth at seed phash+f, every
-    stride-th frame's integer-exact mean."""
+def _sql_video_pixels(stride: int) -> str:
+    """Shared CTE chain: documents -> per-frame per-pixel values of the
+    synthetic videos (stages/images.synth_videos_batch): 16x16 frames,
+    n_frames = doc_id%4+2, frame f pixels = splitmix synth at seed
+    phash+f.  Ends with ``vpx(video_id, frame_idx, idx, p)``."""
     ph = geotag.phash_sql("doc_id")
     C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     P = 0x100000001B3
     return f"""
-    WITH vid AS (
+    vid AS (
         SELECT doc_id AS video_id, CAST({ph} AS HUGEINT) AS phash,
                doc_id % 4 + 2 AS nf
         FROM documents
@@ -1359,16 +1359,81 @@ def sql_frame_sample(stride: int = 2) -> str:
     px1 AS (SELECT *, (sp + idx + {C1}) % {_M64} AS v1 FROM px0),
     px2 AS (SELECT *, {_mulmod64(f'xor(v1, v1 // {1 << 30})', C2)} AS v2 FROM px1),
     px3 AS (SELECT *, {_mulmod64(f'xor(v2, v2 // {1 << 27})', C3)} AS v3 FROM px2),
-    px AS (
-        SELECT video_id, frame_idx,
+    vpx AS (
+        SELECT video_id, frame_idx, idx,
                floor(least(greatest(
                    ((CASE WHEN idx % 16 = 15 THEN 255.0 ELSE (idx % 16) * (255.0 / 15) END)
                   + (CASE WHEN idx // 16 = 15 THEN 255.0 ELSE (idx // 16) * (255.0 / 15) END)) / 2.0
                   + CAST(xor(v3, v3 // {1 << 31}) % 33 AS BIGINT) - 16, 0.0), 255.0)) AS p
         FROM px3
-    )
+    )"""
+
+
+def sql_frame_sample(stride: int = 2) -> str:
+    """Twin of the video frame-sampling pipeline (stages/images.
+    FrameSample over synth_videos_batch): every stride-th frame's
+    integer-exact mean over the shared video-pixel CTE."""
+    return f"""
+    WITH {_sql_video_pixels(stride)}
     SELECT video_id, frame_idx, CAST(floor(avg(p)) AS BIGINT) AS mean_pixel
-    FROM px GROUP BY video_id, frame_idx
+    FROM vpx GROUP BY video_id, frame_idx
+    """
+
+
+def sql_dup_frames() -> str:
+    """Twin of queries.q_dup_frames: consecutive-frame changed-pixel
+    counts via a self-join of the stride-1 video-pixel CTE on
+    (video, idx, frame+1)."""
+    from osmquadtreepostgis_ray.stages.images import FRAMEDIFF_T
+    return f"""
+    WITH {_sql_video_pixels(1)}
+    SELECT a.video_id, a.frame_idx AS f,
+           sum(CASE WHEN abs(CAST(a.p AS BIGINT) - CAST(b.p AS BIGINT))
+                         > {FRAMEDIFF_T} THEN 1 ELSE 0 END)::BIGINT AS n_changed
+    FROM vpx a JOIN vpx b ON b.video_id = a.video_id AND b.idx = a.idx
+                          AND b.frame_idx = a.frame_idx + 1
+    GROUP BY 1, 2
+    """
+
+
+def sql_pixel_hist() -> str:
+    """Twin of queries.q_pixel_hist: 16-bin decoded-pixel histogram per
+    codec format over the shared decoded-pixel CTE."""
+    return f"""{_sql_decoded_pixels()}
+    SELECT CASE WHEN doc_id % 4 = 0 THEN 'qlossy' ELSE 'raw' END AS fmt,
+           p // 16 AS bin, count(*)::BIGINT AS n
+    FROM dec GROUP BY 1, 2
+    """
+
+
+def sql_glcm() -> str:
+    """Twin of queries.q_glcm: horizontal co-occurrence of
+    GLCM_LEVELS-quantized decoded pixels (same-row neighbor join)."""
+    return f"""{_sql_decoded_pixels()}
+    SELECT CASE WHEN a.doc_id % 4 = 0 THEN 'qlossy' ELSE 'raw' END AS fmt,
+           a.p // 64 AS la, b.p // 64 AS lb, count(*)::BIGINT AS n
+    FROM dec a JOIN dec b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+    WHERE a.idx % a.w <> a.w - 1
+    GROUP BY 1, 2, 3
+    """
+
+
+def sql_codec_sse() -> str:
+    """Twin of queries.q_codec_sse: per-image squared codec error —
+    clean pre-codec pixel (px CTE) minus the decoded stored pixel (the
+    dec CASE recomputed over px so no self-join is needed)."""
+    return f"""{_sql_decoded_pixels()},
+    e AS (
+        SELECT image_id, w, h,
+               CAST(p AS BIGINT)
+               - (CASE WHEN fmt = 'qlossy'
+                       THEN least(CAST(p AS BIGINT) // 4 * 4 + 2, 255)
+                       ELSE CAST(p AS BIGINT) END) AS d
+        FROM px
+    )
+    SELECT image_id, sum(d * d)::BIGINT AS sse,
+           CAST(w * h AS BIGINT) AS n_px
+    FROM e GROUP BY image_id, w, h
     """
 
 
@@ -3618,6 +3683,10 @@ def build_oracles() -> dict[str, str]:
         "line_raster": sql_line_raster(),
         "map_match": sql_map_match(),
         "geohash": sql_geohash(),
+        "pixel_hist": sql_pixel_hist(),
+        "glcm": sql_glcm(),
+        "codec_sse": sql_codec_sse(),
+        "dup_frames": sql_dup_frames(),
         "split_leakage_safe": sql_split_leakage_safe(),
         "audio_features": sql_audio_features(),
         "audio_windows": sql_audio_windows(),

@@ -5100,3 +5100,60 @@ def q_geohash(sf_dir: str):
     part_ds = prep_events(sf_dir).map_batches(part, batch_format="pyarrow")
     return sharded_agg(part_ds, ["gh"], {"n": ("n", "sum")}) \
         .select_columns(["gh", "n"])
+
+
+# -------------------------------------------------- pixel-statistics ops
+
+def q_pixel_hist(sf_dir: str):
+    """Dataset-wide decoded-pixel histogram per codec format (the
+    exposure/brightness profile a vision-data audit reports): decode ->
+    bounded (fmt, bin, n) partials per batch (pixels never cross the
+    shuffle) -> one 2 x 16-row grouped sum."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import pixel_hist_partial
+
+    part = read_images(sf_dir, with_bytes=True).map_batches(
+        pixel_hist_partial, batch_format="pyarrow", batch_size=IMG_BATCH)
+    return sharded_agg(part, ["fmt", "bin"], {"n": ("n", "sum")}) \
+        .select_columns(["fmt", "bin", "n"])
+
+
+def q_glcm(sf_dir: str):
+    """Horizontal gray-level co-occurrence matrix per format (GLCM —
+    the classic texture descriptor; screening input for synthetic /
+    flat-texture image detection): decode -> bounded (fmt, la, lb, n)
+    partials -> one 2 x 16-row grouped sum."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import glcm_partial
+
+    part = read_images(sf_dir, with_bytes=True).map_batches(
+        glcm_partial, batch_format="pyarrow", batch_size=IMG_BATCH)
+    return sharded_agg(part, ["fmt", "la", "lb"], {"n": ("n", "sum")}) \
+        .select_columns(["fmt", "la", "lb", "n"])
+
+
+def q_codec_sse(sf_dir: str):
+    """Per-image codec squared error vs clean reference pixels (the
+    PSNR audit behind the BASELINE.json decoded-pixel invariant,
+    reported as exact integers: PSNR_dB = 10*log10(255^2*n_px/sse) is
+    derivable but floats never cross engines).  Row-pure decode +
+    diff; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import codec_sse_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        codec_sse_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_dup_frames(sf_dir: str):
+    """Consecutive-frame change screening over the synthetic videos
+    (static/duplicate frame detection — the video-dedup primitive):
+    per (video, frame f) the count of pixels whose |delta| to frame
+    f+1 exceeds FRAMEDIFF_T.  Row-pure per video; no shuffle."""
+    from osmquadtreepostgis_ray.stages.images import (frame_diff_batch,
+                                                      synth_videos_batch)
+
+    vids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth_videos_batch, batch_format="pyarrow")
+    return vids.map_batches(frame_diff_batch, batch_format="pyarrow",
+                            batch_size=IMG_BATCH)

@@ -94,8 +94,6 @@ def synth_videos_batch(batch: pa.Table) -> pa.Table:
     """documents -> synthetic 'video' rows: F = (doc_id % 4) + 2 raw
     frames concatenated in one opaque binary payload (frame f pixels =
     synth_pixels(phash + f)).  The video analog of sources/images.py."""
-    from osmquadtreepostgis_ray.functions import geotag
-
     ids = batch.column("doc_id").to_numpy()
     phash = geotag.phash_of(ids)
     w = np.full(len(ids), 16, dtype=np.int32)
@@ -812,3 +810,136 @@ class TranscodeRLE:
                                        pa.int64()),
             "psnr_ok": pa.array(ok),
         })
+
+
+# ------------------------------------------------ pixel-statistics kernels
+
+PIXHIST_BINS = 16          # 256 / 16 gray levels per bin
+GLCM_LEVELS = 4            # pixels quantized to p // 64
+FRAMEDIFF_T = 24           # |p_f - p_{f+1}| > T counts as a changed pixel
+
+
+def _decoded_groups(batch: pa.Table):
+    """Yield (mask, decoded (k, h*w) uint8, w, h, fmt) per (fmt, dims)
+    group — the DecodeStats stacking loop factored for the pixel-stat
+    kernels.  Equal payload sizes stack into one matrix; decode is one
+    vectorized dequant per group."""
+    data = batch.column("bytes").to_pylist()
+    w = batch.column("w").to_numpy()
+    h = batch.column("h").to_numpy()
+    fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+    for f in set(fmt.tolist()) - {"raw", "qlossy"}:
+        raise NotImplementedError(f"codec {f!r} not available in sandbox")
+    for f in ("raw", "qlossy"):
+        for wi, hi in {(int(a), int(b)) for a, b in zip(w[fmt == f], h[fmt == f])}:
+            m = (fmt == f) & (w == wi) & (h == hi)
+            if not m.any():
+                continue
+            k = int(m.sum())
+            buf = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                                dtype=np.uint8).reshape(k, hi * wi)
+            if f == "qlossy":
+                dec = (buf.astype(np.uint16) * codecs._STEP
+                       + codecs._STEP // 2).clip(0, 255).astype(np.uint8)
+            else:
+                dec = buf
+            yield m, dec, wi, hi, f
+
+
+def pixel_hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (fmt, bin, n) decoded-pixel histogram partials — one
+    bincount per (fmt, dims) group (int64-exact counts), output bounded
+    by 2 x PIXHIST_BINS rows per batch regardless of pixel volume."""
+    acc: dict[str, np.ndarray] = {}
+    for _m, dec, _w, _h, f in _decoded_groups(batch):
+        c = np.bincount(dec.ravel() >> 4, minlength=PIXHIST_BINS)
+        acc[f] = acc.get(f, np.zeros(PIXHIST_BINS, np.int64)) + c
+    fmts, bins, ns = [], [], []
+    for f, c in acc.items():
+        nz = np.flatnonzero(c)
+        fmts.extend([f] * len(nz))
+        bins.append(nz.astype(np.int64))
+        ns.append(c[nz].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({"fmt": pa.array(fmts, pa.string()),
+                     "bin": pa.array(cat(bins), pa.int64()),
+                     "n": pa.array(cat(ns), pa.int64())})
+
+
+def glcm_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch horizontal gray-level co-occurrence partials (the GLCM
+    texture feature): pixels quantize to GLCM_LEVELS, each same-row
+    neighbor pair (x, x+1) counts once; output bounded by
+    2 x GLCM_LEVELS^2 rows per batch."""
+    acc: dict[str, np.ndarray] = {}
+    for _m, dec, wi, hi, f in _decoded_groups(batch):
+        img = (dec >> 6).reshape(-1, hi, wi)
+        code = (img[:, :, :-1].astype(np.int64) * GLCM_LEVELS
+                + img[:, :, 1:]).ravel()
+        c = np.bincount(code, minlength=GLCM_LEVELS * GLCM_LEVELS)
+        acc[f] = acc.get(f, np.zeros(GLCM_LEVELS * GLCM_LEVELS, np.int64)) + c
+    fmts, las, lbs, ns = [], [], [], []
+    for f, c in acc.items():
+        nz = np.flatnonzero(c)
+        fmts.extend([f] * len(nz))
+        las.append((nz // GLCM_LEVELS).astype(np.int64))
+        lbs.append((nz % GLCM_LEVELS).astype(np.int64))
+        ns.append(c[nz].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({"fmt": pa.array(fmts, pa.string()),
+                     "la": pa.array(cat(las), pa.int64()),
+                     "lb": pa.array(cat(lbs), pa.int64()),
+                     "n": pa.array(cat(ns), pa.int64())})
+
+
+def codec_sse_batch(batch: pa.Table) -> pa.Table:
+    """Per-image codec squared error vs the clean reference pixels (the
+    transcode-quality audit): raw is lossless (sse 0 measured, not
+    assumed); qlossy carries the quantizer's error.  Exact int64 —
+    sse <= n_px * 255^2 < 2^32 for sandbox dims.  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    phash = batch.column("phash").to_numpy()
+    n = len(ids)
+    sse = np.zeros(n, np.int64)
+    npx = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        ref = codecs.synth_pixels_batch(phash[m], wi, hi).reshape(dec.shape)
+        d = dec.astype(np.int64) - ref
+        sse[m] = (d * d).sum(axis=1)
+        npx[m] = wi * hi
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "sse": pa.array(sse, pa.int64()),
+                     "n_px": pa.array(npx, pa.int64())})
+
+
+def frame_diff_batch(batch: pa.Table) -> pa.Table:
+    """Consecutive-frame change magnitude per video (duplicate/static
+    frame screening — the video-dedup primitive): for frames f, f+1
+    count pixels with |delta| > FRAMEDIFF_T.  Vectorized per n_frames
+    group; row-pure, no shuffle."""
+    w = batch.column("w").to_numpy()
+    h = batch.column("h").to_numpy()
+    nf = batch.column("n_frames").to_numpy()
+    vids = batch.column("video_id").to_numpy()
+    data = batch.column("bytes").to_pylist()
+    fmts = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+    for f in set(fmts.tolist()) - {"rawv"}:
+        raise NotImplementedError(f"video container {f!r} not available in sandbox")
+    out_id, out_f, out_n = [], [], []
+    for wi, hi, nfi in {(int(a), int(b), int(c)) for a, b, c in zip(w, h, nf)}:
+        m = (w == wi) & (h == hi) & (nf == nfi)
+        k = int(m.sum())
+        if not k or nfi < 2:
+            continue
+        cube = np.frombuffer(b"".join(data[i] for i in np.flatnonzero(m)),
+                             dtype=np.uint8).reshape(k, nfi, hi * wi)
+        d = np.abs(cube[:, 1:, :].astype(np.int16)
+                   - cube[:, :-1, :].astype(np.int16))
+        changed = (d > FRAMEDIFF_T).sum(axis=2).astype(np.int64)  # (k, nf-1)
+        out_id.append(np.repeat(vids[m], nfi - 1))
+        out_f.append(np.tile(np.arange(nfi - 1, dtype=np.int64), k))
+        out_n.append(changed.ravel())
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({"video_id": pa.array(cat(out_id), pa.int64()),
+                     "f": pa.array(cat(out_f), pa.int64()),
+                     "n_changed": pa.array(cat(out_n), pa.int64())})
