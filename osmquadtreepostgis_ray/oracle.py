@@ -3684,6 +3684,10 @@ def build_oracles() -> dict[str, str]:
         "map_match": sql_map_match(),
         "geohash": sql_geohash(),
         "pixel_hist": sql_pixel_hist(),
+        "late_events": sql_late_events(),
+        "moving_window": sql_moving_window(),
+        "lm_score": sql_lm_score(),
+        "kcore": sql_kcore(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -3744,3 +3748,88 @@ def build_oracles() -> dict[str, str]:
         "cluster_dedup_sample": sql_cluster_dedup_sample(),
         "epoch_shuffle": sql_epoch_shuffle(),
     }
+
+
+def sql_late_events() -> str:
+    """Twin of queries.q_late_events: running event-time max over the
+    synthetic bounded-disorder arrival order (ROWS window up to the
+    previous arrival), same jitter constants."""
+    from osmquadtreepostgis_ray.queries import LATE_DELAY_US, LATE_THRESH_US
+    arr = (f"epoch_us(ts) + (event_id * {geotag.PHASH_MULT} + 7) "
+           f"% {LATE_DELAY_US}")
+    return f"""
+    WITH x AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tu,
+               max(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY {arr}, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM events)
+    SELECT event_id, user_id, (mx - tu)::BIGINT AS late_by_us
+    FROM x WHERE mx - tu > {LATE_THRESH_US}
+    """
+
+
+def sql_moving_window() -> str:
+    """Twin of queries.q_moving_window: 3-row ROWS-frame sum/count of
+    value cents per user in (ts, event_id) order."""
+    return """
+    WITH x AS (
+        SELECT event_id, user_id, epoch_us(ts) AS tu,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id,
+           CAST(sum(cents) OVER w AS BIGINT) AS w3_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS w3_n
+    FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """
+
+
+def sql_lm_score() -> str:
+    """Twin of queries.q_lm_score: corpus bigram counts by STRING (the
+    Ray side keys by 64-bit gram hash — the same collision-freedom the
+    repetition/decontamination twins already lean on), per-doc mass =
+    sum of corpus counts over the doc's adjacent pairs."""
+    return f"""
+    WITH {_word_tokens_cte()},
+    bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+           FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+    bc AS (SELECT g, count(*)::BIGINT AS c FROM bg GROUP BY g),
+    per AS (SELECT bg.doc_id, count(*)::BIGINT AS n_pairs,
+                   sum(bc.c)::BIGINT AS mass
+            FROM bg JOIN bc USING (g) GROUP BY bg.doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+           coalesce(per.mass, CAST(0 AS BIGINT)) AS mass,
+           CASE WHEN coalesce(per.n_pairs, 0) > 0
+                THEN (100 * per.mass) // per.n_pairs
+                ELSE CAST(0 AS BIGINT) END AS score_centi
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+def sql_kcore() -> str:
+    """Twin of queries.q_kcore: the peel unrolled to the SAME
+    KCORE_ROUNDS bound the Ray kernel asserts convergence within
+    (chained CTEs, one per round — the unrolled-Lloyd pattern)."""
+    from osmquadtreepostgis_ray.queries import KCORE_K, KCORE_ROUNDS
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        rounds.append(f"""
+    d{i} AS (SELECT es.u AS v, count(*)::BIGINT AS deg
+             FROM es JOIN a{i} x ON es.u = x.v JOIN a{i} y ON es.v = y.v
+             GROUP BY es.u),
+    a{i + 1} AS (SELECT v FROM d{i} WHERE deg >= {KCORE_K})""")
+    last = KCORE_ROUNDS - 1
+    return f"""
+    WITH e0 AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 1 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id - 2, doc_id FROM documents
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    es AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    a0 AS (SELECT DISTINCT u AS v FROM es),{','.join(rounds)}
+    SELECT v AS node, deg FROM d{last} WHERE deg >= {KCORE_K}
+    """

@@ -5157,3 +5157,175 @@ def q_dup_frames(sf_dir: str):
         synth_videos_batch, batch_format="pyarrow")
     return vids.map_batches(frame_diff_batch, batch_format="pyarrow",
                             batch_size=IMG_BATCH)
+
+
+# --------------------------------------- stream-window / LM / k-core ops
+
+LATE_DELAY_US = 14_400_000_000   # per-event delivery delay < 4 hours
+LATE_THRESH_US = 3_600_000_000   # watermark lateness threshold: 1 hour
+
+
+def _arrival_of(event_id: np.ndarray, ts_us: np.ndarray) -> np.ndarray:
+    """Synthetic arrival time: event time plus a bounded pseudo-random
+    delivery delay (< LATE_DELAY_US) — the out-of-order ingest shape
+    watermark logic exists for.  TIME-based so the disorder rate is
+    scale-free (a positional jitter stops producing same-user
+    inversions as the user count grows — measured 156 late rows at
+    sf0.01 but ZERO at sf0.1).  Pure function of the row; products stay
+    in int64 for event_id < 3.4e9 (the geotag.phash_of domain note)."""
+    e = np.asarray(event_id, np.int64)
+    return np.asarray(ts_us, np.int64) \
+        + (e * geotag.PHASH_MULT + 7) % LATE_DELAY_US
+
+
+def q_late_events(sf_dir: str):
+    """Late-data detection (the watermark primitive of every streaming
+    ingest): per user, in synthetic ARRIVAL order, an event is late by
+    (running max event-time of prior arrivals - its event-time); emit
+    events more than LATE_THRESH_US late.  One user-sharded exchange;
+    running max is a vectorized accumulate."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("event_id", "user_id", "late_by_us")})
+        g = g.assign(arr=_arrival_of(g["event_id"].to_numpy(),
+                                     g["ts_us"].to_numpy())) \
+            .sort_values(["user_id", "arr", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        tu = g["ts_us"].to_numpy(np.int64)
+        # per-user running max (C-level grouped cummax), then a global
+        # one-row shift; the shifted value at each group FIRST row
+        # belongs to the previous user but is masked out below
+        cm = g.groupby("user_id", sort=False)["ts_us"].cummax() \
+            .to_numpy(np.int64)
+        prior = np.r_[np.int64(0), cm[:-1]]
+        is_first = np.r_[True, u[1:] != u[:-1]]
+        late_by = prior - tu
+        keep = (~is_first) & (late_by > LATE_THRESH_US)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64)[keep],
+                             "user_id": u[keep],
+                             "late_by_us": late_by[keep]})
+
+    part = ds.map_batches(epoch, batch_format="pyarrow")
+    return shard_apply(part, ["user_id"], late)
+
+
+def q_moving_window(sf_dir: str):
+    """Row-frame moving aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) of value cents per user in (ts, event_id) order — the
+    fixed-width smoothing window (the RANGE-frame sibling is
+    q_window_sliding).  One user-sharded exchange; the window is a
+    cumsum difference with a group-start clamp, exact int64 (sum and
+    count emitted, never a float mean)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("event_id", "w3_sum_cents", "w3_n")})
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        firsts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        gid = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        pos = np.arange(len(u)) - firsts[gid]
+        cs = np.cumsum(v)
+        lo = np.arange(len(u)) - np.minimum(pos, 2)   # window start index
+        s = cs - cs[lo] + v[lo]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(np.int64),
+                             "w3_sum_cents": s,
+                             "w3_n": np.minimum(pos + 1, 3).astype(np.int64)})
+
+    part = ds.map_batches(prep, batch_format="pyarrow")
+    return shard_apply(part, ["user_id"], win)
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram language-model predictability scoring (the KenLM-shaped
+    corpus-fluency quality signal, integer-exact): pass 1 counts corpus
+    word bigrams (combiner partials -> one vocab^2-bounded grouped sum
+    — at open-web scale this table is capped to top-B bigrams, the
+    count-min/top-k variant; here the synthetic vocab keeps it tiny);
+    pass 2 broadcasts the sorted (hash, count) arrays once and scores
+    each doc as the sum of corpus counts of its adjacent word pairs —
+    per-doc work never leaves the batch.  score_centi = 100*mass //
+    n_pairs (non-negative operands)."""
+    from osmquadtreepostgis_ray.functions.text import \
+        word_ngram_segments_nopad_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        gh, _seg, _per = word_ngram_segments_nopad_batch(t.column("text"), n=2)
+        u, c = np.unique(gh, return_counts=True)
+        return pa.table({"g": pa.array(u.view(np.int64), pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    bc = sharded_agg(docs.map_batches(bg_partial, batch_format="pyarrow"),
+                     ["g"], {"c": ("c", "sum")}).to_pandas()
+    gu = bc["g"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(gu)
+    ref = ray.put((np.ascontiguousarray(gu[order]),
+                   np.ascontiguousarray(bc["c"].to_numpy(np.int64)[order])))
+
+    def score(t: pa.Table) -> pa.Table:
+        gs, cs = ray.get(ref)
+        ids = t.column("doc_id").to_numpy()
+        gh, seg, per = word_ngram_segments_nopad_batch(t.column("text"), n=2)
+        mass = np.zeros(len(ids), np.int64)
+        if len(gh):
+            cnt = cs[np.searchsorted(gs, gh)]   # every gram is in the table
+            np.add.at(mass, seg, cnt)
+        per = per.astype(np.int64)
+        sc = np.where(per > 0, (100 * mass) // np.maximum(per, 1), 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_pairs": pa.array(per, pa.int64()),
+                         "mass": pa.array(mass, pa.int64()),
+                         "score_centi": pa.array(sc, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (k=2) of the gapped-chain + chord document
+    graph — the graph-degeneracy screen (spam rings / dedup clusters
+    live in dense cores): path edges (d-1, d) except every 5th (the gap
+    makes the peel non-trivial), chord edges (d-2, d) for (d-2)%3=0.
+    Peel depth is structurally bounded by the gap spacing, so the
+    KCORE_ROUNDS cap (and the SQL twin's unroll) is a graph invariant,
+    not a tuning knob.  One edge materialization; each round is one
+    broadcast edge pass, zero shuffles (stages/graph.kcore_peel)."""
+    from osmquadtreepostgis_ray.stages.graph import kcore_peel
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        d1 = ids[(ids >= 1) & (ids % 5 != 0)]
+        d2 = ids[(ids >= 2) & ((ids - 2) % 3 == 0)]
+        a = np.concatenate([d1 - 1, d2 - 2])
+        b = np.concatenate([d1, d2])
+        return pa.table({"src": pa.array(np.r_[a, b], pa.int64()),
+                         "dst": pa.array(np.r_[b, a], pa.int64())})
+
+    return kcore_peel(docs.map_batches(edges, batch_format="pyarrow"),
+                      k=KCORE_K, max_rounds=KCORE_ROUNDS)

@@ -133,3 +133,61 @@ def _pagerank_bucketed(edges, deg, iters: int, scale: int,
     return pr.map_batches(
         lambda t: pa.table({"node": t.column("src"), "pr": t.column("pr")}),
         batch_format="pyarrow")
+
+
+@ray.remote
+def _alive_degree_of(tab: pa.Table, alive_ref) -> tuple:
+    """Per-edge-block degree partial counting only edges whose BOTH
+    endpoints are alive.  Sparse (nodes, counts) output — node-scale
+    arrays ship through the object store, never rows."""
+    sids, alive = alive_ref
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        return np.array([], np.int64), np.array([], np.int64)
+    src = tab.column("src").to_numpy()
+    dst = tab.column("dst").to_numpy()
+    ok = alive[np.searchsorted(sids, src)] & alive[np.searchsorted(sids, dst)]
+    u, inv = np.unique(src[ok], return_inverse=True)
+    acc = np.zeros(len(u), np.int64)
+    np.add.at(acc, inv, 1)
+    return u, acc
+
+
+def kcore_peel(edges: ray.data.Dataset, k: int = 2,
+               max_rounds: int = 8) -> ray.data.Dataset:
+    """Iterative k-core decomposition (the degeneracy peel behind graph
+    dedup/community screens): repeatedly drop nodes whose degree within
+    the remaining subgraph is < k; return survivors with their final
+    in-core degree.
+
+    Same broadcast plan as _pagerank_broadcast: the SYMMETRIC (src,
+    dst) edge list is materialized once; each round ships one alive
+    bitvector via ray.put and runs one embarrassingly parallel edge
+    pass (zero shuffles per round).  Convergence must land within
+    ``max_rounds`` — the caller picks a graph-structural bound (peel
+    depth, not diameter) and the SQL twin unrolls the same count; a
+    non-converged peel raises rather than returning a wrong core."""
+    edges = edges.materialize()
+    tabs = [t for t in ray.get(edges.to_arrow_refs())
+            if t.num_rows and "src" in t.column_names]
+    ids = np.unique(np.concatenate(
+        [t.column("src").to_numpy() for t in tabs] or [np.empty(0, np.int64)]))
+    alive = np.ones(len(ids), bool)
+    erefs = edges.to_arrow_refs()
+
+    deg = np.zeros(len(ids), np.int64)
+    for _ in range(max_rounds):
+        aref = ray.put((ids, alive))
+        parts = ray.get([_alive_degree_of.remote(r, aref) for r in erefs])
+        deg = np.zeros(len(ids), np.int64)
+        for u, acc in parts:
+            deg[np.searchsorted(ids, u)] += acc
+        new_alive = alive & (deg >= k)
+        if (new_alive == alive).all():
+            break
+        alive = new_alive
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_rounds} "
+                           f"rounds; raise max_rounds (and the SQL unroll)")
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(ids[alive], pa.int64()),
+        "deg": pa.array(deg[alive], pa.int64())}))
