@@ -3688,6 +3688,8 @@ def build_oracles() -> dict[str, str]:
         "moving_window": sql_moving_window(),
         "lm_score": sql_lm_score(),
         "kcore": sql_kcore(),
+        "traj_hausdorff": sql_traj_hausdorff(),
+        "mmr_select": sql_mmr_select(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -3833,3 +3835,66 @@ def sql_kcore() -> str:
     a0 AS (SELECT DISTINCT u AS v FROM es),{','.join(rounds)}
     SELECT v AS node, deg FROM d{last} WHERE deg >= {KCORE_K}
     """
+
+
+def sql_traj_hausdorff() -> str:
+    """Twin of queries.q_traj_hausdorff: nested MAX(MIN(d2)) aggregation
+    over the sampled-user point cross join."""
+    from osmquadtreepostgis_ray.queries import TRAJ_MOD
+    return f"""
+    WITH {events_geo_cte()},
+    pts AS (
+        SELECT user_id, event_id, lon_milli AS x, lat_milli AS y
+        FROM ev WHERE user_id % {TRAJ_MOD} = 0
+    ),
+    mind AS (
+        SELECT a.user_id AS ua, b.user_id AS ub, a.event_id,
+               min((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y)) AS md
+        FROM pts a JOIN pts b ON b.user_id <> a.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT ua, ub, max(md)::BIGINT AS h2 FROM mind GROUP BY ua, ub
+    """
+
+
+def sql_mmr_select() -> str:
+    """Twin of queries.q_mmr_select: the greedy MMR unrolled to MMR_K
+    single-row selection CTEs (relevance d2q minus min distance to the
+    selected prefix, tie to the smallest vec_id), same floor-1024
+    quantization as the kmeans/PQ family."""
+    from osmquadtreepostgis_ray.queries import MMR_K, MMR_QID
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    vexpr = ("list_transform(embedding, "
+             f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+             f" + {KM_SHIFT})")
+    ctes = [
+        f"qv AS (SELECT vec_id, {vexpr} AS v FROM embeddings)",
+        "e AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM qv)",
+        f"qe AS (SELECT i, x FROM e WHERE vec_id = {MMR_QID})",
+        ("dq AS (SELECT e.vec_id, CAST(sum((e.x - qe.x) * (e.x - qe.x)) "
+         "AS BIGINT) AS d2q FROM e JOIN qe USING (i) GROUP BY e.vec_id)"),
+        (f"sel1 AS (SELECT vec_id FROM dq WHERE vec_id <> {MMR_QID} "
+         f"ORDER BY d2q, vec_id LIMIT 1)"),
+        "selU1 AS (SELECT vec_id FROM sel1)",
+    ]
+    for t in range(2, MMR_K + 1):
+        ctes.append(
+            f"p{t} AS (SELECT e1.vec_id AS v, e2.vec_id AS s, "
+            f"CAST(sum((e1.x - e2.x) * (e1.x - e2.x)) AS BIGINT) AS d2 "
+            f"FROM e e1 JOIN e e2 USING (i) "
+            f"WHERE e2.vec_id IN (SELECT vec_id FROM selU{t - 1}) "
+            f"GROUP BY 1, 2)")
+        ctes.append(f"m{t} AS (SELECT v AS vec_id, min(d2) AS mind "
+                    f"FROM p{t} GROUP BY v)")
+        ctes.append(
+            f"sel{t} AS (SELECT dq.vec_id FROM dq JOIN m{t} USING (vec_id) "
+            f"WHERE dq.vec_id <> {MMR_QID} "
+            f"AND dq.vec_id NOT IN (SELECT vec_id FROM selU{t - 1}) "
+            f"ORDER BY dq.d2q - m{t}.mind, dq.vec_id LIMIT 1)")
+        ctes.append(f"selU{t} AS (SELECT vec_id FROM selU{t - 1} "
+                    f"UNION ALL SELECT vec_id FROM sel{t})")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, vec_id FROM sel{t}"
+        for t in range(1, MMR_K + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals

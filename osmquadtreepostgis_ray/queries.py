@@ -5329,3 +5329,165 @@ def q_kcore(sf_dir: str):
 
     return kcore_peel(docs.map_batches(edges, batch_format="pyarrow"),
                       k=KCORE_K, max_rounds=KCORE_ROUNDS)
+
+
+# --------------------------------------- trajectory similarity / MMR ops
+
+TRAJ_MOD = 13         # trajectory sample: 1 user in 13
+
+
+def q_traj_hausdorff(sf_dir: str):
+    """Trajectory-similarity join: directed Hausdorff distance (squared,
+    exact int64) between every ordered pair of SAMPLED users' point
+    sets — h2(a,b) = max over a's points of min over b's points of d².
+    The sampled point set (bounded by the TRAJ_MOD rate — the
+    trajectory-clustering working set every mobility pipeline bounds
+    before an all-pairs step) broadcasts once sorted by user; each
+    event batch computes min-d² blocks in user-boundary-aligned column
+    chunks (np.minimum.reduceat) and emits (ua, ub, partial-max) rows;
+    one sharded max finishes.  Max decomposes over a's points, so
+    per-batch partials are globally correct."""
+    def sample_geo(t: pa.Table) -> pa.Table:
+        # lean geotag-only prep: the full prep_events cell/tile/degree
+        # enrichment is dead weight here (halved the sf0.1 wall time)
+        u = t.column("user_id").to_numpy()
+        e = t.column("event_id").to_numpy()
+        keep = u % TRAJ_MOD == 0
+        u, e = u[keep], e[keep]
+        lon_m, lat_m = geotag.event_lonlat_milli(u, e)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "lon_milli": pa.array(lon_m, pa.int64()),
+                         "lat_milli": pa.array(lat_m, pa.int64())})
+
+    samp = read_table(sf_dir, "events", columns=["event_id", "user_id"]) \
+        .map_batches(sample_geo, batch_format="pyarrow").materialize()
+    tabs = [t for t in ray.get(samp.to_arrow_refs())
+            if t.num_rows and "user_id" in t.column_names]
+    bu = np.concatenate([t.column("user_id").to_numpy() for t in tabs])
+    bx = np.concatenate([t.column("lon_milli").to_numpy() for t in tabs])
+    by = np.concatenate([t.column("lat_milli").to_numpy() for t in tabs])
+    order = np.argsort(bu, kind="stable")
+    bu, bx, by = bu[order], bx[order], by[order]
+    ustarts = np.flatnonzero(np.r_[True, bu[1:] != bu[:-1]])
+    uids = bu[ustarts]                      # sorted distinct sampled users
+    ref = ray.put((np.ascontiguousarray(bx), np.ascontiguousarray(by),
+                   ustarts.astype(np.int64), uids.astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ua": pa.array([], pa.int64()),
+                             "ub": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        rbx, rby, rstarts, ruids = ray.get(ref)
+        au = t.column("user_id").to_numpy()
+        ax = t.column("lon_milli").to_numpy()
+        ay = t.column("lat_milli").to_numpy()
+        m = len(au)
+        nb = len(ruids)
+        minb = np.empty((m, nb), np.int64)
+        bounds = np.r_[rstarts, len(rbx)]
+        # user-boundary-aligned column chunks bound the d2 temporary;
+        # in-place squares (the zone_distance lesson: materialized
+        # contiguous temps + in-place ops, no broadcast-view ufuncs)
+        CH = 32                              # users per chunk
+        for lo in range(0, nb, CH):
+            hi = min(lo + CH, nb)
+            s, e = bounds[lo], bounds[hi]
+            d2 = ax[:, None] - rbx[None, s:e]
+            d2 *= d2
+            dy = ay[:, None] - rby[None, s:e]
+            dy *= dy
+            d2 += dy
+            minb[:, lo:hi] = np.minimum.reduceat(d2, bounds[lo:hi] - s,
+                                                 axis=1)
+        ua_u, inv = np.unique(au, return_inverse=True)
+        h2 = np.full((len(ua_u), nb), np.int64(-1))
+        np.maximum.at(h2, inv, minb)
+        ii, jj = np.nonzero(ua_u[:, None] != ruids[None, :])
+        return pa.table({"ua": pa.array(ua_u[ii], pa.int64()),
+                         "ub": pa.array(ruids[jj], pa.int64()),
+                         "h2": pa.array(h2[ii, jj], pa.int64())})
+
+    part = samp.map_batches(partial, batch_format="pyarrow",
+                            batch_size=2048)
+    return sharded_agg(part, ["ua", "ub"], {"h2": ("h2", "max")}) \
+        .select_columns(["ua", "ub", "h2"])
+
+
+MMR_K = 5
+MMR_QID = 0
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance data selection (the diversity-aware
+    top-k a curated fine-tuning set is drawn with): greedily pick
+    MMR_K vectors minimizing d2(query) - min d2(selected) — relevance
+    minus redundancy, all in the floor-1024 quantized integer space of
+    the kmeans/PQ family (no float scores cross engines; ties to the
+    smallest vec_id).  Each step is ONE streaming pass over the
+    materialized quantized corpus: per-block argmin partials (a 1-row
+    table per block), driver picks the global min; the <=K selected
+    vectors broadcast per step via ray.put."""
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        flat = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+        q = (np.floor(flat.astype(np.float64) * KM_SCALE).astype(np.int64)
+             + KM_SHIFT)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    qds = emb.map_batches(quant, batch_format="pyarrow").materialize()
+    refs = [r for r in qds.to_arrow_refs()]
+
+    @ray.remote
+    def qvec_of(tab: pa.Table, qid: int):
+        if tab.num_rows == 0 or "vec_id" not in tab.column_names:
+            return None
+        ids = tab.column("vec_id").to_numpy()
+        hit = np.flatnonzero(ids == qid)
+        if not len(hit):
+            return None
+        return np.asarray(tab.column("q")[int(hit[0])].as_py(), np.int64)
+
+    qvec = next(v for v in ray.get([qvec_of.remote(r, MMR_QID) for r in refs])
+                if v is not None)
+
+    @ray.remote
+    def step_argmin(tab: pa.Table, state) -> tuple:
+        qv, sel_ids, sel_vecs = state
+        if tab.num_rows == 0 or "vec_id" not in tab.column_names:
+            return None
+        ids = tab.column("vec_id").to_numpy()
+        v = np.stack(tab.column("q").to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = v - qv[None, :]
+        d2q = (d * d).sum(axis=1)
+        if len(sel_vecs):
+            dd = v[:, None, :] - sel_vecs[None, :, :]
+            mind = (dd * dd).sum(axis=2).min(axis=1)
+        else:
+            mind = np.zeros(len(ids), np.int64)
+        score = d2q - mind
+        keep = (ids != MMR_QID) & ~np.isin(ids, sel_ids)
+        if not keep.any():
+            return None
+        ki = np.flatnonzero(keep)
+        order = np.lexsort((ids[ki], score[ki]))
+        b = ki[order[0]]
+        return int(score[b]), int(ids[b]), v[b]
+
+    sel_ids: list[int] = []
+    sel_vecs = np.empty((0, len(qvec)), np.int64)
+    for _step in range(MMR_K):
+        sref = ray.put((qvec, np.array(sel_ids, np.int64), sel_vecs))
+        cands = [c for c in ray.get([step_argmin.remote(r, sref)
+                                     for r in refs]) if c is not None]
+        cands.sort(key=lambda c: (c[0], c[1]))
+        _sc, vid, vec = cands[0]
+        sel_ids.append(vid)
+        sel_vecs = np.vstack([sel_vecs, vec[None, :]])
+    return pa.table({"step": pa.array(np.arange(1, MMR_K + 1), pa.int64()),
+                     "vec_id": pa.array(sel_ids, pa.int64())})
