@@ -3690,6 +3690,8 @@ def build_oracles() -> dict[str, str]:
         "kcore": sql_kcore(),
         "traj_hausdorff": sql_traj_hausdorff(),
         "mmr_select": sql_mmr_select(),
+        "otsu": sql_otsu(),
+        "morphology": sql_morphology(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -3898,3 +3900,72 @@ def sql_mmr_select() -> str:
         f"SELECT CAST({t} AS BIGINT) AS step, vec_id FROM sel{t}"
         for t in range(1, MMR_K + 1))
     return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+def sql_otsu() -> str:
+    """Twin of queries.q_otsu: 16-bin histogram per image, between-class
+    score fl(A^2)/(n0*n1) with A exact in BIGINT — identical int64 ->
+    double rounding and one identical division on both engines, ties to
+    the smallest threshold (see stages/images.otsu_batch)."""
+    return f"""{_sql_decoded_pixels()},
+    hist AS (
+        SELECT image_id, p // 16 AS b, count(*)::BIGINT AS n
+        FROM dec GROUP BY 1, 2
+    ),
+    tot AS (SELECT image_id, sum(n)::BIGINT AS npx,
+                   sum(n * b)::BIGINT AS s FROM hist GROUP BY 1),
+    th AS (SELECT unnest(range(0, 15)) AS t),
+    agg AS (
+        SELECT h.image_id, th.t, sum(h.n)::BIGINT AS n0,
+               sum(h.n * h.b)::BIGINT AS s0
+        FROM hist h JOIN th ON h.b <= th.t
+        GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT a.image_id, a.t, a.n0, (tot.npx - a.n0) AS n1,
+               (a.s0 * (tot.npx - a.n0) - (tot.s - a.s0) * a.n0) AS a2
+        FROM agg a JOIN tot USING (image_id)
+        WHERE a.n0 > 0 AND (tot.npx - a.n0) > 0
+    ),
+    best AS (
+        SELECT image_id, t, n1,
+               row_number() OVER (PARTITION BY image_id
+                   ORDER BY CAST(a2 * a2 AS DOUBLE)
+                            / CAST(n0 * n1 AS DOUBLE) DESC, t) AS rk
+        FROM sc
+    )
+    SELECT i.image_id, coalesce(b.t, CAST(-1 AS BIGINT)) AS otsu_bin,
+           coalesce(b.n1, CAST(0 AS BIGINT)) AS fg_n
+    FROM img i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (image_id)
+    """
+
+
+def sql_morphology() -> str:
+    """Twin of queries.q_morphology: 3x3 erosion (interior, full window)
+    and dilation (clipped window) counts on the p >= 128 mask, via an
+    equi-join on explicit neighbor offsets (no range self-join)."""
+    return f"""{_sql_decoded_pixels()},
+    m AS (
+        SELECT image_id, w, h, idx // w AS r, idx % w AS c,
+               CASE WHEN p >= 128 THEN 1 ELSE 0 END AS b
+        FROM dec
+    ),
+    off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                  (1,-1),(1,0),(1,1)) AS o(dr, dc)),
+    nbr AS (
+        SELECT a.image_id, a.r, a.c, a.h, a.w,
+               min(nb.b) AS mn, max(nb.b) AS mx
+        FROM m a CROSS JOIN off o
+        JOIN m nb ON nb.image_id = a.image_id
+                 AND nb.r = a.r + o.dr AND nb.c = a.c + o.dc
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    ec AS (SELECT image_id, count(*)::BIGINT AS n FROM nbr
+           WHERE mn = 1 AND r >= 1 AND r <= h - 2
+             AND c >= 1 AND c <= w - 2 GROUP BY 1),
+    dc AS (SELECT image_id, count(*)::BIGINT AS n FROM nbr
+           WHERE mx = 1 GROUP BY 1)
+    SELECT i.image_id, coalesce(ec.n, CAST(0 AS BIGINT)) AS eroded_n,
+           coalesce(dc.n, CAST(0 AS BIGINT)) AS dilated_n
+    FROM img i LEFT JOIN ec USING (image_id) LEFT JOIN dc USING (image_id)
+    """

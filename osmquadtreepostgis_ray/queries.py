@@ -5491,3 +5491,29 @@ def q_mmr_select(sf_dir: str):
         sel_vecs = np.vstack([sel_vecs, vec[None, :]])
     return pa.table({"step": pa.array(np.arange(1, MMR_K + 1), pa.int64()),
                      "vec_id": pa.array(sel_ids, pa.int64())})
+
+
+# --------------------------------------- per-image binarization ops
+
+def q_otsu(sf_dir: str):
+    """Per-image Otsu auto-threshold over the 16-bin decoded histogram
+    (the binarization screen for mask/OCR curation).  Row-pure decode +
+    vectorized per-group histogram/argmax (stages/images.otsu_batch);
+    no shuffle — output is one 3-int row per image."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import otsu_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        otsu_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_morphology(sf_dir: str):
+    """Per-image 3x3 binary erosion/dilation counts on the p >= 128
+    mask (mask-cleanup audit: speckle kill + pinhole close).  Row-pure
+    padded 9-shift min/max per (fmt, dims) group
+    (stages/images.morph_batch); no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import morph_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        morph_batch, batch_format="pyarrow", batch_size=IMG_BATCH)

@@ -943,3 +943,80 @@ def frame_diff_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"video_id": pa.array(cat(out_id), pa.int64()),
                      "f": pa.array(cat(out_f), pa.int64()),
                      "n_changed": pa.array(cat(out_n), pa.int64())})
+
+
+OTSU_BINS = 16             # Otsu runs on the p // 16 histogram
+MORPH_FG = 128             # binary-mask threshold: p >= MORPH_FG
+
+
+def otsu_batch(batch: pa.Table) -> pa.Table:
+    """Per-image Otsu threshold over the OTSU_BINS-quantized decoded
+    histogram (the auto-binarization screen a vision-curation pipeline
+    runs before masks/OCR).  Between-class variance compared via
+    score(t) = fl(A^2) / (n0*n1) with A = s0*n1 - s1*n0 computed EXACTLY
+    in int64 (|A| <= 15*3072*3072 < 2^28, A^2 < 2^56) — both engines
+    round the identical int64 A^2 to the identical double and perform
+    one identical division, so the argmax (ties -> smallest t) is
+    bit-stable without floats ever crossing engines.  Output ints only:
+    (image_id, otsu_bin, fg_n) with fg_n = pixels in bins > t.
+    Row-pure, no shuffle."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    tout = np.full(n, -1, np.int64)
+    fout = np.zeros(n, np.int64)
+    for m, dec, _w, _h, _f in _decoded_groups(batch):
+        k, npx = dec.shape
+        bins = (dec >> 4).astype(np.int64)
+        row = np.repeat(np.arange(k, dtype=np.int64), npx)
+        hist = np.bincount(row * OTSU_BINS + bins.ravel(),
+                           minlength=k * OTSU_BINS).reshape(k, OTSU_BINS)
+        vals = np.arange(OTSU_BINS, dtype=np.int64)
+        n0 = np.cumsum(hist, axis=1)[:, :-1]               # (k, 15)
+        s0 = np.cumsum(hist * vals, axis=1)[:, :-1]
+        n1 = npx - n0
+        s1 = (hist @ vals)[:, None] - s0
+        a = s0 * n1 - s1 * n0
+        valid = (n0 > 0) & (n1 > 0)
+        score = np.where(valid,
+                         (a * a).astype(np.float64)
+                         / np.where(valid, n0 * n1, 1).astype(np.float64),
+                         -1.0)
+        best = np.argmax(score, axis=1)                    # first max = min t
+        ok = score[np.arange(k), best] >= 0.0
+        tsel = np.where(ok, best, -1).astype(np.int64)
+        fg = np.where(ok, n1[np.arange(k), np.clip(best, 0, None)], 0)
+        tout[m] = tsel
+        fout[m] = fg.astype(np.int64)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "otsu_bin": pa.array(tout, pa.int64()),
+                     "fg_n": pa.array(fout, pa.int64())})
+
+
+def morph_batch(batch: pa.Table) -> pa.Table:
+    """Per-image 3x3 binary morphology counts on the p >= MORPH_FG mask
+    (the mask-cleanup primitive: erosion kills speckle, dilation closes
+    pinholes; their difference is the morphological gradient).  Erosion
+    uses the full 3x3 window with out-of-bounds = 0 (border pixels never
+    survive); dilation clips the window at the border.  One vectorized
+    pad + 9-shift min/max per (fmt, dims) group; row-pure, no shuffle."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    ero = np.zeros(n, np.int64)
+    dil = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        k = dec.shape[0]
+        mask = (dec >= MORPH_FG).reshape(k, hi, wi)
+        pad = np.zeros((k, hi + 2, wi + 2), np.bool_)
+        pad[:, 1:-1, 1:-1] = mask
+        emin = np.ones((k, hi, wi), np.bool_)
+        dmax = np.zeros((k, hi, wi), np.bool_)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                win = pad[:, dr:dr + hi, dc:dc + wi]
+                emin &= win
+                dmax |= win
+        ero[m] = emin.sum(axis=(1, 2)).astype(np.int64)
+        dil[m] = dmax.sum(axis=(1, 2)).astype(np.int64)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "eroded_n": pa.array(ero, pa.int64()),
+                     "dilated_n": pa.array(dil, pa.int64())})
