@@ -3692,6 +3692,7 @@ def build_oracles() -> dict[str, str]:
         "mmr_select": sql_mmr_select(),
         "otsu": sql_otsu(),
         "morphology": sql_morphology(),
+        "blobs": sql_blobs(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -3968,4 +3969,43 @@ def sql_morphology() -> str:
     SELECT i.image_id, coalesce(ec.n, CAST(0 AS BIGINT)) AS eroded_n,
            coalesce(dc.n, CAST(0 AS BIGINT)) AS dilated_n
     FROM img i LEFT JOIN ec USING (image_id) LEFT JOIN dc USING (image_id)
+    """
+
+
+def sql_blobs() -> str:
+    """Twin of queries.q_blobs: 4-connected min-label propagation on the
+    p >= BLOB_FG mask, unrolled to exactly BLOB_ROUNDS Jacobi rounds —
+    the Ray kernel RAISES if it hasn't converged by then, so both
+    engines always compare the same fixpoint."""
+    from osmquadtreepostgis_ray.stages.images import BLOB_FG, BLOB_ROUNDS
+    rounds = []
+    prev = "mk"
+    for i in range(1, BLOB_ROUNDS + 1):
+        # MATERIALIZED: each round is referenced twice (a and b) — an
+        # inlined chain doubles the plan per round (2^96 scans)
+        rounds.append(
+            f"r{i} AS MATERIALIZED (SELECT a.image_id, a.r, a.c, "
+            f"least(a.lb, coalesce(min(b.lb), a.lb)) AS lb "
+            f"FROM r{i - 1 if i > 1 else ''} a CROSS JOIN off o "
+            f"LEFT JOIN {prev} b ON b.image_id = a.image_id "
+            f"AND b.r = a.r + o.dr AND b.c = a.c + o.dc "
+            f"GROUP BY a.image_id, a.r, a.c, a.lb)")
+        prev = f"r{i}"
+    # first round reads from mk, later rounds from r{i-1}
+    rounds[0] = rounds[0].replace("FROM r a", "FROM mk a")
+    return f"""{_sql_decoded_pixels()},
+    mk AS (SELECT image_id, idx // w AS r, idx % w AS c, idx AS lb
+           FROM dec WHERE p >= {BLOB_FG}),
+    off AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1))
+            AS o(dr, dc)),
+    {','.join(rounds)},
+    comp AS (SELECT image_id, lb, count(*)::BIGINT AS sz
+             FROM r{BLOB_ROUNDS} GROUP BY 1, 2),
+    stats AS (SELECT image_id, count(*)::BIGINT AS n_blobs,
+                     max(sz)::BIGINT AS max_blob, sum(sz)::BIGINT AS fg_n
+              FROM comp GROUP BY 1)
+    SELECT i.image_id, coalesce(s.n_blobs, CAST(0 AS BIGINT)) AS n_blobs,
+           coalesce(s.max_blob, CAST(0 AS BIGINT)) AS max_blob,
+           coalesce(s.fg_n, CAST(0 AS BIGINT)) AS fg_n
+    FROM img i LEFT JOIN stats s USING (image_id)
     """

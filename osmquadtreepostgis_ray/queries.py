@@ -5517,3 +5517,15 @@ def q_morphology(sf_dir: str):
 
     return read_images(sf_dir, with_bytes=True).map_batches(
         morph_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_blobs(sf_dir: str):
+    """Per-image blob statistics (4-connected components of the bright
+    p >= 208 mask — the watermark/bright-spot screen): Jacobi min-label
+    propagation inside the batch UDF with a structural round bound
+    (stages/images.blob_batch); row-pure, no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import blob_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        blob_batch, batch_format="pyarrow", batch_size=IMG_BATCH)

@@ -1020,3 +1020,59 @@ def morph_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"image_id": pa.array(ids, pa.string()),
                      "eroded_n": pa.array(ero, pa.int64()),
                      "dilated_n": pa.array(dil, pa.int64())})
+
+
+BLOB_FG = 208              # blob mask: p >= BLOB_FG (bright-spot screen)
+BLOB_ROUNDS = 96           # Jacobi min-label round bound; raises past it
+
+
+def blob_batch(batch: pa.Table) -> pa.Table:
+    """Per-image connected-component (blob) statistics on the
+    p >= BLOB_FG mask (the bright-spot/watermark screen): 4-connected
+    components via Jacobi min-label propagation — one padded 4-shift
+    minimum per round over the whole (k, h, w) group stack, early-exit
+    at the fixpoint, RAISES past BLOB_ROUNDS (the SQL twin unrolls the
+    same bound, so a non-converged kernel can never silently diverge
+    from its oracle).  Output per image: blob count, largest blob size,
+    masked-pixel total — all int64; row-pure, no shuffle."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    nb = np.zeros(n, np.int64)
+    mx = np.zeros(n, np.int64)
+    fg = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        k = dec.shape[0]
+        npx = hi * wi
+        mask = (dec >= BLOB_FG).reshape(k, hi, wi)
+        sent = np.int64(npx)
+        grid = np.arange(npx, dtype=np.int64).reshape(1, hi, wi)
+        lab = np.where(mask, grid, sent)
+        converged = False
+        for _r in range(BLOB_ROUNDS):
+            pad = np.full((k, hi + 2, wi + 2), sent, np.int64)
+            pad[:, 1:-1, 1:-1] = lab
+            nbmin = np.minimum(
+                np.minimum(pad[:, :-2, 1:-1], pad[:, 2:, 1:-1]),
+                np.minimum(pad[:, 1:-1, :-2], pad[:, 1:-1, 2:]))
+            new = np.where(mask, np.minimum(lab, nbmin), sent)
+            if (new == lab).all():
+                converged = True
+                break
+            lab = new
+        if not converged:
+            raise RuntimeError(
+                f"blob labeling not converged in {BLOB_ROUNDS} rounds "
+                f"({hi}x{wi}) — raise BLOB_ROUNDS with its SQL twin")
+        offs = (np.arange(k, dtype=np.int64) * npx)[:, None, None]
+        gl = (lab + offs).ravel()[mask.ravel()]
+        uq, cnts = np.unique(gl, return_counts=True)
+        img_of = uq // npx
+        nb[m] = np.bincount(img_of, minlength=k)
+        mtop = np.zeros(k, np.int64)
+        np.maximum.at(mtop, img_of, cnts.astype(np.int64))
+        mx[m] = mtop
+        fg[m] = mask.sum(axis=(1, 2)).astype(np.int64)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "n_blobs": pa.array(nb, pa.int64()),
+                     "max_blob": pa.array(mx, pa.int64()),
+                     "fg_n": pa.array(fg, pa.int64())})

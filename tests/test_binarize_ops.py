@@ -69,3 +69,42 @@ def test_morphology_matches_brute(sf_dir):
         .sort_values("image_id").reset_index(drop=True)
     assert (ref["dilated_n"] >= ref["eroded_n"]).all()
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_blobs_matches_brute_bfs(sf_dir):
+    from osmquadtreepostgis_ray.stages.images import BLOB_FG
+
+    out = Q.q_blobs(sf_dir).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    ids = np.sort(out["image_id"].str.slice(3).astype(np.int64).to_numpy())
+    w, h = dims_of(ids)
+    dims = {int(d): (int(wi), int(hi)) for d, wi, hi in zip(ids, w, h)}
+    rows = []
+    for d, _f, dec, _c in _decoded_corpus(sf_dir):
+        wi, hi = dims[d]
+        m = (dec.reshape(hi, wi) >= BLOB_FG)
+        seen = np.zeros_like(m)
+        sizes = []
+        for r0 in range(hi):
+            for c0 in range(wi):
+                if not m[r0, c0] or seen[r0, c0]:
+                    continue
+                stack, sz = [(r0, c0)], 0
+                seen[r0, c0] = True
+                while stack:
+                    r, c = stack.pop()
+                    sz += 1
+                    for rr, cc in ((r - 1, c), (r + 1, c),
+                                   (r, c - 1), (r, c + 1)):
+                        if 0 <= rr < hi and 0 <= cc < wi \
+                                and m[rr, cc] and not seen[rr, cc]:
+                            seen[rr, cc] = True
+                            stack.append((rr, cc))
+                sizes.append(sz)
+        rows.append(("img%012d" % d, len(sizes),
+                     max(sizes) if sizes else 0, int(m.sum())))
+    ref = pd.DataFrame(rows, columns=["image_id", "n_blobs",
+                                      "max_blob", "fg_n"]) \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (ref["n_blobs"] > 1).any()       # mask is speckled, not one blob
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
