@@ -3693,6 +3693,8 @@ def build_oracles() -> dict[str, str]:
         "otsu": sql_otsu(),
         "morphology": sql_morphology(),
         "blobs": sql_blobs(),
+        "hex_ring": sql_hex_ring(),
+        "ripley_k": sql_ripley_k(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -4008,4 +4010,48 @@ def sql_blobs() -> str:
            coalesce(s.max_blob, CAST(0 AS BIGINT)) AS max_blob,
            coalesce(s.fg_n, CAST(0 AS BIGINT)) AS fg_n
     FROM img i LEFT JOIN stats s USING (image_id)
+    """
+
+
+def sql_hex_ring() -> str:
+    """Twin of queries.q_hex_ring: the hex_bin aggregate scattered to
+    its ring-1 neighborhood (parity-dependent odd-r offsets, lattice
+    bounds), re-aggregated per receiving cell."""
+    from osmquadtreepostgis_ray.queries import HEX_NCOLS, HEXRING_OFF
+    offs = ", ".join(f"({par}, {di}, {dj})"
+                     for par, lst in HEXRING_OFF.items()
+                     for di, dj in lst)
+    return f"""
+    WITH hx AS ({sql_hex_bin()}),
+    d AS (SELECT hex_id, n, hex_id // {HEX_NCOLS} AS j,
+                 hex_id % {HEX_NCOLS} AS i FROM hx),
+    off AS (SELECT * FROM (VALUES {offs}) AS o(par, di, dj)),
+    sc AS (
+        SELECT (d.j + o.dj) * {HEX_NCOLS} + (d.i + o.di) AS hex_id, d.n
+        FROM d JOIN off o ON o.par = d.j % 2
+        WHERE d.i + o.di >= 0 AND d.i + o.di < {HEX_NCOLS}
+          AND d.j + o.dj >= 0
+    )
+    SELECT hex_id, sum(n)::BIGINT AS sm_n FROM sc GROUP BY 1
+    """
+
+
+def sql_ripley_k() -> str:
+    """Twin of queries.q_ripley_k: brute ordered-pair counts per radius
+    over the RIPLEY_MOD-sampled event geotags."""
+    from osmquadtreepostgis_ray.queries import RIPLEY_MOD, RIPLEY_R
+    radii = ", ".join(f"({r})" for r in RIPLEY_R)
+    return f"""
+    WITH {events_geo_cte()},
+    pts AS (
+        SELECT event_id, lon_milli AS x, lat_milli AS y
+        FROM ev WHERE user_id % {RIPLEY_MOD} = 0
+    ),
+    rad AS (SELECT * FROM (VALUES {radii}) AS r(r))
+    SELECT CAST(rad.r AS BIGINT) AS r, count(*)::BIGINT AS n_pairs
+    FROM pts a JOIN pts b ON b.event_id <> a.event_id
+    CROSS JOIN rad
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= CAST(rad.r AS BIGINT) * rad.r
+    GROUP BY 1
     """

@@ -5529,3 +5529,103 @@ def q_blobs(sf_dir: str):
 
     return read_images(sf_dir, with_bytes=True).map_batches(
         blob_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+# --------------------------------------- hex smoothing / point-pattern ops
+
+# ring-1 neighbor offsets (di, dj) per row parity for the odd-r offset
+# lattice of q_hex_bin (odd rows shifted +C/2): self + 6 hex neighbors
+HEXRING_OFF = {0: ((0, 0), (-1, 0), (1, 0), (-1, -1), (0, -1), (-1, 1), (0, 1)),
+               1: ((0, 0), (-1, 0), (1, 0), (0, -1), (1, -1), (0, 1), (1, 1))}
+
+
+def q_hex_ring(sf_dir: str):
+    """Hex ring-1 smoothing (the H3 kRing hotspot-smoothing primitive):
+    each hex cell's smoothed count = sum of raw counts over itself and
+    its 6 lattice neighbors.  Each aggregated cell SCATTERS its count to
+    its ring (7 emits, parity-dependent offsets, lattice-bounds filter)
+    — receiving cells with zero raw count appear naturally; one
+    cell-cardinality sharded sum finishes."""
+    def scatter(t: pa.Table) -> pa.Table:
+        hid = t.column("hex_id").to_numpy()
+        nn = t.column("n").to_numpy()
+        j = hid // HEX_NCOLS
+        i = hid % HEX_NCOLS
+        oid, on = [], []
+        for par in (0, 1):
+            pm = (j % 2) == par
+            if not pm.any():
+                continue
+            ip, jp, np_ = i[pm], j[pm], nn[pm]
+            for di, dj in HEXRING_OFF[par]:
+                ni = ip + di
+                nj = jp + dj
+                ok = (ni >= 0) & (ni < HEX_NCOLS) & (nj >= 0)
+                oid.append(nj[ok] * HEX_NCOLS + ni[ok])
+                on.append(np_[ok])
+        cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+        return pa.table({"hex_id": pa.array(cat(oid), pa.int64()),
+                         "sm_n": pa.array(cat(on), pa.int64())})
+
+    part = q_hex_bin(sf_dir).map_batches(scatter, batch_format="pyarrow")
+    return sharded_agg(part, ["hex_id"], {"sm_n": ("sm_n", "sum")}) \
+        .select_columns(["hex_id", "sm_n"])
+
+
+RIPLEY_MOD = 7                          # point-pattern sample: 1 user in 7
+RIPLEY_R = (2_000, 5_000, 10_000)       # radii in milli-degrees
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair counts (the point-pattern clustering statistic —
+    CSR deviation screening for geotag quality audits): for each radius
+    r, the number of ORDERED pairs of distinct sampled events with
+    d2 <= r2, exact int64.  The sampled set broadcasts once (bounded by
+    RIPLEY_MOD); each batch counts its pairs against the broadcast in
+    column chunks; output is len(RIPLEY_R) rows after a tiny sharded
+    sum.  Self-pairs are removed as a COUNT (one per batch point per
+    radius), never materialized."""
+    def sample_geo(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        e = t.column("event_id").to_numpy()
+        keep = u % RIPLEY_MOD == 0
+        u, e = u[keep], e[keep]
+        lon_m, lat_m = geotag.event_lonlat_milli(u, e)
+        return pa.table({"lon_milli": pa.array(lon_m, pa.int64()),
+                         "lat_milli": pa.array(lat_m, pa.int64())})
+
+    samp = read_table(sf_dir, "events", columns=["event_id", "user_id"]) \
+        .map_batches(sample_geo, batch_format="pyarrow").materialize()
+    tabs = [t for t in ray.get(samp.to_arrow_refs())
+            if t.num_rows and "lon_milli" in t.column_names]
+    bx = np.concatenate([t.column("lon_milli").to_numpy() for t in tabs])
+    by = np.concatenate([t.column("lat_milli").to_numpy() for t in tabs])
+    ref = ray.put((np.ascontiguousarray(bx), np.ascontiguousarray(by)))
+    r2s = np.array([r * r for r in RIPLEY_R], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        rbx, rby = ray.get(ref)
+        ax = t.column("lon_milli").to_numpy()
+        ay = t.column("lat_milli").to_numpy()
+        m = len(ax)
+        counts = np.zeros(len(r2s), np.int64)
+        CH = 4096                        # broadcast-side chunk: m x CH temps
+        for lo in range(0, len(rbx), CH):
+            d2 = ax[:, None] - rbx[None, lo:lo + CH]
+            d2 *= d2
+            dy = ay[:, None] - rby[None, lo:lo + CH]
+            dy *= dy
+            d2 += dy
+            for k, r2 in enumerate(r2s):
+                counts[k] += int((d2 <= r2).sum())
+        counts -= m                      # each batch point's self-pair
+        return pa.table({"r": pa.array(np.array(RIPLEY_R, np.int64)),
+                         "n_pairs": pa.array(counts, pa.int64())})
+
+    part = samp.map_batches(partial, batch_format="pyarrow",
+                            batch_size=4096)
+    return sharded_agg(part, ["r"], {"n_pairs": ("n_pairs", "sum")}) \
+        .select_columns(["r", "n_pairs"])
