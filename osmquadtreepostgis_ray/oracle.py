@@ -3695,6 +3695,8 @@ def build_oracles() -> dict[str, str]:
         "blobs": sql_blobs(),
         "hex_ring": sql_hex_ring(),
         "ripley_k": sql_ripley_k(),
+        "sssp_hops": sql_sssp_hops(),
+        "dist_raster": sql_dist_raster(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -4054,4 +4056,55 @@ def sql_ripley_k() -> str:
     WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
           <= CAST(rad.r AS BIGINT) * rad.r
     GROUP BY 1
+    """
+
+
+def sql_sssp_hops() -> str:
+    """Twin of queries.q_sssp_hops: multi-source BFS unrolled to the
+    SAME SSSP_ROUNDS bound the Ray kernel asserts convergence within.
+    MATERIALIZED rounds — each is referenced twice (self + neighbor)."""
+    from osmquadtreepostgis_ray.queries import SSSP_ROUNDS, SSSP_SRC_MOD
+    INF = 1 << 40
+    rounds = []
+    for i in range(1, SSSP_ROUNDS + 1):
+        prev = f"r{i - 1}" if i > 1 else "d0"
+        rounds.append(
+            f"r{i} AS MATERIALIZED (SELECT a.v, "
+            f"least(a.d, coalesce(min(nb.d + 1), a.d)) AS d "
+            f"FROM {prev} a LEFT JOIN es e ON e.v = a.v "
+            f"LEFT JOIN {prev} nb ON nb.v = e.u "
+            f"GROUP BY a.v, a.d)")
+    return f"""
+    WITH e0 AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 1 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id - 2, doc_id FROM documents
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    es AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    d0 AS MATERIALIZED (
+        SELECT DISTINCT u AS v,
+               CASE WHEN u % {SSSP_SRC_MOD} = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST({INF} AS BIGINT) END AS d
+        FROM es),
+    {','.join(rounds)}
+    SELECT v AS node, d AS dist FROM r{SSSP_ROUNDS} WHERE d < {INF}
+    """
+
+
+def sql_dist_raster() -> str:
+    """Twin of queries.q_dist_raster: min Manhattan distance from every
+    grid cell to the line_raster road-cell set (closed form — on an
+    obstacle-free grid 4-neighbor BFS distance IS min-L1)."""
+    from osmquadtreepostgis_ray.queries import RASTER_N
+    return f"""
+    WITH lr AS ({sql_line_raster()}),
+    gx AS (SELECT unnest(range(0, {RASTER_N})) AS cx),
+    gy AS (SELECT unnest(range(0, {RASTER_N})) AS cy),
+    grid AS (SELECT cx, cy FROM gx CROSS JOIN gy)
+    SELECT g.cx, g.cy,
+           min(abs(g.cx - r.cx) + abs(g.cy - r.cy))::BIGINT AS dist
+    FROM grid g CROSS JOIN lr r
+    GROUP BY 1, 2
     """

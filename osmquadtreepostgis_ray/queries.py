@@ -5629,3 +5629,74 @@ def q_ripley_k(sf_dir: str):
                             batch_size=4096)
     return sharded_agg(part, ["r"], {"n_pairs": ("n_pairs", "sum")}) \
         .select_columns(["r", "n_pairs"])
+
+
+# --------------------------------------- network distance / proximity ops
+
+SSSP_SRC_MOD = 50       # BFS sources: doc_id % 50 == 0 (the depot set)
+SSSP_ROUNDS = 16        # measured max 9 rounds at sf0.1; structural slack
+
+
+def q_sssp_hops(sf_dir: str):
+    """Multi-source BFS hop distance to the nearest depot (doc_id %
+    SSSP_SRC_MOD == 0) over the gapped-chain + chord document graph —
+    the isochrone/service-area primitive.  kcore's broadcast-rounds
+    plan: one edge materialization, one zero-shuffle edge pass per
+    round, raises past SSSP_ROUNDS (stages/graph.bfs_hops); components
+    without a depot are unreachable and dropped on both engines."""
+    from osmquadtreepostgis_ray.stages.graph import bfs_hops
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        d1 = ids[(ids >= 1) & (ids % 5 != 0)]
+        d2 = ids[(ids >= 2) & ((ids - 2) % 3 == 0)]
+        a = np.concatenate([d1 - 1, d2 - 2])
+        b = np.concatenate([d1, d2])
+        return pa.table({"src": pa.array(np.r_[a, b], pa.int64()),
+                         "dst": pa.array(np.r_[b, a], pa.int64())})
+
+    return bfs_hops(docs.map_batches(edges, batch_format="pyarrow"),
+                    src_mod=SSSP_SRC_MOD, max_rounds=SSSP_ROUNDS)
+
+
+def q_dist_raster(sf_dir: str):
+    """Proximity raster (exact Manhattan distance from every RASTER_N^2
+    grid cell to the nearest road-covered cell — the GIS distance-
+    transform / 'distance to nearest road' layer).  The road-cell set
+    is RASTER_N^2-BOUNDED, so it reduces to the driver and broadcasts
+    once (the cardinality-bounded admission of
+    util.reduce_small_or_shard); the grid side streams as a Dataset
+    with one chunked vectorized min-L1 pass per batch.  On an
+    obstacle-free grid 4-neighbor BFS distance IS the L1 distance to
+    the nearest seed, so the closed form replaces an iterative
+    transform on both engines."""
+    cells = q_line_raster(sf_dir).materialize()
+    tabs = [t for t in ray.get(cells.to_arrow_refs())
+            if t.num_rows and "cx" in t.column_names]
+    rx = np.concatenate([t.column("cx").to_numpy() for t in tabs])
+    ry = np.concatenate([t.column("cy").to_numpy() for t in tabs])
+    ref = ray.put((np.ascontiguousarray(rx), np.ascontiguousarray(ry)))
+
+    def min_l1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        bx, by = ray.get(ref)
+        gid = t.column("id").to_numpy()
+        gx = gid // RASTER_N
+        gy = gid % RASTER_N
+        best = np.full(len(gid), np.int64(1) << 40)
+        CH = 2048
+        for lo in range(0, len(bx), CH):
+            d = np.abs(gx[:, None] - bx[None, lo:lo + CH]) \
+                + np.abs(gy[:, None] - by[None, lo:lo + CH])
+            np.minimum(best, d.min(axis=1), out=best)
+        return pa.table({"cx": pa.array(gx, pa.int64()),
+                         "cy": pa.array(gy, pa.int64()),
+                         "dist": pa.array(best, pa.int64())})
+
+    grid = ray.data.range(RASTER_N * RASTER_N)
+    return grid.map_batches(min_l1, batch_format="pyarrow")

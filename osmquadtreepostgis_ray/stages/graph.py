@@ -191,3 +191,65 @@ def kcore_peel(edges: ray.data.Dataset, k: int = 2,
     return ray.data.from_arrow(pa.table({
         "node": pa.array(ids[alive], pa.int64()),
         "deg": pa.array(deg[alive], pa.int64())}))
+
+
+BFS_INF = np.int64(1) << 40
+
+
+@ray.remote
+def _relax_of(tab: pa.Table, state_ref) -> tuple:
+    """Per-edge-block BFS relaxation partial: candidate dist[dst] =
+    dist[src] + 1 for finite sources, min-reduced sparsely per block —
+    node-scale arrays ship, never edge rows."""
+    ids, dist = state_ref
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        return np.array([], np.int64), np.array([], np.int64)
+    src = tab.column("src").to_numpy()
+    dst = tab.column("dst").to_numpy()
+    ds = dist[np.searchsorted(ids, src)]
+    fin = ds < BFS_INF
+    if not fin.any():
+        return np.array([], np.int64), np.array([], np.int64)
+    u, inv = np.unique(dst[fin], return_inverse=True)
+    acc = np.full(len(u), BFS_INF, np.int64)
+    np.minimum.at(acc, inv, ds[fin] + 1)
+    return u, acc
+
+
+def bfs_hops(edges: ray.data.Dataset, src_mod: int,
+             max_rounds: int) -> ray.data.Dataset:
+    """Multi-source BFS hop distance (the isochrone / nearest-depot
+    primitive): dist(v) = hops to the nearest node with id % src_mod
+    == 0, over the node universe of the SYMMETRIC edge list.
+
+    kcore_peel's broadcast plan: edges materialized once; each round
+    ships the (ids, dist) state via ray.put and runs one
+    embarrassingly parallel edge pass (zero shuffles per round).
+    Driver state is node-table-sized — the same admission condition as
+    the pagerank broadcast plan.  Convergence must land within
+    ``max_rounds`` (a graph-structural bound the SQL twin unrolls);
+    otherwise this raises.  Unreached nodes are dropped."""
+    edges = edges.materialize()
+    tabs = [t for t in ray.get(edges.to_arrow_refs())
+            if t.num_rows and "src" in t.column_names]
+    ids = np.unique(np.concatenate(
+        [t.column("src").to_numpy() for t in tabs] or [np.empty(0, np.int64)]))
+    dist = np.where(ids % src_mod == 0, np.int64(0), BFS_INF)
+    erefs = edges.to_arrow_refs()
+
+    for _ in range(max_rounds):
+        sref = ray.put((ids, dist))
+        parts = ray.get([_relax_of.remote(r, sref) for r in erefs])
+        nd = dist.copy()
+        for u, acc in parts:
+            np.minimum.at(nd, np.searchsorted(ids, u), acc)
+        if (nd == dist).all():
+            break
+        dist = nd
+    else:
+        raise RuntimeError(f"BFS did not converge in {max_rounds} rounds; "
+                           f"raise max_rounds (and the SQL unroll)")
+    keep = dist < BFS_INF
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(ids[keep], pa.int64()),
+        "dist": pa.array(dist[keep], pa.int64())}))
