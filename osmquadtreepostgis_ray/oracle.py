@@ -3697,6 +3697,8 @@ def build_oracles() -> dict[str, str]:
         "ripley_k": sql_ripley_k(),
         "sssp_hops": sql_sssp_hops(),
         "dist_raster": sql_dist_raster(),
+        "fuzzy_decontam": sql_fuzzy_decontam(),
+        "curriculum": sql_curriculum(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -4107,4 +4109,56 @@ def sql_dist_raster() -> str:
            min(abs(g.cx - r.cx) + abs(g.cy - r.cy))::BIGINT AS dist
     FROM grid g CROSS JOIN lr r
     GROUP BY 1, 2
+    """
+
+
+def sql_fuzzy_decontam() -> str:
+    """Twin of queries.q_fuzzy_decontam: best-Jaccard benchmark match
+    per corpus doc with any shared 3-gram — double-division ordering
+    (identical int64 -> double rounding both engines, bench_id tie),
+    exact-integer flag."""
+    from osmquadtreepostgis_ray.queries import FDECON_DEN, FDECON_NUM
+    return f"""
+    WITH {_word_tokens_cte()},
+    tg AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+           FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+                    JOIN t c ON a.doc_id = c.doc_id AND c.j = a.j + 2),
+    cg AS (SELECT DISTINCT doc_id, g FROM tg WHERE doc_id % 50 <> 0),
+    bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM tg
+           WHERE doc_id % 50 = 0),
+    cs AS (SELECT doc_id, count(*)::BIGINT AS nc FROM cg GROUP BY 1),
+    bs AS (SELECT bench_id, count(*)::BIGINT AS nb FROM bg GROUP BY 1),
+    it AS (SELECT c.doc_id, b.bench_id, count(*)::BIGINT AS inter_n
+           FROM cg c JOIN bg b USING (g) GROUP BY 1, 2),
+    ju AS (SELECT it.doc_id, it.bench_id, it.inter_n,
+                  cs.nc + bs.nb - it.inter_n AS union_n
+           FROM it JOIN cs USING (doc_id) JOIN bs USING (bench_id)),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(inter_n AS DOUBLE) / union_n DESC, bench_id)
+               AS rn
+           FROM ju)
+    SELECT doc_id, bench_id, inter_n, union_n,
+           (CASE WHEN {FDECON_DEN} * inter_n >= {FDECON_NUM} * union_n
+                 THEN 1 ELSE 0 END)::BIGINT AS flagged
+    FROM rk WHERE rn = 1
+    """
+
+
+def sql_curriculum() -> str:
+    """Twin of queries.q_curriculum: token-count difficulty buckets,
+    round-robin interleaved global position."""
+    from osmquadtreepostgis_ray.queries import CURR_EASY, CURR_MED
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN {_NTOK} < {CURR_EASY} THEN 0
+                           WHEN {_NTOK} < {CURR_MED} THEN 1
+                           ELSE 2 END AS bucket
+               FROM documents),
+    r AS (SELECT doc_id, bucket,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                 - 1 AS rn
+          FROM d)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(3 * rn + bucket AS BIGINT) AS pos
+    FROM r
     """

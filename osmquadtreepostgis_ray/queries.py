@@ -5700,3 +5700,127 @@ def q_dist_raster(sf_dir: str):
 
     grid = ray.data.range(RASTER_N * RASTER_N)
     return grid.map_batches(min_l1, batch_format="pyarrow")
+
+
+# --------------------------------------- fuzzy decontamination / curriculum
+
+FDECON_NUM, FDECON_DEN = 1, 5    # flag when Jaccard >= 1/5 (exact ints)
+
+
+def q_fuzzy_decontam(sf_dir: str, n: int = 3):
+    """Fuzzy benchmark decontamination (the near-duplicate complement of
+    q_decontaminate's exact-overlap screen): for every corpus doc that
+    shares ANY word-3-gram with the benchmark subset (doc_id % 50 == 0),
+    report its BEST-Jaccard benchmark doc.  The benchmark side is
+    fixed-size by definition — its per-doc DISTINCT gram sets collect
+    once and broadcast; each corpus batch runs one searchsorted
+    membership pass per benchmark doc over per-doc-deduped grams (no
+    shuffle).  Ordering uses fl(inter)/fl(union) — identical int64 →
+    double rounding + one identical division on both engines, ties to
+    the smallest bench_id; the flag itself is exact-integer
+    (DEN*inter >= NUM*union)."""
+    from osmquadtreepostgis_ray.functions.text import (
+        _segment_unique, word_ngram_segments_nopad_batch)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy() % 50 == 0
+        sub = t.filter(pa.array(m))
+        gh, seg, _ = word_ngram_segments_nopad_batch(sub.column("text"), n=n)
+        uv, us = _segment_unique(gh, seg)
+        bid = sub.column("doc_id").to_numpy()[us] if len(us) else \
+            np.empty(0, np.int64)
+        return pa.table({"bench_id": pa.array(bid, pa.int64()),
+                         "g": pa.array(uv, pa.uint64())})
+
+    bdf = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bdf = bdf.sort_values(["bench_id", "g"], kind="stable")
+    bids = np.unique(bdf["bench_id"].to_numpy(np.int64))
+    ball = bdf["g"].to_numpy().astype(np.uint64)
+    boffs = np.searchsorted(bdf["bench_id"].to_numpy(np.int64),
+                            np.r_[bids, bids[-1] + 1] if len(bids)
+                            else np.empty(0, np.int64))
+    bref = ray.put((bids, ball, boffs))
+
+    def match(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "bench_id": pa.array([], pa.int64()),
+                          "inter_n": pa.array([], pa.int64()),
+                          "union_n": pa.array([], pa.int64()),
+                          "flagged": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        keep = t.column("doc_id").to_numpy() % 50 != 0
+        sub = t.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return empty
+        ids = sub.column("doc_id").to_numpy()
+        rbids, rball, rboffs = ray.get(bref)
+        gh, seg, _ = word_ngram_segments_nopad_batch(sub.column("text"), n=n)
+        uv, us = _segment_unique(gh, seg)
+        nd = len(ids)
+        nb = len(rbids)
+        nc = np.bincount(us, minlength=nd).astype(np.int64)
+        inter = np.zeros((nd, nb), np.int64)
+        for bi in range(nb):
+            bg = rball[rboffs[bi]:rboffs[bi + 1]]
+            if not len(bg) or not len(uv):
+                continue
+            pos = np.minimum(np.searchsorted(bg, uv), len(bg) - 1)
+            hit = bg[pos] == uv
+            inter[:, bi] = np.bincount(us[hit], minlength=nd)
+        nbs = np.array([rboffs[i + 1] - rboffs[i] for i in range(nb)],
+                       np.int64)
+        union = nc[:, None] + nbs[None, :] - inter
+        j = inter.astype(np.float64) / union.astype(np.float64)
+        best = np.argmax(j, axis=1)              # first max = smallest bench
+        bi = inter[np.arange(nd), best]
+        bu = union[np.arange(nd), best]
+        has = bi > 0
+        flag = (FDECON_DEN * bi >= FDECON_NUM * bu).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[has], pa.int64()),
+                         "bench_id": pa.array(rbids[best[has]], pa.int64()),
+                         "inter_n": pa.array(bi[has], pa.int64()),
+                         "union_n": pa.array(bu[has], pa.int64()),
+                         "flagged": pa.array(flag[has], pa.int64())})
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
+CURR_EASY = 40          # n_tokens < 40 -> bucket 0
+CURR_MED = 70           # n_tokens < 70 -> bucket 1; else bucket 2
+
+
+def q_curriculum(sf_dir: str):
+    """Curriculum ordering (the easy→hard interleave a staged training
+    run consumes): docs bucket by token-count difficulty tertile; the
+    global position round-robins the buckets (pos = 3*rank_in_bucket +
+    bucket), so any prefix of the ordering holds a balanced mixture.
+    One distributed sort via keyed_row_number; ranks finish
+    block-locally."""
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number
+
+    ds = add_text_stats(read_table(sf_dir, "documents",
+                                   columns=["doc_id", "text", "source"]))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy()
+        b = np.where(nt < CURR_EASY, 0, np.where(nt < CURR_MED, 1, 2)) \
+            .astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "bucket": pa.array(b, pa.int64())})
+
+    ranked, _totals = keyed_row_number(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], ["doc_id"], rank_col="rn")
+
+    def pos_of(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").to_numpy()
+        b = t.column("bucket").to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "bucket": pa.array(b, pa.int64()),
+                         "pos": pa.array(3 * rn + b, pa.int64())})
+
+    return ranked.map_batches(pos_of, batch_format="pyarrow")
