@@ -3699,6 +3699,9 @@ def build_oracles() -> dict[str, str]:
         "dist_raster": sql_dist_raster(),
         "fuzzy_decontam": sql_fuzzy_decontam(),
         "curriculum": sql_curriculum(),
+        "centroids": sql_centroids(),
+        "skyline": sql_skyline(),
+        "windowed_topk": sql_windowed_topk(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -4161,4 +4164,61 @@ def sql_curriculum() -> str:
     SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CAST(3 * rn + bucket AS BIGINT) AS pos
     FROM r
+    """
+
+
+def sql_centroids() -> str:
+    """Twin of queries.q_centroids: SIGNED shoelace + 6A-scaled centroid
+    numerators over the pseq ring order (no abs, no division — both
+    engines traverse ascending pseq, so orientation matches)."""
+    return f"""
+    WITH {assembly_members_cte()},
+    e AS (
+        SELECT a.group_id, a.part,
+               sum(a.x * b.y - b.x * a.y) AS a2,
+               sum((a.x + b.x) * (a.x * b.y - b.x * a.y)) AS cxn,
+               sum((a.y + b.y) * (a.x * b.y - b.x * a.y)) AS cyn
+        FROM p a JOIN p b ON b.group_id = a.group_id AND b.part = a.part
+                          AND b.pseq = (a.pseq + 1) % a.psize
+        WHERE a.closed AND NOT (a.k >= 6 AND a.group_id % 2 = 0)
+        GROUP BY 1, 2
+    )
+    SELECT -group_id AS osm_id, CAST(part AS BIGINT) AS part,
+           a2::BIGINT AS a2, cxn::BIGINT AS cxn, cyn::BIGINT AS cyn
+    FROM e
+    """
+
+
+def sql_skyline() -> str:
+    """Twin of queries.q_skyline: NOT EXISTS dominance anti-join on
+    maximize-(n_tokens, stop_permille)."""
+    stop = " + ".join(count_word_sql("text", w)
+                      for w in ("the", "a", "of", "and"))
+    sp = f"(CASE WHEN {_NTOK} > 0 THEN (1000 * ({stop})) // {_NTOK} ELSE 0 END)"
+    return f"""
+    WITH d AS (SELECT doc_id, {_NTOK}::BIGINT AS nt, {sp}::BIGINT AS sp
+               FROM documents)
+    SELECT a.doc_id, a.nt AS n_tokens, a.sp AS stop_permille
+    FROM d a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d b
+        WHERE b.nt >= a.nt AND b.sp >= a.sp
+          AND (b.nt > a.nt OR b.sp > a.sp))
+    """
+
+
+def sql_windowed_topk() -> str:
+    """Twin of queries.q_windowed_topk: per-hour top-k event types,
+    count-desc / type-asc ties."""
+    from osmquadtreepostgis_ray.queries import WTOPK_K
+    return f"""
+    WITH c AS (
+        SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour, event_type,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY hour
+              ORDER BY n DESC, event_type) AS rank FROM c)
+    SELECT hour, event_type, n, rank::BIGINT AS rank
+    FROM r WHERE rank <= {WTOPK_K}
     """

@@ -5824,3 +5824,149 @@ def q_curriculum(sf_dir: str):
                          "pos": pa.array(3 * rn + b, pa.int64())})
 
     return ranked.map_batches(pos_of, batch_format="pyarrow")
+
+
+# --------------------------------------- centroid / skyline / windowed topk
+
+def q_centroids(sf_dir: str):
+    """Exact polygon centroid numerators per assembled ring (the
+    label-placement / representative-point precursor, F8's exact
+    sibling): SIGNED doubled shoelace a2 plus the 6A-scaled centroid
+    numerators cxn = Σ(x_i+x_j)·cross, cyn = Σ(y_i+y_j)·cross over the
+    pseq ring order — all exact int64 (|term| < 9e16, ring ≤ 8 edges),
+    no division ever crosses engines.  Hole-mode groups (even gid,
+    k≥6) are excluded — their shrunk second ring is a different
+    surface (assembly covers it).  One group-sharded vectorized pass,
+    same topology as way_segments."""
+    from osmquadtreepostgis_ray.stages.assembly import member_table
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"osm_id": np.int64, "part": np.int64, "a2": np.int64,
+                "cxn": np.int64, "cyn": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["group_id", "doc_id"], kind="stable") \
+            .reset_index(drop=True)
+        g = df["group_id"].to_numpy(np.int64)
+        x = df["lon_milli"].to_numpy(np.int64)
+        y = df["lat_milli"].to_numpy(np.int64)
+        hit = df["close_hit"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        cnt = np.diff(np.r_[starts, len(g)])
+        gidx = np.repeat(np.arange(len(starts)), cnt)
+        k = cnt[gidx]
+        seq = np.arange(len(g)) - starts[gidx]
+        maxhit = np.maximum.reduceat(hit, starts)[gidx]
+        closed = (maxhit > 0) & (k >= 3)
+        half = np.where(k >= 6, k // 2, k)
+        in2 = closed & (k >= 6) & (seq >= half)
+        pseq = np.where(in2, seq - half, seq)
+        psize = np.where(closed & (k >= 6),
+                         np.where(seq >= half, k - half, half), k)
+        part = np.where(in2, 2, 1).astype(np.int64)
+        keep = closed & ~((k >= 6) & (g % 2 == 0))
+        ring_start = np.arange(len(g)) - pseq
+        nxt = ring_start + (pseq + 1) % psize
+        cross = x * y[nxt] - x[nxt] * y
+        kk = np.flatnonzero(keep)
+        out = pd.DataFrame({
+            "osm_id": -g[kk], "part": part[kk],
+            "a2": cross[kk],
+            "cxn": (x[kk] + x[nxt][kk]) * cross[kk],
+            "cyn": (y[kk] + y[nxt][kk]) * cross[kk]})
+        return out.groupby(["osm_id", "part"], sort=False, as_index=False) \
+            .sum()
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return shard_apply(member_table(docs), ["group_id"], cents)
+
+
+def q_skyline(sf_dir: str):
+    """Pareto-front (skyline) selection over (n_tokens, stop_permille)
+    — the multi-criteria curation filter ('longest AND most fluent'
+    undominated set).  Per-block LOCAL skylines first (a point survives
+    iff no same-block point weakly dominates it with one strict edge —
+    the union of local skylines provably contains the global front);
+    the bounded union (≤ distinct-n_tokens candidates per block) then
+    solves in ONE worker task (cluster.py's one-task-solve admission),
+    never on the driver."""
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "stop_permille": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy()
+        nt = t.column("n_tokens").to_numpy()
+        sp = t.column("stop_permille").to_numpy()
+        keep = _sky_keep(nt, sp)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_tokens": pa.array(nt[keep], pa.int64()),
+                         "stop_permille": pa.array(sp[keep], pa.int64())})
+
+    ds = add_text_stats(read_table(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+    locs = ds.select_columns(["doc_id", "n_tokens", "stop_permille"]) \
+        .map_batches(local_sky, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def solve(*tabs) -> pa.Table:
+        # varargs so Ray dereferences each block ref (a list arg ships
+        # the refs themselves)
+        live = [t for t in tabs
+                if t.num_rows and "doc_id" in t.column_names]
+        u = pa.concat_tables(live)
+        ids = u.column("doc_id").to_numpy()
+        nt = u.column("n_tokens").to_numpy()
+        sp = u.column("stop_permille").to_numpy()
+        keep = _sky_keep(nt, sp)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_tokens": pa.array(nt[keep], pa.int64()),
+                         "stop_permille": pa.array(sp[keep], pa.int64())})
+
+    final = ray.get(solve.remote(*locs.to_arrow_refs()))
+    return ray.data.from_arrow(final)
+
+
+def _sky_keep(nt: np.ndarray, sp: np.ndarray) -> np.ndarray:
+    """Undominated mask for maximize-(nt, sp): dominated iff some point
+    with strictly larger nt has sp >= mine, or an equal-nt point has
+    sp > mine.  Vectorized via per-nt max + suffix max."""
+    uq, inv = np.unique(nt, return_inverse=True)
+    gmax = np.full(len(uq), np.int64(-1))
+    np.maximum.at(gmax, inv, sp)
+    suf = np.full(len(uq), np.int64(-1))
+    if len(uq) > 1:
+        suf[:-1] = np.maximum.accumulate(gmax[::-1])[::-1][1:]
+    return ~((suf[inv] >= sp) | (gmax[inv] > sp))
+
+
+WTOPK_K = 3
+
+
+def q_windowed_topk(sf_dir: str):
+    """Streaming per-window top-k (the 'trending event types per hour'
+    shape): exact (hour, event_type) counts via combiner partials + one
+    sharded sum, then util.topk_per_key — count-desc, type-asc ties,
+    rank 1..k; the driver receives only n_hours x k rows."""
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        df = pd.DataFrame({"hour": hour,
+                           "event_type": t.column("event_type").to_pylist()})
+        g = df.groupby(["hour", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["hour", "event_type"], {"n": ("n", "sum")})
+    return topk_per_key(agg, key="hour", by=["n", "event_type"],
+                        ascending=[False, True], k=WTOPK_K,
+                        out_cols=["hour", "event_type", "n"])
