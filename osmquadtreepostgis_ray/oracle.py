@@ -3702,6 +3702,9 @@ def build_oracles() -> dict[str, str]:
         "centroids": sql_centroids(),
         "skyline": sql_skyline(),
         "windowed_topk": sql_windowed_topk(),
+        "sinuosity": sql_sinuosity(),
+        "zone_gini": sql_zone_gini(),
+        "changepoint": sql_changepoint(),
         "glcm": sql_glcm(),
         "codec_sse": sql_codec_sse(),
         "dup_frames": sql_dup_frames(),
@@ -4221,4 +4224,75 @@ def sql_windowed_topk() -> str:
               ORDER BY n DESC, event_type) AS rank FROM c)
     SELECT hour, event_type, n, rank::BIGINT AS rank
     FROM r WHERE rank <= {WTOPK_K}
+    """
+
+
+def sql_sinuosity() -> str:
+    """Twin of queries.q_sinuosity: L1 path over consecutive seq plus
+    L1 endpoint chord for open way groups."""
+    return f"""
+    WITH {assembly_members_cte()},
+    lg AS (SELECT DISTINCT group_id, k FROM p WHERE k >= 2),
+    pth AS (
+        SELECT a.group_id,
+               sum(abs(b.x - a.x) + abs(b.y - a.y)) AS path_l1
+        FROM p a
+        JOIN p b ON b.group_id = a.group_id AND b.seq = a.seq + 1
+        JOIN lg ON lg.group_id = a.group_id
+        GROUP BY a.group_id
+    ),
+    ch AS (
+        SELECT f.group_id, abs(l.x - f.x) + abs(l.y - f.y) AS chord_l1
+        FROM lg
+        JOIN p f ON f.group_id = lg.group_id AND f.seq = 0
+        JOIN p l ON l.group_id = lg.group_id AND l.seq = lg.k - 1
+    )
+    SELECT lg.group_id AS gid, pth.path_l1::BIGINT AS path_l1,
+           ch.chord_l1::BIGINT AS chord_l1
+    FROM lg
+    JOIN pth ON pth.group_id = lg.group_id
+    JOIN ch ON ch.group_id = lg.group_id
+    """
+
+
+def sql_zone_gini() -> str:
+    """Twin of queries.q_zone_gini: the sorted-rank Gini numerator
+    Σ(2·rn − n − 1)·c per zone (tie order cancels in the sum)."""
+    return f"""
+    WITH j AS (
+        SELECT p.zone_id, p.kind, CAST(round(e.value * 100) AS BIGINT) AS c
+        FROM ({sql_pip_zones()}) p JOIN events e USING (event_id)
+    ),
+    w AS (SELECT zone_id, kind, c,
+                 row_number() OVER (PARTITION BY zone_id, kind
+                                    ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY zone_id, kind) AS n
+          FROM j)
+    SELECT zone_id, kind, max(n)::BIGINT AS n, sum(c)::BIGINT AS sum_cents,
+           sum((2 * rn - n - 1) * c)::BIGINT AS gini2
+    FROM w GROUP BY zone_id, kind
+    """
+
+
+def sql_changepoint() -> str:
+    """Twin of queries.q_changepoint: per-user max |n·S_i − i·S_n| over
+    positions 1..n-1 in (ts, event_id) order, ties to smallest i."""
+    return """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+    w AS (SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                     ORDER BY tsu, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(c) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                 sum(c) OVER (PARTITION BY user_id) AS stot
+          FROM e),
+    d AS (SELECT user_id, i AS pos, abs(n * s - i * stot) AS dev
+          FROM w WHERE i < n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY dev DESC, pos) AS rk FROM d)
+    SELECT user_id, pos::BIGINT AS pos, dev::BIGINT AS dev
+    FROM r WHERE rk = 1
     """

@@ -5970,3 +5970,142 @@ def q_windowed_topk(sf_dir: str):
     return topk_per_key(agg, key="hour", by=["n", "event_type"],
                         ascending=[False, True], k=WTOPK_K,
                         out_cols=["hour", "event_type", "n"])
+
+
+# --------------------------------------- sinuosity / gini / changepoint
+
+def q_sinuosity(sf_dir: str):
+    """Per-way-chain sinuosity components (route-quality screen:
+    winding factor = path length / straight-line chord): L1 path length
+    over the seq chain plus the L1 first→last chord, exact ints — the
+    ratio never crosses engines.  Every group with k >= 2 (the synthetic
+    corpus closes all groups, so an open-only filter would be vacuous —
+    the chain path before ring closure is the measured entity).  One
+    group-sharded vectorized pass."""
+    from osmquadtreepostgis_ray.stages.assembly import member_table
+
+    def sin_of(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"gid": np.int64, "path_l1": np.int64, "chord_l1": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["group_id", "doc_id"], kind="stable") \
+            .reset_index(drop=True)
+        g = df["group_id"].to_numpy(np.int64)
+        x = df["lon_milli"].to_numpy(np.int64)
+        y = df["lat_milli"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)] - 1
+        cnt = ends - starts + 1
+        is_line = cnt >= 2
+        same = g[1:] == g[:-1]
+        step = (np.abs(np.diff(x)) + np.abs(np.diff(y))) * same
+        cum = np.r_[0, np.cumsum(step)]
+        path = cum[ends] - cum[starts]
+        chord = np.abs(x[ends] - x[starts]) + np.abs(y[ends] - y[starts])
+        k = np.flatnonzero(is_line)
+        return pd.DataFrame({"gid": g[starts][k], "path_l1": path[k],
+                             "chord_l1": chord[k]})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return shard_apply(member_table(docs), ["group_id"], sin_of)
+
+
+def q_zone_gini(sf_dir: str):
+    """Per-zone Gini numerator of event spend (engagement-inequality
+    audit per region): G2 = Σ (2i − n − 1)·v_(i) over ascending cents
+    (= half the pairwise |v_i − v_j| sum; tie order provably cancels),
+    exact int64 with n and sum alongside — normalization never crosses
+    engines.  Cents ride through the PIP join as carry columns; the
+    only shuffle is the zone-keyed shard."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import pip_join_fn
+
+    ev = prep_events(sf_dir, columns=["event_id", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cents", pa.array(np.rint(batch.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64()))
+
+    zref = ray.put(zones_table())
+    joined = ev.map_batches(cents, batch_format="pyarrow").map_batches(
+        pip_join_fn(zref, carry=("cents",)), batch_format="pyarrow",
+        batch_size=8192)
+
+    def gini_of(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"zone_id": np.int64, "kind": str, "n": np.int64,
+                "sum_cents": np.int64, "gini2": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["zone_id", "kind", "cents"], kind="stable") \
+            .reset_index(drop=True)
+        z = df["zone_id"].to_numpy(np.int64)
+        kd = df["kind"].to_numpy()
+        v = df["cents"].to_numpy(np.int64)
+        new = np.r_[True, (z[1:] != z[:-1]) | (kd[1:] != kd[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(z)])
+        gidx = np.repeat(np.arange(len(starts)), cnt)
+        i = np.arange(len(z)) - starts[gidx] + 1           # 1-based rank
+        coef = 2 * i - cnt[gidx] - 1
+        term = coef * v
+        g2 = np.add.reduceat(term, starts)
+        sums = np.add.reduceat(v, starts)
+        return pd.DataFrame({"zone_id": z[starts], "kind": kd[starts],
+                             "n": cnt.astype(np.int64), "sum_cents": sums,
+                             "gini2": g2})
+
+    return shard_apply(joined, ["zone_id", "kind"], gini_of)
+
+
+def q_changepoint(sf_dir: str):
+    """Per-user CUSUM change-point (the drift screen over a user's
+    spend stream): over events in (ts, event_id) order with prefix sums
+    S_i, the position i in 1..n-1 maximizing |n·S_i − i·S_n| — all
+    exact int64, ties to the smallest i; users with n < 2 drop.  One
+    user-keyed shard, per-shard vectorized prefix/argmax."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": pa.array(t.column("ts").cast(pa.int64()).to_numpy(),
+                           pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(np.rint(t.column("value").to_numpy() * 100)
+                              .astype(np.int64), pa.int64())})
+
+    def cp_of(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.int64, "pos": np.int64, "dev": np.int64}
+        if not len(df):
+            return pd.DataFrame({k: pd.Series([], dtype=v)
+                                 for k, v in cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable") \
+            .reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        v = df["cents"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, len(u)])
+        gidx = np.repeat(np.arange(len(starts)), cnt)
+        cum = np.cumsum(v)
+        base = np.r_[0, cum[np.r_[starts[1:], len(u)] - 1][:-1]]
+        s = cum - base[gidx]                       # per-group prefix S_i
+        i = np.arange(len(u)) - starts[gidx] + 1   # 1-based position
+        n = cnt[gidx]
+        stot = s[np.r_[starts[1:], len(u)] - 1][gidx]
+        dev = np.abs(n * s - i * stot)
+        valid = i < n                              # positions 1..n-1
+        dev = np.where(valid, dev, -1)
+        # per-group argmax, tie -> smallest i (first occurrence)
+        order = np.lexsort((i, -dev, gidx))        # gidx asc, dev desc, i asc
+        firsts = order[np.r_[True, gidx[order][1:] != gidx[order][:-1]]]
+        ok = dev[firsts] >= 0                      # groups with n >= 2
+        return pd.DataFrame({"user_id": u[firsts][ok],
+                             "pos": i[firsts][ok],
+                             "dev": dev[firsts][ok]})
+
+    return shard_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], cp_of)
