@@ -3643,6 +3643,8 @@ def build_oracles() -> dict[str, str]:
         "image_decode": sql_image_decode(),
         "image_blur": sql_image_blur(),
         "image_augment": sql_image_augment(),
+        "blockiness": sql_blockiness(),
+        "grad_orient": sql_grad_orient(),
         "crossmodal_align": sql_crossmodal_align(),
         "image_norm_stats": sql_image_norm_stats(),
         "image_transcode": sql_image_transcode(),
@@ -4296,3 +4298,80 @@ def sql_changepoint() -> str:
     SELECT user_id, pos::BIGINT AS pos, dev::BIGINT AS dev
     FROM r WHERE rk = 1
     """
+
+
+def sql_blockiness() -> str:
+    """Twin of queries.q_blockiness (stages/images.blockiness_stats):
+    horizontal + vertical neighbor-pair |diff| via two idx self-joins
+    over the decoded-pixel CTE, split on 8-aligned boundary pairs.
+    Both milli divisions have non-negative operands and the subtraction
+    happens after each floor division — DuckDB trunc == numpy floor."""
+    from osmquadtreepostgis_ray.stages.images import BLOCKY_SCORE_MILLI
+    return f"""{_sql_decoded_pixels()},
+    pr AS (
+        SELECT d1.image_id, abs(d1.p - d2.p) AS df,
+               ((d1.idx % d1.w) % 8 = 7) AS bnd
+        FROM dec d1 JOIN dec d2
+          ON d1.doc_id = d2.doc_id AND d2.idx = d1.idx + 1
+        WHERE d1.idx % d1.w < d1.w - 1
+        UNION ALL
+        SELECT d1.image_id, abs(d1.p - d2.p),
+               ((d1.idx // d1.w) % 8 = 7)
+        FROM dec d1 JOIN dec d2
+          ON d1.doc_id = d2.doc_id AND d2.idx = d1.idx + d1.w
+        WHERE d1.idx // d1.w < d1.h - 1
+    ),
+    s AS (
+        SELECT image_id,
+               CAST(sum(df) FILTER (bnd) AS BIGINT) AS b_sum,
+               CAST(count(*) FILTER (bnd) AS BIGINT) AS b_cnt,
+               CAST(sum(df) FILTER (NOT bnd) AS BIGINT) AS i_sum,
+               CAST(count(*) FILTER (NOT bnd) AS BIGINT) AS i_cnt
+        FROM pr GROUP BY image_id
+    )
+    SELECT image_id, b_sum, b_cnt, i_sum, i_cnt,
+           (b_sum * 1000 // b_cnt - i_sum * 1000 // i_cnt)::BIGINT
+               AS score_milli,
+           b_sum * 1000 // b_cnt - i_sum * 1000 // i_cnt
+               >= {BLOCKY_SCORE_MILLI} AS is_blocky
+    FROM s"""
+
+
+def sql_grad_orient() -> str:
+    """Twin of queries.q_grad_orient (stages/images.grad_orient_stats):
+    central-difference gx, gy as a 4-offset contribution join (the
+    sql_image_blur pattern, with per-offset kx/ky coefficients), octant
+    code as pure boolean arithmetic — no atan2 on either side."""
+    return f"""{_sql_decoded_pixels()},
+    off AS (
+        SELECT * FROM (VALUES (0, 1, 1, 0), (0, -1, -1, 0),
+                              (1, 0, 0, 1), (-1, 0, 0, -1))
+            o(dy, dx, kx, ky)
+    ),
+    g AS (
+        SELECT d.image_id, d.w, d.h,
+               (d.idx // d.w) - o.dy AS cy, (d.idx % d.w) - o.dx AS cx,
+               sum(o.kx * d.p) AS gx, sum(o.ky * d.p) AS gy
+        FROM dec d, off o
+        GROUP BY d.image_id, d.w, d.h, cy, cx
+    ),
+    i AS (
+        SELECT image_id,
+               CASE WHEN gx = 0 AND gy = 0 THEN 8
+                    ELSE CAST(gx > 0 AS INT) + 2 * CAST(gy > 0 AS INT)
+                         + 4 * CAST(abs(gx) >= abs(gy) AS INT) END AS code
+        FROM g
+        WHERE cy >= 1 AND cy <= h - 2 AND cx >= 1 AND cx <= w - 2
+    )
+    SELECT image_id,
+           CAST(count(*) FILTER (code = 0) AS BIGINT) AS o0,
+           CAST(count(*) FILTER (code = 1) AS BIGINT) AS o1,
+           CAST(count(*) FILTER (code = 2) AS BIGINT) AS o2,
+           CAST(count(*) FILTER (code = 3) AS BIGINT) AS o3,
+           CAST(count(*) FILTER (code = 4) AS BIGINT) AS o4,
+           CAST(count(*) FILTER (code = 5) AS BIGINT) AS o5,
+           CAST(count(*) FILTER (code = 6) AS BIGINT) AS o6,
+           CAST(count(*) FILTER (code = 7) AS BIGINT) AS o7,
+           CAST(count(*) FILTER (code = 8) AS BIGINT) AS flat,
+           CAST(count(*) AS BIGINT) AS n_int
+    FROM i GROUP BY image_id"""

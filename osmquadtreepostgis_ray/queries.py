@@ -6109,3 +6109,25 @@ def q_changepoint(sf_dir: str):
 
     return shard_apply(ds.map_batches(prep, batch_format="pyarrow"),
                        ["user_id"], cp_of)
+
+
+def q_blockiness(sf_dir: str):
+    """Per-image blockiness quality screen (8x8 boundary vs interior
+    gradient, exact milli score — stages/images.blockiness_stats).
+    Fully row-pure: decode + both direction sums inside the batch."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import blockiness_stats
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        blockiness_stats, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_grad_orient(sf_dir: str):
+    """Per-image gradient-orientation octant histogram (HOG-lite
+    feature extraction — stages/images.grad_orient_stats).  Row-pure;
+    the 10 bounded descriptor columns are the only output."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import grad_orient_stats
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        grad_orient_stats, batch_format="pyarrow", batch_size=IMG_BATCH)

@@ -1076,3 +1076,83 @@ def blob_batch(batch: pa.Table) -> pa.Table:
                      "n_blobs": pa.array(nb, pa.int64()),
                      "max_blob": pa.array(mx, pa.int64()),
                      "fg_n": pa.array(fg, pa.int64())})
+
+
+BLOCKY_SCORE_MILLI = 500   # score >= this flags a block-compressed look
+
+
+def blockiness_stats(batch: pa.Table) -> pa.Table:
+    """Per-image JPEG-style blockiness screen (training-data quality
+    filter for re-compressed images): mean absolute neighbor difference
+    ACROSS 8x8 block boundaries minus the same statistic in block
+    interiors, exact int64 milli.  A clean photo has score ~0; an
+    8x8-quantized one spikes at the boundaries.  Both divisions have
+    non-negative operands (CLAUDE.md trunc==floor invariant) and the
+    subtraction happens after the division — bit-stable vs DuckDB.
+    Row-pure per image: decode and both direction sums never leave the
+    batch; no shuffle.  Reference analog: none (beyond-reference image
+    quality op; the reference's quality gate is geometry validity,
+    src/validategeoms.cpp)."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    bs = np.zeros(n, np.int64)
+    bc = np.zeros(n, np.int64)
+    is_ = np.zeros(n, np.int64)
+    ic = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        k = dec.shape[0]
+        a = dec.reshape(k, hi, wi).astype(np.int64)
+        dh = np.abs(a[:, :, 1:] - a[:, :, :-1])     # pair (x, x+1)
+        dv = np.abs(a[:, 1:, :] - a[:, :-1, :])     # pair (y, y+1)
+        xb = (np.arange(wi - 1, dtype=np.int64) % 8) == 7
+        yb = (np.arange(hi - 1, dtype=np.int64) % 8) == 7
+        if not xb.any() and not yb.any():
+            raise ValueError(f"blockiness needs dims >= 9 (got {wi}x{hi})")
+        bs[m] = dh[:, :, xb].sum(axis=(1, 2)) + dv[:, yb, :].sum(axis=(1, 2))
+        is_[m] = (dh[:, :, ~xb].sum(axis=(1, 2))
+                  + dv[:, ~yb, :].sum(axis=(1, 2)))
+        bc[m] = hi * int(xb.sum()) + wi * int(yb.sum())
+        ic[m] = hi * int((~xb).sum()) + wi * int((~yb).sum())
+    score = bs * 1000 // bc - is_ * 1000 // ic
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "b_sum": pa.array(bs, pa.int64()),
+                     "b_cnt": pa.array(bc, pa.int64()),
+                     "i_sum": pa.array(is_, pa.int64()),
+                     "i_cnt": pa.array(ic, pa.int64()),
+                     "score_milli": pa.array(score, pa.int64()),
+                     "is_blocky": pa.array(score >= BLOCKY_SCORE_MILLI)})
+
+
+def grad_orient_stats(batch: pa.Table) -> pa.Table:
+    """Per-image gradient-orientation histogram (HOG-lite descriptor
+    for texture/content screening): central differences gx, gy on
+    interior pixels, quantized into 8 exact-integer octant codes
+    code = (gx>0) + 2*(gy>0) + 4*(|gx|>=|gy|) plus a flat bin
+    (gx=gy=0) — pure boolean arithmetic, so numpy and SQL agree
+    bit-for-bit without any atan2.  One bincount per (fmt, dims) group
+    over img*9+code (counts, not weights — int64-exact); output is 10
+    bounded columns per image.  Row-pure: no shuffle."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    cnt = np.zeros((n, 9), np.int64)
+    n_int = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        k = dec.shape[0]
+        a = dec.reshape(k, hi, wi).astype(np.int64)
+        gx = a[:, 1:-1, 2:] - a[:, 1:-1, :-2]
+        gy = a[:, 2:, 1:-1] - a[:, :-2, 1:-1]
+        code = ((gx > 0).astype(np.int64) + 2 * (gy > 0)
+                + 4 * (np.abs(gx) >= np.abs(gy)))
+        code[(gx == 0) & (gy == 0)] = 8
+        ii = np.broadcast_to(
+            np.arange(k, dtype=np.int64)[:, None, None], code.shape)
+        c = np.bincount((ii * 9 + code).ravel(),
+                        minlength=k * 9).reshape(k, 9)
+        cnt[m] = c
+        n_int[m] = (hi - 2) * (wi - 2)
+    cols = {"image_id": pa.array(ids, pa.string())}
+    for b in range(8):
+        cols[f"o{b}"] = pa.array(cnt[:, b], pa.int64())
+    cols["flat"] = pa.array(cnt[:, 8], pa.int64())
+    cols["n_int"] = pa.array(n_int, pa.int64())
+    return pa.table(cols)

@@ -36,7 +36,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "traj_hausdorff", "mmr_select", "otsu", "morphology",
              "blobs", "hex_ring", "ripley_k", "sssp_hops", "dist_raster",
              "fuzzy_decontam", "curriculum", "centroids", "skyline",
-             "windowed_topk", "sinuosity", "zone_gini", "changepoint"):
+             "windowed_topk", "sinuosity", "zone_gini", "changepoint",
+             "blockiness", "grad_orient"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
