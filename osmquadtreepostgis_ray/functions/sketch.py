@@ -103,3 +103,10 @@ def cm_positions(keys: np.ndarray, d: int = CM_D, w: int = CM_W) -> np.ndarray:
         h = _splitmix(x ^ seed)
         out[r] = (h % np.uint64(w)).astype(np.int64)
     return out
+
+
+def kmv_estimate(kth_hash: int, k: int) -> float:
+    """Distinct-count estimate from the k-th smallest mod-2^63 hash:
+    (k-1) * 2^63 / kth.  Driver-side epilogue on one row per group;
+    float by nature and deliberately outside the compared output."""
+    return (k - 1) * float(1 << 63) / float(kth_hash)

@@ -3645,6 +3645,8 @@ def build_oracles() -> dict[str, str]:
         "image_augment": sql_image_augment(),
         "blockiness": sql_blockiness(),
         "grad_orient": sql_grad_orient(),
+        "kmv_sketch": sql_kmv_sketch(),
+        "link_jaccard": sql_link_jaccard(),
         "crossmodal_align": sql_crossmodal_align(),
         "image_norm_stats": sql_image_norm_stats(),
         "image_transcode": sql_image_transcode(),
@@ -4375,3 +4377,53 @@ def sql_grad_orient() -> str:
            CAST(count(*) FILTER (code = 8) AS BIGINT) AS flat,
            CAST(count(*) AS BIGINT) AS n_int
     FROM i GROUP BY image_id"""
+
+
+def sql_kmv_sketch(k: int = 32) -> str:
+    """Twin of queries.q_kmv_sketch: splitmix64 in HUGEINT mod 2^64
+    (sketch.splitmix_sql_ctes), kh = h mod 2^63 (top bit dropped —
+    same transform, same ordering), k smallest DISTINCT per type via
+    row_number."""
+    from osmquadtreepostgis_ray.functions.sketch import splitmix_sql_ctes
+    ctes, last = splitmix_sql_ctes("events", "user_id", _mulmod64,
+                                   carry="event_type")
+    return f"""
+    WITH {ctes.lstrip()},
+    d AS (SELECT DISTINCT event_type,
+                 CAST(h % {1 << 63} AS BIGINT) AS kh FROM {last}),
+    r AS (SELECT event_type, kh, row_number() OVER (
+              PARTITION BY event_type ORDER BY kh) AS rnk FROM d)
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, kh
+    FROM r WHERE rnk <= {k}"""
+
+
+def sql_link_jaccard() -> str:
+    """Twin of queries.q_link_jaccard: same chain+closure edge set as
+    sql_triangles, undirected neighbor table, common-neighbor pairs via
+    the shared-center self-join, NOT EXISTS edge filter, exact milli
+    Jaccard (non-negative floor division both sides)."""
+    return """
+    WITH docs AS (SELECT doc_id FROM documents),
+    e AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM docs WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id - 2, doc_id FROM docs
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    u AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, count(*)::BIGINT AS deg FROM u GROUP BY u),
+    w AS (
+        SELECT u1.v AS v1, u2.v AS v2, count(*)::BIGINT AS common
+        FROM u u1 JOIN u u2 ON u1.u = u2.u AND u1.v < u2.v
+        GROUP BY 1, 2
+    ),
+    nw AS (
+        SELECT w.* FROM w
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.a = w.v1 AND e.b = w.v2)
+    )
+    SELECT v1, v2, common, d1.deg AS deg1, d2.deg AS deg2,
+           (common * 1000 // (d1.deg + d2.deg - common))::BIGINT
+               AS jaccard_milli
+    FROM nw JOIN deg d1 ON d1.u = nw.v1 JOIN deg d2 ON d2.u = nw.v2
+    """

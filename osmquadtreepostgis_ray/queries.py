@@ -6131,3 +6131,145 @@ def q_grad_orient(sf_dir: str):
 
     return read_images(sf_dir, with_bytes=True).map_batches(
         grad_orient_stats, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+KMV_K = 32
+
+
+def q_kmv_sketch(sf_dir: str, k: int = KMV_K):
+    """K-minimum-values distinct sketch per event_type (the theta-sketch
+    family — the OTHER mergeable distinct counter besides q_hll_sketch;
+    KMV also supports set intersection estimates, which HLL can't).
+    Per-batch partial = the k smallest distinct splitmix hashes per
+    type; merge = k smallest of the union (one type-sharded pass over
+    <= k * types * blocks partial rows).  Output is the exact signature
+    table (event_type, rnk, kh) — integer-exact, full-value oracle; the
+    float estimate (k-1)*2^63/kh_k is a driver epilogue
+    (functions/sketch.kmv_estimate) and deliberately not compared."""
+    from osmquadtreepostgis_ray.functions.codecs import _splitmix
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        h = _splitmix(t.column("user_id").to_numpy().astype(np.uint64))
+        h63 = (h % np.uint64(1 << 63)).astype(np.int64)
+        oe, oh = [], []
+        for e in pd.unique(et):
+            u = np.unique(h63[et == e])[:k]
+            oe.append(np.full(len(u), e, object))
+            oh.append(u)
+        return pa.table({"event_type": pa.array(np.concatenate(oe), pa.string()),
+                         "kh": pa.array(np.concatenate(oh), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": str, "rnk": np.int64, "kh": np.int64}
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=v)
+                                 for c, v in cols.items()})
+        d = (df.drop_duplicates(["event_type", "kh"])
+               .sort_values(["event_type", "kh"], kind="stable")
+               .reset_index(drop=True))
+        d["rnk"] = d.groupby("event_type", sort=False).cumcount() + 1
+        d = d[d["rnk"] <= k]
+        return d[["event_type", "rnk", "kh"]]
+
+    return shard_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type"], merge)
+
+
+def q_link_jaccard(sf_dir: str):
+    """Link prediction by neighborhood Jaccard over the doc chain graph
+    (the q_triangles edge set): non-edge pairs (v1 < v2) sharing >= 1
+    common neighbor, with exact common / degree counts and
+    jaccard_milli = common*1000 // (deg1 + deg2 - common) (denominator
+    > 0 since common >= 1 and deg >= common — non-negative floor div).
+    Wedge fanout per center is deg^2 (bounded ~4 on the chain graph;
+    hub-skewed graphs want the degree-split the q_triangles degree plan
+    documents).  Pipeline: undirected fanout (row-pure) -> center-
+    sharded pair expansion -> pair-sharded count -> packed-key anti
+    join against the edge set -> two degree attaches."""
+    from osmquadtreepostgis_ray.stages.joins import (bucket_hash_join,
+                                                     bucket_semi_join)
+
+    SHIFT = np.int64(1) << np.int64(31)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy().astype(np.int64)
+        if len(i) and i.max() >= int(SHIFT):
+            raise ValueError("link_jaccard packed keys need ids < 2^31")
+        c1 = i[i >= 1]
+        c2 = i[(i >= 2) & ((i - 2) % 3 == 0)]
+        return pa.table({"a": pa.array(np.r_[c1 - 1, c2 - 2], pa.int64()),
+                         "b": pa.array(np.r_[c1, c2], pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def und(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"u": pa.array(np.r_[a, b], pa.int64()),
+                         "v": pa.array(np.r_[b, a], pa.int64())})
+
+    u = e.map_batches(und, batch_format="pyarrow").materialize()
+
+    def degp(t: pa.Table) -> pa.Table:
+        n, c = np.unique(t.column("u").to_numpy(), return_counts=True)
+        return pa.table({"node": pa.array(n.astype(np.int64), pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())})
+
+    deg = sharded_agg(u.map_batches(degp, batch_format="pyarrow"),
+                      ["node"], {"deg": ("deg", "sum")})
+
+    def wedge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("v1", "v2", "c")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        m = df.merge(df, on="u", suffixes=("_1", "_2"))
+        m = m[m["v_1"] < m["v_2"]]
+        g = (pd.DataFrame({"v1": m["v_1"].to_numpy(np.int64),
+                           "v2": m["v_2"].to_numpy(np.int64)})
+             .groupby(["v1", "v2"], as_index=False, sort=False)
+             .size().rename(columns={"size": "c"}))
+        return g
+
+    pairs = sharded_agg(shard_apply(u, ["u"], wedge),
+                        ["v1", "v2"], {"common": ("c", "sum")})
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return t.append_column("key", pa.array(
+            t.column("v1").to_numpy().astype(np.int64) * SHIFT
+            + t.column("v2").to_numpy().astype(np.int64), pa.int64()))
+
+    ekey = e.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            t.column("a").to_numpy().astype(np.int64) * SHIFT
+            + t.column("b").to_numpy().astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    nonedges = bucket_semi_join(
+        pairs.map_batches(keyed, batch_format="pyarrow"), ekey,
+        on="key", anti=True)
+
+    d1 = deg.map_batches(lambda t: t.rename_columns(["v1", "deg1"]),
+                         batch_format="pyarrow")
+    d2 = deg.map_batches(lambda t: t.rename_columns(["v2", "deg2"]),
+                         batch_format="pyarrow")
+    j = bucket_hash_join(bucket_hash_join(nonedges, d1, on="v1"),
+                         d2, on="v2")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v1 = t.column("v1").to_numpy().astype(np.int64)
+        v2 = t.column("v2").to_numpy().astype(np.int64)
+        cm = t.column("common").to_numpy().astype(np.int64)
+        g1 = t.column("deg1").to_numpy().astype(np.int64)
+        g2 = t.column("deg2").to_numpy().astype(np.int64)
+        return pa.table({"v1": pa.array(v1, pa.int64()),
+                         "v2": pa.array(v2, pa.int64()),
+                         "common": pa.array(cm, pa.int64()),
+                         "deg1": pa.array(g1, pa.int64()),
+                         "deg2": pa.array(g2, pa.int64()),
+                         "jaccard_milli": pa.array(
+                             cm * 1000 // (g1 + g2 - cm), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
