@@ -3647,6 +3647,7 @@ def build_oracles() -> dict[str, str]:
         "grad_orient": sql_grad_orient(),
         "kmv_sketch": sql_kmv_sketch(),
         "link_jaccard": sql_link_jaccard(),
+        "flow_accum": sql_flow_accum(),
         "crossmodal_align": sql_crossmodal_align(),
         "image_norm_stats": sql_image_norm_stats(),
         "image_transcode": sql_image_transcode(),
@@ -4427,3 +4428,44 @@ def sql_link_jaccard() -> str:
                AS jaccard_milli
     FROM nw JOIN deg d1 ON d1.u = nw.v1 JOIN deg d2 ON d2.u = nw.v2
     """
+
+
+def sql_flow_accum() -> str:
+    """Twin of queries.q_flow_accum: global-pixel counts (the
+    sql_raster_blur r CTE), steepest-descent D8 target via
+    row_number over (nv, v), recursive path table (terminates because
+    counts strictly decrease along flow edges), acc = path visits."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    G = 1 << CELL_DEPTH
+    ix = f"((({lon}) * 10000 * {G}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {G}) // {quadtree.LAT_SPAN})"
+    return f"""
+    WITH RECURSIVE r AS (
+        SELECT {ix} AS gx, {iy} AS gy, count(*) AS n
+        FROM events GROUP BY gx, gy
+    ),
+    c AS (SELECT gy * {G} + gx AS id, gx, gy, n FROM r),
+    o AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                                (0, 1), (1, -1), (1, 0), (1, 1)) t(dy, dx)),
+    cand AS (
+        SELECT a.id AS u, a.n AS nu, b.id AS v, b.n AS nv
+        FROM c a, o JOIN c b
+          ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+    ),
+    fl AS (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+                   ORDER BY nv, v) AS rk
+        FROM cand WHERE nv < nu
+    ),
+    f AS (SELECT u, v FROM fl WHERE rk = 1),
+    p AS (
+        SELECT id AS u, id AS reach FROM c
+        UNION ALL
+        SELECT p.u, f.v FROM p JOIN f ON f.u = p.reach
+    ),
+    a AS (SELECT reach AS id, count(*) AS acc FROM p GROUP BY reach)
+    SELECT c.id, c.n::BIGINT AS n,
+           coalesce(f.v, c.id)::BIGINT AS tgt,
+           a.acc::BIGINT AS acc,
+           f.u IS NULL AS is_sink
+    FROM c JOIN a ON a.id = c.id LEFT JOIN f ON f.u = c.id"""

@@ -6273,3 +6273,116 @@ def q_link_jaccard(sf_dir: str):
                              cm * 1000 // (g1 + g2 - cm), pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+FLOW_SOLVE_LIMIT = 5_000_000   # nonzero-cell ceiling for the one-task solve
+
+
+def q_flow_accum(sf_dir: str):
+    """D8 flow accumulation over the event-count raster (hydrology-style
+    routing — the raster GIS op behind watershed/drainage analytics):
+    every nonzero cell flows to its steepest-descent 8-neighbor (lower
+    count; max drop, tie -> lowest cell id), and acc(c) = number of
+    cells whose flow path passes through c (incl. itself).
+
+    Scale shape: the data-scaled work (events -> distinct-cell counts,
+    neighbor discovery) is combiner + owner/probe halo shuffles over the
+    DISTINCT-cell aggregate (the q_dissolve pattern).  Counts strictly
+    decrease along flow edges, so the flow graph is an in-forest; the
+    subtree-size accumulation runs as ONE guarded worker task over the
+    cardinality-BOUNDED cell table (<= 4^CELL_DEPTH nonzero cells,
+    FLOW_SOLVE_LIMIT guard — the stages/cluster.py admission pattern),
+    level-synchronous over distinct counts with exact int64 np.add.at."""
+    G = 1 << CELL_DEPTH
+    cells = q_rasterize(sf_dir)
+
+    def to_global(t: pa.Table) -> pa.Table:
+        tx, ty, _ = quadtree.decode(t.column("tile").to_numpy())
+        gx = tx * 16 + t.column("px").to_numpy().astype(np.int64)
+        gy = ty * 16 + t.column("py").to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(gy * G + gx, pa.int64()),
+                         "gx": pa.array(gx, pa.int64()),
+                         "gy": pa.array(gy, pa.int64()),
+                         "n": t.column("n")})
+
+    g = cells.map_batches(to_global, batch_format="pyarrow").materialize()
+
+    def fan(t: pa.Table) -> pa.Table:
+        gid = t.column("id").to_numpy()
+        gx = t.column("gx").to_numpy()
+        gy = t.column("gy").to_numpy()
+        n = t.column("n").to_numpy()
+        keys = [gid]
+        orig = [gid]
+        nn = [n]
+        role = [np.zeros(len(gid), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ngx, ngy = gx + dx, gy + dy
+                # BOTH bounds: a -1 underflow would alias the previous
+                # row's last column key (gy*G - 1 == (gy-1)*G + G-1)
+                m = (ngx >= 0) & (ngx < G) & (ngy >= 0) & (ngy < G)
+                keys.append((ngy * G + ngx)[m])
+                orig.append(gid[m])
+                nn.append(n[m])
+                role.append(np.ones(int(m.sum()), np.int8))
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "orig": pa.array(np.concatenate(orig), pa.int64()),
+                         "n": pa.array(np.concatenate(nn), pa.int64()),
+                         "role": pa.array(np.concatenate(role), pa.int8())})
+
+    def flow_of(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id": np.int64, "n": np.int64, "tgt": np.int64,
+                "is_sink": bool}
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=v)
+                                 for c, v in cols.items()})
+        own = df[df["role"] == 0][["key", "n"]] \
+            .rename(columns={"n": "n_own"})
+        probe = df[df["role"] == 1][["key", "orig", "n"]]
+        cand = probe.merge(own, on="key")
+        cand = cand[cand["n"] < cand["n_own"]]
+        cand = cand.sort_values(["key", "n", "orig"], kind="stable") \
+            .drop_duplicates("key")
+        out = own.merge(cand[["key", "orig"]], on="key", how="left")
+        tgt = out["orig"].to_numpy(np.float64)
+        oid = out["key"].to_numpy(np.int64)
+        sink = np.isnan(tgt)
+        return pd.DataFrame({"id": oid,
+                             "n": out["n_own"].to_numpy(np.int64),
+                             "tgt": np.where(sink, oid, tgt).astype(np.int64),
+                             "is_sink": sink})
+
+    flow = shard_apply(g.map_batches(fan, batch_format="pyarrow"),
+                       ["key"], flow_of)
+
+    def solve(t: pa.Table) -> pa.Table:
+        if t.num_rows > FLOW_SOLVE_LIMIT:
+            raise ValueError(
+                f"flow solve over {t.num_rows} cells exceeds "
+                f"FLOW_SOLVE_LIMIT — subdivide the raster into drainage "
+                f"windows or raise the guard with a bigger worker heap")
+        ids = t.column("id").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        tgt = t.column("tgt").to_numpy().astype(np.int64)
+        sink = t.column("is_sink").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s, n_s, tgt_s, sink_s = ids[order], n[order], tgt[order], sink[order]
+        tix = np.searchsorted(ids_s, tgt_s)
+        acc = np.ones(len(ids_s), np.int64)
+        # level-synchronous topological sum: all cells of count v are
+        # final when v's turn comes (flow strictly decreases the count)
+        for v in np.unique(n_s)[::-1]:
+            m = (n_s == v) & ~sink_s
+            if m.any():
+                np.add.at(acc, tix[m], acc[m])
+        return pa.table({"id": pa.array(ids_s, pa.int64()),
+                         "n": pa.array(n_s, pa.int64()),
+                         "tgt": pa.array(tgt_s, pa.int64()),
+                         "acc": pa.array(acc, pa.int64()),
+                         "is_sink": pa.array(sink_s)})
+
+    return flow.repartition(1).map_batches(solve, batch_format="pyarrow",
+                                           batch_size=None)
