@@ -3769,6 +3769,10 @@ def build_oracles() -> dict[str, str]:
         "mixture_sample": sql_mixture_sample(),
         "cluster_dedup_sample": sql_cluster_dedup_sample(),
         "epoch_shuffle": sql_epoch_shuffle(),
+        "slope_aspect": sql_slope_aspect(),
+        "lbp": sql_lbp(),
+        "median3x3": sql_median3x3(),
+        "variogram": sql_variogram(),
     }
 
 
@@ -4469,3 +4473,126 @@ def sql_flow_accum() -> str:
            a.acc::BIGINT AS acc,
            f.u IS NULL AS is_sink
     FROM c JOIN a ON a.id = c.id LEFT JOIN f ON f.u = c.id"""
+
+
+def sql_slope_aspect() -> str:
+    """Twin of queries.q_slope_aspect: global-pixel counts (the
+    sql_raster_blur r CTE), four LEFT self-joins for the cardinal
+    neighbors (absent = 0 via coalesce), pure-integer 4-way aspect.
+    The -1 flat sentinel is cast to BIGINT (the CLAUDE.md INT32-literal
+    comparator hazard)."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    G = 1 << CELL_DEPTH
+    ix = f"((({lon}) * 10000 * {G}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {G}) // {quadtree.LAT_SPAN})"
+    return f"""
+    WITH r AS (
+        SELECT {ix} AS gx, {iy} AS gy, count(*) AS n
+        FROM events GROUP BY gx, gy
+    ),
+    g AS (
+        SELECT r.gx, r.gy, r.n,
+               coalesce(e.n, 0) - coalesce(w.n, 0) AS dzdx,
+               coalesce(nn.n, 0) - coalesce(ss.n, 0) AS dzdy
+        FROM r
+        LEFT JOIN r e  ON e.gx  = r.gx + 1 AND e.gy  = r.gy
+        LEFT JOIN r w  ON w.gx  = r.gx - 1 AND w.gy  = r.gy
+        LEFT JOIN r nn ON nn.gx = r.gx     AND nn.gy = r.gy + 1
+        LEFT JOIN r ss ON ss.gx = r.gx     AND ss.gy = r.gy - 1
+    )
+    SELECT gx::BIGINT AS gx, gy::BIGINT AS gy, n::BIGINT AS n,
+           dzdx::BIGINT AS dzdx, dzdy::BIGINT AS dzdy,
+           (dzdx * dzdx + dzdy * dzdy)::BIGINT AS slope2,
+           CAST(CASE WHEN dzdx = 0 AND dzdy = 0 THEN -1
+                     WHEN abs(dzdx) >= abs(dzdy)
+                          THEN CASE WHEN dzdx > 0 THEN 0 ELSE 2 END
+                     ELSE CASE WHEN dzdy > 0 THEN 1 ELSE 3 END
+                END AS BIGINT) AS aspect
+    FROM g"""
+
+
+def sql_lbp() -> str:
+    """Twin of queries.q_lbp (stages/images.lbp_partial): the decoded
+    16x16 thumbnails' interior pixels, 8-neighbor >=-center indicator
+    sum per center (== the LBP code's popcount), histogrammed per
+    image."""
+    from osmquadtreepostgis_ray.stages.images import LBP_DIM
+    D = LBP_DIM
+    return f"""{_sql_decoded_pixels()},
+    ctr AS (
+        SELECT image_id, idx // w AS y, idx % w AS x, p
+        FROM dec WHERE w = {D} AND h = {D}
+    ),
+    off AS (
+        SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                              (0, 1), (1, -1), (1, 0), (1, 1)) o(dy, dx)
+    ),
+    code AS (
+        SELECT c.image_id, c.y, c.x,
+               sum(CASE WHEN nb.p >= c.p THEN 1 ELSE 0 END) AS ones
+        FROM ctr c
+        JOIN off o ON TRUE
+        JOIN ctr nb ON nb.image_id = c.image_id
+                   AND nb.y = c.y + o.dy AND nb.x = c.x + o.dx
+        WHERE c.y BETWEEN 1 AND {D - 2} AND c.x BETWEEN 1 AND {D - 2}
+        GROUP BY c.image_id, c.y, c.x
+    )
+    SELECT image_id, ones::BIGINT AS ones, count(*)::BIGINT AS n_px
+    FROM code GROUP BY image_id, ones"""
+
+
+def sql_median3x3() -> str:
+    """Twin of queries.q_median3x3 (stages/images.median3x3_batch):
+    quantile_disc(0.5) of each interior pixel's 9-neighborhood — for 9
+    values DuckDB's discrete quantile is the 5th smallest, exactly
+    numpy's np.partition(...)[4] — summarized per image."""
+    from osmquadtreepostgis_ray.stages.images import LBP_DIM
+    D = LBP_DIM
+    offs = ", ".join(f"({dy}, {dx})" for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1))
+    return f"""{_sql_decoded_pixels()},
+    ctr AS (
+        SELECT image_id, idx // w AS y, idx % w AS x, p
+        FROM dec WHERE w = {D} AND h = {D}
+    ),
+    off AS (SELECT * FROM (VALUES {offs}) o(dy, dx)),
+    med AS (
+        SELECT c.image_id, c.y, c.x, quantile_disc(nb.p, 0.5) AS m
+        FROM ctr c
+        JOIN off o ON TRUE
+        JOIN ctr nb ON nb.image_id = c.image_id
+                   AND nb.y = c.y + o.dy AND nb.x = c.x + o.dx
+        WHERE c.y BETWEEN 1 AND {D - 2} AND c.x BETWEEN 1 AND {D - 2}
+        GROUP BY c.image_id, c.y, c.x
+    )
+    SELECT image_id, sum(m)::BIGINT AS med_sum, min(m)::BIGINT AS med_min,
+           max(m)::BIGINT AS med_max, count(*)::BIGINT AS n_ctr
+    FROM med GROUP BY image_id"""
+
+
+def sql_variogram() -> str:
+    """Twin of queries.q_variogram: brute ordered-pair scan over the
+    RIPLEY_MOD-sampled event geotags, banded by squared distance
+    (lo exclusive / hi inclusive, first band lo = -1 so d2 = 0 lands in
+    band 0 exactly like np.searchsorted side='left')."""
+    from osmquadtreepostgis_ray.queries import RIPLEY_MOD, RIPLEY_R
+    lows = [-1] + [r * r for r in RIPLEY_R[:-1]]
+    bands = ", ".join(f"({r}, {lo}, {r * r})"
+                      for r, lo in zip(RIPLEY_R, lows))
+    return f"""
+    WITH {events_geo_cte()},
+    pts AS (
+        SELECT event_id, lon_milli AS x, lat_milli AS y,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM ev WHERE user_id % {RIPLEY_MOD} = 0
+    ),
+    bands AS (SELECT * FROM (VALUES {bands}) b(r, lo, hi)),
+    p AS (
+        SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+               (a.v - b.v) * (a.v - b.v) AS dv2
+        FROM pts a JOIN pts b ON b.event_id <> a.event_id
+    )
+    SELECT CAST(b.r AS BIGINT) AS r, count(*)::BIGINT AS n_pairs,
+           sum(dv2)::BIGINT AS sum_sq
+    FROM p JOIN bands b ON p.d2 > b.lo AND p.d2 <= b.hi
+    GROUP BY 1"""

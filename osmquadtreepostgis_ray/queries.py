@@ -6386,3 +6386,170 @@ def q_flow_accum(sf_dir: str):
 
     return flow.repartition(1).map_batches(solve, batch_format="pyarrow",
                                            batch_size=None)
+
+
+# --------------------------------------- terrain / texture / variogram ops
+
+def q_slope_aspect(sf_dir: str):
+    """Terrain slope/aspect raster over the event-count surface (the
+    hillshade precursor of raster GIS — reference's quadtree tiling is
+    the storage model this renders from): central differences
+    dzdx = z(x+1,y) - z(x-1,y), dzdy = z(x,y+1) - z(x,y-1) with absent
+    (zero-count) neighbors contributing 0; aspect is the pure-integer
+    4-way facing (0=E,1=N,2=W,3=S; -1 flat) so both engines compare
+    without a single float.
+
+    Scale shape: the q_raster_blur halo pattern — a 4-way fanout of the
+    DISTINCT-pixel aggregate plus one sharded pivot; raw events never
+    enter the stencil shuffle, so volume is 5 x nonzero pixels
+    regardless of row count."""
+    G = 1 << CELL_DEPTH
+    cells = q_rasterize(sf_dir)
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("key", "role", "n")})
+        tx, ty, _ = quadtree.decode(t.column("tile").to_numpy())
+        gx = tx * 16 + t.column("px").to_numpy().astype(np.int64)
+        gy = ty * 16 + t.column("py").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        keys = [gy * G + gx]
+        roles = [np.zeros(len(gx), np.int64)]
+        ns = [n]
+        # the emitter sits at offset (-dx,-dy) from the receiving center:
+        # (1,0) delivers the center's WEST neighbor value (role 1),
+        # (-1,0) EAST (2), (0,1) SOUTH (3), (0,-1) NORTH (4)
+        for dx, dy, role in ((1, 0, 1), (-1, 0, 2), (0, 1, 3), (0, -1, 4)):
+            ngx, ngy = gx + dx, gy + dy
+            m = (ngx >= 0) & (ngx < G) & (ngy >= 0) & (ngy < G)
+            keys.append((ngy * G + ngx)[m])
+            roles.append(np.full(int(m.sum()), role, np.int64))
+            ns.append(n[m])
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "role": pa.array(np.concatenate(roles), pa.int64()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    def grad_of(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("gx", "gy", "n", "dzdx", "dzdy", "slope2", "aspect")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        own = df[df["role"] == 0].set_index("key")["n"]
+
+        def side(r: int) -> np.ndarray:
+            s = df[df["role"] == r].set_index("key")["n"]
+            return s.reindex(own.index, fill_value=0).to_numpy(np.int64)
+
+        w_, e_, s_, n_ = side(1), side(2), side(3), side(4)
+        key = own.index.to_numpy(np.int64)
+        z = own.to_numpy(np.int64)
+        dzdx = e_ - w_
+        dzdy = n_ - s_
+        aspect = np.where(
+            (dzdx == 0) & (dzdy == 0), -1,
+            np.where(np.abs(dzdx) >= np.abs(dzdy),
+                     np.where(dzdx > 0, 0, 2),
+                     np.where(dzdy > 0, 1, 3))).astype(np.int64)
+        return pd.DataFrame({"gx": key % G, "gy": key // G, "n": z,
+                             "dzdx": dzdx, "dzdy": dzdy,
+                             "slope2": dzdx * dzdx + dzdy * dzdy,
+                             "aspect": aspect})
+
+    part = cells.map_batches(fan, batch_format="pyarrow")
+    return shard_apply(part, ["key"], grad_of)
+
+
+def q_lbp(sf_dir: str):
+    """Per-image LBP texture uniformity profile over the 16x16
+    thumbnails (stages/images.lbp_partial).  Row-pure decode; no
+    shuffle — output is <= 9 rows per image."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import lbp_partial
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        lbp_partial, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_median3x3(sf_dir: str):
+    """Per-image 3x3 median-filter summary over the 16x16 thumbnails
+    (stages/images.median3x3_batch).  Row-pure; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import median3x3_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        median3x3_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram by distance band over the sampled event
+    geotags (the spatial-interpolation diagnostic next to q_idw): for
+    each band r2s[k-1] < d2 <= r2s[k], the ORDERED-pair count and the
+    exact int64 sum of squared value-cents differences.  The ripley_k
+    broadcast-sample shape: the bounded sample ships once via ray.put,
+    every batch scans it in column chunks and accumulates CUMULATIVE
+    per-radius masked sums (np.where keeps the sum int64-exact — not
+    bincount weights, the CLAUDE.md float64 hazard; not add.at, ~8x
+    slower than a masked sum here), diffed into bands at the end.
+    Self-pairs leave only a count (d2=0, dv=0), subtracted exactly."""
+    def sample_geo(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        e = t.column("event_id").to_numpy()
+        v = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        keep = u % RIPLEY_MOD == 0
+        u, e, v = u[keep], e[keep], v[keep]
+        lon_m, lat_m = geotag.event_lonlat_milli(u, e)
+        return pa.table({"lon_milli": pa.array(lon_m, pa.int64()),
+                         "lat_milli": pa.array(lat_m, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    samp = read_table(sf_dir, "events",
+                      columns=["event_id", "user_id", "value"]) \
+        .map_batches(sample_geo, batch_format="pyarrow").materialize()
+    tabs = [t for t in ray.get(samp.to_arrow_refs())
+            if t.num_rows and "lon_milli" in t.column_names]
+    bx = np.concatenate([t.column("lon_milli").to_numpy() for t in tabs])
+    by = np.concatenate([t.column("lat_milli").to_numpy() for t in tabs])
+    bv = np.concatenate([t.column("v").to_numpy() for t in tabs])
+    ref = ray.put((np.ascontiguousarray(bx), np.ascontiguousarray(by),
+                   np.ascontiguousarray(bv)))
+    r2s = np.array([r * r for r in RIPLEY_R], np.int64)
+    rs = np.array(RIPLEY_R, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "sum_sq": pa.array([], pa.int64())})
+        rbx, rby, rbv = ray.get(ref)
+        ax = t.column("lon_milli").to_numpy()
+        ay = t.column("lat_milli").to_numpy()
+        av = t.column("v").to_numpy()
+        m = len(ax)
+        cum_c = np.zeros(len(r2s), np.int64)
+        cum_s = np.zeros(len(r2s), np.int64)
+        CH = 4096
+        for lo in range(0, len(rbx), CH):
+            d2 = ax[:, None] - rbx[None, lo:lo + CH]
+            d2 *= d2
+            dy = ay[:, None] - rby[None, lo:lo + CH]
+            dy *= dy
+            d2 += dy
+            dv = av[:, None] - rbv[None, lo:lo + CH]
+            dv *= dv
+            for k, r2 in enumerate(r2s):
+                mask = d2 <= r2
+                cum_c[k] += int(mask.sum())
+                cum_s[k] += int(np.where(mask, dv, 0).sum())
+        counts = np.diff(np.r_[np.int64(0), cum_c])
+        sums = np.diff(np.r_[np.int64(0), cum_s])
+        counts[0] -= m                  # self-pairs: band 0, dv2 = 0
+        return pa.table({"r": pa.array(rs, pa.int64()),
+                         "n_pairs": pa.array(counts, pa.int64()),
+                         "sum_sq": pa.array(sums, pa.int64())})
+
+    part = samp.map_batches(partial, batch_format="pyarrow",
+                            batch_size=1024)
+    return sharded_agg(part, ["r"], {"n_pairs": ("n_pairs", "sum"),
+                                     "sum_sq": ("sum_sq", "sum")}) \
+        .select_columns(["r", "n_pairs", "sum_sq"])

@@ -1156,3 +1156,76 @@ def grad_orient_stats(batch: pa.Table) -> pa.Table:
     cols["flat"] = pa.array(cnt[:, 8], pa.int64())
     cols["n_int"] = pa.array(n_int, pa.int64())
     return pa.table(cols)
+
+
+LBP_DIM = 16               # LBP/median screens run on the 16x16 thumbnails
+
+
+def lbp_partial(batch: pa.Table) -> pa.Table:
+    """Per-image LBP uniformity profile over the 16x16 thumbnails (the
+    local-binary-pattern texture fingerprint vision-curation pipelines
+    bucket flat/synthetic textures with): each interior pixel's 8-bit
+    code counts neighbors >= center; the emitted histogram keys on the
+    code's POPCOUNT (0..8), which is rotation-order-free, so the raw
+    256-code table never leaves the worker.  Exact int counts; output
+    bounded by 9 rows per image regardless of pixel volume."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    out_id, out_ones, out_n = [], [], []
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        if wi != LBP_DIM or hi != LBP_DIM:
+            continue
+        img = dec.reshape(-1, hi, wi).astype(np.int16)
+        c = img[:, 1:hi - 1, 1:wi - 1]
+        ones = np.zeros(c.shape, np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ones += img[:, 1 + dy:hi - 1 + dy, 1 + dx:wi - 1 + dx] >= c
+        k = c.shape[0]
+        flat = (np.arange(k, dtype=np.int64)[:, None, None] * 9 + ones)
+        hist = np.bincount(flat.ravel(), minlength=k * 9).reshape(k, 9)
+        ii, oo = np.nonzero(hist)
+        out_id.append(ids[np.flatnonzero(m)][ii])
+        out_ones.append(oo.astype(np.int64))
+        out_n.append(hist[ii, oo].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    idc = (np.concatenate(out_id) if out_id
+           else np.empty(0, dtype=object))
+    return pa.table({"image_id": pa.array(idc, pa.string()),
+                     "ones": pa.array(cat(out_ones), pa.int64()),
+                     "n_px": pa.array(cat(out_n), pa.int64())})
+
+
+def median3x3_batch(batch: pa.Table) -> pa.Table:
+    """Per-image 3x3 median (order-statistic) filter summary over the
+    16x16 thumbnails — the impulse-noise screen: median of each interior
+    pixel's 9-neighborhood (odd count, so the median IS an input pixel
+    and stays exact int), reported as per-image sum/min/max so pixels
+    never cross the shuffle.  Row-pure; no shuffle at all."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    med_sum = np.zeros(n, np.int64)
+    med_min = np.zeros(n, np.int64)
+    med_max = np.zeros(n, np.int64)
+    n_ctr = np.zeros(n, np.int64)
+    used = np.zeros(n, bool)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        if wi != LBP_DIM or hi != LBP_DIM:
+            continue
+        img = dec.reshape(-1, hi, wi).astype(np.int64)
+        stack = np.stack([img[:, 1 + dy:hi - 1 + dy, 1 + dx:wi - 1 + dx]
+                          for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                         axis=-1)
+        med = np.partition(stack, 4, axis=-1)[..., 4]
+        idx = np.flatnonzero(m)
+        med_sum[idx] = med.sum(axis=(1, 2))
+        med_min[idx] = med.min(axis=(1, 2))
+        med_max[idx] = med.max(axis=(1, 2))
+        n_ctr[idx] = (hi - 2) * (wi - 2)
+        used[idx] = True
+    return pa.table({"image_id": pa.array(ids[used], pa.string()),
+                     "med_sum": pa.array(med_sum[used], pa.int64()),
+                     "med_min": pa.array(med_min[used], pa.int64()),
+                     "med_max": pa.array(med_max[used], pa.int64()),
+                     "n_ctr": pa.array(n_ctr[used], pa.int64())})

@@ -37,7 +37,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "blobs", "hex_ring", "ripley_k", "sssp_hops", "dist_raster",
              "fuzzy_decontam", "curriculum", "centroids", "skyline",
              "windowed_topk", "sinuosity", "zone_gini", "changepoint",
-             "blockiness", "grad_orient", "kmv_sketch", "link_jaccard", "flow_accum"):
+             "blockiness", "grad_orient", "kmv_sketch", "link_jaccard", "flow_accum",
+             "slope_aspect", "lbp", "median3x3", "variogram"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
