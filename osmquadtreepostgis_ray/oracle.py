@@ -3773,6 +3773,10 @@ def build_oracles() -> dict[str, str]:
         "lbp": sql_lbp(),
         "median3x3": sql_median3x3(),
         "variogram": sql_variogram(),
+        "time_split": sql_time_split(),
+        "temperature_mix": sql_temperature_mix(),
+        "saliency_crop": sql_saliency_crop(),
+        "local_moran": sql_local_moran(),
     }
 
 
@@ -4596,3 +4600,112 @@ def sql_variogram() -> str:
            sum(dv2)::BIGINT AS sum_sq
     FROM p JOIN bands b ON p.d2 > b.lo AND p.d2 <= b.hi
     GROUP BY 1"""
+
+
+def sql_time_split() -> str:
+    """Twin of queries.q_time_split: global epoch-us bounds via a
+    scalar CTE, thresholds as exact integer tenths of the span (span
+    >= 0 so DuckDB trunc-divide == numpy floor)."""
+    from osmquadtreepostgis_ray.queries import TS_SPLIT_TENTHS
+    k1, k2 = TS_SPLIT_TENTHS
+    return f"""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    l AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) < b.lo + ((b.hi - b.lo) * {k1}) // 10
+                    THEN 'train'
+                    WHEN epoch_us(ts) < b.lo + ((b.hi - b.lo) * {k2}) // 10
+                    THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events, b
+    )
+    SELECT split, event_type, count(*)::BIGINT AS n
+    FROM l GROUP BY split, event_type"""
+
+
+def sql_temperature_mix(target: int = 1000) -> str:
+    """Twin of queries.q_temperature_mix: isqrt weights via
+    floor(sqrt()) — exact at these magnitudes (see the Ray docstring) —
+    and floor quotas against the global weight sum."""
+    return f"""
+    WITH c AS (
+        SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(n_docs)) AS BIGINT) AS w
+        FROM c
+    ),
+    t AS (SELECT sum(w) AS tw FROM w)
+    SELECT lang, n_docs, w.w AS w,
+           (({target} * w.w) // t.tw)::BIGINT AS quota
+    FROM w, t"""
+
+
+def sql_saliency_crop() -> str:
+    """Twin of queries.q_saliency_crop (stages/images.saliency_crop_batch):
+    central differences as a 4-offset contribution join over the
+    decoded-pixel CTE, |dx|+|dy| energies summed per quadrant of the
+    center pixel, winner by (energy DESC, quad) — numpy argmax's
+    first-max tie rule."""
+    return f"""{_sql_decoded_pixels()},
+    g AS (
+        SELECT d.image_id, d.w, d.h,
+               (d.idx // d.w) - o.dy AS cy, (d.idx % d.w) - o.dx AS cx,
+               sum(o.kx * d.p) AS dxv, sum(o.ky * d.p) AS dyv
+        FROM dec d
+        JOIN (VALUES (0, 1, 1, 0), (0, -1, -1, 0),
+                     (1, 0, 0, 1), (-1, 0, 0, -1)) o(dy, dx, kx, ky)
+          ON TRUE
+        GROUP BY d.image_id, d.w, d.h, cy, cx
+    ),
+    e AS (
+        SELECT image_id, w, h, cy, cx, abs(dxv) + abs(dyv) AS en
+        FROM g
+        WHERE cy >= 1 AND cy <= h - 2 AND cx >= 1 AND cx <= w - 2
+    ),
+    qd AS (
+        SELECT image_id,
+               CASE WHEN cy >= h // 2 THEN 2 ELSE 0 END
+             + CASE WHEN cx >= w // 2 THEN 1 ELSE 0 END AS quad,
+               sum(en) AS energy
+        FROM e GROUP BY image_id, quad
+    ),
+    r AS (
+        SELECT image_id, quad, energy,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY energy DESC, quad) AS rk
+        FROM qd
+    )
+    SELECT image_id, quad::BIGINT AS quad, energy::BIGINT AS energy
+    FROM r WHERE rk = 1"""
+
+
+def sql_local_moran() -> str:
+    """Twin of queries.q_local_moran: the sql_hotspot queen-join CTE
+    plus the global (N, S) scalar CTE; lisa_num in exact integers with
+    dev = N*n - S."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+    WITH ev AS (SELECT ({lon}) * 64 // 360000 AS ix,
+                       (({lat}) + 5000) * 64 // 180000 AS iy FROM events),
+    c AS (SELECT ix, iy, count(*)::BIGINT AS n FROM ev GROUP BY ix, iy),
+    h AS (
+        SELECT a.ix, a.iy, a.n,
+               CAST(sum(b.n) AS BIGINT) AS nbr_sum,
+               count(*)::BIGINT AS nbr_cnt
+        FROM c a
+        JOIN (VALUES {offs}) o(dx, dy) ON true
+        JOIN c b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+        GROUP BY a.ix, a.iy, a.n
+    ),
+    s AS (SELECT count(*)::BIGINT AS nc, sum(n)::BIGINT AS tot FROM c)
+    SELECT h.ix, h.iy, h.n,
+           ((s.nc * h.n - s.tot)
+            * (s.nc * (h.nbr_sum - h.n) - (h.nbr_cnt - 1) * s.tot))::BIGINT
+               AS lisa_num
+    FROM h, s"""

@@ -6553,3 +6553,155 @@ def q_variogram(sf_dir: str):
     return sharded_agg(part, ["r"], {"n_pairs": ("n_pairs", "sum"),
                                      "sum_sq": ("sum_sq", "sum")}) \
         .select_columns(["r", "n_pairs", "sum_sq"])
+
+
+# ------------------------------- curation splits / mixing / local stats
+
+TS_SPLIT_TENTHS = (7, 8)    # train < 70% of the time span, embargo < 80%
+
+
+def q_time_split(sf_dir: str):
+    """Temporal train/embargo/test split with an embargo gap (the
+    leakage-safe TIME split next to the group-based
+    q_split_leakage_safe): thresholds are exact integer fractions of
+    the global [min_ts, max_ts] span, every event labels by pure
+    comparison.  Scale shape: the global bounds are a 2-scalar
+    combiner reduce (per-batch min/max rows -> driver gets ONE tiny
+    table); labeling + counting is one combiner pass, shuffle carries
+    (split, event_type) partials only."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts",
+                                               "event_type"])
+
+    def epoch(t: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": t.column("ts").cast(pa.int64()),
+                         "event_type": t.column("event_type")})
+
+    ev = ds.map_batches(epoch, batch_format="pyarrow").materialize()
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        ts = t.column("ts_us").to_numpy()
+        return pa.table({"lo": pa.array([ts.min()], pa.int64()),
+                         "hi": pa.array([ts.max()], pa.int64())})
+
+    bounds = [t for t in ray.get(ev.map_batches(
+        mm, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "lo" in t.column_names]
+    lo = int(min(t.column("lo").to_numpy().min() for t in bounds))
+    hi = int(max(t.column("hi").to_numpy().max() for t in bounds))
+    span = hi - lo
+    t1, t2 = (lo + (span * k) // 10 for k in TS_SPLIT_TENTHS)
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"split": pa.array([], pa.string()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ts = t.column("ts_us").to_numpy()
+        split = np.where(ts < t1, "train",
+                         np.where(ts < t2, "embargo", "test"))
+        g = pd.DataFrame({"split": split,
+                          "event_type": t.column("event_type").to_pandas()}) \
+            .groupby(["split", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ev.map_batches(label, batch_format="pyarrow")
+    return sharded_agg(part, ["split", "event_type"], {"n": ("n", "sum")}) \
+        .select_columns(["split", "event_type", "n"])
+
+
+def q_temperature_mix(sf_dir: str, target: int = 1000):
+    """Temperature-weighted language sampling quotas (tau = 0.5 — the
+    low-resource upsampling rule multilingual LLM mixes use): per-lang
+    weight isqrt(count), quota = floor(target * w / sum(w)).  floor of
+    the IEEE sqrt equals exact isqrt for counts < 2^52 (correctly
+    rounded sqrt cannot cross an integer boundary at this magnitude),
+    so both engines stay integer-exact.  The lang table is
+    cardinality-bounded: distributed combiner counts, then a one-task
+    allocation (the q_mixture_quotas plan — the quota needs the global
+    weight sum)."""
+    docs = read_table(sf_dir, "documents", columns=["lang"])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        langs, counts = np.unique(
+            np.asarray(t.column("lang").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "n_docs": pa.array(counts.astype(np.int64),
+                                            pa.int64())})
+
+    counts = (docs.map_batches(cpart, batch_format="pyarrow")
+              .groupby("lang").aggregate(Sum("n_docs",
+                                             alias_name="n_docs")))
+
+    def alloc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64() if c != "lang"
+                                         else pa.string())
+                             for c in ("lang", "n_docs", "w", "quota")})
+        c = t.column("n_docs").to_numpy().astype(np.int64)
+        w = np.floor(np.sqrt(c.astype(np.float64))).astype(np.int64)
+        tw = int(w.sum())
+        return pa.table({"lang": t.column("lang"),
+                         "n_docs": pa.array(c, pa.int64()),
+                         "w": pa.array(w, pa.int64()),
+                         "quota": pa.array(target * w // tw, pa.int64())})
+
+    return counts.repartition(1).map_batches(alloc, batch_format="pyarrow",
+                                             batch_size=None)
+
+
+def q_saliency_crop(sf_dir: str):
+    """Gradient-energy smart-crop quadrant selection per image
+    (stages/images.saliency_crop_batch).  Row-pure; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import saliency_crop_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        saliency_crop_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+LISA_N_MAX = 1 << 25   # int64 headroom guard: dev products stay < 2^63
+
+
+def q_local_moran(sf_dir: str):
+    """Local Moran's I (Anselin LISA) numerators over occupied depth-6
+    cells — the per-cell cluster/outlier statistic next to the global
+    q_moran and the Gi* q_hotspot: lisa_num = dev_i * sum of occupied
+    queen-neighbor devs, with deviations scaled by the occupied-cell
+    count (dev = N*n - S) so everything stays exact int64.
+
+    Scale shape: reuses the hotspot_gi two-exchange plan; the global
+    (N, S) scalars reduce from the structurally BOUNDED cell table
+    (<= 4^depth rows — the driver holds two ints, never data-scaled
+    rows); the guard keeps dev products inside int64."""
+    h = q_hotspot(sf_dir).materialize()
+    tabs = [t for t in ray.get(h.to_arrow_refs())
+            if t.num_rows and "n" in t.column_names]
+    N = int(sum(t.num_rows for t in tabs))
+    S = int(sum(int(t.column("n").to_numpy().sum()) for t in tabs))
+
+    def lisa(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("ix", "iy", "n", "lisa_num")})
+        n = t.column("n").to_numpy().astype(np.int64)
+        if n.max(initial=0) >= LISA_N_MAX:
+            raise ValueError("cell count exceeds LISA int64 headroom — "
+                             "deepen the grid or rescale deviations")
+        nbr_sum = t.column("nbr_sum").to_numpy().astype(np.int64)
+        nbr_cnt = t.column("nbr_cnt").to_numpy().astype(np.int64)
+        dev = N * n - S
+        nb_dev = N * (nbr_sum - n) - (nbr_cnt - 1) * S
+        return pa.table({"ix": t.column("ix"), "iy": t.column("iy"),
+                         "n": pa.array(n, pa.int64()),
+                         "lisa_num": pa.array(dev * nb_dev, pa.int64())})
+
+    return h.map_batches(lisa, batch_format="pyarrow")

@@ -1229,3 +1229,33 @@ def median3x3_batch(batch: pa.Table) -> pa.Table:
                      "med_min": pa.array(med_min[used], pa.int64()),
                      "med_max": pa.array(med_max[used], pa.int64()),
                      "n_ctr": pa.array(n_ctr[used], pa.int64())})
+
+
+def saliency_crop_batch(batch: pa.Table) -> pa.Table:
+    """Gradient-energy smart crop (the saliency-guided crop selection a
+    vision-data pipeline runs instead of naive center crops): per image,
+    sum |dx| + |dy| of the interior central differences within each of
+    the four quadrants and pick the argmax (ties -> lowest quadrant id,
+    row-major 0=TL 1=TR 2=BL 3=BR).  Exact int64 energies; row-pure —
+    one winner row per image, pixels never leave the worker."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    quad = np.zeros(n, np.int64)
+    energy = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        a = dec.reshape(-1, hi, wi).astype(np.int64)
+        dx = a[:, 1:-1, 2:] - a[:, 1:-1, :-2]
+        dy = a[:, 2:, 1:-1] - a[:, :-2, 1:-1]
+        e = np.abs(dx) + np.abs(dy)
+        ys = np.arange(1, hi - 1)
+        xs = np.arange(1, wi - 1)
+        q = ((ys >= hi // 2).astype(np.int64)[:, None] * 2
+             + (xs >= wi // 2)[None, :])
+        en = np.stack([(e * (q == i)).sum(axis=(1, 2)) for i in range(4)],
+                      axis=1)
+        idx = np.flatnonzero(m)
+        quad[idx] = en.argmax(axis=1)        # first max -> lowest quad
+        energy[idx] = en.max(axis=1)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "quad": pa.array(quad, pa.int64()),
+                     "energy": pa.array(energy, pa.int64())})
