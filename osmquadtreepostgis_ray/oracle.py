@@ -3777,6 +3777,9 @@ def build_oracles() -> dict[str, str]:
         "temperature_mix": sql_temperature_mix(),
         "saliency_crop": sql_saliency_crop(),
         "local_moran": sql_local_moran(),
+        "adaptive_tiles": sql_adaptive_tiles(),
+        "zone_overlay": sql_zone_overlay(),
+        "contour_cells": sql_contour_cells(),
     }
 
 
@@ -4709,3 +4712,101 @@ def sql_local_moran() -> str:
             * (s.nc * (h.nbr_sum - h.n) - (h.nbr_cnt - 1) * s.tot))::BIGINT
                AS lisa_num
     FROM h, s"""
+
+
+def sql_adaptive_tiles() -> str:
+    """Twin of queries.q_adaptive_tiles: the multi-depth count union
+    (sql_tile_pyramid expression per ADAPT_DEPTHS), parent lookup as a
+    self-join on the exact cell-id arithmetic (cell = (morton<<6)|depth,
+    parent 2 levels up = ((cell // 64) // 16) * 64 + depth - 2 — all
+    operands non-negative, trunc == floor)."""
+    from osmquadtreepostgis_ray.queries import ADAPT_DEPTHS, ADAPT_MAX
+    lon, lat = geotag.event_lonlat_milli_sql()
+    T = ADAPT_MAX
+    top, bottom = ADAPT_DEPTHS[0], ADAPT_DEPTHS[-1]
+    parts = [(f"SELECT CAST({d} AS BIGINT) AS depth, "
+              f"{_cell_expr(lon, lat, d)} AS cell, count(*)::BIGINT AS n "
+              f"FROM events GROUP BY cell")
+             for d in ADAPT_DEPTHS]
+    pyr = " UNION ALL ".join(parts)
+    parent = "((c.cell // 64) // 16) * 64 + (c.depth - 2)"
+    return f"""
+    WITH pyr AS ({pyr})
+    SELECT c.depth, c.cell, c.n, FALSE AS overflow
+    FROM pyr c LEFT JOIN pyr p ON p.cell = {parent}
+    WHERE c.n <= {T} AND (c.depth = {top} OR p.n > {T})
+    UNION ALL
+    SELECT c.depth, c.cell, c.n, TRUE AS overflow
+    FROM pyr c JOIN pyr p ON p.cell = {parent}
+    WHERE c.depth = {bottom} AND c.n > {T} AND p.n > {T}"""
+
+
+def sql_zone_overlay() -> str:
+    """Twin of queries.q_zone_overlay: zone ids by integer division of
+    the milli geotag (all operands non-negative), grid-zone keep rule,
+    exact rectangle-intersection areas recomputed per aggregated pair."""
+    from osmquadtreepostgis_ray.sources.zones import (
+        ADMIN_H, ADMIN_ID_BASE, ADMIN_W, AX, GRID_H, GRID_KEEP_LT,
+        GRID_KEEP_MOD, GRID_KEEP_MULT, GRID_W, GX)
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH ev AS (
+        SELECT (({lat}) // {GRID_H}) * {GX} + ({lon}) // {GRID_W} AS gzone,
+               (({lat}) // {ADMIN_H}) * {AX} + ({lon}) // {ADMIN_W}
+                   + {ADMIN_ID_BASE} AS azone
+        FROM events
+    ),
+    c AS (
+        SELECT gzone, azone, count(*)::BIGINT AS n
+        FROM ev
+        WHERE (gzone * {GRID_KEEP_MULT}) % {GRID_KEEP_MOD} < {GRID_KEEP_LT}
+        GROUP BY gzone, azone
+    )
+    SELECT gzone, azone, n,
+           (least((gzone % {GX}) * {GRID_W} + {GRID_W},
+                  ((azone - {ADMIN_ID_BASE}) % {AX}) * {ADMIN_W} + {ADMIN_W})
+            - greatest((gzone % {GX}) * {GRID_W},
+                       ((azone - {ADMIN_ID_BASE}) % {AX}) * {ADMIN_W}))
+         * (least((gzone // {GX}) * {GRID_H} + {GRID_H},
+                  ((azone - {ADMIN_ID_BASE}) // {AX}) * {ADMIN_H} + {ADMIN_H})
+            - greatest((gzone // {GX}) * {GRID_H},
+                       ((azone - {ADMIN_ID_BASE}) // {AX}) * {ADMIN_H}))
+               AS inter_area
+    FROM c"""
+
+
+def sql_contour_cells() -> str:
+    """Twin of queries.q_contour_cells: distinct-pixel counts, window
+    anchors as the DISTINCT 4-offset scatter (domain-clipped to
+    [0, G-2]), 4 corner LEFT joins -> occupancy code census."""
+    from osmquadtreepostgis_ray.queries import CONTOUR_T
+    lon, lat = geotag.event_lonlat_milli_sql()
+    G = 1 << CELL_DEPTH
+    ix = f"((({lon}) * 10000 * {G}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {G}) // {quadtree.LAT_SPAN})"
+    return f"""
+    WITH r AS (
+        SELECT {ix} AS gx, {iy} AS gy, count(*) AS n
+        FROM events GROUP BY gx, gy
+    ),
+    a AS (
+        SELECT DISTINCT r.gx - o.dx AS ax, r.gy - o.dy AS ay
+        FROM r JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(dx, dy)
+          ON TRUE
+        WHERE r.gx - o.dx BETWEEN 0 AND {G - 2}
+          AND r.gy - o.dy BETWEEN 0 AND {G - 2}
+    ),
+    code AS (
+        SELECT (CASE WHEN coalesce(c00.n, 0) > {CONTOUR_T} THEN 1 ELSE 0 END)
+             + (CASE WHEN coalesce(c01.n, 0) > {CONTOUR_T} THEN 2 ELSE 0 END)
+             + (CASE WHEN coalesce(c10.n, 0) > {CONTOUR_T} THEN 4 ELSE 0 END)
+             + (CASE WHEN coalesce(c11.n, 0) > {CONTOUR_T} THEN 8 ELSE 0 END)
+                 AS code
+        FROM a
+        LEFT JOIN r c00 ON c00.gx = a.ax     AND c00.gy = a.ay
+        LEFT JOIN r c01 ON c01.gx = a.ax + 1 AND c01.gy = a.ay
+        LEFT JOIN r c10 ON c10.gx = a.ax     AND c10.gy = a.ay + 1
+        LEFT JOIN r c11 ON c11.gx = a.ax + 1 AND c11.gy = a.ay + 1
+    )
+    SELECT code::BIGINT AS code, count(*)::BIGINT AS n_cells
+    FROM code GROUP BY code"""

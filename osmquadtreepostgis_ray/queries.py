@@ -6705,3 +6705,214 @@ def q_local_moran(sf_dir: str):
                          "lisa_num": pa.array(dev * nb_dev, pa.int64())})
 
     return h.map_batches(lisa, batch_format="pyarrow")
+
+
+# ------------------------- adaptive tiling / overlay / marching squares
+
+ADAPT_DEPTHS = (4, 6, 8, 10, 12)   # coarse -> fine, step 2 (4-way split^2)
+ADAPT_MAX = 64                     # target max objects per tile
+
+
+def q_adaptive_tiles(sf_dir: str, max_per_tile: int = ADAPT_MAX):
+    """Adaptive quadtree tiling — the osmquadtree calc-quadtree/group
+    surface the reference's inputs are produced by (cells split until
+    each tile holds <= max_per_tile objects; the engine's storage
+    partitioner would consume exactly this selection): a cell is
+    selected iff its count <= T and its parent (2 levels up) exceeds T;
+    top-depth cells select on count alone; bottom-depth cells still
+    over T emit overflow=TRUE rows.  Counts are monotone nondecreasing
+    up the tree, so parent > T implies every ancestor > T — the
+    selection is an exact partition of the corpus.
+
+    Scale shape: ONE input pass builds the multi-depth distinct-cell
+    combiner partial (the q_tile_pyramid plan); the parent check is one
+    owner/probe shard exchange over the aggregated cell table — raw
+    events never enter the selection shuffle."""
+    T = max_per_tile
+    ds = prep_events(sf_dir)
+    depths = ADAPT_DEPTHS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch.column("cell").to_numpy(),
+                                  return_counts=True)
+        d_out, c_out, n_out = [], [], []
+        for d in depths:
+            c = quadtree.at_depth(cells, d)
+            u, inv = np.unique(c, return_inverse=True)
+            n = np.bincount(inv, weights=counts).astype(np.int64)
+            d_out.append(np.full(len(u), d, np.int64))
+            c_out.append(u)
+            n_out.append(n)
+        return pa.table({"depth": pa.array(np.concatenate(d_out), pa.int64()),
+                         "cell": pa.array(np.concatenate(c_out), pa.int64()),
+                         "n": pa.array(np.concatenate(n_out), pa.int64())})
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["depth", "cell"], {"n": ("n", "sum")})
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"key": z, "role": z, "depth": z,
+                             "cell": z, "n": z})
+        d = t.column("depth").to_numpy().astype(np.int64)
+        c = t.column("cell").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        keys = [c]                      # owner: keyed to itself
+        roles = [np.zeros(len(c), np.int64)]
+        dd, cc, nn = [d], [c], [n]
+        for dep in depths[1:]:
+            m = d == dep
+            keys.append(quadtree.at_depth(c[m], dep - 2))
+            roles.append(np.ones(int(m.sum()), np.int64))
+            dd.append(d[m])
+            cc.append(c[m])
+            nn.append(n[m])
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "role": pa.array(np.concatenate(roles), pa.int64()),
+                         "depth": pa.array(np.concatenate(dd), pa.int64()),
+                         "cell": pa.array(np.concatenate(cc), pa.int64()),
+                         "n": pa.array(np.concatenate(nn), pa.int64())})
+
+    top, bottom = depths[0], depths[-1]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"depth": np.int64, "cell": np.int64, "n": np.int64,
+                "overflow": bool}
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=v)
+                                 for c, v in cols.items()})
+        own = df[df["role"] == 0]
+        # top-depth cells have no in-set parent: select on count alone
+        roots = own[(own["depth"] == top) & (own["n"] <= T)]
+        probes = df[df["role"] == 1].merge(
+            own[["key", "n"]].rename(columns={"n": "n_parent"}), on="key")
+        split = probes["n_parent"].to_numpy(np.int64) > T
+        nc = probes["n"].to_numpy(np.int64)
+        sel = probes[split & (nc <= T)]
+        over = probes[split & (nc > T)
+                      & (probes["depth"].to_numpy(np.int64) == bottom)]
+        return pd.DataFrame({
+            "depth": np.concatenate([roots["depth"].to_numpy(np.int64),
+                                     sel["depth"].to_numpy(np.int64),
+                                     over["depth"].to_numpy(np.int64)]),
+            "cell": np.concatenate([roots["cell"].to_numpy(np.int64),
+                                    sel["cell"].to_numpy(np.int64),
+                                    over["cell"].to_numpy(np.int64)]),
+            "n": np.concatenate([roots["n"].to_numpy(np.int64),
+                                 sel["n"].to_numpy(np.int64),
+                                 over["n"].to_numpy(np.int64)]),
+            "overflow": np.r_[np.zeros(len(roots), bool),
+                              np.zeros(len(sel), bool),
+                              np.ones(len(over), bool)]})
+
+    return shard_apply(agg.map_batches(fan, batch_format="pyarrow"),
+                       ["key"], pick)
+
+
+def q_zone_overlay(sf_dir: str):
+    """Polygon-overlay statistics between the two zone tilings (the
+    ST_Intersection + count aggregate of an overlay analysis): per
+    (grid zone, admin zone) pair, the event count inside the
+    intersection and the EXACT integer intersection area in milli^2.
+    The zone families are formula-defined rectangles (sources/zones.py)
+    so the event -> pair map is a pure row function — no broadcast, no
+    join; the pair table is cardinality-bounded and enriched with
+    areas after the combiner aggregate."""
+    from osmquadtreepostgis_ray.sources.zones import (
+        ADMIN_H, ADMIN_ID_BASE, ADMIN_W, AX, GRID_H, GRID_KEEP_LT,
+        GRID_KEEP_MOD, GRID_KEEP_MULT, GRID_W, GX)
+
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("gzone", "azone", "n")})
+        lon = t.column("lon_milli").to_numpy()
+        lat = t.column("lat_milli").to_numpy()
+        gid = (lat // GRID_H) * GX + lon // GRID_W
+        keep = (gid * GRID_KEEP_MULT) % GRID_KEEP_MOD < GRID_KEEP_LT
+        aid = (lat // ADMIN_H) * AX + lon // ADMIN_W + ADMIN_ID_BASE
+        key = gid[keep] * np.int64(1 << 20) + aid[keep]
+        u, counts = np.unique(key, return_counts=True)
+        return pa.table({"gzone": pa.array(u >> np.int64(20), pa.int64()),
+                         "azone": pa.array(u & np.int64((1 << 20) - 1),
+                                           pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["gzone", "azone"], {"n": ("n", "sum")})
+
+    def enrich(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "gzone" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("gzone", "azone", "n", "inter_area")})
+        g = t.column("gzone").to_numpy().astype(np.int64)
+        a = t.column("azone").to_numpy().astype(np.int64) - ADMIN_ID_BASE
+        gx0 = (g % GX) * GRID_W
+        gy0 = (g // GX) * GRID_H
+        ax0 = (a % AX) * ADMIN_W
+        ay0 = (a // AX) * ADMIN_H
+        iw = np.minimum(gx0 + GRID_W, ax0 + ADMIN_W) - np.maximum(gx0, ax0)
+        ih = np.minimum(gy0 + GRID_H, ay0 + ADMIN_H) - np.maximum(gy0, ay0)
+        return pa.table({"gzone": t.column("gzone"),
+                         "azone": t.column("azone"),
+                         "n": t.column("n"),
+                         "inter_area": pa.array(iw * ih, pa.int64())})
+
+    return agg.map_batches(enrich, batch_format="pyarrow") \
+        .select_columns(["gzone", "azone", "n", "inter_area"])
+
+
+CONTOUR_T = 0   # marching-squares corner indicator: count > CONTOUR_T
+
+
+def q_contour_cells(sf_dir: str):
+    """Marching-squares contour-cell census over the occupancy raster
+    (the iso-line extraction primitive of contour/heatmap rendering):
+    every 2x2 pixel window with at least one occupied corner classifies
+    by the 4-bit occupancy code (bit dy*2+dx set iff corner
+    (ax+dx, ay+dy) has count > CONTOUR_T); output is the 15-row code
+    census.  Scale shape: each occupied DISTINCT pixel fans to <= 4
+    window anchors (the raster_blur halo pattern), the shard kernel
+    both assembles codes AND pre-counts them, so the final exchange
+    carries <= 16 rows per shard."""
+    G = 1 << CELL_DEPTH
+    cells = q_rasterize(sf_dir)
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"key": z, "idx": z, "ind": z})
+        tx, ty, _ = quadtree.decode(t.column("tile").to_numpy())
+        gx = tx * 16 + t.column("px").to_numpy().astype(np.int64)
+        gy = ty * 16 + t.column("py").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        keys, idxs, inds = [], [], []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                ax, ay = gx - dx, gy - dy
+                m = (ax >= 0) & (ax <= G - 2) & (ay >= 0) & (ay <= G - 2)
+                keys.append((ay * G + ax)[m])
+                idxs.append(np.full(int(m.sum()), dy * 2 + dx, np.int64))
+                inds.append((n[m] > CONTOUR_T).astype(np.int64))
+        return pa.table({"key": pa.array(np.concatenate(keys), pa.int64()),
+                         "idx": pa.array(np.concatenate(idxs), pa.int64()),
+                         "ind": pa.array(np.concatenate(inds), pa.int64())})
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("code", "n_cells")})
+        w = df["ind"].to_numpy(np.int64) << df["idx"].to_numpy(np.int64)
+        codes = pd.DataFrame({"key": df["key"], "w": w}) \
+            .groupby("key", sort=False)["w"].sum()
+        u, counts = np.unique(codes.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"code": u,
+                             "n_cells": counts.astype(np.int64)})
+
+    part = shard_apply(cells.map_batches(fan, batch_format="pyarrow"),
+                       ["key"], census)
+    return sharded_agg(part, ["code"], {"n_cells": ("n_cells", "sum")}) \
+        .select_columns(["code", "n_cells"])

@@ -39,7 +39,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "windowed_topk", "sinuosity", "zone_gini", "changepoint",
              "blockiness", "grad_orient", "kmv_sketch", "link_jaccard", "flow_accum",
              "slope_aspect", "lbp", "median3x3", "variogram",
-             "time_split", "temperature_mix", "saliency_crop", "local_moran"):
+             "time_split", "temperature_mix", "saliency_crop", "local_moran",
+             "adaptive_tiles", "zone_overlay", "contour_cells"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
