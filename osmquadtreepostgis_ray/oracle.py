@@ -3780,6 +3780,10 @@ def build_oracles() -> dict[str, str]:
         "adaptive_tiles": sql_adaptive_tiles(),
         "zone_overlay": sql_zone_overlay(),
         "contour_cells": sql_contour_cells(),
+        "chaikin": sql_chaikin(),
+        "visual_words": sql_visual_words(),
+        "image_dhash": sql_image_dhash(),
+        "len_histogram": sql_len_histogram(),
     }
 
 
@@ -4810,3 +4814,86 @@ def sql_contour_cells() -> str:
     )
     SELECT code::BIGINT AS code, count(*)::BIGINT AS n_cells
     FROM code GROUP BY code"""
+
+
+def sql_chaikin() -> str:
+    """Twin of queries.q_chaikin: LEAD pair per user in (ts, event_id)
+    order, two emitted points per pair via a 2-row VALUES join, x4
+    integer coordinates."""
+    return f"""
+    WITH {events_geo_cte()},
+    o AS (
+        SELECT ev.user_id, lon_milli AS x, lat_milli AS y,
+               row_number() OVER w - 1 AS pos,
+               lead(lon_milli) OVER w AS x1, lead(lat_milli) OVER w AS y1
+        FROM ev JOIN events e USING (event_id)
+        WINDOW w AS (PARTITION BY ev.user_id ORDER BY e.ts, ev.event_id)
+    )
+    SELECT user_id, (2 * pos + s.k)::BIGINT AS seq,
+           (CASE WHEN s.k = 0 THEN 3 * x + x1 ELSE x + 3 * x1 END)::BIGINT
+               AS qx4,
+           (CASE WHEN s.k = 0 THEN 3 * y + y1 ELSE y + 3 * y1 END)::BIGINT
+               AS qy4
+    FROM o JOIN (VALUES (0), (1)) s(k) ON TRUE
+    WHERE x1 IS NOT NULL"""
+
+
+def sql_visual_words() -> str:
+    """Twin of queries.q_visual_words: sub-block sums from the
+    decoded-pixel CTE by pure idx arithmetic, word assembly as the
+    4^s-weighted quantized sums, distinct-image counting per word."""
+    return f"""{_sql_decoded_pixels()},
+    sb AS (
+        SELECT image_id,
+               ((idx // w) // 8) * (w // 8) + (idx % w) // 8 AS patch,
+               (((idx // w) % 8) // 4) * 2 + ((idx % w) % 8) // 4 AS s,
+               sum(p) AS ssum
+        FROM dec GROUP BY image_id, patch, s
+    ),
+    pw AS (
+        SELECT image_id, patch,
+               sum((ssum // 1024)
+                   * (CASE s WHEN 0 THEN 1 WHEN 1 THEN 4
+                             WHEN 2 THEN 16 ELSE 64 END)) AS word
+        FROM sb GROUP BY image_id, patch
+    )
+    SELECT word::BIGINT AS word, count(*)::BIGINT AS n_patches,
+           count(DISTINCT image_id)::BIGINT AS n_images
+    FROM pw GROUP BY word"""
+
+
+def sql_image_dhash() -> str:
+    """Twin of queries.q_image_dhash (stages/images.dhash_batch): exact
+    8x8 block sums, adjacent-column self-join, bits packed with integer
+    shifts."""
+    return f"""{_sql_decoded_pixels()},
+    bs AS (
+        SELECT image_id,
+               (idx // w) // (h // 8) AS br,
+               (idx % w) // (w // 8) AS bc,
+               sum(p) AS s
+        FROM dec GROUP BY image_id, br, bc
+    )
+    SELECT a.image_id,
+           sum(CASE WHEN b.s > a.s
+                    THEN CAST(1 AS BIGINT) << (a.br * 7 + a.bc)
+                    ELSE 0 END)::BIGINT AS dhash,
+           sum(CASE WHEN b.s > a.s THEN 1 ELSE 0 END)::BIGINT AS nbits
+    FROM bs a JOIN bs b ON b.image_id = a.image_id
+                       AND b.br = a.br AND b.bc = a.bc + 1
+    GROUP BY a.image_id"""
+
+
+def sql_len_histogram() -> str:
+    """Twin of queries.q_len_histogram: power-of-two bucket join (exact
+    integer bounds — never floor(log2) floats)."""
+    from osmquadtreepostgis_ray.queries import LEN_HIST_MAX_BIT
+    vals = ", ".join(f"({k}, {1 << k}, {1 << (k + 1)})"
+                     for k in range(LEN_HIST_MAX_BIT))
+    return f"""
+    WITH b AS (SELECT * FROM (VALUES {vals}) t(bucket, lo, hi))
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(d.n_chars)::BIGINT AS sum_chars
+    FROM documents d JOIN b ON d.n_chars >= b.lo AND d.n_chars < b.hi
+    GROUP BY b.bucket"""

@@ -6916,3 +6916,124 @@ def q_contour_cells(sf_dir: str):
                        ["key"], census)
     return sharded_agg(part, ["code"], {"n_cells": ("n_cells", "sum")}) \
         .select_columns(["code", "n_cells"])
+
+
+# ----------------------- smoothing / visual vocabulary / length profile
+
+def q_chaikin(sf_dir: str):
+    """Chaikin corner-cutting line smoothing over user trajectories (the
+    pre-render generalization step next to q_simplify_ways/q_densify):
+    ONE iteration — each consecutive pair (P, P') in (ts, event_id)
+    order emits Q = (3P + P')/4 and R = (P + 3P')/4, kept as x4-scaled
+    integers so both engines stay exact.  One user-sharded exchange;
+    the pair/emit step is a whole-shard vectorized diff (the
+    q_trajectories segment pattern)."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["event_id", "user_id", "ts",
+                         "lon_milli", "lat_milli"])
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "seq", "qx4", "qy4")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(ts_us=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        x = g["lon_milli"].to_numpy(np.int64)
+        y = g["lat_milli"].to_numpy(np.int64)
+        idx = np.arange(len(uid), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        start_of = starts[np.searchsorted(starts, idx, side="right") - 1]
+        pos = idx - start_of
+        same = uid[1:] == uid[:-1]
+        u = uid[:-1][same]
+        p = pos[:-1][same]
+        x0, x1 = x[:-1][same], x[1:][same]
+        y0, y1 = y[:-1][same], y[1:][same]
+        return pd.DataFrame({
+            "user_id": np.r_[u, u],
+            "seq": np.r_[2 * p, 2 * p + 1],
+            "qx4": np.r_[3 * x0 + x1, x0 + 3 * x1],
+            "qy4": np.r_[3 * y0 + y1, y0 + 3 * y1]})
+
+    return shard_apply(ds, ["user_id"], smooth)
+
+
+def q_visual_words(sf_dir: str):
+    """Bag-of-visual-words codebook census (stages/images.
+    visual_words_partial): per 8-bit patch word, the total patch count
+    and the number of distinct images containing it.  Two bounded
+    exchanges: (word, image) partials -> per-pair sum -> per-word
+    (sum, count) — the shuffle never carries pixels or per-patch
+    rows."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import visual_words_partial
+
+    part = read_images(sf_dir, with_bytes=True).map_batches(
+        visual_words_partial, batch_format="pyarrow", batch_size=IMG_BATCH)
+    pairs = sharded_agg(part, ["word", "image_id"],
+                        {"n_patches": ("n_patches", "sum")})
+
+    def wpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "word" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("word", "n_patches", "n_images")})
+        w = t.column("word").to_numpy().astype(np.int64)
+        n = t.column("n_patches").to_numpy().astype(np.int64)
+        u, inv = np.unique(w, return_inverse=True)
+        return pa.table({
+            "word": pa.array(u, pa.int64()),
+            "n_patches": pa.array(np.bincount(inv, weights=n)
+                                  .astype(np.int64), pa.int64()),
+            "n_images": pa.array(np.bincount(inv).astype(np.int64),
+                                 pa.int64())})
+
+    return sharded_agg(pairs.map_batches(wpart, batch_format="pyarrow"),
+                       ["word"], {"n_patches": ("n_patches", "sum"),
+                                  "n_images": ("n_images", "sum")}) \
+        .select_columns(["word", "n_patches", "n_images"])
+
+
+def q_image_dhash(sf_dir: str):
+    """Difference-hash per image (stages/images.dhash_batch).  Row-pure;
+    no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import dhash_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        dhash_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+LEN_HIST_MAX_BIT = 24    # documents are << 16M chars; structural cap
+
+
+def q_len_histogram(sf_dir: str):
+    """Sequence-length profile by power-of-two bucket (the
+    length-distribution report a packing/curriculum pipeline starts
+    from): bucket k holds docs with 2^k <= n_chars < 2^(k+1), exact via
+    searchsorted on the power table (never floor(log2) floats).
+    Combiner partials; the shuffle carries <= LEN_HIST_MAX_BIT rows per
+    batch."""
+    docs = read_table(sf_dir, "documents", columns=["n_chars"])
+    powers = np.int64(1) << np.arange(1, LEN_HIST_MAX_BIT + 1,
+                                      dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("bucket", "n_docs", "sum_chars")})
+        n = t.column("n_chars").to_numpy().astype(np.int64)
+        b = np.searchsorted(powers, n, side="right")
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "bucket": pa.array(u, pa.int64()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64),
+                               pa.int64()),
+            "sum_chars": pa.array(np.bincount(inv, weights=n)
+                                  .astype(np.int64), pa.int64())})
+
+    part = docs.map_batches(partial, batch_format="pyarrow")
+    return sharded_agg(part, ["bucket"], {"n_docs": ("n_docs", "sum"),
+                                          "sum_chars": ("sum_chars", "sum")}) \
+        .select_columns(["bucket", "n_docs", "sum_chars"])

@@ -1259,3 +1259,61 @@ def saliency_crop_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"image_id": pa.array(ids, pa.string()),
                      "quad": pa.array(quad, pa.int64()),
                      "energy": pa.array(energy, pa.int64())})
+
+
+def visual_words_partial(batch: pa.Table) -> pa.Table:
+    """Bag-of-visual-words partials (the codebook-histogram primitive of
+    classical image retrieval / dataset clustering): each 8x8 patch maps
+    to an 8-bit word from its four 4x4 sub-block sums quantized to 4
+    levels (sum // 1024, exact — max 4x4x255 = 4080), word =
+    q00 + 4*q01 + 16*q10 + 64*q11 (sub-block index row-major).  Output
+    is (word, image_id, n_patches) partials — bounded by 256 x images
+    per batch, pixels never cross the shuffle."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    out_w, out_id, out_n = [], [], []
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        hp, wp = hi // 8, wi // 8
+        a = dec.reshape(-1, hp, 2, 4, wp, 2, 4).astype(np.int64)
+        ss = a.sum(axis=(3, 6))            # (k, hp, 2, wp, 2)
+        q = ss // 1024                     # 0..3
+        word = (q[:, :, 0, :, 0] + 4 * q[:, :, 0, :, 1]
+                + 16 * q[:, :, 1, :, 0] + 64 * q[:, :, 1, :, 1])
+        k = word.shape[0]
+        flat = np.arange(k, dtype=np.int64)[:, None, None] * 256 \
+            + word
+        hist = np.bincount(flat.ravel(), minlength=k * 256).reshape(k, 256)
+        ii, ww = np.nonzero(hist)
+        out_id.append(ids[np.flatnonzero(m)][ii])
+        out_w.append(ww.astype(np.int64))
+        out_n.append(hist[ii, ww].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    idc = np.concatenate(out_id) if out_id else np.empty(0, dtype=object)
+    return pa.table({"word": pa.array(cat(out_w), pa.int64()),
+                     "image_id": pa.array(idc, pa.string()),
+                     "n_patches": pa.array(cat(out_n), pa.int64())})
+
+
+def dhash_batch(batch: pa.Table) -> pa.Table:
+    """Difference-hash (gradient perceptual hash — the dHash sibling of
+    the aHash near-dup path): exact integer 8x8 block sums, bit
+    (r, c) set iff blocksum(r, c+1) > blocksum(r, c) — 56 bits packed
+    little-endian into int64.  Block sums (not means) keep everything
+    integer; denominators are constant within an image so the
+    comparison is identical.  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    dh = np.zeros(n, np.int64)
+    nbits = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        bh, bw = hi // 8, wi // 8
+        a = dec.reshape(-1, 8, bh, 8, bw).astype(np.int64)
+        bs = a.sum(axis=(2, 4))            # (k, 8, 8)
+        bits = bs[:, :, 1:] > bs[:, :, :-1]          # (k, 8, 7)
+        idx = (np.arange(8)[:, None] * 7 + np.arange(7)[None, :])
+        h = (bits.astype(np.int64) << idx[None, :, :]).sum(axis=(1, 2))
+        i = np.flatnonzero(m)
+        dh[i] = h
+        nbits[i] = bits.sum(axis=(1, 2))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "dhash": pa.array(dh, pa.int64()),
+                     "nbits": pa.array(nbits, pa.int64())})

@@ -40,7 +40,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "blockiness", "grad_orient", "kmv_sketch", "link_jaccard", "flow_accum",
              "slope_aspect", "lbp", "median3x3", "variogram",
              "time_split", "temperature_mix", "saliency_crop", "local_moran",
-             "adaptive_tiles", "zone_overlay", "contour_cells"):
+             "adaptive_tiles", "zone_overlay", "contour_cells",
+             "chaikin", "visual_words", "image_dhash", "len_histogram"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
