@@ -3784,6 +3784,10 @@ def build_oracles() -> dict[str, str]:
         "visual_words": sql_visual_words(),
         "image_dhash": sql_image_dhash(),
         "len_histogram": sql_len_histogram(),
+        "fertility": sql_fertility(),
+        "k_anon": sql_k_anon(),
+        "tile_edge_census": sql_tile_edge_census(),
+        "audio_silence": sql_audio_silence(),
     }
 
 
@@ -4897,3 +4901,81 @@ def sql_len_histogram() -> str:
            sum(d.n_chars)::BIGINT AS sum_chars
     FROM documents d JOIN b ON d.n_chars >= b.lo AND d.n_chars < b.hi
     GROUP BY b.bucket"""
+
+
+def sql_fertility() -> str:
+    """Twin of queries.q_fertility: whitespace-token totals vs n_chars
+    per lang, floor-divided at milli precision (all non-negative)."""
+    return """
+    SELECT lang,
+           sum(len(string_split(text, ' ')))::BIGINT AS sum_tokens,
+           sum(n_chars)::BIGINT AS sum_chars,
+           (sum(len(string_split(text, ' '))) * 1000
+            // sum(n_chars))::BIGINT AS fert_milli
+    FROM documents GROUP BY lang"""
+
+
+def sql_k_anon() -> str:
+    """Twin of queries.q_k_anon: depth-6 cell per event, per-user mode
+    (count DESC, cell ASC), per-cell resident counts, capped
+    histogram."""
+    from osmquadtreepostgis_ray.queries import KANON_CAP, KANON_DEPTH
+    lon, lat = geotag.event_lonlat_milli_sql()
+    cell = _cell_expr(lon, lat, KANON_DEPTH)
+    return f"""
+    WITH ev AS (SELECT user_id, {cell} AS cell FROM events),
+    uc AS (SELECT user_id, cell, count(*) AS n FROM ev
+           GROUP BY user_id, cell),
+    home AS (
+        SELECT user_id, cell FROM (
+            SELECT user_id, cell,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, cell) AS rk
+            FROM uc) WHERE rk = 1
+    ),
+    hc AS (SELECT cell, count(*)::BIGINT AS nu FROM home GROUP BY cell)
+    SELECT least(nu, {KANON_CAP})::BIGINT AS k,
+           count(*)::BIGINT AS n_cells, sum(nu)::BIGINT AS n_users
+    FROM hc GROUP BY 1"""
+
+
+def sql_tile_edge_census() -> str:
+    """Twin of queries.q_tile_edge_census: depth-12 pixel ring test by
+    pure integer arithmetic on the same fixed-point exprs."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    n12 = 1 << 12
+    ix = f"((({lon}) * 10000 * {n12}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {n12}) // {quadtree.LAT_SPAN})"
+    tile = _cell_expr(lon, lat, TILE_DEPTH)
+    return f"""
+    WITH ev AS (
+        SELECT {tile} AS tile, ({ix}) % 16 AS px, ({iy}) % 16 AS py
+        FROM events
+    )
+    SELECT tile, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN px = 0 OR px = 15 OR py = 0 OR py = 15
+                    THEN 1 ELSE 0 END)::BIGINT AS n_edge
+    FROM ev GROUP BY tile"""
+
+
+def sql_audio_silence() -> str:
+    """Twin of queries.q_audio_silence (stages/audio.SilenceRuns):
+    gaps-and-islands over the decoded samples (idx - row_number is
+    constant within a silent run); tracks with no silent sample have no
+    rows on either engine."""
+    from osmquadtreepostgis_ray.stages.audio import SILENCE_T
+    return f"""{_sql_decoded_samples()},
+    sil AS (
+        SELECT audio_id, idx FROM adec WHERE abs(d) <= {SILENCE_T}
+    ),
+    isl AS (
+        SELECT audio_id,
+               idx - row_number() OVER (PARTITION BY audio_id
+                                        ORDER BY idx) AS grp
+        FROM sil
+    ),
+    r AS (SELECT audio_id, grp, count(*) AS len
+          FROM isl GROUP BY audio_id, grp)
+    SELECT audio_id, count(*)::BIGINT AS n_runs,
+           max(len)::BIGINT AS max_run, sum(len)::BIGINT AS n_silent
+    FROM r GROUP BY audio_id"""

@@ -7037,3 +7037,155 @@ def q_len_histogram(sf_dir: str):
     return sharded_agg(part, ["bucket"], {"n_docs": ("n_docs", "sum"),
                                           "sum_chars": ("sum_chars", "sum")}) \
         .select_columns(["bucket", "n_docs", "sum_chars"])
+
+
+# --------------------- fertility / k-anonymity / edge census / silence
+
+def q_fertility(sf_dir: str):
+    """Tokenizer fertility per language (tokens per 1000 chars — the
+    multilingual tokenizer-efficiency report): exact integer sums and
+    a single floor division per bounded lang row.  Combiner partials
+    carry (lang, sum_tokens, sum_chars) only."""
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    ds = add_text_stats(read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "sum_tokens": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "tok": t.column("n_tokens").to_numpy().astype(np.int64),
+            "ch": t.column("n_chars").to_numpy().astype(np.int64)})
+        g = df.groupby("lang", sort=False).agg(
+            sum_tokens=("tok", "sum"), sum_chars=("ch", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang"], {"sum_tokens": ("sum_tokens", "sum"),
+                                 "sum_chars": ("sum_chars", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "sum_tokens": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64()),
+                             "fert_milli": pa.array([], pa.int64())})
+        st = t.column("sum_tokens").to_numpy().astype(np.int64)
+        sc = t.column("sum_chars").to_numpy().astype(np.int64)
+        return pa.table({"lang": t.column("lang"),
+                         "sum_tokens": pa.array(st, pa.int64()),
+                         "sum_chars": pa.array(sc, pa.int64()),
+                         "fert_milli": pa.array(st * 1000 // sc, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["lang", "sum_tokens", "sum_chars", "fert_milli"])
+
+
+KANON_DEPTH = 6
+KANON_CAP = 8
+
+
+def q_k_anon(sf_dir: str):
+    """Spatial k-anonymity audit (the privacy screen a location dataset
+    release runs): each user's HOME cell is the depth-6 mode of their
+    event cells (count desc, then lowest cell id — deterministic); the
+    report histograms home cells by resident-user count, capped at
+    KANON_CAP.  Every exchange is over aggregated tables: (user, cell)
+    combiner counts -> user-sharded mode -> per-cell combiner counts ->
+    bounded histogram."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("user_id", "cell", "n")})
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        c6 = quadtree.at_depth(t.column("cell").to_numpy(), KANON_DEPTH)
+        df = pd.DataFrame({"user_id": u, "cell": c6}) \
+            .groupby(["user_id", "cell"], sort=False).size() \
+            .reset_index(name="n")
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uc = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["user_id", "cell"], {"n": ("n", "sum")})
+
+    def home_of(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "nu": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "n", "cell"],
+                            ascending=[True, False, True], kind="mergesort")
+        home = df.drop_duplicates("user_id")
+        g = home.groupby("cell", sort=False).size().reset_index(name="nu")
+        g["nu"] = g["nu"].astype(np.int64)
+        return g
+
+    hc = sharded_agg(shard_apply(uc, ["user_id"], home_of),
+                     ["cell"], {"nu": ("nu", "sum")})
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nu" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("k", "n_cells", "n_users")})
+        nu = t.column("nu").to_numpy().astype(np.int64)
+        k = np.minimum(nu, KANON_CAP)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "k": pa.array(u, pa.int64()),
+            "n_cells": pa.array(np.bincount(inv).astype(np.int64),
+                                pa.int64()),
+            "n_users": pa.array(np.bincount(inv, weights=nu)
+                                .astype(np.int64), pa.int64())})
+
+    return sharded_agg(hc.map_batches(hist, batch_format="pyarrow"),
+                       ["k"], {"n_cells": ("n_cells", "sum"),
+                               "n_users": ("n_users", "sum")}) \
+        .select_columns(["k", "n_cells", "n_users"])
+
+
+def q_tile_edge_census(sf_dir: str):
+    """Tile-border census (the map-sheet edge-matching audit — how many
+    features per tile sit on the boundary pixel ring and would need
+    neighbor-tile context to render seamlessly): edge iff the depth-12
+    pixel within the depth-8 tile touches the 16x16 ring.  Pure row
+    function; combiner partials per tile."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "n_total", "n_edge")})
+        cell = t.column("cell").to_numpy()
+        tile = t.column("tile").to_numpy()
+        ix, iy, _ = quadtree.decode(cell)
+        px, py = ix & 15, iy & 15
+        edge = ((px == 0) | (px == 15) | (py == 0) | (py == 15)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"tile": tile, "edge": edge}) \
+            .groupby("tile", sort=False).agg(
+                n_total=("edge", "size"), n_edge=("edge", "sum")) \
+            .reset_index()
+        for c in ("n_total", "n_edge"):
+            df[c] = df[c].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return sharded_agg(part, ["tile"], {"n_total": ("n_total", "sum"),
+                                        "n_edge": ("n_edge", "sum")}) \
+        .select_columns(["tile", "n_total", "n_edge"])
+
+
+def q_audio_silence(sf_dir: str):
+    """Silence-run detection per audio track (stages/audio.SilenceRuns).
+    Row-pure; tracks with zero silent samples emit nothing."""
+    from osmquadtreepostgis_ray.sources.audio import read_audio
+    from osmquadtreepostgis_ray.stages.audio import SilenceRuns
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    return read_audio(sf_dir).map_batches(
+        worker_cached(SilenceRuns), batch_format="pyarrow",
+        batch_size=AUDIO_BATCH)

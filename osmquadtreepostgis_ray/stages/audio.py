@@ -114,3 +114,59 @@ class WindowEnergy:
             "win_idx": pa.array(np.concatenate(out_w), pa.int64()),
             "sum_abs": pa.array(np.concatenate(out_s), pa.int64()),
         })
+
+
+SILENCE_T = 1024   # |sample| <= T counts as silent
+
+
+class SilenceRuns:
+    """Silence-run detection per track (the VAD-style gating screen an
+    audio-curation pipeline drops dead-air clips with): runs of
+    consecutive samples with |s| <= SILENCE_T, reported as run count,
+    longest run and total silent samples.  Run lengths are computed
+    with the vectorized cumsum-reset trick (no per-row loop); tracks
+    with no silent sample emit nothing (the oracle's islands CTE has no
+    row for them).  Row-pure."""
+
+    def __init__(self, thresh: int = SILENCE_T):
+        self.thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("audio_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        ns = batch.column("n_samples").to_numpy()
+        fmt = np.asarray(batch.column("fmt").to_pylist(), dtype=object)
+        out_id, out_r, out_m, out_s = [], [], [], []
+        for f in ("pcm16", "q8"):
+            for nn in np.unique(ns[fmt == f]) if (fmt == f).any() else []:
+                m = (fmt == f) & (ns == nn)
+                k = int(m.sum())
+                width = int(nn) if f == "q8" else 2 * int(nn)
+                buf = np.frombuffer(b"".join(data[i]
+                                             for i in np.flatnonzero(m)),
+                                    dtype=np.uint8).reshape(k, width)
+                if f == "q8":
+                    dec = (buf.astype(np.int64) << 8) - 32768 + 128
+                else:
+                    dec = buf.view("<i2").astype(np.int64)
+                z = (np.abs(dec) <= self.thresh).astype(np.int64)
+                starts = z.copy()
+                starts[:, 1:] &= 1 - z[:, :-1]
+                cs = np.cumsum(z, axis=1)
+                reset = np.where(z == 0, cs, 0)
+                run = cs - np.maximum.accumulate(reset, axis=1)
+                n_runs = starts.sum(axis=1)
+                keep = n_runs > 0
+                sel = np.asarray(ids, dtype=object)[np.flatnonzero(m)][keep]
+                out_id.append(sel)
+                out_r.append(n_runs[keep])
+                out_m.append(run.max(axis=1)[keep])
+                out_s.append(z.sum(axis=1)[keep])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        idc = (np.concatenate(out_id) if out_id
+               else np.empty(0, dtype=object))
+        return pa.table({"audio_id": pa.array(idc, pa.string()),
+                         "n_runs": pa.array(cat(out_r), pa.int64()),
+                         "max_run": pa.array(cat(out_m), pa.int64()),
+                         "n_silent": pa.array(cat(out_s), pa.int64())})
