@@ -3788,6 +3788,9 @@ def build_oracles() -> dict[str, str]:
         "k_anon": sql_k_anon(),
         "tile_edge_census": sql_tile_edge_census(),
         "audio_silence": sql_audio_silence(),
+        "decay_counts": sql_decay_counts(),
+        "od_gravity": sql_od_gravity(),
+        "seam_cols": sql_seam_cols(),
     }
 
 
@@ -4979,3 +4982,74 @@ def sql_audio_silence() -> str:
     SELECT audio_id, count(*)::BIGINT AS n_runs,
            max(len)::BIGINT AS max_run, sum(len)::BIGINT AS n_silent
     FROM r GROUP BY audio_id"""
+
+
+def sql_decay_counts() -> str:
+    """Twin of queries.q_decay_counts: scalar bounds CTE, the exact
+    integer halving decay (1 << (K - age_half_lives)); every operand
+    non-negative."""
+    from osmquadtreepostgis_ray.queries import DECAY_HL_DIV, DECAY_K
+    lon, lat = geotag.event_lonlat_milli_sql()
+    tile = _cell_expr(lon, lat, TILE_DEPTH)
+    return f"""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    )
+    SELECT {tile} AS tile,
+           sum(CAST(1 AS BIGINT)
+               << ({DECAY_K} - (b.hi - epoch_us(ts))
+                                // ((b.hi - b.lo) // {DECAY_HL_DIV} + 1)))
+               ::BIGINT AS score
+    FROM events, b GROUP BY tile"""
+
+
+def sql_od_gravity() -> str:
+    """Twin of queries.q_od_gravity: the sql_od_flows derivation plus
+    marginal/total CTEs and the exact integer lift."""
+    return f"""
+    WITH {events_geo_cte()},
+    o0 AS (
+        SELECT tile AS from_tile,
+               lead(tile) OVER (PARTITION BY ev.user_id
+                                ORDER BY e.ts, ev.event_id) AS to_tile
+        FROM ev JOIN events e USING (event_id)
+    ),
+    f AS (
+        SELECT from_tile, to_tile, count(*)::BIGINT AS n
+        FROM o0 WHERE to_tile IS NOT NULL
+        GROUP BY from_tile, to_tile
+    ),
+    om AS (SELECT from_tile, sum(n)::BIGINT AS o_total FROM f GROUP BY 1),
+    dm AS (SELECT to_tile, sum(n)::BIGINT AS d_total FROM f GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS total FROM f)
+    SELECT f.from_tile, f.to_tile, f.n, om.o_total, dm.d_total,
+           (f.n * t.total * 1000 // (om.o_total * dm.d_total))::BIGINT
+               AS lift_milli
+    FROM f JOIN om USING (from_tile) JOIN dm USING (to_tile), t"""
+
+
+def sql_seam_cols() -> str:
+    """Twin of queries.q_seam_cols (stages/images.seam_cols_batch):
+    horizontal central differences as a 2-offset contribution join,
+    |.| summed per column, winner by (energy ASC, column ASC)."""
+    return f"""{_sql_decoded_pixels()},
+    g AS (
+        SELECT d.image_id, d.w, (d.idx % d.w) - o.dx AS cx,
+               d.idx // d.w AS cy, sum(o.kx * d.p) AS dxv
+        FROM dec d JOIN (VALUES (1, 1), (-1, -1)) o(dx, kx) ON TRUE
+        GROUP BY d.image_id, d.w, cx, cy
+    ),
+    e AS (
+        SELECT image_id, cx, sum(abs(dxv)) AS en
+        FROM g WHERE cx >= 1 AND cx <= w - 2
+        GROUP BY image_id, cx
+    ),
+    r AS (
+        SELECT image_id, cx, en,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY en, cx) AS rk
+        FROM e
+    )
+    SELECT image_id, cx::BIGINT AS min_col, en::BIGINT AS min_energy
+    FROM r WHERE rk = 1"""

@@ -7189,3 +7189,128 @@ def q_audio_silence(sf_dir: str):
     return read_audio(sf_dir).map_batches(
         worker_cached(SilenceRuns), batch_format="pyarrow",
         batch_size=AUDIO_BATCH)
+
+
+# ------------------------- gravity lift / decayed counts / seam screen
+
+def _ts_bounds(sf_dir: str):
+    """Global (lo, hi) epoch-us bounds of events — the 2-scalar combiner
+    reduce shared by q_time_split/q_decay_counts (driver holds two
+    ints, never rows)."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({"lo": pa.array([ts.min()], pa.int64()),
+                         "hi": pa.array([ts.max()], pa.int64())})
+
+    bounds = [t for t in ray.get(ds.map_batches(
+        mm, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "lo" in t.column_names]
+    return (int(min(t.column("lo").to_numpy().min() for t in bounds)),
+            int(max(t.column("hi").to_numpy().max() for t in bounds)))
+
+
+DECAY_HL_DIV = 8    # half-life = span/8 (ages span 0..8 half-lives)
+DECAY_K = 32        # scores scaled by 2^K so the decay stays integer
+
+
+def q_decay_counts(sf_dir: str):
+    """Time-decayed event counts per tile (the freshness-weighted
+    heatmap of a streaming leaderboard): each event contributes
+    2^(K - age_half_lives) — an EXACT integer exponential decay (the
+    float e^-lambda*t of the textbook formula is not cross-engine
+    stable; halving per integer half-life is).  Global bounds are the
+    2-scalar reduce; everything else is one combiner pass."""
+    lo, hi = _ts_bounds(sf_dir)
+    hl = (hi - lo) // DECAY_HL_DIV + 1
+
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "score")})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        age = (hi - ts) // hl
+        w = np.int64(1) << (DECAY_K - age)
+        tile = t.column("tile").to_numpy()
+        u, inv = np.unique(tile, return_inverse=True)
+        score = np.zeros(len(u), np.int64)
+        np.add.at(score, inv, w)    # int64-exact (not bincount weights)
+        return pa.table({"tile": pa.array(u, pa.int64()),
+                         "score": pa.array(score, pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return sharded_agg(part, ["tile"], {"score": ("score", "sum")}) \
+        .select_columns(["tile", "score"])
+
+
+def q_od_gravity(sf_dir: str):
+    """Gravity-model lift over the OD flow matrix (the
+    observed-vs-expected screen of movement analytics): per (from, to)
+    pair, lift_milli = n * total * 1000 // (o_total * d_total) — the
+    exact integer form of n / (o*d/total).  Marginals are aggregated
+    tile tables (bounded by occupied tiles), broadcast-joined onto the
+    flow table as object-store refs (stages/joins.broadcast_join —
+    never through the driver)."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+
+    flows = q_od_flows(sf_dir).materialize()
+
+    def marg(col: str, out: str):
+        def p(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.column_names:
+                return pa.table({col: pa.array([], pa.int64()),
+                                 out: pa.array([], pa.int64())})
+            k = t.column(col).to_numpy().astype(np.int64)
+            n = t.column("n").to_numpy().astype(np.int64)
+            u, inv = np.unique(k, return_inverse=True)
+            s = np.zeros(len(u), np.int64)
+            np.add.at(s, inv, n)
+            return pa.table({col: pa.array(u, pa.int64()),
+                             out: pa.array(s, pa.int64())})
+        return sharded_agg(flows.map_batches(p, batch_format="pyarrow"),
+                           [col], {out: (out, "sum")}).materialize()
+
+    om = marg("from_tile", "o_total")
+    dm = marg("to_tile", "d_total")
+    total = int(sum(int(t.column("o_total").to_numpy().sum())
+                    for t in ray.get(om.to_arrow_refs())
+                    if t.num_rows and "o_total" in t.column_names))
+
+    j = broadcast_join(broadcast_join(flows, om, on="from_tile"),
+                       dm, on="to_tile")
+
+    def lift(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("from_tile", "to_tile", "n",
+                                       "o_total", "d_total", "lift_milli")})
+        n = t.column("n").to_numpy().astype(np.int64)
+        o = t.column("o_total").to_numpy().astype(np.int64)
+        d = t.column("d_total").to_numpy().astype(np.int64)
+        return pa.table({"from_tile": t.column("from_tile"),
+                         "to_tile": t.column("to_tile"),
+                         "n": pa.array(n, pa.int64()),
+                         "o_total": pa.array(o, pa.int64()),
+                         "d_total": pa.array(d, pa.int64()),
+                         "lift_milli": pa.array(n * total * 1000 // (o * d),
+                                                pa.int64())})
+
+    return j.map_batches(lift, batch_format="pyarrow") \
+        .select_columns(["from_tile", "to_tile", "n", "o_total",
+                         "d_total", "lift_milli"])
+
+
+def q_seam_cols(sf_dir: str):
+    """Lowest-energy straight seam column per image
+    (stages/images.seam_cols_batch).  Row-pure; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import seam_cols_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        seam_cols_batch, batch_format="pyarrow", batch_size=IMG_BATCH)

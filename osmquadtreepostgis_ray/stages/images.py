@@ -1317,3 +1317,24 @@ def dhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"image_id": pa.array(ids, pa.string()),
                      "dhash": pa.array(dh, pa.int64()),
                      "nbits": pa.array(nbits, pa.int64())})
+
+
+def seam_cols_batch(batch: pa.Table) -> pa.Table:
+    """Seam-carving column screen (the lowest-energy vertical seam a
+    content-aware cropper would remove first, restricted to straight
+    columns so both engines stay exact-int): per image, the interior
+    column with the smallest sum of |horizontal central difference|
+    (ties -> lowest column index).  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    mcol = np.zeros(n, np.int64)
+    men = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        a = dec.reshape(-1, hi, wi).astype(np.int64)
+        e = np.abs(a[:, :, 2:] - a[:, :, :-2]).sum(axis=1)   # (k, wi-2)
+        i = np.flatnonzero(m)
+        mcol[i] = e.argmin(axis=1) + 1        # first min -> lowest col
+        men[i] = e.min(axis=1)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "min_col": pa.array(mcol, pa.int64()),
+                     "min_energy": pa.array(men, pa.int64())})
