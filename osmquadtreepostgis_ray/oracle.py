@@ -3791,6 +3791,9 @@ def build_oracles() -> dict[str, str]:
         "decay_counts": sql_decay_counts(),
         "od_gravity": sql_od_gravity(),
         "seam_cols": sql_seam_cols(),
+        "interval_union": sql_interval_union(),
+        "user_extent": sql_user_extent(),
+        "degree_mix": sql_degree_mix(),
     }
 
 
@@ -5053,3 +5056,75 @@ def sql_seam_cols() -> str:
     )
     SELECT image_id, cx::BIGINT AS min_col, en::BIGINT AS min_energy
     FROM r WHERE rk = 1"""
+
+
+def sql_interval_union() -> str:
+    """Twin of queries.q_interval_union: running-max window over prior
+    interval ends, break flags -> island ids -> per-island extents."""
+    from osmquadtreepostgis_ray.queries import IVU_DUR_US
+    return f"""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {IVU_DUR_US} AS e
+        FROM events
+    ),
+    x AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pm
+        FROM iv
+    ),
+    y AS (
+        SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+        FROM x
+    ),
+    z AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY s, event_id) AS isl
+        FROM y
+    ),
+    g AS (
+        SELECT user_id, isl, max(e) - min(s) AS len
+        FROM z GROUP BY user_id, isl
+    )
+    SELECT user_id, sum(len)::BIGINT AS covered_us,
+           count(*)::BIGINT AS n_islands
+    FROM g GROUP BY user_id"""
+
+
+def sql_user_extent() -> str:
+    """Twin of queries.q_user_extent: exact integer bbox per user."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH ev AS (SELECT user_id, {lon} AS x, {lat} AS y FROM events)
+    SELECT user_id, min(x)::BIGINT AS x0, max(x)::BIGINT AS x1,
+           min(y)::BIGINT AS y0, max(y)::BIGINT AS y1,
+           count(*)::BIGINT AS n,
+           ((max(x) - min(x)) * (max(y) - min(y)))::BIGINT AS bbox_area
+    FROM ev GROUP BY user_id"""
+
+
+def sql_degree_mix() -> str:
+    """Twin of queries.q_degree_mix: directed chain+chord edges, degree
+    self-join, 4 exact integer sums."""
+    return """
+    WITH e0 AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 1 AND doc_id % 5 <> 0
+    ),
+    e1 AS (
+        SELECT doc_id - 2 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    es AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b, a FROM e0
+        UNION ALL SELECT a, b FROM e1
+        UNION ALL SELECT b, a FROM e1
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM es GROUP BY src)
+    SELECT count(*)::BIGINT AS n_edges,
+           sum(du.d * dv.d)::BIGINT AS sum_dd,
+           sum(du.d)::BIGINT AS sum_d,
+           sum(du.d * du.d)::BIGINT AS sum_d2
+    FROM es JOIN deg du ON du.v = es.src JOIN deg dv ON dv.v = es.dst"""

@@ -7314,3 +7314,155 @@ def q_seam_cols(sf_dir: str):
 
     return read_images(sf_dir, with_bytes=True).map_batches(
         seam_cols_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+# --------------------- interval union / spatial reach / degree mixing
+
+IVU_DUR_US = 7_200_000_000   # each event opens a 2-hour activity interval
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user union length of activity intervals (the merged-coverage
+    sweep behind billing/uptime/session-coverage analytics): each event
+    opens [ts, ts + IVU_DUR_US); overlapping or touching intervals
+    merge; output covered microseconds and island count.  One
+    user-sharded exchange; the sweep is a whole-shard vectorized
+    grouped cummax (no per-user loop)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "covered_us", "n_islands")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(s=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "s", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = s + IVU_DUR_US
+        cm = g.assign(e=e).groupby("user_id", sort=False)["e"].cummax() \
+            .to_numpy(np.int64)
+        prev = np.r_[np.int64(0), cm[:-1]]
+        first = np.r_[True, u[1:] != u[:-1]]
+        new = first | (s > prev)
+        isl = np.cumsum(new)
+        # per island: first row holds min start (sorted); island end is
+        # the cummax at its last row
+        starts_idx = np.flatnonzero(new)
+        ends_idx = np.r_[starts_idx[1:] - 1, len(s) - 1]
+        length = cm[ends_idx] - s[starts_idx]
+        iu = u[starts_idx]
+        uu, inv = np.unique(iu, return_inverse=True)
+        covered = np.zeros(len(uu), np.int64)
+        np.add.at(covered, inv, length)
+        n_isl = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({"user_id": uu, "covered_us": covered,
+                             "n_islands": n_isl})
+
+    return shard_apply(ds, ["user_id"], sweep)
+
+
+def q_user_extent(sf_dir: str):
+    """Per-user spatial reach (bounding-box extent — the roaming-radius
+    report): exact integer bbox and its area.  Combiner min/max
+    partials; the shuffle carries one row per (batch, user)."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = ("user_id", "x0", "x1", "y0", "y1", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "x": t.column("lon_milli").to_numpy(),
+                           "y": t.column("lat_milli").to_numpy()})
+        g = df.groupby("user_id", sort=False).agg(
+            x0=("x", "min"), x1=("x", "max"),
+            y0=("y", "min"), y1=("y", "max"), n=("x", "size")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["user_id"],
+                      {"x0": ("x0", "min"), "x1": ("x1", "max"),
+                       "y0": ("y0", "min"), "y1": ("y1", "max"),
+                       "n": ("n", "sum")})
+
+    def area(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x0" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("user_id", "x0", "x1", "y0", "y1",
+                                       "n", "bbox_area")})
+        x0 = t.column("x0").to_numpy().astype(np.int64)
+        x1 = t.column("x1").to_numpy().astype(np.int64)
+        y0 = t.column("y0").to_numpy().astype(np.int64)
+        y1 = t.column("y1").to_numpy().astype(np.int64)
+        return t.append_column("bbox_area",
+                               pa.array((x1 - x0) * (y1 - y0), pa.int64()))
+
+    return agg.map_batches(area, batch_format="pyarrow") \
+        .select_columns(["user_id", "x0", "x1", "y0", "y1", "n",
+                         "bbox_area"])
+
+
+def q_degree_mix(sf_dir: str):
+    """Degree-assortativity ingredients of the document graph (the
+    mixing-pattern screen — hub-hub vs hub-leaf wiring): over DIRECTED
+    edges (both orientations of the chain+chord graph), the exact
+    integer sums n_edges, sum(d_u*d_v), sum(d_u), sum(d_u^2) — Pearson
+    assortativity is a pure rational of these.  Degrees attach to the
+    data-scaled edge table via bucket hash joins (never a node-table
+    broadcast); the final reduce is a 4-scalar combiner."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        d1 = ids[(ids >= 1) & (ids % 5 != 0)]
+        d2 = ids[(ids >= 2) & ((ids - 2) % 3 == 0)]
+        a = np.concatenate([d1 - 1, d2 - 2])
+        b = np.concatenate([d1, d2])
+        return pa.table({"src": pa.array(np.r_[a, b], pa.int64()),
+                         "dst": pa.array(np.r_[b, a], pa.int64())})
+
+    es = docs.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def dpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        u, counts = np.unique(t.column("src").to_numpy(), return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "d": pa.array(counts.astype(np.int64), pa.int64())})
+
+    deg = sharded_agg(es.map_batches(dpart, batch_format="pyarrow"),
+                      ["v"], {"d": ("d", "sum")}).materialize()
+
+    def as_key(name: str, dname: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "v" not in t.column_names:
+                return pa.table({name: pa.array([], pa.int64()),
+                                 dname: pa.array([], pa.int64())})
+            return pa.table({name: t.column("v"), dname: t.column("d")})
+        return deg.map_batches(f, batch_format="pyarrow")
+
+    j1 = bucket_hash_join(es, as_key("src", "du"), "src")
+    j2 = bucket_hash_join(j1, as_key("dst", "dv"), "dst")
+
+    def sums(t: pa.Table) -> pa.Table:
+        cols = ("n_edges", "sum_dd", "sum_d", "sum_d2")
+        if t.num_rows == 0 or "du" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        du = t.column("du").to_numpy().astype(np.int64)
+        dv = t.column("dv").to_numpy().astype(np.int64)
+        return pa.table({"n_edges": pa.array([t.num_rows], pa.int64()),
+                         "sum_dd": pa.array([int((du * dv).sum())], pa.int64()),
+                         "sum_d": pa.array([int(du.sum())], pa.int64()),
+                         "sum_d2": pa.array([int((du * du).sum())], pa.int64())})
+
+    part = j2.map_batches(sums, batch_format="pyarrow")
+    tabs = [t for t in ray.get(part.to_arrow_refs())
+            if t.num_rows and "n_edges" in t.column_names]
+    out = {c: int(sum(int(t.column(c).to_numpy().sum()) for t in tabs))
+           for c in ("n_edges", "sum_dd", "sum_d", "sum_d2")}
+    return pa.table({c: pa.array([v], pa.int64()) for c, v in out.items()})
