@@ -3794,6 +3794,9 @@ def build_oracles() -> dict[str, str]:
         "interval_union": sql_interval_union(),
         "user_extent": sql_user_extent(),
         "degree_mix": sql_degree_mix(),
+        "trend_fit": sql_trend_fit(),
+        "history_ranges": sql_history_ranges(),
+        "link_negatives": sql_link_negatives(),
     }
 
 
@@ -5128,3 +5131,91 @@ def sql_degree_mix() -> str:
            sum(du.d)::BIGINT AS sum_d,
            sum(du.d * du.d)::BIGINT AS sum_d2
     FROM es JOIN deg du ON du.v = es.src JOIN deg dv ON dv.v = es.dst"""
+
+
+def sql_trend_fit() -> str:
+    """Twin of queries.q_trend_fit: per-user hour offsets from the
+    user's own min event time, exact integer regression moments."""
+    from osmquadtreepostgis_ray.queries import TREND_HOUR_US
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tu,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    m AS (SELECT user_id, min(tu) AS mt FROM e GROUP BY user_id),
+    t AS (
+        SELECT e.user_id, (e.tu - m.mt) // {TREND_HOUR_US} AS th, e.y
+        FROM e JOIN m USING (user_id)
+    )
+    SELECT user_id, count(*)::BIGINT AS n,
+           (count(*) * sum(th * y) - sum(th) * sum(y))::BIGINT AS slope_num,
+           (count(*) * sum(th * th) - sum(th) * sum(th))::BIGINT AS slope_den
+    FROM t GROUP BY user_id"""
+
+
+def sql_history_ranges() -> str:
+    """Twin of queries.q_history_ranges: LAG change flags -> windowed
+    run ids -> per-run extents -> per-user rollup."""
+    return """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tu, event_type
+        FROM events
+    ),
+    x AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ),
+    z AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                 ORDER BY tu, event_id) AS run
+        FROM x
+    ),
+    g AS (
+        SELECT user_id, run, max(tu) - min(tu) AS span
+        FROM z GROUP BY user_id, run
+    )
+    SELECT user_id, count(*)::BIGINT AS n_ranges,
+           (count(*) - 1)::BIGINT AS n_changes,
+           sum(span)::BIGINT AS sum_span_us
+    FROM g GROUP BY user_id"""
+
+
+def sql_link_negatives() -> str:
+    """Twin of queries.q_link_negatives: hash proposals, NOT EXISTS
+    anti join against the directed chain+chord edges, first NEG_K by
+    proposal index."""
+    from osmquadtreepostgis_ray.queries import (NEG_A, NEG_B, NEG_K,
+                                                NEG_PROPOSE)
+    js = ", ".join(f"({j})" for j in range(NEG_PROPOSE))
+    return f"""
+    WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    cand AS (
+        SELECT d.doc_id AS src, v.j,
+               (d.doc_id * {NEG_A} + v.j * {NEG_B} + 1) % nn.n AS neg_dst
+        FROM documents d, (VALUES {js}) v(j), nn
+        WHERE (d.doc_id * {NEG_A} + v.j * {NEG_B} + 1) % nn.n <> d.doc_id
+    ),
+    e0 AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 1 AND doc_id % 5 <> 0
+    ),
+    e1 AS (
+        SELECT doc_id - 2 AS a, doc_id AS b FROM documents
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    es AS (
+        SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+        UNION ALL SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1
+    ),
+    surv AS (
+        SELECT c.* FROM cand c WHERE NOT EXISTS (
+            SELECT 1 FROM es WHERE es.src = c.src AND es.dst = c.neg_dst)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY j) AS rk
+        FROM surv
+    )
+    SELECT src, neg_dst, CAST(j AS BIGINT) AS j FROM r WHERE rk <= {NEG_K}"""

@@ -7466,3 +7466,150 @@ def q_degree_mix(sf_dir: str):
     out = {c: int(sum(int(t.column(c).to_numpy().sum()) for t in tabs))
            for c in ("n_edges", "sum_dd", "sum_d", "sum_d2")}
     return pa.table({c: pa.array([v], pa.int64()) for c, v in out.items()})
+
+
+# ------------------- trend regression / SCD-2 ranges / negative sampling
+
+TREND_HOUR_US = 3_600_000_000
+
+
+def q_trend_fit(sf_dir: str):
+    """Per-user least-squares trend of value over time, kept RATIONAL
+    (the regression-slope screen of drift analytics): with t = whole
+    hours since the user's own first event and y = value cents,
+    slope = slope_num / slope_den where slope_num = n*S(ty) - S(t)*S(y)
+    and slope_den = n*S(t^2) - S(t)^2 — exact int64 (t <= span hours,
+    y cents bounded; see magnitudes note).  One user-sharded exchange;
+    per-user moments are C-level grouped sums."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "value"])
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n", "slope_num", "slope_den")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(tu=g["ts"].astype("int64"),
+                     y=np.rint(g["value"].to_numpy() * 100).astype(np.int64))
+        g["th"] = (g["tu"] - g.groupby("user_id", sort=False)["tu"]
+                   .transform("min")) // TREND_HOUR_US
+        g["ty"] = g["th"] * g["y"]
+        g["t2"] = g["th"] * g["th"]
+        a = g.groupby("user_id", sort=False).agg(
+            n=("y", "size"), st=("th", "sum"), st2=("t2", "sum"),
+            sy=("y", "sum"), sty=("ty", "sum")).reset_index()
+        n = a["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(np.int64),
+            "n": n,
+            "slope_num": n * a["sty"].to_numpy(np.int64)
+            - a["st"].to_numpy(np.int64) * a["sy"].to_numpy(np.int64),
+            "slope_den": n * a["st2"].to_numpy(np.int64)
+            - a["st"].to_numpy(np.int64) ** 2})
+
+    return shard_apply(ds, ["user_id"], fit)
+
+
+def q_history_ranges(sf_dir: str):
+    """SCD-type-2 history compaction per user (the slowly-changing-
+    dimension build of warehouse ingestion): consecutive events with
+    the same event_type collapse into one validity range; output per
+    user is the range count, change count and total in-range span.
+    One user-sharded exchange, vectorized run segmentation."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.int64, "n_ranges": np.int64,
+                "n_changes": np.int64, "sum_span_us": np.int64}
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=v)
+                                 for c, v in cols.items()})
+        g = g.assign(tu=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["tu"].to_numpy(np.int64)
+        v = g["event_type"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        brk = first | np.r_[True, v[1:] != v[:-1]]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, len(t) - 1]
+        span = t[ends] - t[starts]
+        ru = u[starts]
+        uu, inv = np.unique(ru, return_inverse=True)
+        n_ranges = np.bincount(inv).astype(np.int64)
+        sum_span = np.zeros(len(uu), np.int64)
+        np.add.at(sum_span, inv, span)
+        return pd.DataFrame({"user_id": uu, "n_ranges": n_ranges,
+                             "n_changes": n_ranges - 1,
+                             "sum_span_us": sum_span})
+
+    return shard_apply(ds, ["user_id"], runs)
+
+
+NEG_K = 3           # negatives kept per node
+NEG_PROPOSE = 6     # hash proposals per node (>= K survive w.h.p.)
+NEG_A = 2654435761
+NEG_B = 40503
+
+
+def q_link_negatives(sf_dir: str):
+    """Deterministic negative sampling for link prediction (the
+    contrastive-training companion of q_link_jaccard): each node
+    proposes NEG_PROPOSE hash candidates, true edges are removed by a
+    distributed ANTI join on the packed (src, dst) key (never an edge
+    broadcast), and the first NEG_K survivors per node (by proposal
+    index) are kept.  Hash products need doc_id * NEG_A < 2^63 —
+    fine for catalog-sized id spaces; re-range ids first beyond that."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"]) \
+        .materialize()
+
+    tabs = [t for t in ray.get(docs.to_arrow_refs())
+            if t.num_rows and "doc_id" in t.column_names]
+    N = int(max(int(t.column("doc_id").to_numpy().max()) for t in tabs)) + 1
+    SHIFT = np.int64(1) << np.int64(32)
+    assert N < int(SHIFT)
+
+    def cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("key", "src", "neg_dst", "j")})
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src = np.repeat(ids, NEG_PROPOSE)
+        j = np.tile(np.arange(NEG_PROPOSE, dtype=np.int64), len(ids))
+        neg = (src * NEG_A + j * NEG_B + 1) % N
+        keep = neg != src
+        src, j, neg = src[keep], j[keep], neg[keep]
+        return pa.table({"key": pa.array(src * SHIFT + neg, pa.int64()),
+                         "src": pa.array(src, pa.int64()),
+                         "neg_dst": pa.array(neg, pa.int64()),
+                         "j": pa.array(j, pa.int64())})
+
+    def ekey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        d1 = ids[(ids >= 1) & (ids % 5 != 0)]
+        d2 = ids[(ids >= 2) & ((ids - 2) % 3 == 0)]
+        a = np.concatenate([d1 - 1, d2 - 2])
+        b = np.concatenate([d1, d2])
+        src = np.r_[a, b]
+        dst = np.r_[b, a]
+        return pa.table({"key": pa.array(src * SHIFT + dst, pa.int64())})
+
+    cands = docs.map_batches(cand, batch_format="pyarrow")
+    edges = docs.map_batches(ekey, batch_format="pyarrow")
+    anti = bucket_semi_join(cands, edges, "key", anti=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("src", "neg_dst", "j")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["src", "j"], kind="mergesort")
+        g = g.groupby("src", sort=False).head(NEG_K)
+        return g[["src", "neg_dst", "j"]].reset_index(drop=True)
+
+    return shard_apply(anti, ["src"], topk)

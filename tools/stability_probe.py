@@ -44,7 +44,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "chaikin", "visual_words", "image_dhash", "len_histogram",
              "fertility", "k_anon", "tile_edge_census", "audio_silence",
              "decay_counts", "od_gravity", "seam_cols",
-             "interval_union", "user_extent", "degree_mix"):
+             "interval_union", "user_extent", "degree_mix",
+             "trend_fit", "history_ranges", "link_negatives"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
