@@ -3797,6 +3797,9 @@ def build_oracles() -> dict[str, str]:
         "trend_fit": sql_trend_fit(),
         "history_ranges": sql_history_ranges(),
         "link_negatives": sql_link_negatives(),
+        "inversions": sql_inversions(),
+        "revisits": sql_revisits(),
+        "modal_corr": sql_modal_corr(),
     }
 
 
@@ -5219,3 +5222,68 @@ def sql_link_negatives() -> str:
         FROM surv
     )
     SELECT src, neg_dst, CAST(j AS BIGINT) AS j FROM r WHERE rk <= {NEG_K}"""
+
+
+def sql_inversions() -> str:
+    """Twin of queries.q_inversions: per-user ordered pair self-join,
+    strict (ts, event_id) order; single-event users join in with
+    coalesce-0 pair counts."""
+    return """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tu,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    c AS (SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY user_id),
+    p AS (
+        SELECT a.user_id,
+               sum(CASE WHEN a.y > b.y THEN 1 ELSE 0 END)::BIGINT AS n_inv,
+               sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS n_tie
+        FROM e a JOIN e b ON b.user_id = a.user_id
+             AND (a.tu < b.tu OR (a.tu = b.tu AND a.event_id < b.event_id))
+        GROUP BY a.user_id
+    )
+    SELECT c.user_id, c.n, coalesce(p.n_inv, 0)::BIGINT AS n_inv,
+           coalesce(p.n_tie, 0)::BIGINT AS n_tie
+    FROM c LEFT JOIN p USING (user_id)"""
+
+
+def sql_revisits() -> str:
+    """Twin of queries.q_revisits: per-(user, cell) visit rank in time
+    order; rank 1 = first sighting, rank > 1 = revisit."""
+    return f"""
+    WITH {events_geo_cte()},
+    r AS (
+        SELECT ev.user_id,
+               row_number() OVER (PARTITION BY ev.user_id, ev.cell
+                                  ORDER BY e.ts, ev.event_id) AS rn
+        FROM ev JOIN events e USING (event_id)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           (count(*) FILTER (rn = 1))::BIGINT AS n_cells,
+           (count(*) FILTER (rn > 1))::BIGINT AS n_revisits
+    FROM r GROUP BY user_id"""
+
+
+def sql_modal_corr() -> str:
+    """Twin of queries.q_modal_corr: BOTH decoded-media CTE prefixes
+    spliced into one WITH (the audio chain's leading WITH stripped),
+    per-doc image mean pixel x audio mean |sample|, exact Pearson
+    moments."""
+    audio_part = _sql_decoded_samples().lstrip()
+    assert audio_part.startswith("WITH")
+    return f"""{_sql_decoded_pixels()},
+    {audio_part[4:]},
+    xm AS (
+        SELECT doc_id, CAST(floor(avg(p)) AS BIGINT) AS x
+        FROM dec GROUP BY image_id, doc_id
+    ),
+    ym AS (
+        SELECT doc_id, CAST(sum(abs(d)) // ns AS BIGINT) AS y
+        FROM adec GROUP BY audio_id, doc_id, ns
+    ),
+    j AS (SELECT xm.x, ym.y FROM xm JOIN ym USING (doc_id))
+    SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+           sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+    FROM j"""

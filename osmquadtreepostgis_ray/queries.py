@@ -7613,3 +7613,136 @@ def q_link_negatives(sf_dir: str):
         return g[["src", "neg_dst", "j"]].reset_index(drop=True)
 
     return shard_apply(anti, ["src"], topk)
+
+
+# ------------------- disorder / revisit / cross-modal correlation ops
+
+def q_inversions(sf_dir: str):
+    """Per-user Kendall-tau disorder numerator (ordinal value/time
+    concordance — drift screening without floats): the number of event
+    pairs, in (ts, event_id) order, whose value-cents DECREASE, plus
+    the tie count; tau is a pure rational of (n, n_inv, n_tie).  One
+    user-sharded exchange; the pair scan runs chunked O(n^2) per user
+    on the bounded per-user row count (documented: re-chunk by day at
+    planetary per-user volumes)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "value"])
+
+    def inv(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n", "n_inv", "n_tie")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(tu=g["ts"].astype("int64"),
+                     y=np.rint(g["value"].to_numpy() * 100)
+                     .astype(np.int64)) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        rows = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            y = gg["y"].to_numpy(np.int64)
+            n = len(y)
+            # full pair matrix: per-user n is bounded (re-chunk by day
+            # at planetary per-user volumes before this grows past RAM)
+            m = y[:, None]
+            upper = np.tri(n, k=-1, dtype=bool).T
+            n_inv = int(((m > y[None, :]) & upper).sum())
+            n_tie = int(((m == y[None, :]) & upper).sum())
+            rows.append((uid, n, n_inv, n_tie))
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return shard_apply(ds, ["user_id"], inv)
+
+
+def q_revisits(sf_dir: str):
+    """Per-user revisit analysis (first-seen cell dedup in TIME order —
+    the exploration-vs-routine screen of mobility analytics): events
+    whose depth-12 cell already appeared earlier in the user's
+    timeline count as revisits.  One user-sharded exchange; first-seen
+    flags via pandas grouped cumcount."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["event_id", "user_id", "ts", "cell"])
+
+    def rv(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_events", "n_cells", "n_revisits")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(tu=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        seen = g.groupby(["user_id", "cell"], sort=False).cumcount()
+        g = g.assign(re=(seen > 0).astype(np.int64))
+        a = g.groupby("user_id", sort=False).agg(
+            n_events=("re", "size"), n_revisits=("re", "sum")).reset_index()
+        nc = g.drop_duplicates(["user_id", "cell"]) \
+            .groupby("user_id", sort=False).size()
+        a["n_cells"] = nc.loc[a["user_id"]].to_numpy(np.int64)
+        for c in ("n_events", "n_revisits", "n_cells"):
+            a[c] = a[c].astype(np.int64)
+        return a[["user_id", "n_events", "n_cells", "n_revisits"]]
+
+    return shard_apply(ds, ["user_id"], rv)
+
+
+def q_modal_corr(sf_dir: str):
+    """Cross-modal correlation ingredients (image brightness vs audio
+    loudness per document — the dataset-health screen of a paired
+    multimodal corpus): x = per-image mean pixel, y = per-track
+    mean |sample|, joined by doc id, reduced to the exact integer
+    Pearson moments (n, sx, sy, sxy, sx2, sy2).  Each modality's stats
+    come from its existing row-pure decode stage; the join is a bucket
+    hash join on doc_id (both sides data-scaled); the final reduce is
+    a 6-scalar combiner."""
+    from osmquadtreepostgis_ray.sources.audio import read_audio
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.audio import AudioFeatures
+    from osmquadtreepostgis_ray.stages.images import DecodeStats
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+    from osmquadtreepostgis_ray.util import worker_cached
+
+    img = read_images(sf_dir, with_bytes=True).map_batches(
+        worker_cached(DecodeStats), batch_format="pyarrow",
+        batch_size=IMG_BATCH)
+
+    def ix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "image_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        ids = np.asarray([int(s[3:]) for s in
+                          t.column("image_id").to_pylist()], np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "x": t.column("mean_pixel").cast(pa.int64())})
+
+    aud = read_audio(sf_dir).map_batches(
+        worker_cached(AudioFeatures), batch_format="pyarrow",
+        batch_size=AUDIO_BATCH)
+
+    def ay(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "audio_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        ids = np.asarray([int(s[3:]) for s in
+                          t.column("audio_id").to_pylist()], np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "y": t.column("mean_abs").cast(pa.int64())})
+
+    j = bucket_hash_join(img.map_batches(ix, batch_format="pyarrow"),
+                         aud.map_batches(ay, batch_format="pyarrow"),
+                         "doc_id")
+
+    def moments(t: pa.Table) -> pa.Table:
+        cols = ("n", "sx", "sy", "sxy", "sx2", "sy2")
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        vals = (t.num_rows, int(x.sum()), int(y.sum()),
+                int((x * y).sum()), int((x * x).sum()), int((y * y).sum()))
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, vals)})
+
+    part = j.map_batches(moments, batch_format="pyarrow")
+    tabs = [t for t in ray.get(part.to_arrow_refs())
+            if t.num_rows and "n" in t.column_names]
+    out = {c: int(sum(int(t.column(c).to_numpy().sum()) for t in tabs))
+           for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}
+    return pa.table({c: pa.array([v], pa.int64()) for c, v in out.items()})

@@ -45,7 +45,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "fertility", "k_anon", "tile_edge_census", "audio_silence",
              "decay_counts", "od_gravity", "seam_cols",
              "interval_union", "user_extent", "degree_mix",
-             "trend_fit", "history_ranges", "link_negatives"):
+             "trend_fit", "history_ranges", "link_negatives",
+             "inversions", "revisits", "modal_corr"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
