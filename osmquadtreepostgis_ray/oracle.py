@@ -3800,6 +3800,9 @@ def build_oracles() -> dict[str, str]:
         "inversions": sql_inversions(),
         "revisits": sql_revisits(),
         "modal_corr": sql_modal_corr(),
+        "lang_confusion": sql_lang_confusion(),
+        "source_overlap": sql_source_overlap(),
+        "near_dup_rate": sql_near_dup_rate(),
     }
 
 
@@ -5287,3 +5290,45 @@ def sql_modal_corr() -> str:
            sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
            sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
     FROM j"""
+
+
+def sql_lang_confusion() -> str:
+    """Twin of queries.q_lang_confusion: labeled lang x the n-gram
+    heuristic prediction (functions/text.lang_id_sql)."""
+    return (f"SELECT lang, {lang_id_sql('text')} AS lang_pred, "
+            f"count(*)::BIGINT AS n FROM documents GROUP BY lang, lang_pred")
+
+
+def sql_source_overlap() -> str:
+    """Twin of queries.q_source_overlap: the full minhash-pair oracle as
+    a subquery, each side source-joined, cell canonicalized unordered."""
+    return f"""
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*)::BIGINT AS n_pairs
+    FROM ({sql_minhash_pairs()}) mp
+    JOIN documents da ON da.doc_id = mp.a
+    JOIN documents db ON db.doc_id = mp.b
+    GROUP BY 1, 2"""
+
+
+def sql_near_dup_rate() -> str:
+    """Twin of queries.q_near_dup_rate: distinct pair participants,
+    per-source rate in permille."""
+    return f"""
+    WITH ids AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT a AS doc_id FROM ({sql_minhash_pairs()}) mp
+            UNION ALL
+            SELECT b FROM ({sql_minhash_pairs()}) mp2
+        )
+    ),
+    d AS (
+        SELECT dd.source,
+               CASE WHEN ids.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+        FROM documents dd LEFT JOIN ids ON ids.doc_id = dd.doc_id
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(dup)::BIGINT AS n_dup,
+           (sum(dup) * 1000 // count(*))::BIGINT AS dup_permille
+    FROM d GROUP BY source"""

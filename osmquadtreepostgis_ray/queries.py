@@ -7746,3 +7746,163 @@ def q_modal_corr(sf_dir: str):
     out = {c: int(sum(int(t.column(c).to_numpy().sum()) for t in tabs))
            for c in ("n", "sx", "sy", "sxy", "sx2", "sy2")}
     return pa.table({c: pa.array([v], pa.int64()) for c, v in out.items()})
+
+
+# ------------------- lang-id eval / cross-source contamination rollups
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix (the classifier-eval table: labeled
+    lang x n-gram-heuristic prediction): combiner counts over the
+    bounded (lang, lang_pred) key space."""
+    from osmquadtreepostgis_ray.stages.textstats import add_text_stats
+    ds = add_text_stats(read_table(sf_dir, "documents",
+                                   columns=["doc_id", "text", "lang"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "lang_pred": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                          "lang_pred": t.column("lang_pred").to_pandas()}) \
+            .groupby(["lang", "lang_pred"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return sharded_agg(part, ["lang", "lang_pred"], {"n": ("n", "sum")}) \
+        .select_columns(["lang", "lang_pred", "n"])
+
+
+def _docs_source(sf_dir: str, key: str):
+    """documents projected to (key, source_<key>) for pair enrichment."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             f"source_{key}": pa.array([], pa.string())})
+        return pa.table({key: t.column("doc_id"),
+                         f"source_{key}": t.column("source")})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix (which corpus sources share
+    near-duplicate content — the dedup-audit rollup a mixture curator
+    reads): MinHash-LSH near-dup pairs enriched with each side's source
+    via bucket hash joins (pairs and documents are both data-scaled;
+    no broadcast), pair key canonicalized to an unordered (source_a <=
+    source_b) cell, counted.  Output is bounded by sources^2."""
+    from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
+
+    pairs = q_minhash_pairs(sf_dir).materialize()
+    j1 = bucket_hash_join(pairs, _docs_source(sf_dir, "a"), "a") \
+        .map_batches(lambda t: t, batch_format="pyarrow")  # pandas-block
+    # output of the first join -> Arrow so the second join can read a
+    # pyarrow schema (the CLAUDE.md lazy-schema/typed-block hazard)
+    j = bucket_hash_join(j1, _docs_source(sf_dir, "b"), "b")
+
+    def cellcount(t: pa.Table) -> pa.Table:
+        cols = ("source_a", "source_b", "n_pairs")
+        if t.num_rows == 0 or "source_a" not in t.column_names:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64())})
+        sa = np.asarray(t.column("source_a").to_pylist(), dtype=object)
+        sb = np.asarray(t.column("source_b").to_pylist(), dtype=object)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = pd.DataFrame({"source_a": lo, "source_b": hi}) \
+            .groupby(["source_a", "source_b"], sort=False).size() \
+            .reset_index(name="n_pairs")
+        g["n_pairs"] = g["n_pairs"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = j.map_batches(cellcount, batch_format="pyarrow")
+    return sharded_agg(part, ["source_a", "source_b"],
+                       {"n_pairs": ("n_pairs", "sum")}) \
+        .select_columns(["source_a", "source_b", "n_pairs"])
+
+
+def q_near_dup_rate(sf_dir: str):
+    """Per-source near-duplicate participation rate (the dedup health
+    metric: how much of each source is entangled in near-dup pairs):
+    distinct doc ids over both pair sides, source-joined, rated per
+    mille against per-source totals.  The per-source table is bounded,
+    so totals broadcast; the dup-doc side stays sharded."""
+    from osmquadtreepostgis_ray.stages.joins import broadcast_join
+
+    pairs = q_minhash_pairs(sf_dir).materialize()
+
+    def ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.unique(np.r_[a, b]),
+                                            pa.int64())})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        return g.drop_duplicates("doc_id")[["doc_id"]]
+
+    dup_ids = shard_apply(pairs.map_batches(ids, batch_format="pyarrow"),
+                          ["doc_id"], dedup)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        # dup-marker rows: null source (the typed-union join pattern)
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        return t.append_column("source", pa.nulls(t.num_rows, pa.string()))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "dup": pd.Series([], dtype=bool)})
+        flag = g["source"].isna()
+        dupids = set(g.loc[flag, "doc_id"].tolist())
+        base = g[~flag]
+        return pd.DataFrame({"source": base["source"],
+                             "dup": base["doc_id"].isin(dupids)})
+
+    withsrc = shard_apply(
+        docs.union(dup_ids.map_batches(pad, batch_format="pyarrow")),
+        ["doc_id"], mark)
+
+    def rate_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        g = pd.DataFrame({"source": t.column("source").to_pandas(),
+                          "dup": t.column("dup").to_numpy()}) \
+            .groupby("source", sort=False).agg(
+                n_docs=("dup", "size"), n_dup=("dup", "sum")).reset_index()
+        for c in ("n_docs", "n_dup"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(withsrc.map_batches(rate_part, batch_format="pyarrow"),
+                      ["source"], {"n_docs": ("n_docs", "sum"),
+                                   "n_dup": ("n_dup", "sum")})
+
+    def rate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "dup_permille": pa.array([], pa.int64())})
+        nd = t.column("n_docs").to_numpy().astype(np.int64)
+        du = t.column("n_dup").to_numpy().astype(np.int64)
+        return t.append_column("dup_permille",
+                               pa.array(du * 1000 // nd, pa.int64()))
+
+    return agg.map_batches(rate, batch_format="pyarrow") \
+        .select_columns(["source", "n_docs", "n_dup", "dup_permille"])
