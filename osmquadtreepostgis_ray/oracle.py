@@ -3803,6 +3803,9 @@ def build_oracles() -> dict[str, str]:
         "lang_confusion": sql_lang_confusion(),
         "source_overlap": sql_source_overlap(),
         "near_dup_rate": sql_near_dup_rate(),
+        "hist_equalize": sql_hist_equalize(),
+        "box5": sql_box5(),
+        "crossmodal_recall": sql_crossmodal_recall(),
     }
 
 
@@ -5332,3 +5335,66 @@ def sql_near_dup_rate() -> str:
            sum(dup)::BIGINT AS n_dup,
            (sum(dup) * 1000 // count(*))::BIGINT AS dup_permille
     FROM d GROUP BY source"""
+
+
+def sql_hist_equalize() -> str:
+    """Twin of queries.q_hist_equalize: per-image value histogram,
+    window cumsum, the classic integer LUT — (cf - cfmin) >= 0 and
+    npx > cfmin on this corpus so trunc == floor."""
+    return f"""{_sql_decoded_pixels()},
+    h AS (SELECT image_id, p, count(*) AS c FROM dec GROUP BY image_id, p),
+    cf AS (
+        SELECT image_id, p, c,
+               sum(c) OVER (PARTITION BY image_id ORDER BY p) AS cdf
+        FROM h
+    ),
+    mn AS (
+        SELECT image_id, min(cdf) AS cfmin, sum(c) AS npx
+        FROM cf GROUP BY image_id
+    ),
+    lut AS (
+        SELECT c.image_id, c.c,
+               CASE WHEN m.npx = m.cfmin THEN 0
+                    ELSE ((c.cdf - m.cfmin) * 255) // (m.npx - m.cfmin)
+               END AS q
+        FROM cf c JOIN mn m USING (image_id)
+    )
+    SELECT image_id, sum(q * c)::BIGINT AS eq_sum, min(q)::BIGINT AS eq_min,
+           max(q)::BIGINT AS eq_max, sum(c)::BIGINT AS n_px
+    FROM lut GROUP BY image_id"""
+
+
+def sql_box5() -> str:
+    """Twin of queries.q_box5 (stages/images.box5_batch): 25-offset
+    contribution join over the 16x16 thumbnails."""
+    from osmquadtreepostgis_ray.stages.images import LBP_DIM
+    D = LBP_DIM
+    offs = ", ".join(f"({dy}, {dx})" for dy in range(-2, 3)
+                     for dx in range(-2, 3))
+    return f"""{_sql_decoded_pixels()},
+    ctr AS (
+        SELECT image_id, idx // w AS y, idx % w AS x, p
+        FROM dec WHERE w = {D} AND h = {D}
+    ),
+    bs AS (
+        SELECT c.image_id, c.y, c.x, sum(nb.p) AS s
+        FROM ctr c
+        JOIN (VALUES {offs}) o(dy, dx) ON TRUE
+        JOIN ctr nb ON nb.image_id = c.image_id
+                   AND nb.y = c.y + o.dy AND nb.x = c.x + o.dx
+        WHERE c.y BETWEEN 2 AND {D - 3} AND c.x BETWEEN 2 AND {D - 3}
+        GROUP BY c.image_id, c.y, c.x
+    )
+    SELECT image_id, sum(s)::BIGINT AS box_sum, min(s)::BIGINT AS box_min,
+           max(s)::BIGINT AS box_max
+    FROM bs GROUP BY image_id"""
+
+
+def sql_crossmodal_recall(k: int = 5, nq: int = 8) -> str:
+    """Twin of queries.q_crossmodal_recall: the crossmodal top-k oracle
+    as a subquery, same-doc ground truth."""
+    return f"""
+    SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
+           count(DISTINCT CASE WHEN query_id = doc_id THEN query_id
+                          END)::BIGINT AS hits_at_k
+    FROM ({sql_crossmodal_knn(k=k, nq=nq)}) t"""

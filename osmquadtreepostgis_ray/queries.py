@@ -7906,3 +7906,40 @@ def q_near_dup_rate(sf_dir: str):
 
     return agg.map_batches(rate, batch_format="pyarrow") \
         .select_columns(["source", "n_docs", "n_dup", "dup_permille"])
+
+
+# ----------------- equalization / retrieval eval / box-filter screen
+
+def q_hist_equalize(sf_dir: str):
+    """Histogram-equalization audit per image
+    (stages/images.hist_equalize_batch).  Row-pure; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import hist_equalize_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        hist_equalize_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_box5(sf_dir: str):
+    """5x5 box-filter summary over the 16x16 thumbnails
+    (stages/images.box5_batch).  Row-pure; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import box5_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        box5_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_crossmodal_recall(sf_dir: str, k: int = 5, nq: int = 8):
+    """Cross-modal retrieval eval (recall@k against the same-document
+    ground truth — the CLIP-eval loop over q_crossmodal_knn): one row
+    (n_queries, hits_at_k).  q_crossmodal_knn already distributes the
+    top-k merge (util.topk_per_key) and returns the BOUNDED nq x k
+    table, so the recall itself is a driver-side scalar fold."""
+    topk = q_crossmodal_knn(sf_dir, k=k, nq=nq)
+    q = topk.column("query_id").to_numpy().astype(np.int64)
+    d = topk.column("doc_id").to_numpy().astype(np.int64)
+    uq = np.unique(q)
+    hits = int(sum(1 for qq in uq if (d[q == qq] == qq).any()))
+    return pa.table({"n_queries": pa.array([len(uq)], pa.int64()),
+                     "hits_at_k": pa.array([hits], pa.int64())})

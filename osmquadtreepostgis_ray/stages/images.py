@@ -1338,3 +1338,65 @@ def seam_cols_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"image_id": pa.array(ids, pa.string()),
                      "min_col": pa.array(mcol, pa.int64()),
                      "min_energy": pa.array(men, pa.int64())})
+
+
+def hist_equalize_batch(batch: pa.Table) -> pa.Table:
+    """Histogram-equalization summary per image (the contrast-normalize
+    preprocessing step, audited in exact integers): the classic
+    (cdf - cdfmin) * 255 // (npx - cdfmin) LUT applied per image,
+    reported as equalized sum/min/max.  Per-group vectorized: one
+    offset bincount for all histograms, one cumsum, one LUT gather.
+    Constant images (npx == cdfmin) equalize to all-zero by
+    convention."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    eq_sum = np.zeros(n, np.int64)
+    eq_min = np.zeros(n, np.int64)
+    eq_max = np.zeros(n, np.int64)
+    npx_out = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        k, npx = dec.shape
+        rowidx = np.repeat(np.arange(k, dtype=np.int64), npx)
+        hist = np.bincount(rowidx * 256 + dec.ravel(),
+                           minlength=k * 256).reshape(k, 256)
+        cdf = hist.cumsum(axis=1)
+        cfmin = np.where(cdf > 0, cdf, npx + 1).min(axis=1)
+        den = npx - cfmin
+        safe = np.maximum(den, 1)
+        lut = (cdf - cfmin[:, None]).clip(min=0) * 255 // safe[:, None]
+        lut[den == 0] = 0
+        eq = lut[np.arange(k)[:, None], dec.astype(np.int64)]
+        i = np.flatnonzero(m)
+        eq_sum[i] = eq.sum(axis=1)
+        eq_min[i] = eq.min(axis=1)
+        eq_max[i] = eq.max(axis=1)
+        npx_out[i] = npx
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "eq_sum": pa.array(eq_sum, pa.int64()),
+                     "eq_min": pa.array(eq_min, pa.int64()),
+                     "eq_max": pa.array(eq_max, pa.int64()),
+                     "n_px": pa.array(npx_out, pa.int64())})
+
+
+def box5_batch(batch: pa.Table) -> pa.Table:
+    """5x5 box-filter summary over the 16x16 thumbnails (the
+    integral-image smoothing screen): exact integer 5x5 window sums per
+    interior center, reported per image.  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    out_id, out_s, out_lo, out_hi = [], [], [], []
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        if wi != LBP_DIM or hi != LBP_DIM:
+            continue
+        a = dec.reshape(-1, hi, wi).astype(np.int64)
+        bs = sum(a[:, 2 + dy:hi - 2 + dy, 2 + dx:wi - 2 + dx]
+                 for dy in range(-2, 3) for dx in range(-2, 3))
+        out_id.append(ids[np.flatnonzero(m)])
+        out_s.append(bs.sum(axis=(1, 2)))
+        out_lo.append(bs.min(axis=(1, 2)))
+        out_hi.append(bs.max(axis=(1, 2)))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    idc = np.concatenate(out_id) if out_id else np.empty(0, dtype=object)
+    return pa.table({"image_id": pa.array(idc, pa.string()),
+                     "box_sum": pa.array(cat(out_s), pa.int64()),
+                     "box_min": pa.array(cat(out_lo), pa.int64()),
+                     "box_max": pa.array(cat(out_hi), pa.int64())})
