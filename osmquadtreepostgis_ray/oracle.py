@@ -3806,6 +3806,9 @@ def build_oracles() -> dict[str, str]:
         "hist_equalize": sql_hist_equalize(),
         "box5": sql_box5(),
         "crossmodal_recall": sql_crossmodal_recall(),
+        "first_last_touch": sql_first_last_touch(),
+        "burstiness": sql_burstiness(),
+        "char_simpson": sql_char_simpson(),
     }
 
 
@@ -5398,3 +5401,59 @@ def sql_crossmodal_recall(k: int = 5, nq: int = 8) -> str:
            count(DISTINCT CASE WHEN query_id = doc_id THEN query_id
                           END)::BIGINT AS hits_at_k
     FROM ({sql_crossmodal_knn(k=k, nq=nq)}) t"""
+
+
+def sql_first_last_touch() -> str:
+    """Twin of queries.q_first_last_touch: first/last value windows in
+    (ts, event_id) order, one row per user, counted."""
+    return """
+    WITH o AS (
+        SELECT user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT first_type, last_type, count(*)::BIGINT AS n_users
+    FROM o WHERE rn = 1 GROUP BY first_type, last_type"""
+
+
+def sql_burstiness() -> str:
+    """Twin of queries.q_burstiness: LAG gaps in whole seconds (the
+    int64-headroom scaling), single-event users have no gap row on
+    either engine."""
+    return """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+    g AS (
+        SELECT user_id,
+               (tu - lag(tu) OVER (PARTITION BY user_id
+                                   ORDER BY tu, event_id)) // 1000000
+                   AS gap
+        FROM e
+    )
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+           sum(gap)::BIGINT AS sum_gap_s, min(gap)::BIGINT AS min_gap_s,
+           max(gap)::BIGINT AS max_gap_s,
+           sum(gap * gap)::BIGINT AS sum_gap2_s
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+
+def sql_char_simpson() -> str:
+    """Twin of queries.q_char_simpson: per-character counts via range
+    unnest (ASCII corpus), collision numerator."""
+    return """
+    WITH ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, i, 1))) AS c
+        FROM documents
+    ),
+    cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c)
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+           coalesce(sum(cc.n * cc.n), 0)::BIGINT AS sum_cnt2
+    FROM documents d LEFT JOIN cc USING (doc_id)
+    GROUP BY d.doc_id, d.text"""

@@ -7943,3 +7943,106 @@ def q_crossmodal_recall(sf_dir: str, k: int = 5, nq: int = 8):
     hits = int(sum(1 for qq in uq if (d[q == qq] == qq).any()))
     return pa.table({"n_queries": pa.array([len(uq)], pa.int64()),
                      "hits_at_k": pa.array([hits], pa.int64())})
+
+
+# ----------------- attribution / burstiness / character diversity ops
+
+def q_first_last_touch(sf_dir: str):
+    """First/last-touch attribution matrix (the marketing-attribution
+    rollup): per user, the event_type of their first and last event in
+    (ts, event_id) order; counted over the bounded (first, last) key
+    space.  One user-sharded exchange with an in-shard combiner, so the
+    final exchange carries type^2-bounded partials."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts", "event_type"])
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"first_type": pd.Series([], dtype=object),
+                                 "last_type": pd.Series([], dtype=object),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        g = g.assign(tu=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        last = np.r_[u[1:] != u[:-1], True]
+        v = g["event_type"].to_numpy()
+        out = pd.DataFrame({"first_type": v[first], "last_type": v[last]}) \
+            .groupby(["first_type", "last_type"], sort=False).size() \
+            .reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    part = shard_apply(ds, ["user_id"], fl)
+    return sharded_agg(part, ["first_type", "last_type"],
+                       {"n_users": ("n_users", "sum")}) \
+        .select_columns(["first_type", "last_type", "n_users"])
+
+
+def q_burstiness(sf_dir: str):
+    """Per-user inter-arrival gap statistics (the burstiness/anomaly
+    screen of event-stream QA): exact integer gap count, sum, min, max
+    and sum of squares (gap seconds — squares of microsecond gaps would
+    overflow int64 at month-long spans x thousands of events).  One
+    user-sharded exchange; gaps are whole-shard vectorized diffs."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_gaps", "sum_gap_s", "min_gap_s",
+                "max_gap_s", "sum_gap2_s")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.assign(tu=g["ts"].astype("int64")) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["tu"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gap = (np.diff(t) // 1_000_000)[same]
+        gu = u[1:][same]
+        rows = []
+        for uid, lo, hi in zip(*_user_segments(gu)):
+            seg = gap[lo:hi]
+            rows.append((uid, len(seg), int(seg.sum()), int(seg.min()),
+                         int(seg.max()), int((seg * seg).sum())))
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return shard_apply(ds, ["user_id"], gaps)
+
+
+def _user_segments(sorted_ids: np.ndarray):
+    """(ids, starts, ends) of equal-value runs in a sorted id array."""
+    if not len(sorted_ids):
+        z = np.empty(0, np.int64)
+        return z, z, z
+    starts = np.flatnonzero(np.r_[True, sorted_ids[1:] != sorted_ids[:-1]])
+    ends = np.r_[starts[1:], len(sorted_ids)]
+    return sorted_ids[starts], starts, ends
+
+
+def q_char_simpson(sf_dir: str):
+    """Character-level Simpson (collision) index numerator per document
+    (the gibberish/repetition quality screen next to q_repetition, at
+    character granularity): sum over characters of count^2 — exact
+    int64, higher = more repetitive.  Row-pure vectorized byte
+    bincounts; no shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def simpson(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("doc_id", "n_chars", "sum_cnt2")})
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        lens = np.array([len(s) for s in texts], np.int64)
+        buf = np.frombuffer("".join(texts).encode("latin-1"), np.uint8)
+        off = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        hist = np.bincount(off * 256 + buf,
+                           minlength=len(texts) * 256) \
+            .reshape(len(texts), 256).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(lens, pa.int64()),
+                         "sum_cnt2": pa.array((hist * hist).sum(axis=1),
+                                              pa.int64())})
+
+    return docs.map_batches(simpson, batch_format="pyarrow")
