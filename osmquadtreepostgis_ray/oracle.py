@@ -3809,6 +3809,9 @@ def build_oracles() -> dict[str, str]:
         "first_last_touch": sql_first_last_touch(),
         "burstiness": sql_burstiness(),
         "char_simpson": sql_char_simpson(),
+        "fence_dwell": sql_fence_dwell(),
+        "vocab_tail": sql_vocab_tail(),
+        "cell_turnover": sql_cell_turnover(),
     }
 
 
@@ -5457,3 +5460,78 @@ def sql_char_simpson() -> str:
            coalesce(sum(cc.n * cc.n), 0)::BIGINT AS sum_cnt2
     FROM documents d LEFT JOIN cc USING (doc_id)
     GROUP BY d.doc_id, d.text"""
+
+
+def sql_fence_dwell() -> str:
+    """Twin of queries.q_fence_dwell: fence membership by integer zone
+    arithmetic, LEAD pair dwell, run starts via LAG."""
+    from osmquadtreepostgis_ray.queries import FENCE_AZONE
+    from osmquadtreepostgis_ray.sources.zones import (ADMIN_H,
+                                                      ADMIN_ID_BASE,
+                                                      ADMIN_W, AX)
+    lon, lat = geotag.event_lonlat_milli_sql()
+    inside = (f"((({lat}) // {ADMIN_H}) * {AX} + ({lon}) // {ADMIN_W} "
+              f"+ {ADMIN_ID_BASE} = {FENCE_AZONE})")
+    return f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tu, {inside} AS ins
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, tu, ins,
+               lead(tu) OVER w AS nt, lead(ins) OVER w AS ni,
+               lag(ins) OVER w AS pi
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    )
+    SELECT user_id,
+           sum(CASE WHEN ins THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+           sum(CASE WHEN ins AND (pi IS NULL OR NOT pi)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_runs,
+           coalesce(sum(CASE WHEN ins AND ni THEN nt - tu END), 0)::BIGINT
+               AS dwell_us
+    FROM o GROUP BY user_id
+    HAVING sum(CASE WHEN ins THEN 1 ELSE 0 END) > 0"""
+
+
+def sql_vocab_tail() -> str:
+    """Twin of queries.q_vocab_tail: term counts, top-K by
+    (n DESC, term ASC), permille coverage."""
+    from osmquadtreepostgis_ray.queries import VOCAB_TOPK
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT sum(n) AS t FROM tc),
+    top AS (SELECT n FROM tc ORDER BY n DESC, w LIMIT {VOCAB_TOPK})
+    SELECT tot.t::BIGINT AS total_tokens,
+           (SELECT sum(n) FROM top)::BIGINT AS topk_tokens,
+           ((SELECT sum(n) FROM top) * 1000 // tot.t)::BIGINT
+               AS coverage_permille
+    FROM tot"""
+
+
+def sql_cell_turnover() -> str:
+    """Twin of queries.q_cell_turnover: scalar midpoint CTE, per-(tile,
+    user) early/late flags via conditional MAX, per-tile Jaccard."""
+    return f"""
+    WITH {events_geo_cte()},
+    b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events),
+    u AS (
+        SELECT tile, ev.user_id,
+               max(CASE WHEN epoch_us(e.ts)
+                        < b.lo + (b.hi - b.lo) // 2
+                        THEN 1 ELSE 0 END) AS e,
+               max(CASE WHEN epoch_us(e.ts)
+                        >= b.lo + (b.hi - b.lo) // 2
+                        THEN 1 ELSE 0 END) AS l
+        FROM ev JOIN events e USING (event_id), b
+        GROUP BY tile, ev.user_id
+    )
+    SELECT tile, sum(e)::BIGINT AS n_early, sum(l)::BIGINT AS n_late,
+           sum(e * l)::BIGINT AS n_both,
+           (sum(e * l) * 1000
+            // greatest(sum(e) + sum(l) - sum(e * l), 1))::BIGINT
+               AS jaccard_permille
+    FROM u GROUP BY tile"""

@@ -8046,3 +8046,190 @@ def q_char_simpson(sf_dir: str):
                                               pa.int64())})
 
     return docs.map_batches(simpson, batch_format="pyarrow")
+
+
+# ------------------- geofence dwell / vocab tail / place turnover ops
+
+FENCE_AZONE = 100000 + 7     # the fence: admin zone 7 (always present)
+
+
+def q_fence_dwell(sf_dir: str):
+    """Geofence dwell accounting (the geofencing primitive of fleet /
+    footfall analytics): per user, total time spanned by consecutive
+    event pairs that BOTH fall inside the fence (admin zone 7) plus the
+    number of inside-runs.  Membership is a pure row function of the
+    integer geotag; one user-sharded exchange, vectorized pair logic."""
+    from osmquadtreepostgis_ray.sources.zones import (ADMIN_H,
+                                                      ADMIN_ID_BASE,
+                                                      ADMIN_W, AX)
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id",
+                                               "ts"])
+
+    def dwell(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_inside", "n_runs", "dwell_us")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        lon, lat = geotag.event_lonlat_milli(g["user_id"].to_numpy(),
+                                             g["event_id"].to_numpy())
+        az = (lat // ADMIN_H) * AX + lon // ADMIN_W + ADMIN_ID_BASE
+        g = g.assign(tu=g["ts"].astype("int64"),
+                     inside=(az == FENCE_AZONE)) \
+            .sort_values(["user_id", "tu", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["tu"].to_numpy(np.int64)
+        ins = g["inside"].to_numpy()
+        same = u[1:] == u[:-1]
+        both = same & ins[1:] & ins[:-1]
+        dt = np.where(both, np.diff(t), 0)
+        first = np.r_[True, u[1:] != u[:-1]]
+        run_start = ins & (first | np.r_[False, ~ins[:-1]])
+        rows = []
+        for uid, lo, hi in zip(*_user_segments(u)):
+            n_in = int(ins[lo:hi].sum())
+            if n_in == 0:
+                continue
+            rows.append((uid, n_in, int(run_start[lo:hi].sum()),
+                         int(dt[lo:hi - 1].sum()) if hi - lo > 1 else 0))
+        return pd.DataFrame(rows, columns=list(cols))
+
+    return shard_apply(ds, ["user_id"], dwell)
+
+
+VOCAB_TOPK = 100
+
+
+def q_vocab_tail(sf_dir: str):
+    """Zipf head coverage (how much of the token stream the top-K terms
+    absorb — the vocabulary-truncation planning number): exact integer
+    (total_tokens, topk_tokens, coverage_permille).  Term counts are a
+    combiner aggregate; the global top-K is a per-shard top-K followed
+    by one bounded (K x shards)-row merge — never a full-vocab global
+    sort; the token total is a 1-scalar combiner over the same
+    aggregated term table."""
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def tpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        u, counts = np.unique(np.asarray(flat.to_pylist(), dtype=object),
+                              return_counts=True)
+        return pa.table({"term": pa.array(u, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    terms = sharded_agg(docs.map_batches(tpart, batch_format="pyarrow"),
+                        ["term"], {"n": ("n", "sum")}).materialize()
+
+    def shard_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = t.select(["term", "n"]).to_pandas() \
+            .sort_values(["n", "term"], ascending=[False, True],
+                         kind="mergesort").head(VOCAB_TOPK)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def tot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"total": pa.array([], pa.int64())})
+        return pa.table({"total": pa.array(
+            [int(t.column("n").to_numpy().sum())], pa.int64())})
+
+    tot_tabs = [x for x in ray.get(
+        terms.map_batches(tot, batch_format="pyarrow").to_arrow_refs())
+        if x.num_rows and "total" in x.column_names]
+    total_tokens = int(sum(int(x.column("total").to_numpy().sum())
+                           for x in tot_tabs))
+
+    top_tabs = [x for x in ray.get(
+        terms.map_batches(shard_top, batch_format="pyarrow")
+        .to_arrow_refs()) if x.num_rows and "term" in x.column_names]
+    cand = (pd.concat([x.to_pandas() for x in top_tabs])
+            if top_tabs else pd.DataFrame({"term": [], "n": []}))
+    cand = cand.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(VOCAB_TOPK)
+    topk_tokens = int(cand["n"].sum())
+    return pa.table({
+        "total_tokens": pa.array([total_tokens], pa.int64()),
+        "topk_tokens": pa.array([topk_tokens], pa.int64()),
+        "coverage_permille": pa.array(
+            [topk_tokens * 1000 // max(total_tokens, 1)], pa.int64())})
+
+
+def q_cell_turnover(sf_dir: str):
+    """Place-popularity churn (per depth-8 tile: distinct users in the
+    first vs second half of the time span, overlap, Jaccard permille —
+    the venue-turnover screen): the global midpoint is the 2-scalar
+    bounds reduce; per-(tile, user) early/late flags shrink in a
+    combiner and combine across batches with MAX (max == OR on 0/1
+    flags — a packed bitmask would need bit_or, which sharded_agg does
+    not have); one bounded per-tile roll-up finishes."""
+    lo, hi = _ts_bounds(sf_dir)
+    mid = lo + (hi - lo) // 2
+
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "ts", "tile"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "user_id", "e", "l")})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "user_id": t.column("user_id").to_numpy(),
+                           "e": (ts < mid).astype(np.int64),
+                           "l": (ts >= mid).astype(np.int64)})
+        g = df.groupby(["tile", "user_id"], sort=False).agg(
+            e=("e", "max"), l=("l", "max")).reset_index()
+        for c in ("e", "l"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["tile", "user_id"],
+                        {"e": ("e", "max"), "l": ("l", "max")})
+
+    def roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tile" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "n_early", "n_late",
+                                       "n_both")})
+        e = t.column("e").to_numpy().astype(np.int64)
+        l_ = t.column("l").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "e": e, "l": l_, "b": e * l_})
+        g = df.groupby("tile", sort=False).agg(
+            n_early=("e", "sum"), n_late=("l", "sum"),
+            n_both=("b", "sum")).reset_index()
+        for c in ("n_early", "n_late", "n_both"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(pairs.map_batches(roll, batch_format="pyarrow"),
+                      ["tile"], {"n_early": ("n_early", "sum"),
+                                 "n_late": ("n_late", "sum"),
+                                 "n_both": ("n_both", "sum")})
+
+    def jac(t: pa.Table) -> pa.Table:
+        cols = ("tile", "n_early", "n_late", "n_both", "jaccard_permille")
+        if t.num_rows == 0 or "tile" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        e = t.column("n_early").to_numpy().astype(np.int64)
+        l_ = t.column("n_late").to_numpy().astype(np.int64)
+        b = t.column("n_both").to_numpy().astype(np.int64)
+        un = e + l_ - b
+        return pa.table({"tile": t.column("tile"),
+                         "n_early": pa.array(e, pa.int64()),
+                         "n_late": pa.array(l_, pa.int64()),
+                         "n_both": pa.array(b, pa.int64()),
+                         "jaccard_permille": pa.array(
+                             b * 1000 // np.maximum(un, 1), pa.int64())})
+
+    return agg.map_batches(jac, batch_format="pyarrow") \
+        .select_columns(["tile", "n_early", "n_late", "n_both",
+                         "jaccard_permille"])

@@ -49,7 +49,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "inversions", "revisits", "modal_corr",
              "lang_confusion", "source_overlap", "near_dup_rate",
              "hist_equalize", "box5", "crossmodal_recall",
-             "first_last_touch", "burstiness", "char_simpson"):
+             "first_last_touch", "burstiness", "char_simpson",
+             "fence_dwell", "vocab_tail", "cell_turnover"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
