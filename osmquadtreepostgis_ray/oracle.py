@@ -3812,6 +3812,9 @@ def build_oracles() -> dict[str, str]:
         "fence_dwell": sql_fence_dwell(),
         "vocab_tail": sql_vocab_tail(),
         "cell_turnover": sql_cell_turnover(),
+        "weekend_lift": sql_weekend_lift(),
+        "pyramid_anomaly": sql_pyramid_anomaly(),
+        "covisit_tiles": sql_covisit_tiles(),
     }
 
 
@@ -5535,3 +5538,57 @@ def sql_cell_turnover() -> str:
             // greatest(sum(e) + sum(l) - sum(e * l), 1))::BIGINT
                AS jaccard_permille
     FROM u GROUP BY tile"""
+
+
+def sql_weekend_lift() -> str:
+    """Twin of queries.q_weekend_lift: Thursday-anchored integer
+    day-of-week, 5:2-normalized rational lift."""
+    from osmquadtreepostgis_ray.queries import DAY_US
+    return f"""
+    WITH {events_geo_cte()},
+    w AS (
+        SELECT tile,
+               CASE WHEN ((epoch_us(e.ts) // {DAY_US} + 4) % 7) >= 5
+                    THEN 1 ELSE 0 END AS we
+        FROM ev JOIN events e USING (event_id)
+    )
+    SELECT tile, sum(1 - we)::BIGINT AS n_weekday,
+           sum(we)::BIGINT AS n_weekend,
+           (sum(we) * 5000 // greatest(sum(1 - we) * 2, 1))::BIGINT
+               AS lift_permille
+    FROM w GROUP BY tile"""
+
+
+def sql_pyramid_anomaly() -> str:
+    """Twin of queries.q_pyramid_anomaly: depth-12 counts, parent roll
+    via the exact cell-id arithmetic, 16x deviation."""
+    return f"""
+    WITH {events_geo_cte()},
+    c12 AS (SELECT cell, count(*) AS n FROM ev GROUP BY cell),
+    c10 AS (
+        SELECT ((cell // 64) // 16) * 64 + 10 AS p, sum(n) AS np
+        FROM c12 GROUP BY p
+    )
+    SELECT c12.cell, c12.n::BIGINT AS n, c10.np::BIGINT AS n_parent,
+           (16 * c12.n - c10.np)::BIGINT AS dev
+    FROM c12 JOIN c10 ON c10.p = ((c12.cell // 64) // 16) * 64 + 10"""
+
+
+def sql_covisit_tiles() -> str:
+    """Twin of queries.q_covisit_tiles: per-user top-M tiles by
+    (n DESC, tile ASC), unordered pair expansion, counted."""
+    from osmquadtreepostgis_ray.queries import COVISIT_M
+    return f"""
+    WITH {events_geo_cte()},
+    ut AS (SELECT user_id, tile, count(*) AS n FROM ev
+           GROUP BY user_id, tile),
+    r AS (
+        SELECT user_id, tile,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, tile) AS rk
+        FROM ut
+    ),
+    top AS (SELECT user_id, tile FROM r WHERE rk <= {COVISIT_M})
+    SELECT a.tile AS tile_a, b.tile AS tile_b, count(*)::BIGINT AS n_users
+    FROM top a JOIN top b ON b.user_id = a.user_id AND b.tile > a.tile
+    GROUP BY tile_a, tile_b"""

@@ -8233,3 +8233,177 @@ def q_cell_turnover(sf_dir: str):
     return agg.map_batches(jac, batch_format="pyarrow") \
         .select_columns(["tile", "n_early", "n_late", "n_both",
                          "jaccard_permille"])
+
+
+# ------------------- calendar lift / pyramid anomaly / co-visitation
+
+DAY_US = 86_400_000_000
+
+
+def q_weekend_lift(sf_dir: str):
+    """Weekend-vs-weekday activity lift per tile (the calendar
+    seasonality screen of footfall analytics): day-of-week from the
+    epoch by pure integer arithmetic ((days + 4) % 7, Thursday-anchored
+    like Unix), lift_permille = (n_weekend * 5 * 1000) // (n_weekday *
+    2) — the 5:2 day-count normalization kept rational.  One combiner
+    pass."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["ts", "tile"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "n_weekday", "n_weekend")})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        dow = (ts // DAY_US + 4) % 7            # 0 = Monday
+        we = (dow >= 5).astype(np.int64)
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "we": we})
+        g = df.groupby("tile", sort=False).agg(
+            n=("we", "size"), n_weekend=("we", "sum")).reset_index()
+        g["n_weekday"] = (g["n"] - g["n_weekend"]).astype(np.int64)
+        g["n_weekend"] = g["n_weekend"].astype(np.int64)
+        return pa.Table.from_pandas(g[["tile", "n_weekday", "n_weekend"]],
+                                    preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["tile"], {"n_weekday": ("n_weekday", "sum"),
+                                 "n_weekend": ("n_weekend", "sum")})
+
+    def lift(t: pa.Table) -> pa.Table:
+        cols = ("tile", "n_weekday", "n_weekend", "lift_permille")
+        if t.num_rows == 0 or "tile" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        wd = t.column("n_weekday").to_numpy().astype(np.int64)
+        we = t.column("n_weekend").to_numpy().astype(np.int64)
+        return pa.table({"tile": t.column("tile"),
+                         "n_weekday": pa.array(wd, pa.int64()),
+                         "n_weekend": pa.array(we, pa.int64()),
+                         "lift_permille": pa.array(
+                             we * 5 * 1000 // np.maximum(wd * 2, 1),
+                             pa.int64())})
+
+    return agg.map_batches(lift, batch_format="pyarrow") \
+        .select_columns(["tile", "n_weekday", "n_weekend",
+                         "lift_permille"])
+
+
+def q_pyramid_anomaly(sf_dir: str):
+    """Pyramid density anomaly (per depth-12 cell: its count vs 1/16 of
+    its depth-10 parent — the multi-resolution hotspot/outlier screen):
+    dev = 16 * n - n_parent, exact int.  The parent attaches with the
+    adaptive_tiles owner/probe shard exchange over the AGGREGATED cell
+    tables; raw events never enter it."""
+    ds = prep_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch.column("cell").to_numpy(),
+                                  return_counts=True)
+        p10 = quadtree.at_depth(cells, 10)
+        u, inv = np.unique(p10, return_inverse=True)
+        n10 = np.bincount(inv, weights=counts).astype(np.int64)
+        return pa.table({
+            "depth": pa.array(np.r_[np.full(len(cells), 12, np.int64),
+                                    np.full(len(u), 10, np.int64)],
+                              pa.int64()),
+            "cell": pa.array(np.r_[cells, u], pa.int64()),
+            "n": pa.array(np.r_[counts.astype(np.int64), n10], pa.int64())})
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["depth", "cell"], {"n": ("n", "sum")})
+
+    def fan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cell" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"key": z, "role": z, "cell": z, "n": z})
+        d = t.column("depth").to_numpy().astype(np.int64)
+        c = t.column("cell").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        own = d == 10
+        child = d == 12
+        return pa.table({
+            "key": pa.array(np.r_[c[own], quadtree.at_depth(c[child], 10)],
+                            pa.int64()),
+            "role": pa.array(np.r_[np.zeros(int(own.sum()), np.int64),
+                                   np.ones(int(child.sum()), np.int64)],
+                             pa.int64()),
+            "cell": pa.array(np.r_[c[own], c[child]], pa.int64()),
+            "n": pa.array(np.r_[n[own], n[child]], pa.int64())})
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("cell", "n", "n_parent", "dev")
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        own = df[df["role"] == 0].set_index("key")["n"]
+        ch = df[df["role"] == 1]
+        npar = own.reindex(ch["key"]).to_numpy(np.int64)
+        n = ch["n"].to_numpy(np.int64)
+        return pd.DataFrame({"cell": ch["cell"].to_numpy(np.int64),
+                             "n": n, "n_parent": npar,
+                             "dev": 16 * n - npar})
+
+    return shard_apply(agg.map_batches(fan, batch_format="pyarrow"),
+                       ["key"], dev)
+
+
+COVISIT_M = 10     # per-user top-M tiles enter the pair expansion
+
+
+def q_covisit_tiles(sf_dir: str):
+    """Tile co-visitation graph (the venue-recommendation signal:
+    tiles frequently visited by the same user): each user's top-M
+    tiles by visit count (ties -> lowest tile) expand to unordered
+    pairs, counted across users.  The cap bounds the pair fanout at
+    M^2/2 per user regardless of per-user volume — the scale guard a
+    naive distinct-pairs expansion lacks.  Exchanges: (user, tile)
+    combiner counts -> user-sharded top-M + pair expansion (in-shard
+    pair combiner) -> pair-keyed sum."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "tile"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("user_id", "tile", "n")})
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "tile": t.column("tile").to_numpy()})
+        g = df.groupby(["user_id", "tile"], sort=False).size() \
+            .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ut = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["user_id", "tile"], {"n": ("n", "sum")})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("tile_a", "tile_b", "n_users")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "n", "tile"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("user_id", sort=False).head(COVISIT_M)
+        out_a, out_b = [], []
+        for _uid, lo, hi in zip(*_user_segments(
+                top["user_id"].to_numpy(np.int64))):
+            tiles = np.sort(top["tile"].to_numpy(np.int64)[lo:hi])
+            if len(tiles) < 2:
+                continue
+            ii, jj = np.triu_indices(len(tiles), k=1)
+            out_a.append(tiles[ii])
+            out_b.append(tiles[jj])
+        if not out_a:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        df = pd.DataFrame({"tile_a": np.concatenate(out_a),
+                           "tile_b": np.concatenate(out_b)})
+        c = df.groupby(["tile_a", "tile_b"], sort=False).size() \
+            .reset_index(name="n_users")
+        c["n_users"] = c["n_users"].astype(np.int64)
+        return c
+
+    part = shard_apply(ut, ["user_id"], pairs)
+    return sharded_agg(part, ["tile_a", "tile_b"],
+                       {"n_users": ("n_users", "sum")}) \
+        .select_columns(["tile_a", "tile_b", "n_users"])

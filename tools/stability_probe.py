@@ -50,7 +50,8 @@ for name in ("tile_assign", "flagship_counts", "pip_zones", "knn_cellring", "agg
              "lang_confusion", "source_overlap", "near_dup_rate",
              "hist_equalize", "box5", "crossmodal_recall",
              "first_last_touch", "burstiness", "char_simpson",
-             "fence_dwell", "vocab_tail", "cell_turnover"):
+             "fence_dwell", "vocab_tail", "cell_turnover",
+             "weekend_lift", "pyramid_anomaly", "covisit_tiles"):
     res = E.queries()[name](sf)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
     df = df[sorted(df.columns)].sort_values(list(sorted(df.columns))).reset_index(drop=True)
