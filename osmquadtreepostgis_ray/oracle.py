@@ -3815,6 +3815,12 @@ def build_oracles() -> dict[str, str]:
         "weekend_lift": sql_weekend_lift(),
         "pyramid_anomaly": sql_pyramid_anomaly(),
         "covisit_tiles": sql_covisit_tiles(),
+        "letterbox": sql_letterbox(),
+        "radial_profile": sql_radial_profile(),
+        "quadrant_balance": sql_quadrant_balance(),
+        "script_census": sql_script_census(),
+        "prefix_dups": sql_prefix_dups(),
+        "dim_census": sql_dim_census(),
     }
 
 
@@ -5592,3 +5598,111 @@ def sql_covisit_tiles() -> str:
     SELECT a.tile AS tile_a, b.tile AS tile_b, count(*)::BIGINT AS n_users
     FROM top a JOIN top b ON b.user_id = a.user_id AND b.tile > a.tile
     GROUP BY tile_a, tile_b"""
+
+
+def sql_letterbox() -> str:
+    """Twin of queries.q_letterbox: conditional border/interior sums
+    over the decoded-pixel CTE; framed keeps the half-mean comparison
+    in exact integers on both engines."""
+    from osmquadtreepostgis_ray.stages.images import LETTERBOX_B
+    B = LETTERBOX_B
+    brd = (f"(idx % w) < {B} OR (idx % w) >= w - {B} "
+           f"OR (idx // w) < {B} OR (idx // w) >= h - {B}")
+    return f"""{_sql_decoded_pixels()},
+    s AS (
+        SELECT image_id,
+               sum(CASE WHEN {brd} THEN p ELSE 0 END)::BIGINT AS border_sum,
+               sum(CASE WHEN {brd} THEN 0 ELSE p END)::BIGINT AS inner_sum,
+               sum(CASE WHEN {brd} THEN 1 ELSE 0 END)::BIGINT AS n_border,
+               sum(CASE WHEN {brd} THEN 0 ELSE 1 END)::BIGINT AS n_inner
+        FROM dec GROUP BY image_id
+    )
+    SELECT image_id, border_sum, inner_sum, n_border, n_inner,
+           CAST(CASE WHEN border_sum * n_inner * 2 < inner_sum * n_border
+                THEN 1 ELSE 0 END AS BIGINT) AS framed
+    FROM s"""
+
+
+def sql_radial_profile() -> str:
+    """Twin of queries.q_radial_profile: depth-from-edge Chebyshev
+    rings (all operands non-negative, so DuckDB // == numpy floor)."""
+    from osmquadtreepostgis_ray.stages.images import RING_CAP
+    return f"""{_sql_decoded_pixels()}
+    SELECT CASE WHEN doc_id % 4 = 0 THEN 'qlossy' ELSE 'raw' END AS fmt,
+           least(least(least(idx % w, w - 1 - idx % w),
+                       least(idx // w, h - 1 - idx // w)) // 2,
+                 {RING_CAP - 1}) AS ring,
+           sum(p)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM dec GROUP BY 1, 2"""
+
+
+def sql_quadrant_balance() -> str:
+    """Twin of queries.q_quadrant_balance: half-plane conditional sums;
+    the dominant CASE chain replicates numpy argmax's first-max-wins
+    tie rule."""
+    qq = {"q00": "2 * (idx // w) < h AND 2 * (idx % w) < w",
+          "q01": "2 * (idx // w) < h AND 2 * (idx % w) >= w",
+          "q10": "2 * (idx // w) >= h AND 2 * (idx % w) < w",
+          "q11": "2 * (idx // w) >= h AND 2 * (idx % w) >= w"}
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN {c} THEN p ELSE 0 END)::BIGINT AS {k}"
+        for k, c in qq.items())
+    return f"""{_sql_decoded_pixels()},
+    s AS (
+        SELECT image_id,
+               {sums}
+        FROM dec GROUP BY image_id
+    )
+    SELECT image_id, q00, q01, q10, q11,
+           CAST(CASE WHEN q00 >= q01 AND q00 >= q10 AND q00 >= q11 THEN 0
+                     WHEN q01 >= q10 AND q01 >= q11 THEN 1
+                     WHEN q10 >= q11 THEN 2
+                     ELSE 3 END AS BIGINT) AS dominant
+    FROM s"""
+
+
+def sql_script_census() -> str:
+    """Twin of queries.q_script_census: regex-strip length deltas (the
+    corpus is ASCII, so length == utf8_length on both engines)."""
+    return """
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS n_chars,
+           sum(length(text)
+               - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT
+               AS n_vowels,
+           sum(length(text)
+               - length(replace(text, ' ', '')))::BIGINT AS n_spaces
+    FROM documents GROUP BY lang, source"""
+
+
+def sql_prefix_dups() -> str:
+    """Twin of queries.q_prefix_dups: substr prefix groups with more
+    than one member."""
+    from osmquadtreepostgis_ray.queries import PREFIX_K
+    return f"""
+    WITH g AS (
+        SELECT substr(text, 1, {PREFIX_K}) AS prefix,
+               count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc
+        FROM documents GROUP BY 1
+    )
+    SELECT prefix, n_docs, min_doc FROM g WHERE n_docs > 1"""
+
+
+def sql_dim_census() -> str:
+    """Twin of queries.q_dim_census: the corpus dims/fmt rules
+    (doc_id % 3 dims, % 4 fmt) as in _sql_decoded_pixels's img CTE;
+    aspect division has non-negative operands."""
+    return """
+    WITH img AS (
+        SELECT CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+               ELSE 64 END AS w,
+               CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+               ELSE 48 END AS h,
+               CASE WHEN doc_id % 4 = 0 THEN 'qlossy' ELSE 'raw' END AS fmt
+        FROM documents
+    )
+    SELECT fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+           count(*)::BIGINT AS n_images,
+           (count(*) * w * h)::BIGINT AS px_total,
+           CAST(w * 1000 // h AS BIGINT) AS aspect_permille
+    FROM img GROUP BY fmt, w, h"""

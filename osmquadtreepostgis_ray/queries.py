@@ -8407,3 +8407,177 @@ def q_covisit_tiles(sf_dir: str):
     return sharded_agg(part, ["tile_a", "tile_b"],
                        {"n_users": ("n_users", "sum")}) \
         .select_columns(["tile_a", "tile_b", "n_users"])
+
+
+def q_letterbox(sf_dir: str):
+    """Letterbox / pad-frame screen per image (2-px border vs interior
+    brightness, exact ints; stages/images.letterbox_batch).  Row-pure
+    decode; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import letterbox_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        letterbox_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_radial_profile(sf_dir: str):
+    """Radial (vignetting) profile per codec format: decode -> bounded
+    (fmt, ring, s, n) partials per batch (pixels never cross the
+    shuffle) -> one 2 x RING_CAP-row grouped sum."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import radial_ring_partial
+
+    part = read_images(sf_dir, with_bytes=True).map_batches(
+        radial_ring_partial, batch_format="pyarrow", batch_size=IMG_BATCH)
+    return sharded_agg(part, ["fmt", "ring"],
+                       {"s": ("s", "sum"), "n": ("n", "sum")}) \
+        .select_columns(["fmt", "ring", "s", "n"])
+
+
+def q_quadrant_balance(sf_dir: str):
+    """Quadrant brightness balance per image (exposure/crop-bias audit
+    with argmax-first dominant quadrant; stages/images.quadrant_batch).
+    Row-pure decode; no shuffle."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+    from osmquadtreepostgis_ray.stages.images import quadrant_batch
+
+    return read_images(sf_dir, with_bytes=True).map_batches(
+        quadrant_batch, batch_format="pyarrow", batch_size=IMG_BATCH)
+
+
+def q_script_census(sf_dir: str):
+    """Character-class census per (lang, source) — the script/quality
+    profile of a text corpus (vowel and whitespace rates expose
+    boilerplate or non-linguistic content): C-level pyarrow regex
+    counts per batch, bounded (lang, source) partials -> one small
+    grouped sum."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = ("lang", "source", "n_docs", "n_chars", "n_vowels",
+                "n_spaces")
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols[2:]}})
+        txt = t.column("text")
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "source": t.column("source").to_pandas(),
+            "n_chars": pc.utf8_length(txt).to_numpy().astype(np.int64),
+            "n_vowels": pc.count_substring_regex(txt, "[aeiou]")
+            .to_numpy().astype(np.int64),
+            "n_spaces": pc.count_substring(txt, " ")
+            .to_numpy().astype(np.int64)})
+        g = df.groupby(["lang", "source"], sort=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum"),
+            n_vowels=("n_vowels", "sum"),
+            n_spaces=("n_spaces", "sum")).reset_index()
+        for c in cols[2:]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g[list(cols)], preserve_index=False)
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "source"],
+                       {"n_docs": ("n_docs", "sum"),
+                        "n_chars": ("n_chars", "sum"),
+                        "n_vowels": ("n_vowels", "sum"),
+                        "n_spaces": ("n_spaces", "sum")}) \
+        .select_columns(["lang", "source", "n_docs", "n_chars",
+                         "n_vowels", "n_spaces"])
+
+
+PREFIX_K = 24     # boilerplate screen: exact-dup groups on first K chars
+
+
+def q_prefix_dups(sf_dir: str):
+    """Boilerplate-prefix duplicate groups (docs sharing their first
+    PREFIX_K characters — the template/header dedup screen): per-batch
+    (prefix, n, min_doc) combiner partials -> prefix-keyed grouped
+    sum -> keep groups with n_docs > 1.  Prefix strings (not full
+    texts) are all that crosses the shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "min_doc": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "prefix": pc.utf8_slice_codeunits(
+                t.column("text"), 0, PREFIX_K).to_pandas(),
+            "doc_id": t.column("doc_id").to_numpy()})
+        g = df.groupby("prefix", sort=False).agg(
+            n_docs=("doc_id", "size"),
+            min_doc=("doc_id", "min")).reset_index()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["min_doc"] = g["min_doc"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["prefix"], {"n_docs": ("n_docs", "sum"),
+                                   "min_doc": ("min_doc", "min")})
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "min_doc": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t.column("n_docs"), 1))
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow") \
+        .select_columns(["prefix", "n_docs", "min_doc"])
+
+
+def q_dim_census(sf_dir: str):
+    """Resolution / codec census over the image corpus (the curation
+    shape audit: per (fmt, w, h) image count, total pixels, integer
+    aspect ratio).  Metadata-only read — with_bytes=False never
+    synthesizes pixel payloads (prune-at-the-read)."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    ds = read_images(sf_dir, with_bytes=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = ("fmt", "w", "h", "n_images")
+        if t.num_rows == 0 or "fmt" not in t.column_names:
+            return pa.table({"fmt": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols[1:]}})
+        df = pd.DataFrame({
+            "fmt": t.column("fmt").to_pandas(),
+            "w": t.column("w").to_numpy().astype(np.int64),
+            "h": t.column("h").to_numpy().astype(np.int64)})
+        g = df.groupby(["fmt", "w", "h"], sort=False).size() \
+            .rename("n_images").reset_index()
+        g["n_images"] = g["n_images"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["fmt", "w", "h"], {"n_images": ("n_images", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ("fmt", "w", "h", "n_images", "px_total", "aspect_permille")
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table({"fmt": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols[1:]}})
+        w = t.column("w").to_numpy().astype(np.int64)
+        h = t.column("h").to_numpy().astype(np.int64)
+        n = t.column("n_images").to_numpy().astype(np.int64)
+        return pa.table({"fmt": t.column("fmt"),
+                         "w": pa.array(w, pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "n_images": pa.array(n, pa.int64()),
+                         "px_total": pa.array(n * w * h, pa.int64()),
+                         "aspect_permille": pa.array(w * 1000 // h,
+                                                     pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["fmt", "w", "h", "n_images", "px_total",
+                         "aspect_permille"])

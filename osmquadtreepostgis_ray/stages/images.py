@@ -1400,3 +1400,101 @@ def box5_batch(batch: pa.Table) -> pa.Table:
                      "box_sum": pa.array(cat(out_s), pa.int64()),
                      "box_min": pa.array(cat(out_lo), pa.int64()),
                      "box_max": pa.array(cat(out_hi), pa.int64())})
+
+
+LETTERBOX_B = 2   # frame width (px) entering the border statistic
+
+
+def letterbox_batch(batch: pa.Table) -> pa.Table:
+    """Letterbox / pad-frame screen (per image: LETTERBOX_B-px border
+    vs interior brightness — a border under half the interior's mean
+    flags padded/letterboxed training images, the crop-before-train
+    audit).  framed = border_sum * n_inner * 2 < inner_sum * n_border
+    keeps the mean comparison in exact int64.  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    bsum = np.zeros(n, np.int64)
+    tot = np.zeros(n, np.int64)
+    nb = np.zeros(n, np.int64)
+    npx = np.zeros(n, np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        x = np.arange(wi * hi, dtype=np.int64) % wi
+        y = np.arange(wi * hi, dtype=np.int64) // wi
+        border = ((x < LETTERBOX_B) | (x >= wi - LETTERBOX_B)
+                  | (y < LETTERBOX_B) | (y >= hi - LETTERBOX_B))
+        bsum[m] = dec[:, border].sum(axis=1, dtype=np.int64)
+        tot[m] = dec.sum(axis=1, dtype=np.int64)
+        nb[m] = int(border.sum())
+        npx[m] = wi * hi
+    inner = tot - bsum
+    ni = npx - nb
+    framed = (bsum * ni * 2 < inner * nb).astype(np.int64)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "border_sum": pa.array(bsum, pa.int64()),
+                     "inner_sum": pa.array(inner, pa.int64()),
+                     "n_border": pa.array(nb, pa.int64()),
+                     "n_inner": pa.array(ni, pa.int64()),
+                     "framed": pa.array(framed, pa.int64())})
+
+
+RING_CAP = 8      # rings: depth-from-edge // 2, capped at RING_CAP - 1
+
+
+def radial_ring_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (fmt, ring, s, n) radial-profile partials (the
+    vignetting / edge-darkening audit): ring = depth-from-edge // 2
+    capped at RING_CAP-1 (Chebyshev onion layers, exact int at any
+    dims).  One per-pixel-column sum + one bincount per (fmt, dims)
+    group; output bounded by 2 x RING_CAP rows per batch.  bincount
+    weights are per-batch pixel sums << 2^53, exact in float64
+    (CLAUDE.md bincount rule)."""
+    acc_s: dict[str, np.ndarray] = {}
+    acc_n: dict[str, np.ndarray] = {}
+    for _m, dec, wi, hi, f in _decoded_groups(batch):
+        x = np.arange(wi * hi, dtype=np.int64) % wi
+        y = np.arange(wi * hi, dtype=np.int64) // wi
+        depth = np.minimum(np.minimum(x, wi - 1 - x),
+                           np.minimum(y, hi - 1 - y))
+        ring = np.minimum(depth // 2, RING_CAP - 1)
+        s_pix = dec.sum(axis=0, dtype=np.int64)
+        s = np.bincount(ring, weights=s_pix,
+                        minlength=RING_CAP).astype(np.int64)
+        c = dec.shape[0] * np.bincount(ring, minlength=RING_CAP)
+        acc_s[f] = acc_s.get(f, np.zeros(RING_CAP, np.int64)) + s
+        acc_n[f] = acc_n.get(f, np.zeros(RING_CAP, np.int64)) + c
+    fmts, rings, ss, ns = [], [], [], []
+    for f, s in acc_s.items():
+        nz = np.flatnonzero(acc_n[f])
+        fmts.extend([f] * len(nz))
+        rings.append(nz.astype(np.int64))
+        ss.append(s[nz])
+        ns.append(acc_n[f][nz].astype(np.int64))
+    cat = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+    return pa.table({"fmt": pa.array(fmts, pa.string()),
+                     "ring": pa.array(cat(rings), pa.int64()),
+                     "s": pa.array(cat(ss), pa.int64()),
+                     "n": pa.array(cat(ns), pa.int64())})
+
+
+def quadrant_batch(batch: pa.Table) -> pa.Table:
+    """Quadrant brightness balance per image (the exposure/crop-bias
+    audit): exact pixel sums over the four half-plane quadrants plus
+    the dominant (brightest, ties -> lowest index) quadrant.  Row-pure."""
+    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+    n = len(ids)
+    qs = np.zeros((4, n), np.int64)
+    for m, dec, wi, hi, _f in _decoded_groups(batch):
+        x = np.arange(wi * hi, dtype=np.int64) % wi
+        y = np.arange(wi * hi, dtype=np.int64) // wi
+        for j, mask in enumerate((
+                (2 * y < hi) & (2 * x < wi), (2 * y < hi) & (2 * x >= wi),
+                (2 * y >= hi) & (2 * x < wi),
+                (2 * y >= hi) & (2 * x >= wi))):
+            qs[j][m] = dec[:, mask].sum(axis=1, dtype=np.int64)
+    dominant = np.argmax(qs, axis=0).astype(np.int64)  # first max wins
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "q00": pa.array(qs[0], pa.int64()),
+                     "q01": pa.array(qs[1], pa.int64()),
+                     "q10": pa.array(qs[2], pa.int64()),
+                     "q11": pa.array(qs[3], pa.int64()),
+                     "dominant": pa.array(dominant, pa.int64())})
