@@ -3821,6 +3821,9 @@ def build_oracles() -> dict[str, str]:
         "script_census": sql_script_census(),
         "prefix_dups": sql_prefix_dups(),
         "dim_census": sql_dim_census(),
+        "benford": sql_benford(),
+        "gap_histogram": sql_gap_histogram(),
+        "user_cell_share": sql_user_cell_share(),
     }
 
 
@@ -5706,3 +5709,63 @@ def sql_dim_census() -> str:
            (count(*) * w * h)::BIGINT AS px_total,
            CAST(w * 1000 // h AS BIGINT) AS aspect_permille
     FROM img GROUP BY fmt, w, h"""
+
+
+def sql_benford() -> str:
+    """Twin of queries.q_benford: leading digit of value cents via
+    VARCHAR substr (exact; corpus values are 2-dp >= 0.01)."""
+    return """
+    SELECT event_type,
+           CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2"""
+
+
+def sql_gap_histogram() -> str:
+    """Twin of queries.q_gap_histogram: LAG whole-second gaps per user
+    in (ts, event_id) order; bit_length bucket via an exact power-of-2
+    range join (no float log2)."""
+    from osmquadtreepostgis_ray.queries import GAP_BUCKET_CAP
+    rows = ", ".join(f"({k}, {1 << (k - 1)}, {(1 << k) - 1})"
+                     for k in range(1, GAP_BUCKET_CAP))
+    return f"""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS tu,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    g AS (
+        SELECT (tu - prev) // 1000000 AS gap_s FROM o
+        WHERE prev IS NOT NULL
+    ),
+    b AS (
+        SELECT CASE WHEN gap_s = 0 THEN 0 ELSE p.k END AS bucket
+        FROM g LEFT JOIN (VALUES {rows}) p(k, lo, hi)
+          ON g.gap_s BETWEEN p.lo AND p.hi
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, count(*)::BIGINT AS n
+    FROM b GROUP BY bucket"""
+
+
+def sql_user_cell_share() -> str:
+    """Twin of queries.q_user_cell_share: per-user top cell by
+    (n DESC, cell ASC) with exact per-mille share (operands
+    non-negative, so DuckDB // == numpy floor)."""
+    return f"""
+    WITH {events_geo_cte()},
+    uc AS (SELECT user_id, cell, count(*) AS n FROM ev
+           GROUP BY user_id, cell),
+    tot AS (SELECT user_id, sum(n) AS n_events FROM uc GROUP BY user_id),
+    r AS (
+        SELECT user_id, cell, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, cell) AS rk
+        FROM uc
+    )
+    SELECT r.user_id, r.cell AS top_cell, r.n::BIGINT AS n_top,
+           t.n_events::BIGINT AS n_events,
+           CAST(r.n * 1000 // t.n_events AS BIGINT) AS share_permille
+    FROM r JOIN tot t ON t.user_id = r.user_id
+    WHERE r.rk = 1"""

@@ -8581,3 +8581,108 @@ def q_dim_census(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow") \
         .select_columns(["fmt", "w", "h", "n_images", "px_total",
                          "aspect_permille"])
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit census of value cents per event_type (the
+    fabricated-data / unit-mismatch screen): vectorized digit peel per
+    batch (loop over magnitude, not rows), bounded (type, digit)
+    partials -> one <= 5 x 9-row grouped sum.  Corpus values are
+    2-dp >= 0.01, so cents >= 1 on both engines."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        while True:
+            m = d >= 10
+            if not m.any():
+                break
+            d[m] //= 10
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "digit": d})
+        g = df.groupby(["event_type", "digit"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "digit"], {"n": ("n", "sum")}) \
+        .select_columns(["event_type", "digit", "n"])
+
+
+GAP_BUCKET_CAP = 42   # bit_length of a whole-second gap; span < 2^41 s
+
+
+def q_gap_histogram(sf_dir: str):
+    """Inter-event gap histogram (log2 buckets, the session-cadence
+    census): per user, consecutive gaps in (ts, event_id) order in
+    whole seconds; bucket = bit_length(gap_s) (0 for a 0-s gap) —
+    exact int on both engines (no float log2).  User-sharded sort +
+    diff emits bounded per-shard bucket partials; one tiny grouped
+    sum finishes."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "event_id", "ts"])
+    pow2 = 1 << np.arange(GAP_BUCKET_CAP, dtype=np.int64)
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        tu = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        gap_s = np.diff(tu) // 1_000_000
+        same = np.diff(uid) == 0
+        bucket = np.searchsorted(pow2, gap_s[same], side="right") \
+            .astype(np.int64)
+        u, n = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": u, "n": n.astype(np.int64)})
+
+    part = shard_apply(ds, ["user_id"], hist)
+    return sharded_agg(part, ["bucket"], {"n": ("n", "sum")}) \
+        .select_columns(["bucket", "n"])
+
+
+def q_user_cell_share(sf_dir: str):
+    """Per-user dominant-cell concentration (home-location share, the
+    k-anonymity / bot-behavior screen): each user's top cell by visit
+    count (ties -> lowest cell) and its per-mille share of the user's
+    events.  (user, cell) combiner counts -> user-sharded top-1."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("user_id", "cell", "n")})
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "cell": t.column("cell").to_numpy()})
+        g = df.groupby(["user_id", "cell"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uc = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["user_id", "cell"], {"n": ("n", "sum")})
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "top_cell", "n_top", "n_events",
+                "share_permille")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "n", "cell"],
+                          ascending=[True, False, True], kind="mergesort")
+        tot = g.groupby("user_id", sort=False)["n"].sum()
+        top = g.groupby("user_id", sort=False).head(1)
+        n_ev = tot.reindex(top["user_id"]).to_numpy(np.int64)
+        n_top = top["n"].to_numpy(np.int64)
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                             "top_cell": top["cell"].to_numpy(np.int64),
+                             "n_top": n_top, "n_events": n_ev,
+                             "share_permille": n_top * 1000 // n_ev})
+
+    return shard_apply(uc, ["user_id"], top1)
