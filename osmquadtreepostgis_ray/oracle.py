@@ -3824,6 +3824,9 @@ def build_oracles() -> dict[str, str]:
         "benford": sql_benford(),
         "gap_histogram": sql_gap_histogram(),
         "user_cell_share": sql_user_cell_share(),
+        "tile_distinct_users": sql_tile_distinct_users(),
+        "video_cuts": sql_video_cuts(),
+        "source_ttr": sql_source_ttr(),
     }
 
 
@@ -5769,3 +5772,49 @@ def sql_user_cell_share() -> str:
            CAST(r.n * 1000 // t.n_events AS BIGINT) AS share_permille
     FROM r JOIN tot t ON t.user_id = r.user_id
     WHERE r.rk = 1"""
+
+
+def sql_tile_distinct_users() -> str:
+    """Twin of queries.q_tile_distinct_users: exact COUNT(DISTINCT)
+    per tile (the sketchless twin of sql_hll_sketch)."""
+    return f"""
+    WITH {events_geo_cte()}
+    SELECT tile, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM ev GROUP BY tile"""
+
+
+def sql_video_cuts() -> str:
+    """Twin of queries.q_video_cuts: frame-pair changed-pixel counts
+    (the sql_dup_frames join) thresholded at CUT_T; first_cut -1 when
+    no pair exceeds it."""
+    from osmquadtreepostgis_ray.queries import CUT_T
+    return f"""
+    WITH d AS ({sql_dup_frames()})
+    SELECT video_id,
+           sum(CASE WHEN n_changed > {CUT_T} THEN 1 ELSE 0 END)::BIGINT
+               AS n_cuts,
+           coalesce(min(CASE WHEN n_changed > {CUT_T} THEN f END),
+                    -1)::BIGINT AS first_cut
+    FROM d GROUP BY video_id"""
+
+
+def sql_source_ttr() -> str:
+    """Twin of queries.q_source_ttr: distinct words vs whitespace
+    tokens per source (the _word_tokens_cte split semantics); the
+    per-mille division has non-negative operands."""
+    return f"""
+    WITH {_word_tokens_cte()},
+    sw AS (
+        SELECT d.source, t.w, count(*) AS n_tok
+        FROM t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY d.source, t.w
+    ),
+    s AS (
+        SELECT source, count(*)::BIGINT AS n_terms,
+               sum(n_tok)::BIGINT AS n_tokens
+        FROM sw GROUP BY source
+    )
+    SELECT source, n_terms, n_tokens,
+           CAST(n_terms * 1000 // greatest(n_tokens, 1) AS BIGINT)
+               AS ttr_permille
+    FROM s"""

@@ -8686,3 +8686,149 @@ def q_user_cell_share(sf_dir: str):
                              "share_permille": n_top * 1000 // n_ev})
 
     return shard_apply(uc, ["user_id"], top1)
+
+
+def q_tile_distinct_users(sf_dir: str):
+    """Exact distinct users per tile — the exact twin of the HLL
+    sketch path (q_hll_sketch docstring: the sketch replaces THIS
+    shuffle at 100 TB; keeping both documents the trade): per-batch
+    (tile, user) dedupe so the shuffle carries unique pairs, then a
+    tile-sharded nunique."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tile", "user_id")})
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "user_id": t.column("user_id").to_numpy()}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"tile": pd.Series([], dtype=np.int64),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        out = g.groupby("tile", sort=False)["user_id"].nunique() \
+            .rename("n_users").reset_index()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return shard_apply(pairs, ["tile"], count)
+
+
+CUT_T = 192   # frames with > CUT_T changed pixels (of 256) are cuts
+
+
+def q_video_cuts(sf_dir: str):
+    """Shot-boundary detection per video (the scene-cut census a video
+    curation pipeline runs before frame sampling): frame pairs whose
+    changed-pixel count exceeds CUT_T are cuts; reports per-video cut
+    count and first cut frame (-1 when none).  Frame diffs are row-pure
+    (stages/images.frame_diff_batch); only (video, flag, f) partials
+    cross the video-keyed shuffle."""
+    from osmquadtreepostgis_ray.stages.images import (CUT_SENTINEL,
+                                                      frame_diff_batch,
+                                                      synth_videos_batch)
+
+    vids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth_videos_batch, batch_format="pyarrow")
+    diffs = vids.map_batches(frame_diff_batch, batch_format="pyarrow",
+                             batch_size=IMG_BATCH)
+
+    def mark(t: pa.Table) -> pa.Table:
+        cols = ("video_id", "is_cut", "cut_f")
+        if t.num_rows == 0 or "video_id" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        f = t.column("f").to_numpy().astype(np.int64)
+        cut = (t.column("n_changed").to_numpy() > CUT_T)
+        return pa.table({
+            "video_id": t.column("video_id"),
+            "is_cut": pa.array(cut.astype(np.int64), pa.int64()),
+            "cut_f": pa.array(np.where(cut, f, CUT_SENTINEL), pa.int64())})
+
+    agg = sharded_agg(diffs.map_batches(mark, batch_format="pyarrow"),
+                      ["video_id"], {"n_cuts": ("is_cut", "sum"),
+                                     "first_cut": ("cut_f", "min")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ("video_id", "n_cuts", "first_cut")
+        if t.num_rows == 0 or "video_id" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        fc = t.column("first_cut").to_numpy().astype(np.int64)
+        return pa.table({"video_id": t.column("video_id"),
+                         "n_cuts": t.column("n_cuts").cast(pa.int64()),
+                         "first_cut": pa.array(
+                             np.where(fc == CUT_SENTINEL, -1, fc),
+                             pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["video_id", "n_cuts", "first_cut"])
+
+
+def q_source_ttr(sf_dir: str):
+    """Type-token ratio per source (lexical-diversity audit — low TTR
+    flags templated/boilerplate sources): distinct-word and token
+    counts meet in exact per-mille.  Per-batch (source, word) dedupe +
+    token counts; two tiny keyed shuffles (unique pairs, then a
+    20-row source sum)."""
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "n_tok": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(t.column("text"))
+        n = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_pandas()
+        src = np.repeat(t.column("source").to_pandas().to_numpy(), n)
+        df = pd.DataFrame({"source": src, "w": flat})
+        df = df[df["w"] != ""]
+        g = df.groupby(["source", "w"], sort=False).size() \
+            .rename("n_tok").reset_index()
+        g["n_tok"] = g["n_tok"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sw = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["source", "w"], {"n_tok": ("n_tok", "sum")})
+
+    def per_source(t: pa.Table) -> pa.Table:
+        cols = ("source", "n_terms", "n_tokens")
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols[1:]}})
+        df = pd.DataFrame({"source": t.column("source").to_pandas(),
+                           "n_tok": t.column("n_tok").to_numpy()})
+        g = df.groupby("source", sort=False).agg(
+            n_terms=("n_tok", "size"), n_tokens=("n_tok", "sum")) \
+            .reset_index()
+        for c in cols[1:]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = sharded_agg(sw.map_batches(per_source, batch_format="pyarrow"),
+                      ["source"], {"n_terms": ("n_terms", "sum"),
+                                   "n_tokens": ("n_tokens", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ("source", "n_terms", "n_tokens", "ttr_permille")
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols[1:]}})
+        terms = t.column("n_terms").to_numpy().astype(np.int64)
+        toks = t.column("n_tokens").to_numpy().astype(np.int64)
+        return pa.table({"source": t.column("source"),
+                         "n_terms": pa.array(terms, pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64()),
+                         "ttr_permille": pa.array(
+                             terms * 1000 // np.maximum(toks, 1),
+                             pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["source", "n_terms", "n_tokens", "ttr_permille"])

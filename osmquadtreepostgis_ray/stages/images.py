@@ -1498,3 +1498,6 @@ def quadrant_batch(batch: pa.Table) -> pa.Table:
                      "q10": pa.array(qs[2], pa.int64()),
                      "q11": pa.array(qs[3], pa.int64()),
                      "dominant": pa.array(dominant, pa.int64())})
+
+
+CUT_SENTINEL = 1 << 62   # "no cut" placeholder for min-reduction
