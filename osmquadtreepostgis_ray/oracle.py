@@ -3827,6 +3827,9 @@ def build_oracles() -> dict[str, str]:
         "tile_distinct_users": sql_tile_distinct_users(),
         "video_cuts": sql_video_cuts(),
         "source_ttr": sql_source_ttr(),
+        "dow_profile": sql_dow_profile(),
+        "occupancy_curve": sql_occupancy_curve(),
+        "active_days": sql_active_days(),
     }
 
 
@@ -5818,3 +5821,44 @@ def sql_source_ttr() -> str:
            CAST(n_terms * 1000 // greatest(n_tokens, 1) AS BIGINT)
                AS ttr_permille
     FROM s"""
+
+
+def sql_dow_profile() -> str:
+    """Twin of queries.q_dow_profile: same epoch-day dow convention as
+    sql_weekend_lift (0 = Monday), exact cents."""
+    return """
+    SELECT event_type,
+           CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+               AS sum_value_cents
+    FROM events GROUP BY 1, 2"""
+
+
+def sql_occupancy_curve() -> str:
+    """Twin of queries.q_occupancy_curve: per-depth occupied-cell
+    counts over the three OCC_DEPTHS resolutions (UNION ALL of
+    depth-rollup aggregates)."""
+    from osmquadtreepostgis_ray.queries import OCC_DEPTHS
+    lon, lat = geotag.event_lonlat_milli_sql()
+    parts = []
+    for d in OCC_DEPTHS:
+        parts.append(f"""
+        SELECT CAST({d} AS BIGINT) AS depth, count(*)::BIGINT AS n_cells,
+               max(n)::BIGINT AS max_cell, sum(n)::BIGINT AS n_events
+        FROM (SELECT {_cell_expr(lon, lat, d)} AS cell, count(*) AS n
+              FROM events GROUP BY 1)""")
+    return " UNION ALL ".join(parts)
+
+
+def sql_active_days() -> str:
+    """Twin of queries.q_active_days: distinct epoch-days per user,
+    histogrammed."""
+    return """
+    WITH ud AS (
+        SELECT user_id,
+               count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days, count(*)::BIGINT AS n_users
+    FROM ud GROUP BY n_days"""

@@ -8832,3 +8832,119 @@ def q_source_ttr(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .select_columns(["source", "n_terms", "n_tokens", "ttr_permille"])
+
+
+def q_dow_profile(sf_dir: str):
+    """Traffic/value profile per (event_type, day-of-week) — the
+    seasonality census behind sampling quotas: exact cents sums,
+    bounded 5 x 7 partials per batch."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "dow": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_value_cents": pa.array([], pa.int64())})
+        tu = t.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "dow": (tu // DAY_US + 4) % 7,   # 0 = Monday
+            "cents": np.rint(t.column("value").to_numpy() * 100)
+            .astype(np.int64)})
+        g = df.groupby(["event_type", "dow"], sort=False).agg(
+            n=("cents", "size"),
+            sum_value_cents=("cents", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_value_cents"] = g["sum_value_cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "dow"],
+                       {"n": ("n", "sum"),
+                        "sum_value_cents": ("sum_value_cents", "sum")}) \
+        .select_columns(["event_type", "dow", "n", "sum_value_cents"])
+
+
+OCC_DEPTHS = (8, 10, 12)   # quadtree occupancy profile resolutions
+
+
+def q_occupancy_curve(sf_dir: str):
+    """Quadtree occupancy curve (per depth: occupied cells, max and
+    total per-cell count — the statistic the adaptive-tiles split rule
+    reads): per-batch per-depth cell counts -> (depth, cell)-sharded
+    sum -> a 3-row per-depth reduce.  Raw events collapse to unique
+    cells in the first combiner; the shuffle carries cell partials."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = ("depth", "cell", "n")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        c12 = t.column("cell").to_numpy()
+        ds_, cs, ns = [], [], []
+        for d in OCC_DEPTHS:
+            u, n = np.unique(quadtree.at_depth(c12, d), return_counts=True)
+            ds_.append(np.full(len(u), d, np.int64))
+            cs.append(u.astype(np.int64))
+            ns.append(n.astype(np.int64))
+        return pa.table({"depth": pa.array(np.concatenate(ds_), pa.int64()),
+                         "cell": pa.array(np.concatenate(cs), pa.int64()),
+                         "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    per_cell = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["depth", "cell"], {"n": ("n", "sum")})
+
+    def per_depth(t: pa.Table) -> pa.Table:
+        cols = ("depth", "n_cells", "max_cell", "n_events")
+        if t.num_rows == 0 or "depth" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        df = pd.DataFrame({"depth": t.column("depth").to_numpy(),
+                           "n": t.column("n").to_numpy()})
+        g = df.groupby("depth", sort=False).agg(
+            n_cells=("n", "size"), max_cell=("n", "max"),
+            n_events=("n", "sum")).reset_index()
+        for c in cols[1:]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return sharded_agg(per_cell.map_batches(per_depth,
+                                            batch_format="pyarrow"),
+                       ["depth"], {"n_cells": ("n_cells", "sum"),
+                                   "max_cell": ("max_cell", "max"),
+                                   "n_events": ("n_events", "sum")}) \
+        .select_columns(["depth", "n_cells", "max_cell", "n_events"])
+
+
+def q_active_days(sf_dir: str):
+    """Engagement census: histogram of distinct active days per user
+    (the retention-cohort input): per-batch (user, day) dedupe ->
+    user-sharded distinct-day counts -> a tiny histogram sum."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("user_id", "day")})
+        tu = t.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "day": tu // DAY_US}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def ndays(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"n_days": pd.Series([], dtype=np.int64),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        per_user = g.groupby("user_id", sort=False)["day"].nunique()
+        h = per_user.value_counts().rename("n_users").reset_index()
+        h.columns = ["n_days", "n_users"]
+        h["n_days"] = h["n_days"].astype(np.int64)
+        h["n_users"] = h["n_users"].astype(np.int64)
+        return h
+
+    part = shard_apply(pairs, ["user_id"], ndays)
+    return sharded_agg(part, ["n_days"], {"n_users": ("n_users", "sum")}) \
+        .select_columns(["n_days", "n_users"])
