@@ -3830,6 +3830,9 @@ def build_oracles() -> dict[str, str]:
         "dow_profile": sql_dow_profile(),
         "occupancy_curve": sql_occupancy_curve(),
         "active_days": sql_active_days(),
+        "word_len_hist": sql_word_len_hist(),
+        "child_occupancy": sql_child_occupancy(),
+        "phash_bits": sql_phash_bits(),
     }
 
 
@@ -5862,3 +5865,46 @@ def sql_active_days() -> str:
     )
     SELECT CAST(n_days AS BIGINT) AS n_days, count(*)::BIGINT AS n_users
     FROM ud GROUP BY n_days"""
+
+
+def sql_word_len_hist() -> str:
+    """Twin of queries.q_word_len_hist: token lengths over the
+    whitespace-token CTE, joined back for lang."""
+    return f"""
+    WITH {_word_tokens_cte()}
+    SELECT d.lang, CAST(length(t.w) AS BIGINT) AS wlen,
+           count(*)::BIGINT AS n
+    FROM t JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY 1, 2"""
+
+
+def sql_child_occupancy() -> str:
+    """Twin of queries.q_child_occupancy: distinct depth-10 cells ->
+    per depth-8 tile child counts -> histogram."""
+    from osmquadtreepostgis_ray.queries import CHILD_DEPTH
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH c AS (
+        SELECT DISTINCT {_cell_expr(lon, lat, CHILD_DEPTH)} AS c10,
+               {_cell_expr(lon, lat, TILE_DEPTH)} AS tile
+        FROM events
+    ),
+    pt AS (SELECT tile, count(DISTINCT c10) AS k FROM c GROUP BY tile)
+    SELECT CAST(k AS BIGINT) AS n_children, count(*)::BIGINT AS n_tiles
+    FROM pt GROUP BY k"""
+
+
+def sql_phash_bits() -> str:
+    """Twin of queries.q_phash_bits: phash is non-negative (< 2^42 by
+    construction), so (phash // 2^k) % 2 is the exact bit on both
+    engines."""
+    from osmquadtreepostgis_ray.queries import PHASH_BITS
+    ph = geotag.phash_sql("doc_id")
+    ks = ", ".join(f"({k})" for k in range(PHASH_BITS))
+    return f"""
+    WITH img AS (SELECT {ph} AS phash FROM documents),
+    bits AS (SELECT * FROM (VALUES {ks}) b(k))
+    SELECT CAST(b.k AS BIGINT) AS bit,
+           sum((i.phash // power(2, b.k)::BIGINT) % 2)::BIGINT AS n_set
+    FROM img i CROSS JOIN bits b
+    GROUP BY b.k"""

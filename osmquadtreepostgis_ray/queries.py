@@ -8948,3 +8948,114 @@ def q_active_days(sf_dir: str):
     part = shard_apply(pairs, ["user_id"], ndays)
     return sharded_agg(part, ["n_days"], {"n_users": ("n_users", "sum")}) \
         .select_columns(["n_days", "n_users"])
+
+
+def q_word_len_hist(sf_dir: str):
+    """Token-length histogram per language (the tokenizer-shape audit:
+    length spectra expose concatenation bugs and script mixing):
+    C-level split + length per batch, bounded (lang, wlen) partials."""
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = ("lang", "wlen", "n")
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "wlen": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.utf8_split_whitespace(t.column("text"))
+        nlist = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+        wlen = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        lang = np.repeat(t.column("lang").to_pandas().to_numpy(), nlist)
+        keep = wlen > 0                      # str.split drops empties
+        df = pd.DataFrame({"lang": lang[keep], "wlen": wlen[keep]})
+        g = df.groupby(["lang", "wlen"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g[list(cols)], preserve_index=False)
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "wlen"], {"n": ("n", "sum")}) \
+        .select_columns(["lang", "wlen", "n"])
+
+
+CHILD_DEPTH = 10   # child-occupancy census: depth-8 tiles, depth-10 kids
+
+
+def q_child_occupancy(sf_dir: str):
+    """Child-occupancy census (per depth-8 tile, how many of its 16
+    depth-10 children are occupied — the direct input to a quadtree
+    split rule; complements q_occupancy_curve/q_pyramid_anomaly):
+    batch-level unique child cells -> cell-sharded dedupe -> per-tile
+    child counts -> a <= 16-row histogram."""
+    ds = prep_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c10": pa.array([], pa.int64())})
+        u = np.unique(quadtree.at_depth(t.column("cell").to_numpy(),
+                                        CHILD_DEPTH))
+        return pa.table({"c10": pa.array(u.astype(np.int64), pa.int64())})
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    uniq = shard_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["c10"], dedupe)
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c10" not in t.column_names:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        c10 = t.column("c10").to_numpy()
+        u, n = np.unique(quadtree.at_depth(c10, TILE_DEPTH),
+                         return_counts=True)
+        return pa.table({"tile": pa.array(u.astype(np.int64), pa.int64()),
+                         "k": pa.array(n.astype(np.int64), pa.int64())})
+
+    per_tile = sharded_agg(uniq.map_batches(to_parent,
+                                            batch_format="pyarrow"),
+                           ["tile"], {"k": ("k", "sum")})
+
+    def hist(t: pa.Table) -> pa.Table:
+        cols = ("n_children", "n_tiles")
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u, n = np.unique(t.column("k").to_numpy(), return_counts=True)
+        return pa.table({"n_children": pa.array(u.astype(np.int64),
+                                                pa.int64()),
+                         "n_tiles": pa.array(n.astype(np.int64),
+                                             pa.int64())})
+
+    return sharded_agg(per_tile.map_batches(hist, batch_format="pyarrow"),
+                       ["n_children"], {"n_tiles": ("n_tiles", "sum")}) \
+        .select_columns(["n_children", "n_tiles"])
+
+
+PHASH_BITS = 48   # phash < 2^42; audit the low 48 bit positions
+
+
+def q_phash_bits(sf_dir: str):
+    """Per-bit balance of the perceptual hash (the hash-quality audit
+    behind every banded/LSH near-dup op: a biased bit weakens its
+    band): per-batch 48 vectorized popcounts, bounded partials (one
+    row per bit position, zeros included)."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    ds = read_images(sf_dir, with_bytes=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "phash" not in t.column_names:
+            return pa.table({"bit": pa.array([], pa.int64()),
+                             "n_set": pa.array([], pa.int64())})
+        ph = t.column("phash").to_numpy().astype(np.int64)
+        ns = np.array([int(((ph >> k) & 1).sum())
+                       for k in range(PHASH_BITS)], np.int64)
+        return pa.table({"bit": pa.array(np.arange(PHASH_BITS, dtype=np.int64),
+                                         pa.int64()),
+                         "n_set": pa.array(ns, pa.int64())})
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["bit"], {"n_set": ("n_set", "sum")}) \
+        .select_columns(["bit", "n_set"])
