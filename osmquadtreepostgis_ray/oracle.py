@@ -3833,6 +3833,8 @@ def build_oracles() -> dict[str, str]:
         "word_len_hist": sql_word_len_hist(),
         "child_occupancy": sql_child_occupancy(),
         "phash_bits": sql_phash_bits(),
+        "caption_len_by_dims": sql_caption_len_by_dims(),
+        "tile_type_diversity": sql_tile_type_diversity(),
     }
 
 
@@ -5908,3 +5910,29 @@ def sql_phash_bits() -> str:
            sum((i.phash // power(2, b.k)::BIGINT) % 2)::BIGINT AS n_set
     FROM img i CROSS JOIN bits b
     GROUP BY b.k"""
+
+
+def sql_caption_len_by_dims() -> str:
+    """Twin of queries.q_caption_len_by_dims: the corpus dims rule
+    (doc_id % 3) with caption = documents.text."""
+    return """
+    SELECT CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+                ELSE 64 END AS BIGINT) AS w,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+                ELSE 48 END AS BIGINT) AS h,
+           count(*)::BIGINT AS n_images,
+           sum(length(text))::BIGINT AS sum_chars,
+           max(length(text))::BIGINT AS max_chars
+    FROM documents GROUP BY 1, 2"""
+
+
+def sql_tile_type_diversity() -> str:
+    """Twin of queries.q_tile_type_diversity: distinct event types per
+    tile, histogrammed."""
+    return f"""
+    WITH {events_geo_cte()},
+    tt AS (SELECT e.tile, count(DISTINCT ev2.event_type) AS k
+           FROM ev e JOIN events ev2 ON ev2.event_id = e.event_id
+           GROUP BY e.tile)
+    SELECT CAST(k AS BIGINT) AS n_types, count(*)::BIGINT AS n_tiles
+    FROM tt GROUP BY k"""

@@ -9059,3 +9059,87 @@ def q_phash_bits(sf_dir: str):
     return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
                        ["bit"], {"n_set": ("n_set", "sum")}) \
         .select_columns(["bit", "n_set"])
+
+
+def q_caption_len_by_dims(sf_dir: str):
+    """Caption-length profile per image resolution (the multimodal
+    curation balance check: are small images systematically
+    under-captioned?): metadata-only read (payloads never
+    synthesized), bounded (w, h) partials."""
+    from osmquadtreepostgis_ray.sources.images import read_images
+
+    ds = read_images(sf_dir, with_bytes=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = ("w", "h", "n_images", "sum_chars", "max_chars")
+        if t.num_rows == 0 or "caption" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        df = pd.DataFrame({
+            "w": t.column("w").to_numpy().astype(np.int64),
+            "h": t.column("h").to_numpy().astype(np.int64),
+            "nc": pc.utf8_length(t.column("caption")).to_numpy()
+            .astype(np.int64)})
+        g = df.groupby(["w", "h"], sort=False).agg(
+            n_images=("nc", "size"), sum_chars=("nc", "sum"),
+            max_chars=("nc", "max")).reset_index()
+        for c in cols[2:]:
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g[list(cols)], preserve_index=False)
+
+    return sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["w", "h"], {"n_images": ("n_images", "sum"),
+                                    "sum_chars": ("sum_chars", "sum"),
+                                    "max_chars": ("max_chars", "max")}) \
+        .select_columns(["w", "h", "n_images", "sum_chars", "max_chars"])
+
+
+def q_tile_type_diversity(sf_dir: str):
+    """Event-type diversity per tile, histogrammed (how mixed is each
+    tile's activity — the land-use-mix analog): batch-level unique
+    (tile, type) pairs -> pair-sharded dedupe -> per-tile distinct
+    counts -> a <= 5-row histogram."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id",
+                                      "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string())})
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "event_type":
+                           t.column("event_type").to_pandas()}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    uniq = shard_apply(pairs, ["tile", "event_type"], dedupe)
+
+    def per_tile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tile" not in t.column_names:
+            return pa.table({"tile": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        u, n = np.unique(t.column("tile").to_numpy(), return_counts=True)
+        return pa.table({"tile": pa.array(u.astype(np.int64), pa.int64()),
+                         "k": pa.array(n.astype(np.int64), pa.int64())})
+
+    per = sharded_agg(uniq.map_batches(per_tile, batch_format="pyarrow"),
+                      ["tile"], {"k": ("k", "sum")})
+
+    def hist(t: pa.Table) -> pa.Table:
+        cols = ("n_types", "n_tiles")
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u, n = np.unique(t.column("k").to_numpy(), return_counts=True)
+        return pa.table({"n_types": pa.array(u.astype(np.int64),
+                                             pa.int64()),
+                         "n_tiles": pa.array(n.astype(np.int64),
+                                             pa.int64())})
+
+    return sharded_agg(per.map_batches(hist, batch_format="pyarrow"),
+                       ["n_types"], {"n_tiles": ("n_tiles", "sum")}) \
+        .select_columns(["n_types", "n_tiles"])
