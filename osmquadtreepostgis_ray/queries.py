@@ -6183,11 +6183,15 @@ def q_link_jaccard(sf_dir: str):
     common neighbor, with exact common / degree counts and
     jaccard_milli = common*1000 // (deg1 + deg2 - common) (denominator
     > 0 since common >= 1 and deg >= common — non-negative floor div).
-    Wedge fanout per center is deg^2 (bounded ~4 on the chain graph;
-    hub-skewed graphs want the degree-split the q_triangles degree plan
-    documents).  Pipeline: undirected fanout (row-pure) -> center-
-    sharded pair expansion -> pair-sharded count -> packed-key anti
-    join against the edge set -> two degree attaches."""
+    Wedge fanout per center is deg^2 — inherent output, but hub-guarded
+    EXACTLY via stages/graph.wedge_pairs: each center's neighbor list
+    splits into ceil(deg/chunk) chunks and its pairs expand per
+    (u, c1, c2) chunk-pair shard, so no single shard holds a hub's
+    deg^2 rows (tests/test_shard_apply.py star-graph bound).
+    Pipeline: undirected fanout (row-pure) -> chunk-fanned pair
+    expansion -> pair-sharded count -> packed-key anti join against
+    the edge set -> two degree attaches."""
+    from osmquadtreepostgis_ray.stages.graph import wedge_pairs
     from osmquadtreepostgis_ray.stages.joins import (bucket_hash_join,
                                                      bucket_semi_join)
 
@@ -6221,20 +6225,7 @@ def q_link_jaccard(sf_dir: str):
     deg = sharded_agg(u.map_batches(degp, batch_format="pyarrow"),
                       ["node"], {"deg": ("deg", "sum")})
 
-    def wedge(df: pd.DataFrame) -> pd.DataFrame:
-        cols = ("v1", "v2", "c")
-        if not len(df):
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
-        m = df.merge(df, on="u", suffixes=("_1", "_2"))
-        m = m[m["v_1"] < m["v_2"]]
-        g = (pd.DataFrame({"v1": m["v_1"].to_numpy(np.int64),
-                           "v2": m["v_2"].to_numpy(np.int64)})
-             .groupby(["v1", "v2"], as_index=False, sort=False)
-             .size().rename(columns={"size": "c"}))
-        return g
-
-    pairs = sharded_agg(shard_apply(u, ["u"], wedge),
+    pairs = sharded_agg(wedge_pairs(u),
                         ["v1", "v2"], {"common": ("c", "sum")})
 
     def keyed(t: pa.Table) -> pa.Table:

@@ -30,11 +30,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from osmquadtreepostgis_ray.stages.joins import bucket_hash_join
-from osmquadtreepostgis_ray.util import sharded_agg
+from osmquadtreepostgis_ray.util import shard_apply, sharded_agg
 
 PR_SCALE = 1_000_000
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -153,20 +154,31 @@ def _alive_degree_of(tab: pa.Table, alive_ref) -> tuple:
 
 
 def kcore_peel(edges: ray.data.Dataset, k: int = 2,
-               max_rounds: int = 8) -> ray.data.Dataset:
+               max_rounds: int = 8,
+               broadcast_nodes_max: int = 1_000_000) -> ray.data.Dataset:
     """Iterative k-core decomposition (the degeneracy peel behind graph
     dedup/community screens): repeatedly drop nodes whose degree within
     the remaining subgraph is < k; return survivors with their final
     in-core degree.
 
-    Same broadcast plan as _pagerank_broadcast: the SYMMETRIC (src,
-    dst) edge list is materialized once; each round ships one alive
-    bitvector via ray.put and runs one embarrassingly parallel edge
-    pass (zero shuffles per round).  Convergence must land within
-    ``max_rounds`` — the caller picks a graph-structural bound (peel
-    depth, not diameter) and the SQL twin unrolls the same count; a
-    non-converged peel raises rather than returning a wrong core."""
+    Two plans behind one API, the pagerank admission rule: while the
+    node table fits a worker (``broadcast_nodes_max``) each round ships
+    one alive bitvector via ray.put and runs one embarrassingly
+    parallel edge pass (zero shuffles per round); past that bound each
+    round is two bucket semi-joins (alive endpoints) + one sharded
+    degree count — per-worker state stays block-sized, only scalars
+    (the survivor count) reach the driver.  Both plans produce
+    identical tables (tests/test_shard_apply.py plan-equivalence).
+    Convergence must land within ``max_rounds`` — the caller picks a
+    graph-structural bound (peel depth, not diameter) and the SQL twin
+    unrolls the same count; a non-converged peel raises rather than
+    returning a wrong core."""
     edges = edges.materialize()
+    if k >= 1:
+        n_nodes = sharded_agg(edges, ["src"],
+                              {"d": ("src", "count")}).count()
+        if n_nodes > broadcast_nodes_max:
+            return _kcore_bucketed(edges, k, max_rounds)
     tabs = [t for t in ray.get(edges.to_arrow_refs())
             if t.num_rows and "src" in t.column_names]
     ids = np.unique(np.concatenate(
@@ -193,6 +205,45 @@ def kcore_peel(edges: ray.data.Dataset, k: int = 2,
         "deg": pa.array(deg[alive], pa.int64())}))
 
 
+def _kcore_bucketed(edges, k: int, max_rounds: int) -> ray.data.Dataset:
+    """Data-scaled peel plan (k >= 1): the alive set is a Dataset, each
+    round two bucket semi-joins keep only alive-alive edges and a
+    sharded count yields the in-core degree.  Alive only shrinks and
+    survivors are a subset, so survivor-count equality IS set equality
+    — the convergence test costs one scalar per round."""
+    alive = sharded_agg(edges, ["src"],
+                        {"d": ("src", "count")}).materialize()
+    n_alive = alive.count()
+    deg = alive  # (src, d) of the current alive set
+
+    for _ in range(max_rounds):
+        ids_src = deg.map_batches(lambda t: t.select(["src"]),
+                                  batch_format="pyarrow")
+        ids_dst = deg.map_batches(
+            lambda t: pa.table({"dst": t.column("src")}),
+            batch_format="pyarrow")
+        ea = bucket_hash_join(
+            bucket_hash_join(edges, ids_src, on="src"), ids_dst, on="dst")
+        deg = sharded_agg(ea, ["src"], {"d": ("src", "count")})
+        # typed-union join floats int key columns (CLAUDE.md) — cast back
+        deg = deg.map_batches(
+            lambda t, _k=k: (lambda f: pa.table({
+                "src": f.column("src").cast(pa.int64()),
+                "d": f.column("d").cast(pa.int64())}))(
+                t.filter(pc.greater_equal(t.column("d"), _k))),
+            batch_format="pyarrow").materialize()
+        n_new = deg.count()
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_rounds} "
+                           f"rounds; raise max_rounds (and the SQL unroll)")
+    return deg.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "deg": t.column("d")}),
+        batch_format="pyarrow")
+
+
 BFS_INF = np.int64(1) << 40
 
 
@@ -217,19 +268,27 @@ def _relax_of(tab: pa.Table, state_ref) -> tuple:
 
 
 def bfs_hops(edges: ray.data.Dataset, src_mod: int,
-             max_rounds: int) -> ray.data.Dataset:
+             max_rounds: int,
+             broadcast_nodes_max: int = 1_000_000) -> ray.data.Dataset:
     """Multi-source BFS hop distance (the isochrone / nearest-depot
     primitive): dist(v) = hops to the nearest node with id % src_mod
     == 0, over the node universe of the SYMMETRIC edge list.
 
-    kcore_peel's broadcast plan: edges materialized once; each round
-    ships the (ids, dist) state via ray.put and runs one
-    embarrassingly parallel edge pass (zero shuffles per round).
-    Driver state is node-table-sized — the same admission condition as
-    the pagerank broadcast plan.  Convergence must land within
-    ``max_rounds`` (a graph-structural bound the SQL twin unrolls);
-    otherwise this raises.  Unreached nodes are dropped."""
+    Two plans, the pagerank admission rule: while the node table fits
+    a worker (``broadcast_nodes_max``) each round ships the (ids,
+    dist) state via ray.put and runs one embarrassingly parallel edge
+    pass (zero shuffles per round); past that bound the reached set is
+    a Dataset and each round is one bucket join (dist onto out-edges)
+    + one sharded min over reached ∪ candidates — per-worker state
+    stays block-sized, only two scalars (reached count + dist sum)
+    reach the driver per round.  Both plans produce identical tables
+    (tests/test_shard_apply.py plan-equivalence).  Convergence must
+    land within ``max_rounds`` (a graph-structural bound the SQL twin
+    unrolls); otherwise this raises.  Unreached nodes are dropped."""
     edges = edges.materialize()
+    n_nodes = sharded_agg(edges, ["src"], {"d": ("src", "count")}).count()
+    if n_nodes > broadcast_nodes_max:
+        return _bfs_bucketed(edges, src_mod, max_rounds)
     tabs = [t for t in ray.get(edges.to_arrow_refs())
             if t.num_rows and "src" in t.column_names]
     ids = np.unique(np.concatenate(
@@ -253,3 +312,130 @@ def bfs_hops(edges: ray.data.Dataset, src_mod: int,
     return ray.data.from_arrow(pa.table({
         "node": pa.array(ids[keep], pa.int64()),
         "dist": pa.array(dist[keep], pa.int64())}))
+
+
+def _bfs_bucketed(edges, src_mod: int, max_rounds: int) -> ray.data.Dataset:
+    """Data-scaled BFS plan: the reached set (node, dist) is a Dataset;
+    each round one bucket join attaches dist to out-edges, candidates
+    (dst, dist+1) union the reached set, and one sharded min reduces
+    per node.  dist values only decrease and the reached set only
+    grows, so (count, sum-of-dist) unchanged IS a fixpoint — two
+    scalars per round, never node-scale driver state."""
+    nodes = sharded_agg(edges, ["src"], {"d": ("src", "count")})
+    reached = nodes.map_batches(
+        lambda t, _m=src_mod: (lambda src: pa.table({
+            "node": pa.array(src[src % _m == 0], pa.int64()),
+            "dist": pa.array(np.zeros(int((src % _m == 0).sum()), np.int64),
+                             pa.int64())}))(t.column("src").to_numpy()),
+        batch_format="pyarrow").materialize()
+    n_reached = reached.count()
+    if n_reached == 0:
+        return reached
+    s_reached = 0
+
+    for _ in range(max_rounds):
+        as_src = reached.map_batches(
+            lambda t: pa.table({"src": t.column("node"),
+                                "dist": t.column("dist")}),
+            batch_format="pyarrow")
+        # typed-union join floats int columns (CLAUDE.md) — cast back
+        cand = bucket_hash_join(edges, as_src, on="src").map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst").cast(pa.int64()),
+                "dist": pc.add(t.column("dist").cast(pa.int64()), 1)}),
+            batch_format="pyarrow")
+        reached = sharded_agg(reached.union(cand), ["node"],
+                              {"dist": ("dist", "min")}).materialize()
+        stats = reached.map_batches(
+            lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(pc.sum(t.column("dist")).as_py() or 0)],
+                              pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        n_new, s_new = int(stats["n"].sum()), int(stats["s"].sum())
+        if (n_new, s_new) == (n_reached, s_reached):
+            break
+        n_reached, s_reached = n_new, s_new
+    else:
+        raise RuntimeError(f"BFS did not converge in {max_rounds} rounds; "
+                           f"raise max_rounds (and the SQL unroll)")
+    return reached
+
+
+WEDGE_CHUNK = 8192
+
+
+def wedge_pairs(und: ray.data.Dataset,
+                chunk: int = WEDGE_CHUNK) -> ray.data.Dataset:
+    """Hub-guarded EXACT wedge expansion: undirected adjacency rows
+    (u, v) -> per-shard partial common-neighbor counts (v1, v2, c)
+    with v1 < v2 (caller sums partials per pair).
+
+    A center's deg^2 pair fanout is inherent output, but it must not
+    land in ONE shard (the q_link_jaccard hub finding): pass 1 shards
+    by center, computes deg in-shard (no degree join), splits each
+    neighbor list into nch = ceil(deg/chunk) chunks (cv = v % nch — a
+    pure function of the row + the center's degree, bit-stable), and
+    fans each row into its nch (c1, c2) chunk-pair groups; pass 2
+    shards by (u, c1, c2) and expands pairs per group, so no shard
+    sees more than ~chunk^2 pairs from any one hub.  Copy overhead is
+    deg * nch = output/chunk rows; on low-degree graphs nch == 1 and
+    the plan degenerates to the single-group expansion.  Exact — no
+    top-M cap, unlike the covisit sibling."""
+
+    def fan(df: pd.DataFrame) -> pd.DataFrame:
+        return _wedge_fan(df, chunk)
+
+    return shard_apply(shard_apply(und, ["u"], fan),
+                       ["u", "c1", "c2"], _wedge_expand)
+
+
+def _wedge_fan(df: pd.DataFrame, chunk: int) -> pd.DataFrame:
+    """Pass-1 kernel (module-level so tests can bound-check groups):
+    per-center chunk split + (c1, c2) chunk-pair fanout."""
+    cols = ("u", "v", "cv", "c1", "c2")
+    if not len(df):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    _, cnt = np.unique(u, return_counts=True)
+    nch = -(-cnt // chunk)  # ceil
+    nch_row = np.repeat(nch, cnt)
+    cv = v % nch_row
+    # each row fans into nch groups: (cv, cj) for cj in 0..nch-1
+    rep_u = np.repeat(u, nch_row)
+    rep_v = np.repeat(v, nch_row)
+    rep_cv = np.repeat(cv, nch_row)
+    tot = int(nch_row.sum())
+    starts = np.repeat(np.cumsum(nch_row) - nch_row, nch_row)
+    cj = np.arange(tot, dtype=np.int64) - starts
+    return pd.DataFrame({"u": rep_u, "v": rep_v, "cv": rep_cv,
+                         "c1": np.minimum(rep_cv, cj),
+                         "c2": np.maximum(rep_cv, cj)})
+
+
+def _wedge_expand(df: pd.DataFrame) -> pd.DataFrame:
+    """Pass-2 kernel: per-(u, c1, c2) pair expansion, each unordered
+    pair counted exactly once (same-chunk: v1 < v2; cross-chunk: the
+    single orientation whose sides match their own chunks)."""
+    cols = ("v1", "v2", "c")
+    if not len(df):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    m = df.merge(df, on=["u", "c1", "c2"], suffixes=("_1", "_2"))
+    same = m["c1"].to_numpy() == m["c2"].to_numpy()
+    a = m["v_1"].to_numpy(np.int64)
+    b = m["v_2"].to_numpy(np.int64)
+    keep = np.where(
+        same, a < b,
+        (m["cv_1"].to_numpy() == m["c1"].to_numpy())
+        & (m["cv_2"].to_numpy() == m["c2"].to_numpy()))
+    a, b = a[keep], b[keep]
+    g = (pd.DataFrame({"v1": np.minimum(a, b), "v2": np.maximum(a, b)})
+         .groupby(["v1", "v2"], as_index=False, sort=False)
+         .size().rename(columns={"size": "c"}))
+    g["c"] = g["c"].astype(np.int64)
+    return g

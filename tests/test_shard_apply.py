@@ -238,3 +238,87 @@ def test_reduce_small_or_shard_plans_agree():
     small = small.sort_values("k").reset_index(drop=True)
     shard = shard.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(small, shard)
+
+
+def test_kcore_paths_identical():
+    """Broadcast peel and the bucket-join peel return the same core
+    (same gapped-chain + chord graph, same round cap)."""
+    from osmquadtreepostgis_ray.stages.graph import kcore_peel
+
+    # segments of 4 (gap every 4th edge) peel in 2 rounds; the %3
+    # chords leave a surviving triangle core — small rounds keep the
+    # bucketed plan's per-round shuffles cheap in the suite
+    ids = np.arange(60, dtype=np.int64)
+    d1 = ids[(ids >= 1) & (ids % 4 != 0)]
+    d2 = ids[(ids >= 2) & ((ids - 2) % 3 == 0)]
+    a = np.concatenate([d1 - 1, d2 - 2])
+    b = np.concatenate([d1, d2])
+    e = pa.table({"src": pa.array(np.r_[a, b], pa.int64()),
+                  "dst": pa.array(np.r_[b, a], pa.int64())})
+    edges = ray.data.from_arrow(e).repartition(5)
+    got_b = kcore_peel(edges, k=2, max_rounds=6).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got_j = kcore_peel(edges, k=2, max_rounds=6, broadcast_nodes_max=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j)
+    assert 0 < len(got_b) < 60  # the peel actually dropped nodes
+
+
+def test_bfs_paths_identical():
+    """Broadcast relaxation and the bucket-join frontier plan return
+    identical hop distances (multi-source, gapped chain)."""
+    from osmquadtreepostgis_ray.stages.graph import bfs_hops
+
+    # unbroken chain with a source every 5 nodes -> max dist 2,
+    # fixpoint in 3 rounds (cheap per-round shuffles for the suite)
+    ids = np.arange(40, dtype=np.int64)
+    d1 = ids[ids >= 1]
+    e = pa.table({"src": pa.array(np.r_[d1 - 1, d1], pa.int64()),
+                  "dst": pa.array(np.r_[d1, d1 - 1], pa.int64())})
+    edges = ray.data.from_arrow(e).repartition(4)
+    got_b = bfs_hops(edges, src_mod=5, max_rounds=6).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got_j = bfs_hops(edges, src_mod=5, max_rounds=6,
+                     broadcast_nodes_max=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_j)
+    assert got_b["dist"].max() > 1  # multi-hop structure exercised
+
+
+def test_wedge_pairs_hub_guard():
+    """wedge_pairs on a star K1,40 with chunk=8: exact common-neighbor
+    counts (every leaf pair shares exactly the center) AND no single
+    (u, c1, c2) group holds the hub's full deg^2 expansion."""
+    from osmquadtreepostgis_ray.stages.graph import wedge_pairs
+    from osmquadtreepostgis_ray.util import sharded_agg
+
+    leaves = np.arange(1, 41, dtype=np.int64)
+    a = np.zeros(40, np.int64)
+    e = pa.table({"u": pa.array(np.r_[a, leaves], pa.int64()),
+                  "v": pa.array(np.r_[leaves, a], pa.int64())})
+    und = ray.data.from_arrow(e).repartition(4)
+
+    got = sharded_agg(wedge_pairs(und, chunk=8), ["v1", "v2"],
+                      {"common": ("c", "sum")}).to_pandas() \
+        .sort_values(["v1", "v2"]).reset_index(drop=True)
+    # leaf pairs: C(40,2) with common=1 via the center; plus each
+    # (center, leaf) pair has 0 common neighbors -> absent
+    assert len(got) == 40 * 39 // 2
+    assert (got["common"] == 1).all()
+    assert got["v1"].min() == 1 and got["v2"].max() == 40
+
+    # bound check on the fan kernel itself: the hub's 40 neighbors
+    # split into 5 chunks of <= 8 rows, so no (u, c1, c2) group holds
+    # more than 2*chunk rows (-> <= (2*chunk)^2 pairs, not deg^2)
+    from osmquadtreepostgis_ray.stages.graph import _wedge_fan
+    und_df = e.to_pandas()
+    fanned = _wedge_fan(und_df, 8)
+    gsz = fanned.groupby(["u", "c1", "c2"]).size()
+    assert gsz.max() <= 2 * 8
+    hub_groups = fanned[fanned["u"] == 0][["c1", "c2"]].drop_duplicates()
+    assert len(hub_groups) == 5 * 6 // 2  # C(5,2) cross + 5 same-chunk
+    # unguarded chunk: identical totals (plan equivalence)
+    big = sharded_agg(wedge_pairs(und), ["v1", "v2"],
+                      {"common": ("c", "sum")}).to_pandas() \
+        .sort_values(["v1", "v2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, big)
