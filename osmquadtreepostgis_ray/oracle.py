@@ -5830,7 +5830,8 @@ def sql_source_ttr() -> str:
 
 def sql_dow_profile() -> str:
     """Twin of queries.q_dow_profile: same epoch-day dow convention as
-    sql_weekend_lift (0 = Monday), exact cents."""
+    sql_weekend_lift (0 = Sunday: epoch day 0 was a Thursday, +4 -> 4),
+    exact cents."""
     return """
     SELECT event_type,
            CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
@@ -5850,7 +5851,7 @@ def sql_occupancy_curve() -> str:
     for d in OCC_DEPTHS:
         parts.append(f"""
         SELECT CAST({d} AS BIGINT) AS depth, count(*)::BIGINT AS n_cells,
-               max(n)::BIGINT AS max_cell, sum(n)::BIGINT AS n_events
+               max(n)::BIGINT AS max_cell_n, sum(n)::BIGINT AS n_events
         FROM (SELECT {_cell_expr(lon, lat, d)} AS cell, count(*) AS n
               FROM events GROUP BY 1)""")
     return " UNION ALL ".join(parts)

@@ -8246,8 +8246,8 @@ def q_weekend_lift(sf_dir: str):
             return pa.table({c: pa.array([], pa.int64())
                              for c in ("tile", "n_weekday", "n_weekend")})
         ts = t.column("ts").cast(pa.int64()).to_numpy()
-        dow = (ts // DAY_US + 4) % 7            # 0 = Monday
-        we = (dow >= 5).astype(np.int64)
+        dow = (ts // DAY_US + 4) % 7   # 0 = Sunday (epoch day 0 = Thu -> 4)
+        we = (dow >= 5).astype(np.int64)  # 5, 6 = Fri + Sat under this anchor
         df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
                            "we": we})
         g = df.groupby("tile", sort=False).agg(
@@ -8841,7 +8841,7 @@ def q_dow_profile(sf_dir: str):
         tu = t.column("ts").cast(pa.int64()).to_numpy()
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_pandas(),
-            "dow": (tu // DAY_US + 4) % 7,   # 0 = Monday
+            "dow": (tu // DAY_US + 4) % 7,   # 0 = Sunday (Thu epoch -> 4)
             "cents": np.rint(t.column("value").to_numpy() * 100)
             .astype(np.int64)})
         g = df.groupby(["event_type", "dow"], sort=False).agg(
@@ -8888,13 +8888,13 @@ def q_occupancy_curve(sf_dir: str):
                            ["depth", "cell"], {"n": ("n", "sum")})
 
     def per_depth(t: pa.Table) -> pa.Table:
-        cols = ("depth", "n_cells", "max_cell", "n_events")
+        cols = ("depth", "n_cells", "max_cell_n", "n_events")
         if t.num_rows == 0 or "depth" not in t.column_names:
             return pa.table({c: pa.array([], pa.int64()) for c in cols})
         df = pd.DataFrame({"depth": t.column("depth").to_numpy(),
                            "n": t.column("n").to_numpy()})
         g = df.groupby("depth", sort=False).agg(
-            n_cells=("n", "size"), max_cell=("n", "max"),
+            n_cells=("n", "size"), max_cell_n=("n", "max"),
             n_events=("n", "sum")).reset_index()
         for c in cols[1:]:
             g[c] = g[c].astype(np.int64)
@@ -8903,9 +8903,9 @@ def q_occupancy_curve(sf_dir: str):
     return sharded_agg(per_cell.map_batches(per_depth,
                                             batch_format="pyarrow"),
                        ["depth"], {"n_cells": ("n_cells", "sum"),
-                                   "max_cell": ("max_cell", "max"),
+                                   "max_cell_n": ("max_cell_n", "max"),
                                    "n_events": ("n_events", "sum")}) \
-        .select_columns(["depth", "n_cells", "max_cell", "n_events"])
+        .select_columns(["depth", "n_cells", "max_cell_n", "n_events"])
 
 
 def q_active_days(sf_dir: str):

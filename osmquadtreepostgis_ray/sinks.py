@@ -47,11 +47,46 @@ def render_csv_rows(batch: pa.Table) -> list[str]:
             for r in range(batch.num_rows)]
 
 
+def _sharded_gz_dump(ds: "ray.data.Dataset", out_dir: str, render_fn,
+                     ext: str) -> int:
+    """Parallel gz part-file writer shared by the sharded CSV/JSONL
+    modes: one ``part-<taskid>.<ext>.gz`` per map_batches task (append
+    mode, so a task handling several blocks keeps one file), row counts
+    reduced from the tiny per-part count table — the scale path with no
+    single-writer bottleneck, resumable per part."""
+    import os
+
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        tid = ray.get_runtime_context().get_task_id()
+        path = os.path.join(out_dir, f"part-{tid[:16]}.{ext}.gz")
+        with gzip.open(path, "at", encoding="utf-8") as fh:
+            for line in render_fn(batch):
+                fh.write(line + "\n")
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(dump, batch_format="pyarrow")
+    return sum(int(pc.sum(b.column("n")).as_py() or 0)
+               for b in parts.iter_batches(batch_format="pyarrow"))
+
+
 def write_csv_gz(tables: dict[str, ray.data.Dataset], out_prefix: str,
-                 header: bool = True) -> dict[str, int]:
-    """One .csv.gz per table; returns per-table row counts."""
+                 header: bool = True, sharded: bool = False) -> dict[str, int]:
+    """One .csv.gz per table; returns per-table row counts.
+
+    ``sharded=True`` writes ``<prefix><table>/part-<i>.csv.gz`` one
+    file per task IN PARALLEL (headerless parts — reassemble by
+    concatenation); the default single-file stream is the byte-compat
+    surface matching the reference's CsvWriter."""
     counts: dict[str, int] = {}
     for name, ds in tables.items():
+        if sharded:
+            counts[name] = _sharded_gz_dump(ds, f"{out_prefix}{name}",
+                                            render_csv_rows, "csv")
+            continue
         n = 0
         with gzip.open(f"{out_prefix}{name}.csv.gz", "wt", encoding="utf-8") as fh:
             first = True
@@ -77,57 +112,77 @@ def write_jsonl_gz(tables: dict[str, "ray.data.Dataset"], out_prefix: str,
     file per input block IN PARALLEL via map_batches (the scale path —
     no single-writer bottleneck, resumable per part); ``False`` keeps
     the single-file compat stream like write_csv_gz."""
-    import json
-    import os
-
-    def render(batch: pa.Table) -> list[str]:
-        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-        types = [f.type for f in batch.schema]
-        names = batch.schema.names
-        out = []
-        for r in range(batch.num_rows):
-            rec = {}
-            for name, col, t in zip(names, cols, types):
-                v = col[r]
-                if v is not None and pa.types.is_binary(t):
-                    v = v.hex()
-                elif v is not None and pa.types.is_floating(t):
-                    v = round(float(v), 1)
-                rec[name] = v
-            out.append(json.dumps(rec, separators=(",", ":"),
-                                  allow_nan=False, sort_keys=False))
-        return out
-
     counts: dict[str, int] = {}
     for name, ds in tables.items():
         if sharded:
-            d = f"{out_prefix}{name}"
-            os.makedirs(d, exist_ok=True)
-
-            def dump(batch: pa.Table, d=d) -> pa.Table:
-                tid = ray.get_runtime_context().get_task_id()
-                path = os.path.join(d, f"part-{tid[:16]}.jsonl.gz")
-                with gzip.open(path, "at", encoding="utf-8") as fh:
-                    for line in render(batch):
-                        fh.write(line + "\n")
-                return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-            import pyarrow.compute as pc
-            parts = ds.map_batches(dump, batch_format="pyarrow")
-            counts[name] = sum(
-                int(pc.sum(b.column("n")).as_py() or 0)
-                for b in parts.iter_batches(batch_format="pyarrow"))
+            counts[name] = _sharded_gz_dump(ds, f"{out_prefix}{name}",
+                                            render_jsonl_lines, "jsonl")
         else:
             n = 0
             with gzip.open(f"{out_prefix}{name}.jsonl.gz", "wt",
                            encoding="utf-8") as fh:
                 for batch in ds.iter_batches(batch_format="pyarrow",
                                              batch_size=8192):
-                    for line in render(batch):
+                    for line in render_jsonl_lines(batch):
                         fh.write(line + "\n")
                     n += batch.num_rows
             counts[name] = n
     return counts
+
+
+# printable ASCII minus the two JSON specials (0x22 ", 0x5C \) — cells
+# matching this need no escaping, so the '"' + s + '"' fast path is
+# byte-identical to json.dumps(s) with its default ensure_ascii=True
+_JSON_CLEAN = r"^[ !#-\[\]-~]*$"
+
+
+def render_jsonl_lines(batch: pa.Table) -> "np.ndarray":
+    """Column-at-a-time JSONL render, byte-identical to the previous
+    per-row ``json.dumps(rec, separators=(',', ':'))`` loop: null-free
+    int columns format via one C-level ``np.char.mod``; clean-ASCII
+    string cells quote-wrap without touching json.dumps (a vectorized
+    regex picks the rare cells that need real escaping); binary cells
+    hex via the C ``bytes.hex``; floats keep the exact round(., 1) +
+    dumps rendering.  Fragments stitch with the fixed per-column key
+    prefixes — no per-row dict is ever built."""
+    import json
+    import re
+
+    n = batch.num_rows
+    frags: list[tuple[str, "np.ndarray"]] = []
+    for i, name in enumerate(batch.schema.names):
+        col = batch.column(i)
+        t = batch.schema.field(i).type
+        key = json.dumps(name) + ":"
+        if pa.types.is_integer(t) and col.null_count == 0:
+            frag = np.char.mod(
+                "%d", col.to_numpy(zero_copy_only=False)).astype(object)
+        elif pa.types.is_string(t) and col.null_count == 0:
+            vals = np.asarray(col.to_pylist(), dtype=object)
+            pat = re.compile(_JSON_CLEAN)
+            clean = np.fromiter((pat.match(v) is not None for v in vals),
+                                bool, len(vals))
+            frag = '"' + vals + '"'
+            bad = np.nonzero(~clean)[0]
+            for j in bad:
+                frag[j] = json.dumps(vals[j])
+        elif pa.types.is_binary(t):
+            frag = np.asarray(
+                ["null" if v is None else '"' + v.hex() + '"'
+                 for v in col.to_pylist()], dtype=object)
+        elif pa.types.is_floating(t):
+            frag = np.asarray(
+                ["null" if v is None else json.dumps(round(float(v), 1))
+                 for v in col.to_pylist()], dtype=object)
+        else:
+            frag = np.asarray([json.dumps(v) for v in col.to_pylist()],
+                              dtype=object)
+        frags.append((key, frag))
+
+    out = np.full(n, "{", dtype=object)
+    for i, (key, frag) in enumerate(frags):
+        out = out + (("," if i else "") + key) + frag
+    return out + "}"
 
 
 # ------------------------------------------------------------- PGCOPY binary
@@ -153,6 +208,25 @@ def _pg_field(val, typ: pa.DataType) -> bytes:
         return struct.pack("!i", len(b)) + b
     if pa.types.is_binary(typ):
         return struct.pack("!i", len(val)) + bytes(val)
+    if pa.types.is_map(typ):
+        # PostgreSQL hstore binary wire format (hstore_send/hstore_recv):
+        # int32 pair count, then per pair int32 key length + key bytes
+        # (keys are never NULL) and int32 value length (-1 for NULL) +
+        # value bytes, all big-endian — the reference's use_binary path
+        # emits othertags this way (pack_hstoretags_binary, used at
+        # /root/reference/src/postgiswriter.cpp:225,:823).  Arrow map
+        # cells arrive from to_pylist as [(k, v), ...].
+        parts = [struct.pack("!i", len(val))]
+        for k, v in val:
+            kb = str(k).encode("utf-8")
+            parts.append(struct.pack("!i", len(kb)) + kb)
+            if v is None:
+                parts.append(struct.pack("!i", -1))
+            else:
+                vb = str(v).encode("utf-8")
+                parts.append(struct.pack("!i", len(vb)) + vb)
+        payload = b"".join(parts)
+        return struct.pack("!i", len(payload)) + payload
     raise TypeError(f"no PGCOPY encoding for {typ}")
 
 

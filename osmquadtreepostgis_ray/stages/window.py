@@ -67,9 +67,39 @@ def _group_key(tab: pa.Table, group_cols: list[str]) -> np.ndarray:
     return np.cumsum(new) - 1
 
 
+WINDOW_MAX_GROUPS = 1_000_000
+
+
+def _scan_starts(partials, max_groups: int, op: str):
+    """Driver exclusive-scan of per-block per-group partials, with a
+    CARDINALITY GUARD: the scan dict is keyed by distinct group, so a
+    data-scaled key (doc_id, content hash) would silently grow driver
+    state with the data — raise past ``max_groups`` and point the
+    caller at the sharded alternatives.  All current callers (ntile by
+    event_type, curriculum 3 buckets, running_total/epoch_shuffle 1
+    global key) are orders of magnitude under the default bound."""
+    running: dict[tuple, int] = {}
+    starts: list[dict[tuple, int]] = []
+    for df in partials:
+        block_start = {}
+        for row in df.itertuples(index=False):
+            key = tuple(row[:-1])
+            block_start[key] = running.get(key, 0)
+            running[key] = block_start[key] + int(row[-1])
+        starts.append(block_start)
+        if len(running) > max_groups:
+            raise RuntimeError(
+                f"{op}: > {max_groups} distinct groups — the driver "
+                "prefix-scan only admits cardinality-BOUNDED keys; for "
+                "data-scaled keys use util.shard_apply (per-key local "
+                "window) or raise max_groups deliberately")
+    return starts, dict(running)
+
+
 def keyed_row_number(ds: ray.data.Dataset, group_cols: list[str],
                      order_cols: list[str],
-                     rank_col: str = "rank") -> ray.data.Dataset:
+                     rank_col: str = "rank",
+                     max_groups: int = WINDOW_MAX_GROUPS) -> ray.data.Dataset:
     """Append a 0-based global row number per group in (group_cols,
     order_cols) order.  One distributed sort; per-block group counts
     scanned on the driver; ranks finished block-locally."""
@@ -90,16 +120,7 @@ def keyed_row_number(ds: ray.data.Dataset, group_cols: list[str],
 
     partials = ray.get([gcounts.remote(r) for r in refs])
 
-    running: dict[tuple, int] = {}
-    starts: list[dict[tuple, int]] = []
-    for df in partials:
-        block_start = {}
-        for row in df.itertuples(index=False):
-            key = tuple(row[:-1])
-            block_start[key] = running.get(key, 0)
-            running[key] = block_start[key] + int(row[-1])
-        starts.append(block_start)
-    totals = dict(running)
+    starts, totals = _scan_starts(partials, max_groups, "keyed_row_number")
 
     @ray.remote
     def finish(tab: pa.Table, start: dict) -> pa.Table:
@@ -132,7 +153,8 @@ def ntile_of(rank: np.ndarray, total: np.ndarray, tiles: int) -> np.ndarray:
 
 def keyed_prefix_sum(ds: ray.data.Dataset, group_cols: list[str],
                      order_cols: list[str], val_col: str,
-                     out_col: str = "run_sum") -> ray.data.Dataset:
+                     out_col: str = "run_sum",
+                     max_groups: int = WINDOW_MAX_GROUPS) -> ray.data.Dataset:
     """Append the INCLUSIVE per-group running sum of ``val_col`` in
     (group_cols, order_cols) order — SUM(...) OVER (PARTITION BY g
     ORDER BY o ROWS UNBOUNDED PRECEDING).  Same machinery as
@@ -159,15 +181,7 @@ def keyed_prefix_sum(ds: ray.data.Dataset, group_cols: list[str],
 
     partials = ray.get([gsums.remote(r) for r in refs])
 
-    running: dict[tuple, int] = {}
-    starts: list[dict[tuple, int]] = []
-    for df in partials:
-        block_start = {}
-        for row in df.itertuples(index=False):
-            key = tuple(row[:-1])
-            block_start[key] = running.get(key, 0)
-            running[key] = block_start[key] + int(row[-1])
-        starts.append(block_start)
+    starts, _ = _scan_starts(partials, max_groups, "keyed_prefix_sum")
 
     @ray.remote
     def finish(tab: pa.Table, start: dict) -> pa.Table:

@@ -101,8 +101,49 @@ def read_data(out_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(out_dir, DATA_DIR))
 
 
-def _partition_writer(out_dir: str, key_col: str, run_id: str):
-    """map_groups UDF: write one partition's data + manifest, emit metrics."""
+QUARANTINE_DIR = "_quarantine"
+
+
+def _quarantine_dump(out_dir: str, pid: int, body: pa.Table,
+                     prev: tuple[int, pa.Table] | None, err: Exception) -> None:
+    """S6 crash forensics (the reference serializes the failing CsvBlock
+    AND its predecessor on writer exception,
+    /root/reference/src/postgiswriter.cpp:1159-1191, used :1236-1240):
+    always write a JSON error record (part id, rows, schema, exception)
+    so the failure is identified even when the payload itself cannot be
+    serialized, then best-effort dump the offending block and its
+    predecessor as Arrow IPC streams — IPC round-trips types parquet
+    rejects, so 'parquet cannot encode this block' failures still leave
+    a byte-exact repro."""
+    qdir = os.path.join(out_dir, QUARANTINE_DIR)
+    os.makedirs(qdir, exist_ok=True)
+    base = os.path.join(qdir, f"part-{pid}-{uuid.uuid4().hex}")
+    rec = {"part": pid, "rows": int(body.num_rows),
+           "schema": str(body.schema), "error": repr(err),
+           "prev_part": None if prev is None else int(prev[0])}
+    with open(base + ".json", "w") as fh:
+        json.dump(rec, fh)
+
+    def ipc_dump(tab: pa.Table, path: str) -> None:
+        try:
+            with pa.OSFile(path, "wb") as f, \
+                    pa.ipc.new_stream(f, tab.schema) as w:
+                w.write_table(tab)
+        except Exception:
+            pass  # payload dump is best-effort; the JSON record stands
+
+    ipc_dump(body, base + ".arrow")
+    if prev is not None:
+        ipc_dump(prev[1], base + "-pred.arrow")
+
+
+def _partition_writer(out_dir: str, key_col: str, run_id: str,
+                      write_fn=None):
+    """map_groups UDF: write one partition's data + manifest, emit
+    metrics.  ``write_fn(table, path)`` defaults to pq.write_table —
+    injectable for the crash-forensics fault test."""
+    write_fn = write_fn or pq.write_table
+    prev_cell: list = [None]  # last successfully written (pid, body)
 
     def write_partition(group: pa.Table) -> pa.Table:
         t0 = time.time()
@@ -112,18 +153,11 @@ def _partition_writer(out_dir: str, key_col: str, run_id: str):
         os.makedirs(ddir, exist_ok=True)
         fpath = os.path.join(ddir, f"part-{pid}.parquet")
         try:
-            pq.write_table(body, fpath)
-        except Exception:
-            # S6 crash forensics (reference dumps the failing CsvBlock,
-            # src/postgiswriter.cpp:1159-1191): quarantine the partition
-            # payload for offline inspection, then fail the task
-            qdir = os.path.join(out_dir, "_quarantine")
-            os.makedirs(qdir, exist_ok=True)
-            try:
-                pq.write_table(body, os.path.join(qdir, f"part-{pid}-{uuid.uuid4().hex}.parquet"))
-            except Exception:
-                pass  # quarantine is best-effort
+            write_fn(body, fpath)
+        except Exception as err:
+            _quarantine_dump(out_dir, pid, body, prev_cell[0], err)
             raise
+        prev_cell[0] = (pid, body)
         keys = group.column(key_col).to_numpy()
         rec = {
             "part": pid,
@@ -150,7 +184,8 @@ def _partition_writer(out_dir: str, key_col: str, run_id: str):
 def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
                     part_depth: int = 4, run_id: str | None = None,
                     max_rows_per_part: int | None = None,
-                    skew_depth_delta: int = 2) -> pa.Table:
+                    skew_depth_delta: int = 2,
+                    _write_fn=None) -> pa.Table:
     """Write `ds` partitioned by quadtree ancestor of `key_col` at
     `part_depth`, skipping partitions already checkpointed in `out_dir`.
 
@@ -210,7 +245,8 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
         ds2 = ds2.map_batches(drop_done, batch_format="pyarrow")
 
     metrics = ds2.groupby("__part").map_groups(
-        _partition_writer(out_dir, key_col, run_id), batch_format="pyarrow")
+        _partition_writer(out_dir, key_col, run_id, write_fn=_write_fn),
+        batch_format="pyarrow")
     fresh = pa.concat_tables(
         list(metrics.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
         or [METRICS_SCHEMA.empty_table()])

@@ -265,31 +265,92 @@ def test_round_geometry_flag():
     assert np.allclose(lengths, np.round(lengths, 1))
 
 
-def test_quarantine_on_write_failure(tmp_path, monkeypatch):
-    # exercise the writer UDF directly (a Ray worker would not see the
-    # monkeypatch): primary write fails -> quarantine dump, no manifest
+def test_quarantine_on_write_failure(tmp_path):
+    """S6 crash forensics, writer UDF level: the failing block AND its
+    predecessor dump to _quarantine as Arrow IPC + a JSON record that
+    identifies partition, rows, schema, and error; no manifest commits."""
+    import glob
+    import json as _json
+
     from osmquadtreepostgis_ray.state import checkpoint as C
     out = str(tmp_path / "qr")
-    group = pa.table({
-        "tile": pa.array([(7 << 6) | 8] * 3, pa.int64()),
-        "v": pa.array([1, 2, 3], pa.int64()),
-        "__part": pa.array([7 << 6 | 2] * 3, pa.int64()),
-    })
-    orig = C.pq.write_table
 
-    def flaky(table, path, **kw):
-        if "part=" in str(path):
+    def mkgroup(pid, vals):
+        return pa.table({
+            "tile": pa.array([(pid << 6) | 8] * len(vals), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+            "__part": pa.array([pid] * len(vals), pa.int64()),
+        })
+
+    def poisoned(table, path, **kw):
+        if table.num_rows == 3:
             raise OSError("disk full (simulated)")
-        return orig(table, path, **kw)
+        return C.pq.write_table(table, path, **kw)
 
-    monkeypatch.setattr(C.pq, "write_table", flaky)
-    fn = C._partition_writer(out, "tile", "r1")
+    fn = C._partition_writer(out, "tile", "r1", write_fn=poisoned)
+    fn(mkgroup(5, [9, 9]))  # predecessor: succeeds
     with pytest.raises(OSError):
-        fn(group)
-    monkeypatch.undo()
+        fn(mkgroup(7, [1, 2, 3]))
+
+    recs = glob.glob(out + "/_quarantine/part-7-*.json")
+    assert len(recs) == 1
+    rec = _json.load(open(recs[0]))
+    assert rec["part"] == 7 and rec["rows"] == 3
+    assert "disk full" in rec["error"] and rec["prev_part"] == 5
+
+    # the failing block round-trips byte-exact from the IPC dump
+    dump = recs[0][:-5] + ".arrow"
+    got = pa.ipc.open_stream(pa.OSFile(dump, "rb")).read_all()
+    assert got.equals(mkgroup(7, [1, 2, 3]).drop_columns(["__part"]))
+    pred = recs[0][:-5] + "-pred.arrow"
+    gotp = pa.ipc.open_stream(pa.OSFile(pred, "rb")).read_all()
+    assert gotp.equals(mkgroup(5, [9, 9]).drop_columns(["__part"]))
+
+    assert 7 not in C.completed_partitions(out)  # manifest gap names it
+    assert 5 in C.completed_partitions(out)
+
+
+def test_quarantine_end_to_end_and_resume(tmp_path):
+    """S6 through the real resumable_write surface: a poisoned batch
+    fails the run, the quarantine dump + manifest gap both identify the
+    partition, and a resumed run recomputes ONLY that partition."""
     import glob
-    assert glob.glob(out + "/_quarantine/part-*.parquet")  # S6 dump exists
-    assert not C.completed_partitions(out)  # nothing falsely committed
+    import json as _json
+
+    from osmquadtreepostgis_ray.state import checkpoint as C
+    out = str(tmp_path / "qe2e")
+    n = 200
+    rng = np.random.RandomState(5)
+    tile = ((rng.randint(0, 4 ** 6, n).astype(np.int64)) << 6) | 8
+    ds = ray.data.from_arrow(pa.table({
+        "tile": pa.array(tile, pa.int64()),
+        "val": pa.array(np.arange(n), pa.int64()),
+    }))
+    from osmquadtreepostgis_ray.functions import quadtree
+    victim = int(quadtree.at_depth(tile, 2)[0])
+
+    def poison(table, path, **kw):
+        if f"part={victim}" in str(path).replace(os.sep, "/"):
+            raise ValueError("poisoned batch (simulated)")
+        return C.pq.write_table(table, path, **kw)
+
+    with pytest.raises(Exception):
+        C.resumable_write(ds, out, key_col="tile", part_depth=2,
+                          run_id="r1", _write_fn=poison)
+    recs = glob.glob(out + f"/_quarantine/part-{victim}-*.json")
+    assert recs, "quarantine record missing"
+    assert _json.load(open(recs[0]))["part"] == victim
+    assert victim not in C.completed_partitions(out)
+
+    # resume with a healthy writer: victim recomputed, rest skipped or
+    # already done; data complete and exact
+    m2 = C.resumable_write(ds, out, key_col="tile", part_depth=2,
+                           run_id="r2")
+    st = {r["part"]: (r["status"], r["run_id"]) for r in m2.to_pylist()}
+    assert st[victim] == ("done", "r2")
+    assert C.read_data(out).count() == n
+    got = sorted(C.read_data(out).to_pandas()["val"])
+    assert got == list(range(n))
 
 
 def test_incremental_update_matches_fresh_export(tmp_path, sf_dir):

@@ -39,7 +39,7 @@ def test_occupancy_curve_matches_brute(sf_dir):
     for d in Q.OCC_DEPTHS:
         u, n = np.unique(quadtree.at_depth(c12, d), return_counts=True)
         rows.append((d, len(u), int(n.max()), int(n.sum())))
-    ref = pd.DataFrame(rows, columns=["depth", "n_cells", "max_cell",
+    ref = pd.DataFrame(rows, columns=["depth", "n_cells", "max_cell_n",
                                       "n_events"])
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
     # coarser depth never has more occupied cells; event totals conserve

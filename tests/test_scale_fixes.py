@@ -184,3 +184,25 @@ def test_keyed_prefix_sum_skips_empty_blocks():
     eout = keyed_prefix_sum(eds, ["g"], ["o"], "v", out_col="run")
     assert eout.count() == 0
     assert set(eout.schema().names) == {"g", "o", "v", "run"}
+
+
+def test_window_scan_cardinality_guard():
+    """keyed_row_number / keyed_prefix_sum raise once the driver scan
+    sees more distinct groups than max_groups (a data-scaled key must
+    not silently grow driver state), and still work under the bound."""
+    import pytest
+
+    from osmquadtreepostgis_ray.stages.window import (keyed_prefix_sum,
+                                                      keyed_row_number)
+
+    df = pd.DataFrame({"g": np.arange(50, dtype=np.int64) % 10,
+                       "o": np.arange(50, dtype=np.int64),
+                       "v": np.ones(50, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    out, totals = keyed_row_number(ds, ["g"], ["o"], max_groups=10)
+    assert sum(totals.values()) == 50
+    with pytest.raises(RuntimeError, match="distinct groups"):
+        keyed_row_number(ds, ["g"], ["o"], max_groups=9)
+    with pytest.raises(RuntimeError, match="distinct groups"):
+        keyed_prefix_sum(ds, ["g"], ["o"], "v", max_groups=9)

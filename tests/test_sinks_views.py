@@ -272,3 +272,135 @@ def test_jsonl_gz_sink_roundtrip(tmp_path, sf_dir):
                    encoding="utf-8") as fh:
         single = [json.loads(l) for l in fh]
     assert {r["event_id"] for r in single} == set(rows)
+
+
+def test_jsonl_render_vectorized_byte_equal():
+    """render_jsonl_lines is byte-identical to the per-row
+    json.dumps(rec, separators=(',', ':')) reference on a batch mixing
+    nulls, escapes, non-ASCII, binary, floats, ints, and bools."""
+    import json
+
+    batch = pa.table({
+        "i": pa.array([1, -7, None, 2**40], pa.int64()),
+        "s": pa.array(['plain', 'quo"te\\back\n', 'unïcodé', ''], pa.string()),
+        "f": pa.array([1.25, None, -0.04, 3.0], pa.float64()),
+        "b": pa.array([b"\x01\xff", None, b"", b"\x00"], pa.binary()),
+        "t": pa.array([True, False, None, True], pa.bool_()),
+    })
+
+    def ref_render(batch):
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        types = [f.type for f in batch.schema]
+        names = batch.schema.names
+        out = []
+        for r in range(batch.num_rows):
+            rec = {}
+            for name, col, t in zip(names, cols, types):
+                v = col[r]
+                if v is not None and pa.types.is_binary(t):
+                    v = v.hex()
+                elif v is not None and pa.types.is_floating(t):
+                    v = round(float(v), 1)
+                rec[name] = v
+            out.append(json.dumps(rec, separators=(",", ":"),
+                                  allow_nan=False, sort_keys=False))
+        return out
+
+    got = list(sinks.render_jsonl_lines(batch))
+    assert got == ref_render(batch)
+
+    # null-free all-int fast path too
+    fast = pa.table({"a": pa.array([0, 5], pa.int64()),
+                     "s": pa.array(["x", "y"], pa.string())})
+    assert list(sinks.render_jsonl_lines(fast)) == ref_render(fast)
+
+
+def test_csv_gz_sharded_roundtrip(tmp_path):
+    """Sharded CSV parts concatenate to the same rows as the
+    single-file mode (headerless parts, same rendering)."""
+    df = pd.DataFrame({
+        "osm_id": np.arange(500, dtype=np.int64),
+        "name": [f"n{i}" for i in range(500)],
+        "z": np.arange(500, dtype=np.float64) / 4,
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    counts = sinks.write_csv_gz({"pt": ds}, str(tmp_path) + "/sh_",
+                                sharded=True)
+    assert counts == {"pt": 500}
+    import glob
+    rows = []
+    for p in sorted(glob.glob(str(tmp_path) + "/sh_pt/part-*.csv.gz")):
+        with gzip.open(p, "rt", encoding="utf-8") as fh:
+            rows += fh.read().splitlines()
+    assert len(rows) == 500
+    got = sorted(int(r.split(sinks.DELIM)[0]) for r in rows)
+    assert got == list(range(500))
+    # cell rendering identical to the single-file surface
+    sample = [r for r in rows if r.startswith("7" + sinks.DELIM)][0]
+    assert sample.split(sinks.DELIM)[1] == sinks.QUOTE + "n7" + sinks.QUOTE
+    assert sample.split(sinks.DELIM)[2] == "1.8"
+
+
+def test_pgcopy_hstore_binary_cell():
+    """Map-typed columns encode as PostgreSQL binary hstore: int32
+    pair count + length-framed k/v (NULL value = -1), matching the
+    reference's pack_hstoretags_binary framing
+    (/root/reference/src/postgiswriter.cpp:812-826)."""
+    import struct
+
+    typ = pa.map_(pa.string(), pa.string())
+    cell = [("highway", "primary"), ("oneway", None)]
+    got = sinks._pg_field(cell, typ)
+    want_payload = (
+        struct.pack("!i", 2)
+        + struct.pack("!i", 7) + b"highway"
+        + struct.pack("!i", 7) + b"primary"
+        + struct.pack("!i", 6) + b"oneway"
+        + struct.pack("!i", -1))
+    assert got == struct.pack("!i", len(want_payload)) + want_payload
+    # empty hstore: zero pairs, 4-byte payload
+    assert sinks._pg_field([], typ) == struct.pack("!ii", 4, 0)
+    # NULL column value: -1 field length, no payload
+    assert sinks._pg_field(None, typ) == struct.pack("!i", -1)
+
+
+def test_pgcopy_roundtrip_with_hstore(tmp_path):
+    """PGCOPY file with an hstore column parses back: signature, per
+    row int16 field count, framed fields, -1 trailer."""
+    import struct
+
+    tags = pa.array([[("a", "1"), ("b", None)], [], None],
+                    pa.map_(pa.string(), pa.string()))
+    ds = ray.data.from_arrow(pa.table({
+        "osm_id": pa.array([10, 11, 12], pa.int64()),
+        "tags": tags}))
+    counts = sinks.write_pgcopy({"pt": ds}, str(tmp_path) + "/h_")
+    assert counts == {"pt": 3}
+    raw = open(str(tmp_path) + "/h_pt.copy", "rb").read()
+    assert raw.startswith(sinks.PGCOPY_SIGNATURE)
+    off = len(sinks.PGCOPY_SIGNATURE) + 8
+    rows = []
+    while True:
+        (nf,) = struct.unpack_from("!h", raw, off)
+        off += 2
+        if nf == -1:
+            break
+        fields = []
+        for _ in range(nf):
+            (ln,) = struct.unpack_from("!i", raw, off)
+            off += 4
+            if ln == -1:
+                fields.append(None)
+            else:
+                fields.append(raw[off:off + ln])
+                off += ln
+        rows.append(fields)
+    assert off == len(raw)
+    assert len(rows) == 3
+    assert int.from_bytes(rows[0][0], "big") == 10
+    # row 0 hstore: 2 pairs, second value NULL
+    h = rows[0][1]
+    assert struct.unpack_from("!i", h, 0)[0] == 2
+    assert h[8:9] == b"a"
+    assert rows[1][1] == struct.pack("!i", 0)  # empty map -> 0 pairs
+    assert rows[2][1] is None                  # NULL hstore
