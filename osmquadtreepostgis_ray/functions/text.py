@@ -240,6 +240,43 @@ def char_shingles_batch(texts: list[str], k: int = 9) -> tuple[np.ndarray, np.nd
     return _segment_unique(h, seg)
 
 
+def char_shingles_positional_batch(
+        texts: list[str], k: int = 9
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Every k-char window hash with its 1-BASED start position — NO
+    per-doc uniquing (the suffix-window duplicate-span machinery needs
+    every occurrence in document order).  Docs shorter than k emit
+    nothing (mirrors the SQL twin's length filter; no zero-pad).
+    Returns (hashes uint64, seg doc-index int64, pos int64)."""
+    n = len(texts)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if not n:
+        return empty
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    nwin = np.maximum(lens - k + 1, 0)
+    if not nwin.sum():
+        return empty
+    total = int(lens.sum())
+    flat = np.zeros(total, dtype=np.uint8)
+    offs = np.r_[0, np.cumsum(lens)]
+    for i, b in enumerate(bufs):  # fill-only loop, as char_shingles_batch
+        if b:
+            flat[offs[i]:offs[i] + lens[i]] = np.frombuffer(b, dtype=np.uint8)
+    mult = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    fu = flat.astype(np.uint64)
+    m = total - k + 1
+    h_full = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h_full += fu[j: m + j] * mult[j]
+    pos = _ranges(nwin)
+    starts = np.repeat(offs[:-1], nwin) + pos
+    h = h_full[starts]
+    seg = np.repeat(np.arange(n, dtype=np.int64), nwin)
+    return h, seg, pos + 1
+
+
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """concatenate([arange(c) for c in counts]) without the loop."""
     counts = np.asarray(counts, dtype=np.int64)

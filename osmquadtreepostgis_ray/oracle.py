@@ -2372,6 +2372,58 @@ def sql_bpe_pairs() -> str:
     """
 
 
+def sql_bpe_merges() -> str:
+    """Twin of queries.q_bpe_merges: the K merge rounds unrolled as
+    MATERIALIZED CTE levels (the sql_blobs/sql_hilbert pattern) —
+    round r counts adjacent symbol pairs over the space-separated word
+    forms, picks the (n DESC, a, b) argmax, and rewrites the words via
+    DuckDB replace(), whose non-overlapping left-to-right semantics
+    match Python str.replace exactly."""
+    from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
+    from osmquadtreepostgis_ray.queries import BPE_MERGE_ROUNDS
+
+    levels = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        prev_w = "w0" if r == 1 else f"w{r - 1}"
+        levels.append(f"""
+    p{r} AS MATERIALIZED (
+        SELECT arr[i] AS a, arr[i + 1] AS b, sum(n)::BIGINT AS n
+        FROM (
+            SELECT arr, n,
+                   unnest(generate_series(1, len(arr) - 1)) AS i
+            FROM (SELECT string_split(trim(s), ' ') AS arr, n
+                  FROM {prev_w}) t
+            WHERE len(arr) >= 2
+        ) GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT CAST({r} AS BIGINT) AS round, a, b, n
+        FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT replace(pw.s, ' ' || m.a || ' ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' ') AS s, pw.n AS n
+        FROM {prev_w} pw, m{r} m
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT round, a, b, n FROM m{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1))
+    return f"""
+    WITH wct AS (
+        SELECT word, count(*)::BIGINT AS n FROM (
+            SELECT unnest(regexp_extract_all(
+                text, '{BPE_TOKEN_RE}')) AS word
+            FROM documents)
+        GROUP BY 1
+    ),
+    w0 AS (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, n
+        FROM wct
+    ),{','.join(levels)}
+    {union}
+    """
+
+
 def sql_spacetime_cube() -> str:
     """Twin of queries.q_spacetime_cube: hour from epoch microseconds
     (shared no-calendar definition), per-tile permille share."""
@@ -2988,6 +3040,54 @@ def sql_dup_spans(k: int = 9) -> str:
            t.n_grams::BIGINT AS n_grams,
            (1000 * dup.dup_grams // t.n_grams)::BIGINT AS dup_permille
     FROM dup JOIN tot t USING (doc_id)"""
+
+
+def sql_dup_span_runs(k: int = 9) -> str:
+    """Twin of queries.q_dup_span_runs: positional k-gram hashes (the
+    _shingles_cte formula WITHOUT list_distinct — every occurrence),
+    suffix-adjacency via lead() over (s ORDER BY doc_id, pos), maximal
+    diagonal runs via the lag-break + running-sum window, spans of
+    run_len + k - 1 chars, reduced per ordered doc pair."""
+    mults = [pow(1099511628211, j, _M64) for j in range(k)]
+    window = " + ".join(
+        f"CAST(ord(substr(text, i + {j}, 1)) AS HUGEINT) * {m}"
+        for j, m in enumerate(mults))
+    return f"""
+    WITH shp AS (
+        SELECT doc_id, i AS pos, ({window}) % {_M64} AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {k - 2})) AS i
+              FROM documents WHERE length(text) >= {k})
+    ),
+    adj AS (
+        SELECT doc_id AS d1, pos AS p1,
+               lead(doc_id) OVER w AS d2, lead(pos) OVER w AS p2
+        FROM shp WINDOW w AS (PARTITION BY s ORDER BY doc_id, pos)
+    ),
+    cand AS (
+        SELECT d1, d2, p2 - p1 AS diag, p1
+        FROM adj WHERE d2 IS NOT NULL AND d1 <> d2
+    ),
+    marked AS (
+        SELECT d1, d2, diag, p1,
+               CASE WHEN lag(p1) OVER w2 = p1 - 1 THEN 0 ELSE 1 END AS brk
+        FROM cand WINDOW w2 AS (PARTITION BY d1, d2, diag ORDER BY p1)
+    ),
+    runs AS (
+        SELECT d1, d2, diag,
+               sum(brk) OVER (PARTITION BY d1, d2, diag
+                              ORDER BY p1 ROWS UNBOUNDED PRECEDING) AS rid
+        FROM marked
+    ),
+    spans AS (
+        SELECT d1, d2, count(*) + {k - 1} AS chars
+        FROM runs GROUP BY d1, d2, diag, rid
+    )
+    SELECT d1, d2, count(*)::BIGINT AS n_spans,
+           sum(chars)::BIGINT AS span_chars,
+           max(chars)::BIGINT AS max_span
+    FROM spans GROUP BY 1, 2
+    """
 
 
 def sql_tile_mosaic(thumb: int = 8) -> str:
@@ -3680,6 +3780,7 @@ def build_oracles() -> dict[str, str]:
         "staypoints": sql_staypoints(),
         "hilbert": sql_hilbert(),
         "bpe_pairs": sql_bpe_pairs(),
+        "bpe_merges": sql_bpe_merges(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -3749,6 +3850,7 @@ def build_oracles() -> dict[str, str]:
         "tile_mosaic": sql_tile_mosaic(),
         "tile_sobel": sql_tile_sobel(),
         "dup_spans": sql_dup_spans(),
+        "dup_span_runs": sql_dup_span_runs(),
         "mosaic_pyramid": sql_mosaic_pyramid(),
         "raster_blur": sql_raster_blur(),
         "dissolve": sql_dissolve(),

@@ -2304,6 +2304,75 @@ def q_dup_spans(sf_dir: str, k: int = 9):
         ["doc_id", "dup_grams", "n_grams", "dup_permille"])
 
 
+def q_dup_span_runs(sf_dir: str, k: int = 9):
+    """Suffix-window EXACT duplicate spans — the sorted-suffix upgrade
+    of q_dup_spans' per-shingle census ("Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr suffix-array side):
+    every k-gram OCCURRENCE (hash, doc, pos) sorts within its shingle
+    group; each occurrence pairs only with its SUCCESSOR in (doc, pos)
+    order (the suffix-array adjacency bound — O(occurrences) candidate
+    pairs, never a per-shingle cross product, so stop-phrase shingles
+    cannot explode a shard); cross-doc adjacencies land on a
+    (d1, d2, diagonal) shard where consecutive positions merge into
+    MAXIMAL spans (a run of L adjacent k-grams = one span of L + k - 1
+    chars).  Output per ordered doc pair: span count, total duplicated
+    chars, longest span.  Three single-exchange stages; every key is
+    data-scaled and sharded — no driver corpus state."""
+    from osmquadtreepostgis_ray.functions.text import (
+        char_shingles_positional_batch)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def occ(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h, seg, pos = char_shingles_positional_batch(
+            t.column("text").to_pylist(), k)
+        return pa.table({
+            "s": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[seg].astype(np.int64), pa.int64()),
+            "pos": pa.array(pos, pa.int64())})
+
+    def adj(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("d1", "d2", "diag", "p1")
+        if len(g) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["s", "doc_id", "pos"], kind="stable")
+        s = g["s"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        p = g["pos"].to_numpy(np.int64)
+        keep = (s[1:] == s[:-1]) & (d[1:] != d[:-1])
+        return pd.DataFrame({"d1": d[:-1][keep], "d2": d[1:][keep],
+                             "diag": p[1:][keep] - p[:-1][keep],
+                             "p1": p[:-1][keep]})
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("d1", "d2", "chars")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["d1", "d2", "diag", "p1"], kind="stable")
+        d1 = g["d1"].to_numpy(np.int64)
+        d2 = g["d2"].to_numpy(np.int64)
+        dg = g["diag"].to_numpy(np.int64)
+        p1 = g["p1"].to_numpy(np.int64)
+        new = np.r_[True, (d1[1:] != d1[:-1]) | (d2[1:] != d2[:-1])
+                    | (dg[1:] != dg[:-1]) | (p1[1:] != p1[:-1] + 1)]
+        rid = np.cumsum(new) - 1
+        runlen = np.bincount(rid)
+        firsts = np.flatnonzero(new)
+        return pd.DataFrame({"d1": d1[firsts], "d2": d2[firsts],
+                             "chars": (runlen + k - 1).astype(np.int64)})
+
+    cand = shard_apply(docs.map_batches(occ, batch_format="pyarrow"),
+                       ["s"], adj)
+    spans = shard_apply(cand, ["d1", "d2", "diag"], runs)
+    return sharded_agg(spans, ["d1", "d2"],
+                       {"n_spans": ("chars", "count"),
+                        "span_chars": ("chars", "sum"),
+                        "max_span": ("chars", "max")})
+
+
 def q_tile_mosaic(sf_dir: str):
     """Overview-mosaic tiles (geospatial x image): per map tile, the
     pixel-wise exact-integer mean of the 8x8 thumbnails of every image
@@ -3156,6 +3225,110 @@ def q_bpe_pairs(sf_dir: str):
         return g.groupby(["a", "b"], as_index=False)["n"].sum()
 
     return reduce_small_or_shard(part, ["a", "b"], total)
+
+
+BPE_MERGE_ROUNDS = 6
+
+
+def q_bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
+    """FULL iterative BPE vocabulary induction (not just the round-0
+    pair census of q_bpe_pairs): ``rounds`` merge rounds, each one
+    bounded-alphabet pair-count exchange + a driver argmax over the
+    <= vocab^2 pair table (vocab = printable ASCII + one new symbol
+    per round — fixed driver state), emitting the merge table
+    (round, a, b, n).
+
+    Words live as space-separated symbol strings (" h e l l o ");
+    applying merge (a, b) is a LITERAL non-overlapping left-to-right
+    replace of " a b " with " ab " — Python str.replace and DuckDB
+    replace() share those semantics exactly, which is what makes the
+    unrolled CTE twin (sql_bpe_merges, the q_blobs/q_hilbert pattern)
+    bit-comparable.  Ties break (n DESC, a ASC, b ASC) on both
+    engines.  The unique-word frequency table is built once (one
+    sharded count — the corpus-sized exchange); each round then scans
+    only that table."""
+    from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("text").to_pylist(), dtype=object)
+        vc = s.str.findall(BPE_TOKEN_RE).explode().dropna().value_counts()
+        return pa.table({"word": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    wct = sharded_agg(docs.map_batches(words, batch_format="pyarrow"),
+                      ["word"], {"n": ("n", "sum")})
+
+    def sep_form(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("word").to_pylist(), dtype=object)
+        s = " " + s.str.replace(r"(.)", r"\1 ", regex=True)
+        return pa.table({"s": pa.array(s.to_numpy(), pa.string()),
+                         "n": t.column("n")})
+
+    w = wct.map_batches(sep_form, batch_format="pyarrow").materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return empty
+        s = pd.Series(t.column("s").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy()
+        toks = s.str.strip().str.split(" ")
+        lens = toks.str.len().to_numpy()
+        keep = lens >= 2
+        if not keep.any():
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, object) for x in toks[keep]])
+        wl = lens[keep]
+        wid = np.repeat(np.arange(int(keep.sum())), wl)
+        wn = np.repeat(n[keep], wl)
+        ok = wid[:-1] == wid[1:]
+        g = (pd.DataFrame({"a": flat[:-1][ok], "b": flat[1:][ok],
+                           "n": wn[:-1][ok]})
+             .groupby(["a", "b"], as_index=False)["n"].sum())
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = reduce_small_or_shard(
+            w.map_batches(pair_partial, batch_format="pyarrow"),
+            ["a", "b"], total).to_pandas()
+        if not len(pairs):
+            break
+        best = pairs.sort_values(["n", "a", "b"],
+                                 ascending=[False, True, True]).iloc[0]
+        a, b, cnt = str(best["a"]), str(best["b"]), int(best["n"])
+        merges.append((r, a, b, cnt))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply_merge(t: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            if t.num_rows == 0 or "s" not in t.column_names:
+                return pa.table({"s": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            s = pd.Series(t.column("s").to_pylist(), dtype=object) \
+                .str.replace(_p, _r, regex=False)
+            return pa.table({"s": pa.array(s.to_numpy(), pa.string()),
+                             "n": t.column("n")})
+
+        w = w.map_batches(apply_merge, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "a": pa.array([m[1] for m in merges], pa.string()),
+        "b": pa.array([m[2] for m in merges], pa.string()),
+        "n": pa.array([m[3] for m in merges], pa.int64())})
 
 
 def q_spacetime_cube(sf_dir: str):

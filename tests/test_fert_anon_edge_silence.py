@@ -88,3 +88,91 @@ def test_audio_silence_matches_brute(sf_dir):
                                          "max_run", "n_silent"]) \
         .sort_values("audio_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref_df, check_dtype=False)
+
+
+def test_bpe_merges_golden(tmp_path):
+    """q_bpe_merges equals an independent list-of-symbols BPE reference
+    (no string replace — validates the replace-based merge semantics)
+    on a corpus engineered to exercise multi-char merged symbols and
+    the (n DESC, a, b) tie-break."""
+    import pyarrow as pa
+
+    texts = ["low low low low lower lower newest newest newest",
+             "widest widest newest lowest, lowest!"]
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+
+    from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
+    from osmquadtreepostgis_ray.queries import q_bpe_merges
+    import re
+
+    # independent reference: words as symbol LISTS, left-to-right
+    # non-overlapping merge application
+    wc = {}
+    for t in texts:
+        for w in re.findall(BPE_TOKEN_RE, t):
+            wc[w] = wc.get(w, 0) + 1
+    words = {w: list(w) for w in wc}
+    want = []
+    for r in range(1, 7):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + wc[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        want.append((r, a, b, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    got = q_bpe_merges(str(tmp_path)).to_pandas()
+    assert list(map(tuple, got.to_numpy())) == want
+    # multi-char merged symbols actually appeared (real induction, not
+    # just round-0 character pairs)
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in want)
+
+
+def test_dup_span_runs_planted(tmp_path):
+    """q_dup_span_runs recovers planted duplicate spans exactly: two
+    docs over DISJOINT filler alphabets (no accidental 9-gram matches)
+    share one 40-char and one 15-char planted substring; a third doc
+    shares nothing."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    span_a = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS"   # 40 chars
+    span_b = "HELLO_WORLD_XYZ"                            # 15 chars
+    f1 = "".join(rng.choice(list("abcdef"), 60))
+    f2 = "".join(rng.choice(list("abcdef"), 60))
+    g1 = "".join(rng.choice(list("uvwxyz"), 60))
+    g2 = "".join(rng.choice(list("uvwxyz"), 60))
+    d1 = f1 + span_a + f2 + span_b + f1[::-1]
+    d2 = g1 + span_b + g2 + span_a + g1[::-1]
+    d3 = "".join(rng.choice(list("mnopqr"), 200))
+    import pyarrow.parquet as _pq
+    _pq.write_table(pa.table({
+        "doc_id": pa.array([101, 102, 103], pa.int64()),
+        "text": pa.array([d1, d2, d3], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = Q.q_dup_span_runs(str(tmp_path)).to_pandas() \
+        .sort_values(["d1", "d2"]).reset_index(drop=True)
+    assert got[["d1", "d2"]].values.tolist() == [[101, 102]]
+    row = got.iloc[0]
+    # the filler alphabets are disjoint, so EXACTLY the two planted
+    # spans (plus nothing else) merge into maximal runs
+    assert row["n_spans"] == 2
+    assert row["max_span"] == len(span_a)
+    assert row["span_chars"] == len(span_a) + len(span_b)
