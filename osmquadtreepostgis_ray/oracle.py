@@ -3781,6 +3781,10 @@ def build_oracles() -> dict[str, str]:
         "hilbert": sql_hilbert(),
         "bpe_pairs": sql_bpe_pairs(),
         "bpe_merges": sql_bpe_merges(),
+        "travel_dist": sql_travel_dist(),
+        "bearing_hist": sql_bearing_hist(),
+        "dwell_move": sql_dwell_move(),
+        "tfidf_top": sql_tfidf_top(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6039,3 +6043,107 @@ def sql_tile_type_diversity() -> str:
            GROUP BY e.tile)
     SELECT CAST(k AS BIGINT) AS n_types, count(*)::BIGINT AS n_tiles
     FROM tt GROUP BY k"""
+
+
+def sql_travel_dist() -> str:
+    """Twin of queries.q_travel_dist: lag window over (user ORDER BY
+    ts, event_id), L1 milli-degree legs, exact BIGINTs."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH pts AS (
+        SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat
+        FROM events
+    ),
+    lg AS (
+        SELECT user_id,
+               lon - lag(lon) OVER w AS dx,
+               lat - lag(lat) OVER w AS dy
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*)::BIGINT AS n_legs,
+           sum(abs(dx) + abs(dy))::BIGINT AS dist_l1,
+           max(abs(dx) + abs(dy))::BIGINT AS max_leg
+    FROM lg WHERE dx IS NOT NULL GROUP BY 1"""
+
+
+def sql_bearing_hist() -> str:
+    """Twin of queries.q_bearing_hist: the identical trig-free octant
+    CASE tree over per-user legs; zero legs excluded."""
+    lon, lat = geotag.event_lonlat_milli_sql()
+    return f"""
+    WITH pts AS (
+        SELECT user_id, event_id, ts, {lon} AS lon, {lat} AS lat
+        FROM events
+    ),
+    lg AS (
+        SELECT user_id,
+               lon - lag(lon) OVER w AS dx,
+               lat - lag(lat) OVER w AS dy
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    mv AS (
+        SELECT dx, dy, abs(dx) AS ax, abs(dy) AS ay FROM lg
+        WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+    )
+    SELECT CAST(CASE
+        WHEN dx >= 0 AND dy >= 0 AND ax >= ay THEN 0
+        WHEN dx >= 0 AND dy >= 0 THEN 1
+        WHEN dx < 0 AND dy >= 0 AND ay > ax THEN 2
+        WHEN dx < 0 AND dy >= 0 THEN 3
+        WHEN dx < 0 AND dy < 0 AND ax >= ay THEN 4
+        WHEN dx < 0 AND dy < 0 THEN 5
+        WHEN dx >= 0 AND dy < 0 AND ay > ax THEN 6
+        ELSE 7 END AS BIGINT) AS sector,
+        count(*)::BIGINT AS n
+    FROM mv GROUP BY 1"""
+
+
+def sql_dwell_move() -> str:
+    """Twin of queries.q_dwell_move: the shared events_geo_cte cell,
+    lag over (user ORDER BY ts, event_id), dwell = same-cell gap."""
+    return f"""
+    WITH {events_geo_cte()},
+    p AS (
+        SELECT ev.user_id, ev.event_id, e.ts, ev.cell
+        FROM ev JOIN events e USING (event_id)
+    ),
+    lg AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,
+               CASE WHEN cell = lag(cell) OVER w THEN 1 ELSE 0 END AS dw
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, sum(dw)::BIGINT AS n_dwell,
+           (count(*) - sum(dw))::BIGINT AS n_move,
+           sum(CASE WHEN dw = 1 THEN gap ELSE 0 END)::BIGINT AS dwell_us,
+           sum(CASE WHEN dw = 0 THEN gap ELSE 0 END)::BIGINT AS move_us
+    FROM lg WHERE gap IS NOT NULL GROUP BY 1"""
+
+
+def sql_tfidf_top(k: int = 3) -> str:
+    """Twin of queries.q_tfidf_top: whitespace split, integer
+    idf_milli = (1000 * n_docs) // df, row_number ties (score DESC,
+    word ASC)."""
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT * FROM w WHERE word <> ''),
+    tf AS (SELECT source, word, count(*)::BIGINT AS tf
+           FROM w2 GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df
+           FROM w2 GROUP BY 1),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    sc AS (
+        SELECT tf.source, tf.word,
+               (tf.tf * ((1000 * nd.n) // df.df))::BIGINT AS score
+        FROM tf JOIN df USING (word) CROSS JOIN nd
+    ),
+    r AS (SELECT source, word, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, word) AS rk
+          FROM sc)
+    SELECT source, CAST(rk AS BIGINT) AS rk, word, score
+    FROM r WHERE rk <= {k}"""

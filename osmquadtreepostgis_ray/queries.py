@@ -9307,3 +9307,206 @@ def q_tile_type_diversity(sf_dir: str):
     return sharded_agg(per.map_batches(hist, batch_format="pyarrow"),
                        ["n_types"], {"n_tiles": ("n_tiles", "sum")}) \
         .select_columns(["n_types", "n_tiles"])
+
+
+def q_travel_dist(sf_dir: str):
+    """Per-user odometer (the trajectory-length census a movement
+    corpus serves): events ordered (ts, event_id); each leg's L1
+    milli-degree displacement |dlon| + |dlat| (exact int — the
+    geodesic stand-in that stays parity-exact); output per user
+    (n_legs, dist_l1, max_leg).  One user-sharded exchange, per-shard
+    one sort + vectorized diffs (the q_sessionize plan); single-event
+    users have no legs and are absent on both engines."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "event_id", "ts",
+                         "lon_milli", "lat_milli"])
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_legs", "dist_l1", "max_leg")
+        if len(g) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        lon = g["lon_milli"].to_numpy(np.int64)
+        lat = g["lat_milli"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        leg = (np.abs(np.diff(lon)) + np.abs(np.diff(lat)))[same]
+        out = (pd.DataFrame({"user_id": uid[1:][same], "leg": leg})
+               .groupby("user_id", as_index=False)
+               .agg(n_legs=("leg", "size"), dist_l1=("leg", "sum"),
+                    max_leg=("leg", "max")))
+        for c in ("n_legs", "dist_l1", "max_leg"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return shard_apply(ds, ["user_id"], legs)
+
+
+def _octant_of(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """Trig-free 8-sector bearing: integer sign + |dx| vs |dy|
+    comparisons, the EXACT branch tree sql_bearing_hist repeats."""
+    ax, ay = np.abs(dx), np.abs(dy)
+    return np.select(
+        [(dx >= 0) & (dy >= 0) & (ax >= ay),
+         (dx >= 0) & (dy >= 0),
+         (dx < 0) & (dy >= 0) & (ay > ax),
+         (dx < 0) & (dy >= 0),
+         (dx < 0) & (dy < 0) & (ax >= ay),
+         (dx < 0) & (dy < 0),
+         (dx >= 0) & (dy < 0) & (ay > ax)],
+        [0, 1, 2, 3, 4, 5, 6], default=7).astype(np.int64)
+
+
+def q_bearing_hist(sf_dir: str):
+    """Global 8-sector movement-bearing histogram over per-user legs
+    (ts, event_id order): octant from integer sign/magnitude
+    comparisons — no trig, so the SQL twin's CASE tree is bit-equal.
+    Zero-displacement legs are excluded.  Per-shard 8-bin partials;
+    the 8-row global sum rides the guarded small reduce."""
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "event_id", "ts",
+                         "lon_milli", "lat_milli"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("sector", "n")
+        if len(g) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        dx = np.diff(g["lon_milli"].to_numpy(np.int64))
+        dy = np.diff(g["lat_milli"].to_numpy(np.int64))
+        keep = (uid[1:] == uid[:-1]) & ((dx != 0) | (dy != 0))
+        cnt = np.bincount(_octant_of(dx[keep], dy[keep]), minlength=8)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"sector": nz.astype(np.int64),
+                             "n": cnt[nz].astype(np.int64)})
+
+    part = shard_apply(ds, ["user_id"], partial)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("sector", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return reduce_small_or_shard(part, ["sector"], total)
+
+
+def q_dwell_move(sf_dir: str):
+    """Per-user dwell/move time split: each consecutive-event gap
+    (ts, event_id order) attributes to DWELL when both endpoints share
+    a depth-CELL_DEPTH cell, else MOVE — the stay-point statistic of
+    trajectory mining, exact integer microseconds.  Output per user:
+    (n_dwell, n_move, dwell_us, move_us).  Same single user-sharded
+    exchange as q_travel_dist."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["user_id", "event_id", "ts", "cell"])
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "n_dwell", "n_move", "dwell_us", "move_us")
+        if len(g) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        cell = g["cell"].to_numpy(np.int64)
+        same_u = uid[1:] == uid[:-1]
+        gap = np.diff(ts)[same_u]
+        dwell = (cell[1:] == cell[:-1])[same_u]
+        df = pd.DataFrame({"user_id": uid[1:][same_u],
+                           "dw": dwell.astype(np.int64),
+                           "dus": np.where(dwell, gap, 0),
+                           "mus": np.where(dwell, 0, gap)})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_dwell=("dw", "sum"), n_legs=("dw", "size"),
+            dwell_us=("dus", "sum"), move_us=("mus", "sum"))
+        out["n_move"] = (out["n_legs"] - out["n_dwell"]).astype(np.int64)
+        for c in ("n_dwell", "dwell_us", "move_us"):
+            out[c] = out[c].astype(np.int64)
+        return out[["user_id", "n_dwell", "n_move", "dwell_us", "move_us"]]
+
+    return shard_apply(ds, ["user_id"], split)
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top(sf_dir: str, k: int = TFIDF_TOP_K):
+    """Per-source top-k terms by integer tf-idf (the corpus-profiling
+    screen before mixture weighting): words = whitespace split (empty
+    tokens dropped, the string_split twin); tf per (source, word); df
+    counted over per-doc DISTINCT words (each doc lives in one batch,
+    so batch-level distinct is global); idf_milli = (1000 * n_docs) //
+    df; score = tf * idf_milli; ties (score DESC, word ASC).  tf and
+    df partials ride ONE word-sharded exchange (kind-tagged rows — a
+    word's tf and df rows co-locate, no join needed); the final top-k
+    is a source-sharded head — no driver vocabulary."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "text"])
+    n_docs = docs.count()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cols = {"source": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "kind": pd.Series([], dtype=np.int64)}
+        if t.num_rows == 0:
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        did = t.column("doc_id").to_numpy()
+        words = pd.Series(t.column("text").to_pylist(), dtype=object) \
+            .str.split(" ")
+        lens = words.str.len().to_numpy()
+        flat = np.concatenate([np.asarray(x, object) for x in words])
+        rid = np.repeat(np.arange(len(words)), lens)
+        ok = flat != ""
+        df = pd.DataFrame({"source": src[rid[ok]],
+                           "doc_id": did[rid[ok]].astype(np.int64),
+                           "word": flat[ok]})
+        tf = df.groupby(["source", "word"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        dfq = df.drop_duplicates(["word", "doc_id"]).groupby(
+            "word", as_index=False).size().rename(columns={"size": "n"})
+        out = pd.concat([tf.assign(kind=np.int64(0)),
+                         dfq.assign(source="", kind=np.int64(1))],
+                        ignore_index=True)[["source", "word", "n", "kind"]]
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    part = docs.map_batches(pairs, batch_format="pyarrow")
+
+    def per_word(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("source", "word", "score")
+        if not len(g):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=np.int64)})
+        dfm = g[g["kind"] == 1].groupby("word")["n"].sum()
+        tfm = g[g["kind"] == 0].groupby(["source", "word"],
+                                        as_index=False)["n"].sum()
+        dfv = tfm["word"].map(dfm).to_numpy(np.int64)
+        idf = (1000 * np.int64(n_docs)) // dfv
+        tfm["score"] = (tfm["n"].to_numpy(np.int64) * idf).astype(np.int64)
+        return tfm[["source", "word", "score"]]
+
+    scored = shard_apply(part, ["word"], per_word)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "rk": pd.Series([], dtype=np.int64),
+                                 "word": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["source", "score", "word"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("source", sort=False).head(k).copy()
+        out["rk"] = out.groupby("source", sort=False).cumcount() \
+            .astype(np.int64) + 1
+        return out[["source", "rk", "word", "score"]]
+
+    return shard_apply(scored, ["source"], topk)
