@@ -3785,6 +3785,9 @@ def build_oracles() -> dict[str, str]:
         "bearing_hist": sql_bearing_hist(),
         "dwell_move": sql_dwell_move(),
         "tfidf_top": sql_tfidf_top(),
+        "sample_stratified": sql_sample_stratified(),
+        "trend_cells": sql_trend_cells(),
+        "scd2_intervals": sql_scd2_intervals(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6147,3 +6150,49 @@ def sql_tfidf_top(k: int = 3) -> str:
           FROM sc)
     SELECT source, CAST(rk AS BIGINT) AS rk, word, score
     FROM r WHERE rk <= {k}"""
+
+
+def sql_sample_stratified() -> str:
+    """Twin of queries.q_sample_stratified: the same multiplicative
+    hash gate (products < 2^63, so BIGINT math == the uint64 kernel)."""
+    from osmquadtreepostgis_ray.queries import SAMPLE_MIX, SAMPLE_PERMILLE
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE ((doc_id * {SAMPLE_MIX}) % 4294967296) % 1000
+          < {SAMPLE_PERMILLE}"""
+
+
+def sql_trend_cells() -> str:
+    """Twin of queries.q_trend_cells: epoch-day x, cent y, five raw
+    sums + closed-form slope num/den, every aggregate cast BIGINT."""
+    return f"""
+    WITH {events_geo_cte()},
+    p AS (
+        SELECT ev.tile,
+               epoch_us(e.ts) // 86400000000 AS x,
+               CAST(round(e.value * 100) AS BIGINT) AS y
+        FROM ev JOIN events e USING (event_id)
+    ),
+    s AS (
+        SELECT tile, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx
+        FROM p GROUP BY tile
+    )
+    SELECT tile, n, sx, sy, sxy, sxx,
+           (n * sxy - sx * sy)::BIGINT AS slope_num,
+           (n * sxx - sx * sx)::BIGINT AS slope_den
+    FROM s"""
+
+
+def sql_scd2_intervals() -> str:
+    """Twin of queries.q_scd2_intervals: lead() per user with the
+    2^62 open sentinel."""
+    open_us = 1 << 62
+    return f"""
+    SELECT user_id, event_id,
+           epoch_us(ts)::BIGINT AS valid_from_us,
+           coalesce(lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id),
+               {open_us})::BIGINT AS valid_to_us
+    FROM events"""

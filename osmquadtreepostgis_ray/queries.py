@@ -9510,3 +9510,98 @@ def q_tfidf_top(sf_dir: str, k: int = TFIDF_TOP_K):
         return out[["source", "rk", "word", "score"]]
 
     return shard_apply(scored, ["source"], topk)
+
+
+SAMPLE_PERMILLE = 37
+SAMPLE_MIX = 2654435761  # Knuth multiplicative hash (fits HUGEINT twin)
+
+
+def q_sample_stratified(sf_dir: str, permille: int = SAMPLE_PERMILLE):
+    """Deterministic stratified corpus sample (the reproducible
+    train/eval draw every data pipeline needs): keep a document iff
+    (doc_id * SAMPLE_MIX) % 2^32 % 1000 < permille — a pure function
+    of the row, so the sample is identical across parallelism, resume,
+    and engines (no RNG state anywhere).  Emits the kept (doc_id,
+    source) plus per-source kept counts are derivable downstream;
+    row-pure single pass, no shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(SAMPLE_MIX)) % np.uint64(1 << 32)
+        m = (h % np.uint64(1000)) < np.uint64(permille)
+        return t.filter(pa.array(m))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_trend_cells(sf_dir: str):
+    """Per-tile OLS trend of event value over time, exact-integer form:
+    x = epoch DAY index, y = value cents; the tile carries the five
+    raw sums (n, sx, sy, sxy, sxx) via combiner partials plus the
+    closed-form slope numerator n*sxy - sx*sy and denominator
+    n*sxx - sx^2 — emitted RAW (BIGINT) so no engine ever divides
+    signed ints (the CLAUDE.md truncation-vs-floor hazard).  Magnitude
+    bound: |num| < rows_per_tile^2 * max|x*y| ~ 2e9 * rows^2 — safe in
+    int64 to ~2e6 rows/tile; past that, shrink the tile depth."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts", "value"]) \
+        .select_columns(["tile", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = ("tile", "n", "sx", "sy", "sxy", "sxx")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        x = t.column("ts").cast(pa.int64()).to_numpy() // DAY_US
+        y = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "n": np.int64(1), "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x})
+        g = df.groupby("tile", as_index=False).sum()
+        return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["tile"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                                 "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+                                 "sxx": ("sxx", "sum")})
+
+    def closed(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        sx = t.column("sx").to_numpy().astype(np.int64)
+        sy = t.column("sy").to_numpy().astype(np.int64)
+        sxy = t.column("sxy").to_numpy().astype(np.int64)
+        sxx = t.column("sxx").to_numpy().astype(np.int64)
+        t = t.append_column("slope_num", pa.array(n * sxy - sx * sy,
+                                                  pa.int64()))
+        return t.append_column("slope_den", pa.array(n * sxx - sx * sx,
+                                                     pa.int64()))
+
+    return agg.map_batches(closed, batch_format="pyarrow")
+
+
+SCD2_OPEN_US = np.int64(1) << 62
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD2 validity intervals from the event change-log (the
+    slowly-changing-dimension snapshot maintenance op): per user, rows
+    ordered (ts, event_id) become (user_id, event_id, valid_from_us,
+    valid_to_us) where valid_to is the next change's ts, the OPEN
+    sentinel 2^62 for the latest row.  One user-sharded exchange +
+    a vectorized shift — the lead() window re-expressed."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("user_id", "event_id", "valid_from_us", "valid_to_us")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        nxt = np.r_[ts[1:], SCD2_OPEN_US]
+        nxt[np.r_[uid[1:] != uid[:-1], True]] = SCD2_OPEN_US
+        return pd.DataFrame({"user_id": uid, "event_id": eid,
+                             "valid_from_us": ts, "valid_to_us": nxt})
+
+    return shard_apply(ds, ["user_id"], intervals)
