@@ -3788,6 +3788,7 @@ def build_oracles() -> dict[str, str]:
         "sample_stratified": sql_sample_stratified(),
         "trend_cells": sql_trend_cells(),
         "scd2_intervals": sql_scd2_intervals(),
+        "tile_checksum": sql_tile_checksum(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6196,3 +6197,23 @@ def sql_scd2_intervals() -> str:
                PARTITION BY user_id ORDER BY ts, event_id),
                {open_us})::BIGINT AS valid_to_us
     FROM events"""
+
+
+def sql_tile_checksum() -> str:
+    """Twin of queries.q_tile_checksum: HUGEINT product reduced mod
+    2^31 per event, summed per tile, folded mod 2^31 — order-invariant
+    by construction, every intermediate inside int64 (see the query
+    docstring's overflow bound)."""
+    from osmquadtreepostgis_ray.queries import CHECKSUM_MIX
+    m31 = 1 << 31
+    return f"""
+    WITH {events_geo_cte()},
+    h AS (
+        SELECT tile,
+               CAST((CAST(event_id AS HUGEINT) * {CHECKSUM_MIX})
+                    % {m31} AS BIGINT) AS hv
+        FROM ev
+    )
+    SELECT tile, count(*)::BIGINT AS n,
+           CAST(sum(CAST(hv AS HUGEINT)) % {m31} AS BIGINT) AS checksum
+    FROM h GROUP BY tile"""

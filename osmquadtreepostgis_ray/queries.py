@@ -9605,3 +9605,48 @@ def q_scd2_intervals(sf_dir: str):
                              "valid_from_us": ts, "valid_to_us": nxt})
 
     return shard_apply(ds, ["user_id"], intervals)
+
+
+CHECKSUM_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd mix, mod 2^61 below
+
+
+def q_tile_checksum(sf_dir: str):
+    """Per-tile content fingerprint (the anti-entropy check a resumable
+    export verifies against: recompute after resume, diff per tile):
+    order-invariant SUM of per-event mixed hashes mod 2^31, plus the
+    row count.  2^31 (not 2^61) keeps every intermediate SUM inside
+    int64 on both engines: a batch partial sums <= 2^20 rows * 2^31 <
+    2^51, and the cross-batch fold sums <= #batches * 2^31 — no silent
+    numpy wraparound vs DuckDB's non-wrapping HUGEINT.  Combiner
+    partials; one bounded keyed aggregate."""
+    M31 = np.int64(1 << 31)
+    ds = prep_events(sf_dir, columns=["event_id", "user_id"]) \
+        .select_columns(["tile", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = ("tile", "n", "checksum")
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        eid = t.column("event_id").to_numpy().astype(np.uint64)
+        h = ((eid * np.uint64(CHECKSUM_MIX)) % np.uint64(1 << 31)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
+                           "n": np.int64(1), "h": h})
+        g = df.groupby("tile", as_index=False).sum()
+        g["h"] = (g["h"] % M31).astype(np.int64)
+        return pa.table({"tile": pa.array(g["tile"].to_numpy(np.int64),
+                                          pa.int64()),
+                         "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                         "checksum": pa.array(g["h"].to_numpy(np.int64),
+                                              pa.int64())})
+
+    agg = sharded_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["tile"], {"n": ("n", "sum"),
+                                 "checksum": ("checksum", "sum")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t.column("checksum").to_numpy().astype(np.int64) % M31
+        return pa.table({"tile": t.column("tile"), "n": t.column("n"),
+                         "checksum": pa.array(c, pa.int64())})
+
+    return agg.map_batches(fold, batch_format="pyarrow")
