@@ -3789,6 +3789,8 @@ def build_oracles() -> dict[str, str]:
         "trend_cells": sql_trend_cells(),
         "scd2_intervals": sql_scd2_intervals(),
         "tile_checksum": sql_tile_checksum(),
+        "geohash_census": sql_geohash_census(),
+        "active_span": sql_active_span(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6217,3 +6219,65 @@ def sql_tile_checksum() -> str:
     SELECT tile, count(*)::BIGINT AS n,
            CAST(sum(CAST(hv AS HUGEINT)) % {m31} AS BIGINT) AS checksum
     FROM h GROUP BY tile"""
+
+
+def sql_geohash_census() -> str:
+    """Twin of queries.q_geohash_census: the identical 30-bit
+    lon-odd/lat-even interleave unrolled, 6 substr alphabet lookups."""
+    from osmquadtreepostgis_ray.queries import (GEOHASH_ALPHABET,
+                                                GEOHASH_CHARS)
+    lon, lat = geotag.event_lonlat_milli_sql()
+    bits = 15
+    n = 1 << bits
+    ix = f"((({lon}) * 10000 * {n}) // {quadtree.LON_SPAN})"
+    iy = f"(((({lat}) + 5000) * 10000 * {n}) // {quadtree.LAT_SPAN})"
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({ix} >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"(({iy} >> {b}) & 1) * {1 << (2 * b)}")
+    g = "(" + " + ".join(terms) + ")"
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((({g}) >> {5 * (GEOHASH_CHARS - 1 - c)}) & 31 AS INTEGER)"
+        f" + 1, 1)"
+        for c in range(GEOHASH_CHARS))
+    return f"""
+    SELECT {chars} AS geohash, count(*)::BIGINT AS n
+    FROM events GROUP BY 1"""
+
+
+def sql_active_span() -> str:
+    """Twin of queries.q_active_span: gaps-and-islands via running-max
+    window end, island = break where start > previous running end."""
+    from osmquadtreepostgis_ray.queries import ACTIVE_WINDOW_US
+    return f"""
+    WITH {events_geo_cte()},
+    p AS (
+        SELECT ev.tile, epoch_us(e.ts) AS s,
+               epoch_us(e.ts) + {ACTIVE_WINDOW_US} AS e
+        FROM ev JOIN events e USING (event_id)
+    ),
+    o AS (
+        SELECT tile, s, e,
+               max(e) OVER (PARTITION BY tile ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_end
+        FROM p
+    ),
+    m AS (
+        SELECT tile, s, e,
+               CASE WHEN prev_end IS NULL OR s > prev_end
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ),
+    isl AS (
+        SELECT tile, s, e,
+               sum(brk) OVER (PARTITION BY tile ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS iid
+        FROM m
+    ),
+    g AS (SELECT tile, iid, min(s) AS st, max(e) AS en
+          FROM isl GROUP BY 1, 2)
+    SELECT tile, count(*)::BIGINT AS n_islands,
+           sum(en - st)::BIGINT AS covered_us
+    FROM g GROUP BY 1"""

@@ -9650,3 +9650,90 @@ def q_tile_checksum(sf_dir: str):
                          "checksum": pa.array(c, pa.int64())})
 
     return agg.map_batches(fold, batch_format="pyarrow")
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_CHARS = 6  # 30 bits: 15 lon + 15 lat
+
+
+def q_geohash_census(sf_dir: str):
+    """Per-geohash event counts at 6-char precision — the base32
+    string spatial index (the H3/S2/quadkey sibling ops teams actually
+    exchange): lon bits at odd positions, lat at even, MSB-first,
+    5-bit groups mapped through the standard alphabet.  Exact integer
+    bit math on both engines (the SQL twin unrolls the same 30-bit
+    interleave + 6 substr lookups); grouping is one sharded aggregate
+    on the string key."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id"]) \
+        .select_columns(["lon_milli", "lat_milli"])
+    bits = 15
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"geohash": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
+                                       t.column("lat_milli").to_numpy())
+        n = np.int64(1 << bits)
+        ix = (fx * n) // quadtree.LON_SPAN
+        iy = (fy * n) // quadtree.LAT_SPAN
+        g = np.zeros(len(ix), np.int64)
+        for b in range(bits):
+            g |= ((ix >> b) & 1) << (2 * b + 1)
+            g |= ((iy >> b) & 1) << (2 * b)
+        al = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
+        chars = [al[(g >> (5 * (GEOHASH_CHARS - 1 - c))) & 31]
+                 for c in range(GEOHASH_CHARS)]
+        raw = np.stack(chars, axis=1).astype(np.uint8).tobytes()
+        gh = np.frombuffer(raw, dtype=f"S{GEOHASH_CHARS}").astype(object)
+        vc = pd.Series(gh).str.decode("ascii").value_counts()
+        return pa.table({"geohash": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64),
+                                       pa.int64())})
+
+    return sharded_agg(ds.map_batches(enc, batch_format="pyarrow"),
+                       ["geohash"], {"n": ("n", "sum")})
+
+
+ACTIVE_WINDOW_US = 900_000_000  # 15 min
+
+
+def q_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
+    """Per-tile activity coverage via INTERVAL UNION (the classic
+    gaps-and-islands op): each event opens [ts, ts + window); per tile,
+    overlapping windows merge and the output is island count + total
+    covered microseconds — exact ints.  One tile-sharded exchange;
+    per-shard a sort + running-max cummax (no pairwise interval
+    join)."""
+    ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
+        .select_columns(["tile", "ts"])
+
+    def union_len(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("tile", "n_islands", "covered_us")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        g = g.sort_values(["tile", "ts"], kind="stable")
+        tile = g["tile"].to_numpy(np.int64)
+        s = g["ts"].astype("int64").to_numpy()
+        e = s + window_us
+        # running max end per tile: pandas grouped cummax is a C-level
+        # SEGMENTED accumulate (an offset-per-segment trick on raw
+        # epoch-µs ints would overflow int64 past ~1e4 segments)
+        new_tile = np.r_[True, tile[1:] != tile[:-1]]
+        seg_id = np.cumsum(new_tile) - 1
+        run_end = pd.Series(e).groupby(seg_id).cummax().to_numpy(np.int64)
+        brk = np.r_[True, (s[1:] > run_end[:-1]) | new_tile[1:]]
+        iid = np.cumsum(brk) - 1
+        firsts = np.flatnonzero(brk)
+        lasts = np.r_[firsts[1:], len(s)] - 1
+        isl_tile = tile[firsts]
+        covered = run_end[lasts] - s[firsts]
+        out = (pd.DataFrame({"tile": isl_tile, "cov": covered})
+               .groupby("tile", as_index=False)
+               .agg(n_islands=("cov", "size"), covered_us=("cov", "sum")))
+        out["n_islands"] = out["n_islands"].astype(np.int64)
+        out["covered_us"] = out["covered_us"].astype(np.int64)
+        return out
+
+    return shard_apply(ds, ["tile"], union_len)
