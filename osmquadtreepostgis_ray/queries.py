@@ -9666,33 +9666,47 @@ def q_geohash_census(sf_dir: str):
     on the string key."""
     ds = prep_events(sf_dir, columns=["event_id", "user_id"]) \
         .select_columns(["lon_milli", "lat_milli"])
-    bits = 15
 
     def enc(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"geohash": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        fx, fy = geotag.milli_to_fixed(t.column("lon_milli").to_numpy(),
-                                       t.column("lat_milli").to_numpy())
-        n = np.int64(1 << bits)
-        ix = (fx * n) // quadtree.LON_SPAN
-        iy = (fy * n) // quadtree.LAT_SPAN
-        g = np.zeros(len(ix), np.int64)
-        for b in range(bits):
-            g |= ((ix >> b) & 1) << (2 * b + 1)
-            g |= ((iy >> b) & 1) << (2 * b)
-        al = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
-        chars = [al[(g >> (5 * (GEOHASH_CHARS - 1 - c))) & 31]
-                 for c in range(GEOHASH_CHARS)]
-        raw = np.stack(chars, axis=1).astype(np.uint8).tobytes()
-        gh = np.frombuffer(raw, dtype=f"S{GEOHASH_CHARS}").astype(object)
-        vc = pd.Series(gh).str.decode("ascii").value_counts()
+        gh = geohash_of(t.column("lon_milli").to_numpy(),
+                        t.column("lat_milli").to_numpy())
+        vc = pd.Series(gh).value_counts()
         return pa.table({"geohash": pa.array(vc.index.to_numpy(), pa.string()),
                          "n": pa.array(vc.to_numpy().astype(np.int64),
                                        pa.int64())})
 
     return sharded_agg(ds.map_batches(enc, batch_format="pyarrow"),
                        ["geohash"], {"n": ("n", "sum")})
+
+
+def geohash_of(lon_milli: np.ndarray, lat_milli: np.ndarray,
+               chars: int = GEOHASH_CHARS) -> np.ndarray:
+    """Vectorized standard geohash strings (lon bit first, base32) for
+    milli-degree offsets — module-level so the property test can pit
+    it against an interval-bisection reference implementation."""
+    lon_bits = (5 * chars + 1) // 2  # lon leads, so it gets the ceil
+    lat_bits = 5 * chars // 2
+    fx, fy = geotag.milli_to_fixed(np.asarray(lon_milli, np.int64),
+                                   np.asarray(lat_milli, np.int64))
+    ix = (fx * np.int64(1 << lon_bits)) // quadtree.LON_SPAN
+    iy = (fy * np.int64(1 << lat_bits)) // quadtree.LAT_SPAN
+    g = np.zeros(len(ix), np.int64)
+    total = 5 * chars
+    # bit position p (0 = MSB): even p -> lon, odd p -> lat
+    for p in range(total):
+        if p % 2 == 0:
+            src, b = ix, lon_bits - 1 - p // 2
+        else:
+            src, b = iy, lat_bits - 1 - p // 2
+        g |= ((src >> b) & 1) << (total - 1 - p)
+    al = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
+    cols = [al[(g >> (5 * (chars - 1 - c))) & 31] for c in range(chars)]
+    raw = np.stack(cols, axis=1).astype(np.uint8).tobytes()
+    return np.frombuffer(raw, dtype=f"S{chars}").astype("U" + str(chars)) \
+        .astype(object)
 
 
 ACTIVE_WINDOW_US = 900_000_000  # 15 min
@@ -9709,31 +9723,36 @@ def q_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
         .select_columns(["tile", "ts"])
 
     def union_len(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ("tile", "n_islands", "covered_us")
-        if not len(g):
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
-        g = g.sort_values(["tile", "ts"], kind="stable")
-        tile = g["tile"].to_numpy(np.int64)
-        s = g["ts"].astype("int64").to_numpy()
-        e = s + window_us
-        # running max end per tile: pandas grouped cummax is a C-level
-        # SEGMENTED accumulate (an offset-per-segment trick on raw
-        # epoch-µs ints would overflow int64 past ~1e4 segments)
-        new_tile = np.r_[True, tile[1:] != tile[:-1]]
-        seg_id = np.cumsum(new_tile) - 1
-        run_end = pd.Series(e).groupby(seg_id).cummax().to_numpy(np.int64)
-        brk = np.r_[True, (s[1:] > run_end[:-1]) | new_tile[1:]]
-        iid = np.cumsum(brk) - 1
-        firsts = np.flatnonzero(brk)
-        lasts = np.r_[firsts[1:], len(s)] - 1
-        isl_tile = tile[firsts]
-        covered = run_end[lasts] - s[firsts]
-        out = (pd.DataFrame({"tile": isl_tile, "cov": covered})
-               .groupby("tile", as_index=False)
-               .agg(n_islands=("cov", "size"), covered_us=("cov", "sum")))
-        out["n_islands"] = out["n_islands"].astype(np.int64)
-        out["covered_us"] = out["covered_us"].astype(np.int64)
-        return out
+        return interval_union_stats(g, window_us)
 
     return shard_apply(ds, ["tile"], union_len)
+
+
+def interval_union_stats(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Per-tile island count + union length of [ts, ts + window)
+    intervals — module-level so the property test can pit it against a
+    brute per-tile interval merge."""
+    cols = ("tile", "n_islands", "covered_us")
+    if not len(g):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = g.sort_values(["tile", "ts"], kind="stable")
+    tile = g["tile"].to_numpy(np.int64)
+    s = g["ts"].astype("int64").to_numpy()
+    e = s + window_us
+    # running max end per tile: pandas grouped cummax is a C-level
+    # SEGMENTED accumulate (an offset-per-segment trick on raw
+    # epoch-µs ints would overflow int64 past ~1e4 segments)
+    new_tile = np.r_[True, tile[1:] != tile[:-1]]
+    seg_id = np.cumsum(new_tile) - 1
+    run_end = pd.Series(e).groupby(seg_id).cummax().to_numpy(np.int64)
+    brk = np.r_[True, (s[1:] > run_end[:-1]) | new_tile[1:]]
+    firsts = np.flatnonzero(brk)
+    lasts = np.r_[firsts[1:], len(s)] - 1
+    covered = run_end[lasts] - s[firsts]
+    out = (pd.DataFrame({"tile": tile[firsts], "cov": covered})
+           .groupby("tile", as_index=False)
+           .agg(n_islands=("cov", "size"), covered_us=("cov", "sum")))
+    out["n_islands"] = out["n_islands"].astype(np.int64)
+    out["covered_us"] = out["covered_us"].astype(np.int64)
+    return out

@@ -1,0 +1,139 @@
+"""Property tests for the round-4 kernels (pure pandas/numpy — no Ray
+session needed): wedge expansion vs brute common-neighbor counts,
+octant classification totality + antipodal symmetry, geohash vs an
+interval-bisection reference, interval union vs brute merge."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmquadtreepostgis_ray.queries import (GEOHASH_ALPHABET, _octant_of,
+                                            geohash_of,
+                                            interval_union_stats)
+from osmquadtreepostgis_ray.stages.graph import _wedge_expand, _wedge_fan
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                min_size=0, max_size=60),
+       st.integers(1, 6))
+def test_wedge_kernels_match_brute(edges, chunk):
+    """fan+expand summed per (v1, v2) == brute common-neighbor counts,
+    for ANY chunk size (the hub guard never changes the answer)."""
+    und = pd.DataFrame({
+        "u": pd.array([a for a, b in edges for _ in (0,)]
+                      + [b for a, b in edges], dtype=np.int64),
+        "v": pd.array([b for a, b in edges]
+                      + [a for a, b in edges], dtype=np.int64)})
+    und = und[und["u"] != und["v"]].drop_duplicates().reset_index(drop=True)
+
+    got = _wedge_expand(_wedge_fan(und, chunk))
+    got = got.groupby(["v1", "v2"], as_index=False)["c"].sum() \
+        .sort_values(["v1", "v2"]).reset_index(drop=True)
+
+    # brute: for every center, count unordered neighbor pairs
+    brute: dict[tuple, int] = {}
+    for u, grp in und.groupby("u"):
+        vs = sorted(grp["v"])
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                k = (vs[i], vs[j])
+                brute[k] = brute.get(k, 0) + 1
+    want = pd.DataFrame(
+        [(a, b, c) for (a, b), c in sorted(brute.items())],
+        columns=["v1", "v2", "c"])
+    if not len(want):
+        assert not len(got)
+        return
+    want = want.astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.tuples(st.integers(-1000, 1000),
+                          st.integers(-1000, 1000)),
+                min_size=1, max_size=100))
+def test_octant_total_and_antipodal(pairs):
+    dx = np.array([p[0] for p in pairs], np.int64)
+    dy = np.array([p[1] for p in pairs], np.int64)
+    s = _octant_of(dx, dy)
+    assert ((s >= 0) & (s <= 7)).all()
+    # strict antipodal symmetry away from the axes
+    m = (dx != 0) & (dy != 0)
+    s2 = _octant_of(-dx[m], -dy[m])
+    assert ((s[m] + 4) % 8 == s2).all()
+
+
+def _geohash_ref(lon_deg: float, lat_deg: float, chars: int) -> str:
+    """Classic interval-bisection geohash encoder (independent of the
+    interleave formula under test)."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    use_lon = True
+    while len(bits) < 5 * chars:
+        if use_lon:
+            mid = (lo_lon + hi_lon) / 2
+            if lon_deg >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat_deg >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        use_lon = not use_lon
+    out = ""
+    for c in range(chars):
+        code = 0
+        for b in bits[5 * c:5 * c + 5]:
+            code = code * 2 + b
+        out += GEOHASH_ALPHABET[code]
+    return out
+
+
+@settings(deadline=None, max_examples=100)
+@given(st.integers(0, 360_000 - 1), st.integers(0, 170_000 - 1))
+def test_geohash_matches_bisection_reference(lon_m, lat_m):
+    # engine milli offsets -> degrees (lon - 180, lat - 85); powers of
+    # two in the bisection are exact in float64 for milli inputs
+    got = geohash_of(np.array([lon_m], np.int64),
+                     np.array([lat_m], np.int64))[0]
+    want = _geohash_ref(lon_m / 1000.0 - 180.0, lat_m / 1000.0 - 85.0, 6)
+    assert got == want
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+                min_size=0, max_size=80),
+       st.integers(1, 300))
+def test_interval_union_matches_brute(rows, window):
+    df = pd.DataFrame({"tile": pd.array([t for t, _ in rows],
+                                        dtype=np.int64),
+                       "ts": pd.array([s for _, s in rows],
+                                      dtype=np.int64)})
+    got = interval_union_stats(df, window).sort_values("tile") \
+        .reset_index(drop=True)
+
+    exp = []
+    for t, grp in df.groupby("tile"):
+        ivs = sorted((s, s + window) for s in grp["ts"])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        exp.append((t, len(merged), sum(e - s for s, e in merged)))
+    want = pd.DataFrame(exp, columns=["tile", "n_islands", "covered_us"])
+    if not len(want):
+        assert not len(got)
+        return
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))
