@@ -373,27 +373,48 @@ def wedge_pairs(und: ray.data.Dataset,
 
     A center's deg^2 pair fanout is inherent output, but it must not
     land in ONE shard (the q_link_jaccard hub finding): pass 1 shards
-    by center, computes deg in-shard (no degree join), splits each
-    neighbor list into nch = ceil(deg/chunk) chunks (cv = v % nch — a
-    pure function of the row + the center's degree, bit-stable), and
-    fans each row into its nch (c1, c2) chunk-pair groups; pass 2
-    shards by (u, c1, c2) and expands pairs per group, so no shard
-    sees more than ~chunk^2 pairs from any one hub.  Copy overhead is
-    deg * nch = output/chunk rows; on low-degree graphs nch == 1 and
-    the plan degenerates to the single-group expansion.  Exact — no
-    top-M cap, unlike the covisit sibling."""
+    by center and computes deg in-shard (no degree join); centers with
+    deg <= chunk expand DIRECTLY there (the common case — no second
+    data-scale exchange), while over-chunk hubs split into nch =
+    ceil(deg/chunk) chunks (cv = v % nch — a pure function of the row
+    + the center's degree, bit-stable) and fan each row into its nch
+    (c1, c2) chunk-pair groups; pass 2 shards ONLY those hub rows by
+    (u, c1, c2) and expands per group, so no shard sees more than
+    ~chunk^2 pairs from any one hub.  Copy overhead is deg * nch =
+    output/chunk rows, paid only by hubs.  Exact — no top-M cap,
+    unlike the covisit sibling."""
 
     def fan(df: pd.DataFrame) -> pd.DataFrame:
-        return _wedge_fan(df, chunk)
+        return _wedge_fan_split(df, chunk)
 
-    return shard_apply(shard_apply(und, ["u"], fan),
-                       ["u", "c1", "c2"], _wedge_expand)
+    mixed = shard_apply(und, ["u"], fan).materialize()
+    direct = mixed.map_batches(
+        lambda t: (lambda f: pa.table({
+            "v1": f.column("x1"), "v2": f.column("x2"),
+            "c": f.column("x3")}))(
+            t.filter(pc.equal(t.column("kind"), 0))),
+        batch_format="pyarrow")
+    fanned = mixed.map_batches(
+        lambda t: (lambda f: pa.table({
+            "u": f.column("x1"), "v": f.column("x2"),
+            "cv": f.column("x3"), "c1": f.column("x4"),
+            "c2": f.column("x5")}))(
+            t.filter(pc.equal(t.column("kind"), 1))),
+        batch_format="pyarrow")
+    # a sort shuffle costs seconds of coordination even on zero rows
+    # (CLAUDE.md) — skip the hub exchange entirely when nothing fanned
+    if fanned.count() == 0:
+        return direct
+    expanded = shard_apply(fanned, ["u", "c1", "c2"], _wedge_expand)
+    return direct.union(expanded)
 
 
-def _wedge_fan(df: pd.DataFrame, chunk: int) -> pd.DataFrame:
-    """Pass-1 kernel (module-level so tests can bound-check groups):
-    per-center chunk split + (c1, c2) chunk-pair fanout."""
-    cols = ("u", "v", "cv", "c1", "c2")
+def _wedge_fan_split(df: pd.DataFrame, chunk: int) -> pd.DataFrame:
+    """Pass-1 kernel (module-level for the property/star tests): small
+    centers (deg <= chunk) expand to pair partials in place (kind 0:
+    x1=v1, x2=v2, x3=c); hub rows fan into chunk-pair groups (kind 1:
+    x1=u, x2=v, x3=cv, x4=c1, x5=c2)."""
+    cols = ("x1", "x2", "x3", "x4", "x5", "kind")
     if not len(df):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
@@ -402,25 +423,50 @@ def _wedge_fan(df: pd.DataFrame, chunk: int) -> pd.DataFrame:
     order = np.argsort(u, kind="stable")
     u, v = u[order], v[order]
     _, cnt = np.unique(u, return_counts=True)
-    nch = -(-cnt // chunk)  # ceil
-    nch_row = np.repeat(nch, cnt)
-    cv = v % nch_row
-    # each row fans into nch groups: (cv, cj) for cj in 0..nch-1
-    rep_u = np.repeat(u, nch_row)
-    rep_v = np.repeat(v, nch_row)
-    rep_cv = np.repeat(cv, nch_row)
-    tot = int(nch_row.sum())
-    starts = np.repeat(np.cumsum(nch_row) - nch_row, nch_row)
-    cj = np.arange(tot, dtype=np.int64) - starts
-    return pd.DataFrame({"u": rep_u, "v": rep_v, "cv": rep_cv,
-                         "c1": np.minimum(rep_cv, cj),
-                         "c2": np.maximum(rep_cv, cj)})
+    big_row = np.repeat(cnt > chunk, cnt)
+    out = []
+
+    if (~big_row).any():
+        sm = pd.DataFrame({"u": u[~big_row], "v": v[~big_row]})
+        m = sm.merge(sm, on="u", suffixes=("_1", "_2"))
+        m = m[m["v_1"] < m["v_2"]]
+        g = (pd.DataFrame({"x1": m["v_1"].to_numpy(np.int64),
+                           "x2": m["v_2"].to_numpy(np.int64)})
+             .groupby(["x1", "x2"], as_index=False)
+             .size().rename(columns={"size": "x3"}))
+        g["x3"] = g["x3"].astype(np.int64)
+        g["x4"] = np.int64(0)
+        g["x5"] = np.int64(0)
+        g["kind"] = np.int64(0)
+        out.append(g)
+
+    if big_row.any():
+        ub, vb = u[big_row], v[big_row]
+        _, cntb = np.unique(ub, return_counts=True)
+        nch = -(-cntb // chunk)  # ceil, >= 2 by construction
+        nch_row = np.repeat(nch, cntb)
+        cv = vb % nch_row
+        rep_u = np.repeat(ub, nch_row)
+        rep_v = np.repeat(vb, nch_row)
+        rep_cv = np.repeat(cv, nch_row)
+        tot = int(nch_row.sum())
+        starts = np.repeat(np.cumsum(nch_row) - nch_row, nch_row)
+        cj = np.arange(tot, dtype=np.int64) - starts
+        out.append(pd.DataFrame({
+            "x1": rep_u, "x2": rep_v, "x3": rep_cv,
+            "x4": np.minimum(rep_cv, cj), "x5": np.maximum(rep_cv, cj),
+            "kind": np.int64(1)}))
+
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64) for c in cols})
+    return res[list(cols)]
 
 
 def _wedge_expand(df: pd.DataFrame) -> pd.DataFrame:
-    """Pass-2 kernel: per-(u, c1, c2) pair expansion, each unordered
-    pair counted exactly once (same-chunk: v1 < v2; cross-chunk: the
-    single orientation whose sides match their own chunks)."""
+    """Pass-2 kernel: per-(u, c1, c2) pair expansion over HUB fan rows,
+    each unordered pair counted exactly once (same-chunk: v1 < v2;
+    cross-chunk: the single orientation whose sides match their own
+    chunks)."""
     cols = ("v1", "v2", "c")
     if not len(df):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)

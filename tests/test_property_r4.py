@@ -11,7 +11,8 @@ from hypothesis import strategies as st
 from osmquadtreepostgis_ray.queries import (GEOHASH_ALPHABET, _octant_of,
                                             geohash_of,
                                             interval_union_stats)
-from osmquadtreepostgis_ray.stages.graph import _wedge_expand, _wedge_fan
+from osmquadtreepostgis_ray.stages.graph import (_wedge_expand,
+                                                 _wedge_fan_split)
 
 
 @settings(deadline=None, max_examples=60)
@@ -28,7 +29,13 @@ def test_wedge_kernels_match_brute(edges, chunk):
                       + [a for a, b in edges], dtype=np.int64)})
     und = und[und["u"] != und["v"]].drop_duplicates().reset_index(drop=True)
 
-    got = _wedge_expand(_wedge_fan(und, chunk))
+    mixed = _wedge_fan_split(und, chunk)
+    direct = mixed[mixed["kind"] == 0].rename(
+        columns={"x1": "v1", "x2": "v2", "x3": "c"})[["v1", "v2", "c"]]
+    fanned = mixed[mixed["kind"] == 1].rename(
+        columns={"x1": "u", "x2": "v", "x3": "cv",
+                 "x4": "c1", "x5": "c2"})[["u", "v", "cv", "c1", "c2"]]
+    got = pd.concat([direct, _wedge_expand(fanned)], ignore_index=True)
     got = got.groupby(["v1", "v2"], as_index=False)["c"].sum() \
         .sort_values(["v1", "v2"]).reset_index(drop=True)
 

@@ -309,13 +309,17 @@ def test_wedge_pairs_hub_guard():
 
     # bound check on the fan kernel itself: the hub's 40 neighbors
     # split into 5 chunks of <= 8 rows, so no (u, c1, c2) group holds
-    # more than 2*chunk rows (-> <= (2*chunk)^2 pairs, not deg^2)
-    from osmquadtreepostgis_ray.stages.graph import _wedge_fan
-    und_df = e.to_pandas()
-    fanned = _wedge_fan(und_df, 8)
+    # more than 2*chunk rows (-> <= (2*chunk)^2 pairs, not deg^2);
+    # leaves (deg 1 <= chunk) expand DIRECTLY — only hub rows fan
+    from osmquadtreepostgis_ray.stages.graph import _wedge_fan_split
+    und_df = e.to_pandas().rename(columns={})
+    mixed = _wedge_fan_split(und_df, 8)
+    fanned = mixed[mixed["kind"] == 1].rename(
+        columns={"x1": "u", "x4": "c1", "x5": "c2"})
+    assert set(fanned["u"]) == {0}  # only the hub pays the fan copies
     gsz = fanned.groupby(["u", "c1", "c2"]).size()
     assert gsz.max() <= 2 * 8
-    hub_groups = fanned[fanned["u"] == 0][["c1", "c2"]].drop_duplicates()
+    hub_groups = fanned[["c1", "c2"]].drop_duplicates()
     assert len(hub_groups) == 5 * 6 // 2  # C(5,2) cross + 5 same-chunk
     # unguarded chunk: identical totals (plan equivalence)
     big = sharded_agg(wedge_pairs(und), ["v1", "v2"],
