@@ -3785,7 +3785,7 @@ def build_oracles() -> dict[str, str]:
         "bearing_hist": sql_bearing_hist(),
         "dwell_move": sql_dwell_move(),
         "tfidf_top": sql_tfidf_top(),
-        "sample_stratified": sql_sample_stratified(),
+        "sample_permille": sql_sample_permille(),
         "trend_cells": sql_trend_cells(),
         "scd2_intervals": sql_scd2_intervals(),
         "tile_checksum": sql_tile_checksum(),
@@ -6155,8 +6155,8 @@ def sql_tfidf_top(k: int = 3) -> str:
     FROM r WHERE rk <= {k}"""
 
 
-def sql_sample_stratified() -> str:
-    """Twin of queries.q_sample_stratified: the same multiplicative
+def sql_sample_permille() -> str:
+    """Twin of queries.q_sample_permille: the same multiplicative
     hash gate (products < 2^63, so BIGINT math == the uint64 kernel)."""
     from osmquadtreepostgis_ray.queries import SAMPLE_MIX, SAMPLE_PERMILLE
     return f"""

@@ -9516,7 +9516,7 @@ SAMPLE_PERMILLE = 37
 SAMPLE_MIX = 2654435761  # Knuth multiplicative hash (fits HUGEINT twin)
 
 
-def q_sample_stratified(sf_dir: str, permille: int = SAMPLE_PERMILLE):
+def q_sample_permille(sf_dir: str, permille: int = SAMPLE_PERMILLE):
     """Deterministic stratified corpus sample (the reproducible
     train/eval draw every data pipeline needs): keep a document iff
     (doc_id * SAMPLE_MIX) % 2^32 % 1000 < permille — a pure function
