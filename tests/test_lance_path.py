@@ -56,3 +56,42 @@ def test_read_lance_table_gate_without_wheel(monkeypatch):
     monkeypatch.setitem(sys.modules, "lance", None)  # forces ImportError
     with pytest.raises(NotImplementedError, match="lance is not installed"):
         T.read_lance_table("/data/t.lance")
+
+
+def test_no_duplicate_registry_keys():
+    """queries()/oracle_sql() dict literals must not contain duplicate
+    keys — Python silently keeps the last, shadowing an operator (the
+    round-4 sample_stratified collision)."""
+    import ast
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate registry keys: {dupes}"
+
+    import osmquadtreepostgis_ray.oracle as O
+    osrc = open(O.__file__).read()
+    for node in ast.walk(ast.parse(osrc)):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate oracle keys: {dupes}"
+
+
+def test_no_duplicate_query_functions():
+    """queries.py must not define the same top-level function twice
+    (Python keeps the last silently — the shadow that caused the
+    registry collision)."""
+    import ast
+
+    import osmquadtreepostgis_ray.queries as Q
+    src = open(Q.__file__.replace(".pyc", ".py")).read()
+    names = [n.name for n in ast.parse(src).body
+             if isinstance(n, ast.FunctionDef)]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate function defs: {dupes}"
