@@ -76,3 +76,31 @@ def encode_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
         for j in range(PRECISION))
     # caller wraps: needs a CTE alias c(code)
     return code, chars
+
+
+def encode_any(lon_milli: np.ndarray, lat_milli: np.ndarray,
+               chars: int) -> np.ndarray:
+    """Geohash strings at ANY precision (odd char counts give lon the
+    extra bit, per the standard): the generalization q_geohash_census
+    (6 chars) shares with the 4-char interop encode above — one
+    definition site for the bit plan, validated against an
+    interval-bisection reference in tests/test_property_r4.py."""
+    total = 5 * chars
+    lon_bits = (total + 1) // 2  # lon leads, so it gets the ceil
+    lat_bits = total // 2
+    gx = np.asarray(lon_milli, np.int64) * np.int64(1 << lon_bits) \
+        // LON_SPAN
+    gy = (np.asarray(lat_milli, np.int64) + LAT_OFF) \
+        * np.int64(1 << lat_bits) // LAT_SPAN
+    g = np.zeros(len(gx), np.int64)
+    # bit position p (0 = MSB of the code): even p -> lon, odd p -> lat
+    for p in range(total):
+        if p % 2 == 0:
+            src, b = gx, lon_bits - 1 - p // 2
+        else:
+            src, b = gy, lat_bits - 1 - p // 2
+        g |= ((src >> b) & 1) << (total - 1 - p)
+    out = np.empty((len(g), chars), np.uint8)
+    for j in range(chars):
+        out[:, j] = _ALPHA_BYTES[(g >> (total - 5 * (j + 1))) & 31]
+    return out.view(f"S{chars}").ravel().astype(str).astype(object)

@@ -9684,29 +9684,10 @@ def q_geohash_census(sf_dir: str):
 
 def geohash_of(lon_milli: np.ndarray, lat_milli: np.ndarray,
                chars: int = GEOHASH_CHARS) -> np.ndarray:
-    """Vectorized standard geohash strings (lon bit first, base32) for
-    milli-degree offsets — module-level so the property test can pit
-    it against an interval-bisection reference implementation."""
-    lon_bits = (5 * chars + 1) // 2  # lon leads, so it gets the ceil
-    lat_bits = 5 * chars // 2
-    fx, fy = geotag.milli_to_fixed(np.asarray(lon_milli, np.int64),
-                                   np.asarray(lat_milli, np.int64))
-    ix = (fx * np.int64(1 << lon_bits)) // quadtree.LON_SPAN
-    iy = (fy * np.int64(1 << lat_bits)) // quadtree.LAT_SPAN
-    g = np.zeros(len(ix), np.int64)
-    total = 5 * chars
-    # bit position p (0 = MSB): even p -> lon, odd p -> lat
-    for p in range(total):
-        if p % 2 == 0:
-            src, b = ix, lon_bits - 1 - p // 2
-        else:
-            src, b = iy, lat_bits - 1 - p // 2
-        g |= ((src >> b) & 1) << (total - 1 - p)
-    al = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
-    cols = [al[(g >> (5 * (chars - 1 - c))) & 31] for c in range(chars)]
-    raw = np.stack(cols, axis=1).astype(np.uint8).tobytes()
-    return np.frombuffer(raw, dtype=f"S{chars}").astype("U" + str(chars)) \
-        .astype(object)
+    """Vectorized standard geohash strings — delegates to the single
+    bit-plan definition site (functions/geohash.encode_any), validated
+    against an interval-bisection reference in the property tests."""
+    return geohash.encode_any(lon_milli, lat_milli, chars)
 
 
 ACTIVE_WINDOW_US = 900_000_000  # 15 min
