@@ -9536,8 +9536,10 @@ def q_sample_permille(sf_dir: str, permille: int = SAMPLE_PERMILLE):
 
 
 def q_trend_cells(sf_dir: str):
-    """Per-tile OLS trend of event value over time, exact-integer form:
-    x = epoch DAY index, y = value cents; the tile carries the five
+    """Per-tile OLS trend of event value over time, exact-integer form
+    (the TILE-keyed, absolute-epoch sibling of q_trend_fit's per-user
+    relative-hours regression): x = epoch DAY index, y = value cents;
+    the tile carries the five
     raw sums (n, sx, sy, sxy, sxx) via combiner partials plus the
     closed-form slope numerator n*sxy - sx*sy and denominator
     n*sxx - sx^2 — emitted RAW (BIGINT) so no engine ever divides
@@ -9583,7 +9585,9 @@ SCD2_OPEN_US = np.int64(1) << 62
 
 def q_scd2_intervals(sf_dir: str):
     """SCD2 validity intervals from the event change-log (the
-    slowly-changing-dimension snapshot maintenance op): per user, rows
+    slowly-changing-dimension snapshot maintenance op; q_history_ranges
+    is the compaction-stats sibling — this one emits the ROW-LEVEL
+    [from, to) table a warehouse upsert actually writes): per user, rows
     ordered (ts, event_id) become (user_id, event_id, valid_from_us,
     valid_to_us) where valid_to is the next change's ts, the OPEN
     sentinel 2^62 for the latest row.  One user-sharded exchange +
@@ -9695,7 +9699,10 @@ ACTIVE_WINDOW_US = 900_000_000  # 15 min
 
 def q_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
     """Per-tile activity coverage via INTERVAL UNION (the classic
-    gaps-and-islands op): each event opens [ts, ts + window); per tile,
+    gaps-and-islands op; the TILE-keyed sibling of q_interval_union's
+    per-user sweep — different key, plus island count per tile, and
+    the shared kernel is module-level for the property test): each
+    event opens [ts, ts + window); per tile,
     overlapping windows merge and the output is island count + total
     covered microseconds — exact ints.  One tile-sharded exchange;
     per-shard a sort + running-max cummax (no pairwise interval
