@@ -241,15 +241,46 @@ def render_pgcopy_batch(batch: pa.Table) -> bytes:
         for r in range(batch.num_rows))
 
 
-def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str) -> dict[str, int]:
+def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
+                 sharded: bool = False) -> dict[str, int]:
     """M5/S2 bit-compat surface: one ``<prefix><table>.copy`` per table in
     PostgreSQL binary COPY format (signature + flags + extension header,
     int16 field count + int32-length-framed big-endian fields per row,
     -1 trailer) — byte-diffable against a real ``COPY ... WITH BINARY``
-    dump of the reference's output tables."""
+    dump of the reference's output tables.
+
+    ``sharded=True`` writes ``<prefix><table>/part-<i>.copy`` IN
+    PARALLEL, each part a complete standalone COPY file (own signature
+    + trailer — PostgreSQL ingests parts as independent COPY commands),
+    the scale path mirroring the CSV/JSONL sharded modes."""
     import struct
     counts: dict[str, int] = {}
     for name, ds in tables.items():
+        if sharded:
+            import os
+
+            import pyarrow.compute as pc
+            d = f"{out_prefix}{name}"
+            os.makedirs(d, exist_ok=True)
+
+            def dump(batch: pa.Table, d=d) -> pa.Table:
+                tid = ray.get_runtime_context().get_task_id()
+                path = os.path.join(d, f"part-{tid[:16]}.copy")
+                new_file = not os.path.exists(path)
+                with open(path, "r+b" if not new_file else "wb") as fh:
+                    if new_file:
+                        fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))
+                    else:
+                        fh.seek(-2, 2)  # overwrite this part's trailer
+                    fh.write(render_pgcopy_batch(batch))
+                    fh.write(struct.pack("!h", -1))
+                return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+            parts = ds.map_batches(dump, batch_format="pyarrow")
+            counts[name] = sum(
+                int(pc.sum(b.column("n")).as_py() or 0)
+                for b in parts.iter_batches(batch_format="pyarrow"))
+            continue
         n = 0
         with open(f"{out_prefix}{name}.copy", "wb") as fh:
             fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))

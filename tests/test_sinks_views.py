@@ -404,3 +404,40 @@ def test_pgcopy_roundtrip_with_hstore(tmp_path):
     assert h[8:9] == b"a"
     assert rows[1][1] == struct.pack("!i", 0)  # empty map -> 0 pairs
     assert rows[2][1] is None                  # NULL hstore
+
+
+def test_pgcopy_sharded_parts_parse(tmp_path):
+    """Sharded PGCOPY parts are each complete standalone COPY files
+    (signature + rows + trailer) and together hold every row."""
+    import glob
+    import struct
+
+    df = pd.DataFrame({"osm_id": np.arange(300, dtype=np.int64),
+                       "name": [f"n{i}" for i in range(300)]})
+    ds = ray.data.from_pandas(df).repartition(5)
+    counts = sinks.write_pgcopy({"pt": ds}, str(tmp_path) + "/sp_",
+                                sharded=True)
+    assert counts == {"pt": 300}
+    total = []
+    parts = glob.glob(str(tmp_path) + "/sp_pt/part-*.copy")
+    assert len(parts) > 1  # actually parallel
+    for p in parts:
+        raw = open(p, "rb").read()
+        assert raw.startswith(sinks.PGCOPY_SIGNATURE)
+        off = len(sinks.PGCOPY_SIGNATURE) + 8
+        while True:
+            (nf,) = struct.unpack_from("!h", raw, off)
+            off += 2
+            if nf == -1:
+                break
+            assert nf == 2
+            for _ in range(nf):
+                (ln,) = struct.unpack_from("!i", raw, off)
+                off += 4
+                if ln == -1:
+                    continue
+                if _ == 0:
+                    total.append(int.from_bytes(raw[off:off + ln], "big"))
+                off += ln
+        assert off == len(raw)  # exactly one trailer, at the end
+    assert sorted(total) == list(range(300))
