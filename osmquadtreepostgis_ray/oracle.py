@@ -3791,6 +3791,7 @@ def build_oracles() -> dict[str, str]:
         "tile_checksum": sql_tile_checksum(),
         "geohash_census": sql_geohash_census(),
         "active_span": sql_active_span(),
+        "snm_pairs": sql_snm_pairs(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6281,3 +6282,22 @@ def sql_active_span() -> str:
     SELECT tile, count(*)::BIGINT AS n_islands,
            sum(en - st)::BIGINT AS covered_us
     FROM g GROUP BY 1"""
+
+
+def sql_snm_pairs() -> str:
+    """Twin of queries.q_snm_pairs: the row_number self-join over the
+    same normalized blocking key (ASCII corpus, so byte order ==
+    pandas/Ray string sort order)."""
+    from osmquadtreepostgis_ray.queries import SNM_KEY_LEN, SNM_WINDOW
+    return f"""
+    WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                      1, {SNM_KEY_LEN}) AS bk
+        FROM documents
+    ),
+    r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY bk, doc_id) - 1 AS rk
+          FROM k)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, (b.rk - a.rk)::BIGINT AS gap
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}"""

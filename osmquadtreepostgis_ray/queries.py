@@ -9744,3 +9744,86 @@ def interval_union_stats(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
     out["n_islands"] = out["n_islands"].astype(np.int64)
     out["covered_us"] = out["covered_us"].astype(np.int64)
     return out
+
+
+SNM_WINDOW = 8
+SNM_KEY_LEN = 12
+
+
+def q_snm_pairs(sf_dir: str, w: int = SNM_WINDOW):
+    """Sorted-neighborhood dedup blocking (the record-linkage classic
+    the exact/minhash/simhash/ngram/embedding family still lacked):
+    documents sort by a normalized blocking key (first SNM_KEY_LEN
+    alphanumeric chars, lowercased) and every pair within a sliding
+    rank window of w becomes a candidate (d1, d2, gap).
+
+    Distributed plan: one global rank via the keyed_row_number prefix
+    scan (single constant group — bounded driver state); each row then
+    fans into its native rank-bucket rk//w AND the next bucket, so any
+    pair with gap < w co-locates in the LATER row's native bucket —
+    counted exactly once there; per-bucket expansion is a vectorized
+    searchsorted sweep over <= 2w rows.  No quadratic corpus pass; the
+    oracle twin is the row_number self-join."""
+    from osmquadtreepostgis_ray.stages.window import keyed_row_number
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("text").to_pylist(), dtype=object)
+        bk = s.str.lower().str.replace(r"[^a-z0-9]", "", regex=True) \
+            .str.slice(0, SNM_KEY_LEN)
+        return pa.table({"g": pa.array(np.zeros(t.num_rows, np.int64),
+                                       pa.int64()),
+                         "bk": pa.array(bk.to_numpy(), pa.string()),
+                         "doc_id": t.column("doc_id")})
+
+    ranked, _tot = keyed_row_number(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        ["g"], ["bk", "doc_id"], rank_col="rk")
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rk" not in t.column_names:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "native": pa.array([], pa.int64())})
+        rk = t.column("rk").to_numpy()
+        did = t.column("doc_id").to_numpy()
+        b = rk // w
+        return pa.table({
+            "b": pa.array(np.r_[b, b + 1], pa.int64()),
+            "rk": pa.array(np.r_[rk, rk], pa.int64()),
+            "doc_id": pa.array(np.r_[did, did], pa.int64()),
+            "native": pa.array(np.r_[np.ones(len(rk), np.int64),
+                                     np.zeros(len(rk), np.int64)],
+                               pa.int64())})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("d1", "d2", "gap")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        # one sweep across ALL buckets in the shard: the composite key
+        # b * 2^40 + rk makes per-bucket searchsorted global (ranks are
+        # corpus-bounded < 2^40)
+        g = g.sort_values(["b", "rk"], kind="stable")
+        b = g["b"].to_numpy(np.int64)
+        r = g["rk"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        nat = g["native"].to_numpy(np.int64) == 1
+        BIG = np.int64(1) << 40
+        kb = b * BIG + r
+        lo = np.searchsorted(kb, b * BIG + np.maximum(r - w + 1, 0))
+        t = np.arange(len(r))
+        cnt = np.where(nat, t - lo, 0)
+        tot = int(cnt.sum())
+        if not tot:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        y = np.repeat(t, cnt)
+        starts = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        x = np.repeat(lo, cnt) + (np.arange(tot) - starts)
+        return pd.DataFrame({"d1": d[x], "d2": d[y], "gap": r[y] - r[x]})
+
+    fanned = ranked.map_batches(fanout, batch_format="pyarrow")
+    return shard_apply(fanned, ["b"], expand)
