@@ -3792,6 +3792,7 @@ def build_oracles() -> dict[str, str]:
         "geohash_census": sql_geohash_census(),
         "active_span": sql_active_span(),
         "snm_pairs": sql_snm_pairs(),
+        "knn_confusion": sql_knn_confusion(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6301,3 +6302,33 @@ def sql_snm_pairs() -> str:
           FROM k)
     SELECT a.doc_id AS d1, b.doc_id AS d2, (b.rk - a.rk)::BIGINT AS gap
     FROM r a JOIN r b ON b.rk > a.rk AND b.rk < a.rk + {SNM_WINDOW}"""
+
+
+def sql_knn_confusion() -> str:
+    """Twin of queries.q_knn_confusion: quantized-euclid 1-NN per
+    held-out vector via the dim-exploded distance join, confusion
+    counted per (true, predicted) label."""
+    from osmquadtreepostgis_ray.queries import KNN_HOLD
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    q = ("list_transform(embedding, "
+         f"x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+         f" + {KM_SHIFT})")
+    return f"""
+    WITH e AS (SELECT vec_id, label, {q} AS v FROM embeddings),
+    ed AS (SELECT vec_id, label, generate_subscripts(v, 1) AS i,
+                  unnest(v) AS x
+           FROM e),
+    qd AS (SELECT vec_id AS qid, label AS tl, i, x AS qx
+           FROM ed WHERE vec_id % {KNN_HOLD} = 0),
+    d AS (SELECT q.qid, q.tl, e.vec_id, e.label AS pl,
+                 sum((q.qx - e.x) * (q.qx - e.x)) AS d2
+          FROM qd q JOIN ed e USING (i)
+          WHERE e.vec_id % {KNN_HOLD} <> 0
+          GROUP BY q.qid, q.tl, e.vec_id, e.label),
+    r AS (SELECT qid, tl, pl,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY d2, vec_id) AS rn
+          FROM d)
+    SELECT CAST(tl AS BIGINT) AS true_label,
+           CAST(pl AS BIGINT) AS pred_label, count(*)::BIGINT AS n
+    FROM r WHERE rn = 1 GROUP BY 1, 2"""

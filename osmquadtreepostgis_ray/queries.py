@@ -9827,3 +9827,80 @@ def q_snm_pairs(sf_dir: str, w: int = SNM_WINDOW):
 
     fanned = ranked.map_batches(fanout, batch_format="pyarrow")
     return shard_apply(fanned, ["b"], expand)
+
+
+KNN_HOLD = 5
+
+
+def q_knn_confusion(sf_dir: str):
+    """1-NN classification eval over the labeled embeddings (the
+    supervised sibling of the recall@k gates — the screen a labeled
+    corpus runs before trusting its labels): vec_id % KNN_HOLD == 0 is
+    the deterministic holdout; each held-out vector takes the label of
+    its nearest NON-holdout neighbor in the quantized-euclid metric
+    (ties -> lowest vec_id, enforced per batch via the composite
+    d2*2^21 + id argmin so no batch drops the global tie winner);
+    output is the bounded labels² confusion matrix (true_label,
+    pred_label, n).  Queries + their labels broadcast once; the corpus
+    streams; the final 1-NN reduce is topk_per_key(k=1); the true
+    labels attach driver-side to the nq-row final table only."""
+    import duckdb
+
+    import pyarrow.compute as pc
+
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE, KM_SHIFT
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    qdf = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"'{sf_dir}/embeddings.parquet' WHERE vec_id % {KNN_HOLD} = 0 "
+        f"ORDER BY vec_id").df()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlab = qdf["label"].to_numpy(np.int64)
+    Qm = np.floor(np.stack([np.asarray(v, np.float64)
+                            for v in qdf["embedding"]])
+                  * KM_SCALE).astype(np.int64) + KM_SHIFT
+    bref = ray.put((Qm, qids))
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols = ("query_id", "neighbor_id", "d2", "pred")
+        QM, qi = ray.get(bref)
+        keep = (t.column("vec_id").to_numpy() % KNN_HOLD) != 0
+        t = t.filter(pa.array(keep))
+        n = t.num_rows
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        flat = pc.list_flatten(t.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // n
+        C = (np.floor(flat * KM_SCALE).astype(np.int64) + KM_SHIFT) \
+            .reshape(n, d)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        dm = ((QM[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # composite keeps the (d2, id) tie order inside every batch so
+        # the global merge sees the true winner (ids < 2^21 asserted)
+        assert ids.max() < (1 << 21) and dm.max() < (1 << 41)
+        best = np.argmin(dm * np.int64(1 << 21) + ids[None, :], axis=1)
+        return pa.table({
+            "query_id": pa.array(qi, pa.int64()),
+            "neighbor_id": pa.array(ids[best], pa.int64()),
+            "d2": pa.array(dm[np.arange(len(qi)), best], pa.int64()),
+            "pred": pa.array(lab[best], pa.int64())})
+
+    partials = read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding", "label"]) \
+        .map_batches(scan, batch_format="pyarrow")
+    top = topk_per_key(partials, "query_id",
+                       ["query_id", "d2", "neighbor_id"],
+                       [True, True, True], 1,
+                       ["query_id", "neighbor_id", "d2", "pred"])
+    final = top.to_pandas()
+    final["true_label"] = final["query_id"].map(
+        dict(zip(qids, qlab))).astype(np.int64)
+    cm = final.groupby(["true_label", "pred"], as_index=False).size() \
+        .rename(columns={"pred": "pred_label", "size": "n"})
+    cm["n"] = cm["n"].astype(np.int64)
+    return pa.Table.from_pandas(
+        cm.sort_values(["true_label", "pred_label"]).reset_index(drop=True),
+        preserve_index=False)
