@@ -3793,6 +3793,7 @@ def build_oracles() -> dict[str, str]:
         "active_span": sql_active_span(),
         "snm_pairs": sql_snm_pairs(),
         "knn_confusion": sql_knn_confusion(),
+        "trimmed_mean": sql_trimmed_mean(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6332,3 +6333,23 @@ def sql_knn_confusion() -> str:
     SELECT CAST(tl AS BIGINT) AS true_label,
            CAST(pl AS BIGINT) AS pred_label, count(*)::BIGINT AS n
     FROM r WHERE rn = 1 GROUP BY 1, 2"""
+
+
+def sql_trimmed_mean() -> str:
+    """Twin of queries.q_trimmed_mean: quantile_disc p10/p90 bounds,
+    in-range count + cent sum (no division)."""
+    return """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, quantile_disc(cents, 0.1) AS lo,
+               quantile_disc(cents, 0.9) AS hi
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_type, count(*)::BIGINT AS n_kept,
+           sum(c.cents)::BIGINT AS sum_kept_cents
+    FROM c JOIN b USING (event_type)
+    WHERE c.cents BETWEEN b.lo AND b.hi
+    GROUP BY 1"""

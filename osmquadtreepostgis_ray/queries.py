@@ -9904,3 +9904,46 @@ def q_knn_confusion(sf_dir: str):
     return pa.Table.from_pandas(
         cm.sort_values(["true_label", "pred_label"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Robust trimmed aggregate per event_type (the outlier-resistant
+    mean curation thresholds are tuned on): keep cents in
+    [p10, p90] (quantile_disc bounds, ceil(p*n)-1 index parity as
+    q_quantiles) and emit n_kept + sum_kept_cents — no division
+    crosses engines.  Same distinct-value combiner as the quantile
+    family; bounds AND the in-range sum come from the one (cents,
+    count) table, so there is no second corpus pass."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.rint(df["value"] * 100).astype(np.int64)
+        g = df.groupby(["event_type", "cents"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="stable")
+        c = g["cents"].to_numpy(np.int64)
+        w = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        bounds = {}
+        for name, p in (("lo", 0.1), ("hi", 0.9)):
+            k = max(0, int(np.ceil(p * n)) - 1)          # quantile_disc
+            bounds[name] = int(c[np.searchsorted(cum, k + 1, side="left")])
+        m = (c >= bounds["lo"]) & (c <= bounds["hi"])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_kept": np.array([int(w[m].sum())], np.int64),
+            "sum_kept_cents": np.array([int((c[m] * w[m]).sum())],
+                                       np.int64)})
+
+    return (counts.groupby("event_type")
+            .map_groups(pick, batch_format="pandas")
+            .select_columns(["event_type", "n_kept", "sum_kept_cents"]))
