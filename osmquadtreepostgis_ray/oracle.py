@@ -2376,9 +2376,11 @@ def sql_bpe_merges() -> str:
     """Twin of queries.q_bpe_merges: the K merge rounds unrolled as
     MATERIALIZED CTE levels (the sql_blobs/sql_hilbert pattern) —
     round r counts adjacent symbol pairs over the space-separated word
-    forms, picks the (n DESC, a, b) argmax, and rewrites the words via
-    DuckDB replace(), whose non-overlapping left-to-right semantics
-    match Python str.replace exactly."""
+    forms, picks the (n DESC, a, b) argmax, and applies the CANONICAL
+    greedy merge with window functions: occurrence runs via the
+    pos - row_number gaps-and-islands key, even offsets kept, kept
+    position's successor dropped, words re-agg'd with string_agg
+    ORDER BY pos (matching queries.bpe_merge_tokens exactly)."""
     from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
     from osmquadtreepostgis_ray.queries import BPE_MERGE_ROUNDS
 
@@ -2400,10 +2402,42 @@ def sql_bpe_merges() -> str:
         SELECT CAST({r} AS BIGINT) AS round, a, b, n
         FROM p{r} ORDER BY n DESC, a, b LIMIT 1
     ),
+    tk{r} AS MATERIALIZED (
+        SELECT wid, n, generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS sym
+        FROM (SELECT wid, n, string_split(trim(s), ' ') AS arr
+              FROM {prev_w})
+    ),
+    oc{r} AS (
+        SELECT t.wid, t.pos
+        FROM (SELECT wid, pos, sym,
+                     lead(sym) OVER (PARTITION BY wid
+                                     ORDER BY pos) AS nxt
+              FROM tk{r}) t, m{r} m
+        WHERE t.sym = m.a AND t.nxt = m.b
+    ),
+    kp{r} AS MATERIALIZED (
+        SELECT wid, pos FROM (
+            SELECT wid, pos,
+                   row_number() OVER (PARTITION BY wid, grp
+                                      ORDER BY pos) AS i
+            FROM (SELECT wid, pos,
+                         pos - row_number() OVER (PARTITION BY wid
+                                                  ORDER BY pos) AS grp
+                  FROM oc{r})
+        ) WHERE i % 2 = 1
+    ),
     w{r} AS MATERIALIZED (
-        SELECT replace(pw.s, ' ' || m.a || ' ' || m.b || ' ',
-                       ' ' || m.a || m.b || ' ') AS s, pw.n AS n
-        FROM {prev_w} pw, m{r} m
+        SELECT t.wid AS wid, t.n AS n,
+               ' ' || string_agg(
+                   CASE WHEN k.pos IS NOT NULL THEN m.a || m.b
+                        ELSE t.sym END, ' ' ORDER BY t.pos) || ' ' AS s
+        FROM tk{r} t
+        CROSS JOIN m{r} m
+        LEFT JOIN kp{r} k  ON k.wid = t.wid AND k.pos = t.pos
+        LEFT JOIN kp{r} kd ON kd.wid = t.wid AND kd.pos = t.pos - 1
+        WHERE kd.pos IS NULL
+        GROUP BY t.wid, t.n
     )""")
     union = "\n    UNION ALL ".join(
         f"SELECT round, a, b, n FROM m{r}"
@@ -2417,7 +2451,8 @@ def sql_bpe_merges() -> str:
         GROUP BY 1
     ),
     w0 AS (
-        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, n
+        SELECT row_number() OVER (ORDER BY word) AS wid, n,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
         FROM wct
     ),{','.join(levels)}
     {union}
@@ -5683,7 +5718,7 @@ def sql_weekend_lift() -> str:
     WITH {events_geo_cte()},
     w AS (
         SELECT tile,
-               CASE WHEN ((epoch_us(e.ts) // {DAY_US} + 4) % 7) >= 5
+               CASE WHEN ((epoch_us(e.ts) // {DAY_US} + 4) % 7) IN (0, 6)
                     THEN 1 ELSE 0 END AS we
         FROM ev JOIN events e USING (event_id)
     )

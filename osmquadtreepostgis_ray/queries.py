@@ -3239,11 +3239,14 @@ def q_bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
     (round, a, b, n).
 
     Words live as space-separated symbol strings (" h e l l o ");
-    applying merge (a, b) is a LITERAL non-overlapping left-to-right
-    replace of " a b " with " ab " — Python str.replace and DuckDB
-    replace() share those semantics exactly, which is what makes the
-    unrolled CTE twin (sql_bpe_merges, the q_blobs/q_hilbert pattern)
-    bit-comparable.  Ties break (n DESC, a ASC, b ASC) on both
+    applying merge (a, b) is the CANONICAL greedy left-to-right token
+    merge: within each maximal run of consecutive occurrence positions
+    only the even offsets merge (a plain " a b "->" ab " string
+    replace consumes the shared boundary space and misses back-to-back
+    occurrences — 'mama' would stay [ma, m, a]); bpe_merge_tokens
+    implements the run-parity rule vectorized and the unrolled CTE
+    twin (sql_bpe_merges) repeats it with window functions.  Ties
+    break (n DESC, a ASC, b ASC) on both
     engines.  The unique-word frequency table is built once (one
     sharded count — the corpus-sized exchange); each round then scans
     only that table."""
@@ -3311,15 +3314,14 @@ def q_bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
                                  ascending=[False, True, True]).iloc[0]
         a, b, cnt = str(best["a"]), str(best["b"]), int(best["n"])
         merges.append((r, a, b, cnt))
-        pat, rep = f" {a} {b} ", f" {a}{b} "
 
-        def apply_merge(t: pa.Table, _p=pat, _r=rep) -> pa.Table:
+        def apply_merge(t: pa.Table, _a=a, _b=b) -> pa.Table:
             if t.num_rows == 0 or "s" not in t.column_names:
                 return pa.table({"s": pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})
-            s = pd.Series(t.column("s").to_pylist(), dtype=object) \
-                .str.replace(_p, _r, regex=False)
-            return pa.table({"s": pa.array(s.to_numpy(), pa.string()),
+            out = bpe_merge_tokens(
+                pd.Series(t.column("s").to_pylist(), dtype=object), _a, _b)
+            return pa.table({"s": pa.array(out.to_numpy(), pa.string()),
                              "n": t.column("n")})
 
         w = w.map_batches(apply_merge, batch_format="pyarrow").materialize()
@@ -3329,6 +3331,42 @@ def q_bpe_merges(sf_dir: str, rounds: int = BPE_MERGE_ROUNDS):
         "a": pa.array([m[1] for m in merges], pa.string()),
         "b": pa.array([m[2] for m in merges], pa.string()),
         "n": pa.array([m[3] for m in merges], pa.int64())})
+
+
+def bpe_merge_tokens(ser: pd.Series, a: str, b: str) -> pd.Series:
+    """Canonical greedy L2R BPE merge of pair (a, b) over sep-strings
+    (" t o k e n s "): occurrence positions group into maximal
+    consecutive runs and only EVEN offsets within a run merge — the
+    exact skip-after-merge semantics of the reference tokenizer loop
+    (run of L adjacent occurrences -> ceil(L/2) merges).  Vectorized:
+    one token explode, one boolean occurrence pass, run parity via the
+    arange-minus-start trick, one grouped join back."""
+    if not len(ser):
+        return ser
+    toks = ser.str.strip().str.split(" ")
+    lens = toks.str.len().to_numpy()
+    flat = np.concatenate([np.asarray(x, object) for x in toks])
+    wid = np.repeat(np.arange(len(ser)), lens)
+    occ = np.zeros(len(flat), bool)
+    if len(flat) >= 2:
+        occ[:-1] = (flat[:-1] == a) & (flat[1:] == b) \
+            & (wid[:-1] == wid[1:])
+    kpos = np.flatnonzero(occ)
+    if not len(kpos):
+        return ser
+    # consecutive kpos are necessarily same-word (adjacent occurrences
+    # share a token), so diff==1 is the complete run condition
+    new_run = np.r_[True, np.diff(kpos) != 1]
+    run_len = np.diff(np.r_[np.flatnonzero(new_run), len(kpos)])
+    starts = np.repeat(kpos[new_run], run_len)
+    kept = kpos[((kpos - starts) % 2) == 0]
+    flat = flat.copy()
+    flat[kept] = a + b
+    drop = np.zeros(len(flat), bool)
+    drop[kept + 1] = True
+    rebuilt = pd.Series(flat[~drop]).groupby(wid[~drop]).agg(" ".join)
+    return pd.Series((" " + rebuilt + " ").to_numpy(),
+                     index=ser.index, dtype=object)
 
 
 def q_spacetime_cube(sf_dir: str):
@@ -8408,9 +8446,10 @@ def q_weekend_lift(sf_dir: str):
     """Weekend-vs-weekday activity lift per tile (the calendar
     seasonality screen of footfall analytics): day-of-week from the
     epoch by pure integer arithmetic ((days + 4) % 7, Thursday-anchored
-    like Unix), lift_permille = (n_weekend * 5 * 1000) // (n_weekday *
-    2) — the 5:2 day-count normalization kept rational.  One combiner
-    pass."""
+    like Unix so 0 = Sunday; weekend = {Sun, Sat} — fixed round 4, the
+    old dow >= 5 test selected Fri+Sat), lift_permille = (n_weekend *
+    5 * 1000) // (n_weekday * 2) — the 5:2 day-count normalization
+    kept rational.  One combiner pass."""
     ds = prep_events(sf_dir, columns=["event_id", "user_id", "ts"]) \
         .select_columns(["ts", "tile"])
 
@@ -8420,7 +8459,7 @@ def q_weekend_lift(sf_dir: str):
                              for c in ("tile", "n_weekday", "n_weekend")})
         ts = t.column("ts").cast(pa.int64()).to_numpy()
         dow = (ts // DAY_US + 4) % 7   # 0 = Sunday (epoch day 0 = Thu -> 4)
-        we = (dow >= 5).astype(np.int64)  # 5, 6 = Fri + Sat under this anchor
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)  # Sun + Sat
         df = pd.DataFrame({"tile": t.column("tile").to_numpy(),
                            "we": we})
         g = df.groupby("tile", sort=False).agg(
@@ -9447,6 +9486,9 @@ def q_tfidf_top(sf_dir: str, k: int = TFIDF_TOP_K):
     is a source-sharded head — no driver vocabulary."""
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "source", "text"])
+    # count() on an untransformed parquet read is Ray's metadata fast
+    # path (no data scan), so the second consumption below is the only
+    # real read — not the CLAUDE.md lazy-fork re-execution hazard
     n_docs = docs.count()
 
     def pairs(t: pa.Table) -> pa.Table:

@@ -47,13 +47,25 @@ def render_csv_rows(batch: pa.Table) -> list[str]:
             for r in range(batch.num_rows)]
 
 
+_PART_TOUCHED: set = set()  # per-worker-process: paths this attempt wrote
+
+
 def _sharded_gz_dump(ds: "ray.data.Dataset", out_dir: str, render_fn,
                      ext: str) -> int:
     """Parallel gz part-file writer shared by the sharded CSV/JSONL
-    modes: one ``part-<taskid>.<ext>.gz`` per map_batches task (append
-    mode, so a task handling several blocks keeps one file), row counts
-    reduced from the tiny per-part count table — the scale path with no
-    single-writer bottleneck, resumable per part."""
+    modes: one ``part-<taskid>.<ext>.gz`` per map_batches task, row
+    counts reduced from the tiny per-part count table — the scale path
+    with no single-writer bottleneck.
+
+    Retry discipline: the FIRST touch of a part path in this worker
+    process TRUNCATES it, so a task retried after its worker died (the
+    common OOM/preemption case — retries land in a fresh process, and
+    the task id is stable across attempts) overwrites the partial file
+    instead of appending duplicates.  A retry inside the SAME process
+    cannot be distinguished (task id unchanged) — exactly-once file
+    output under arbitrary retries needs a manifest, which is what
+    state/checkpoint.resumable_write provides; these sinks are the
+    compat/interchange surface."""
     import os
 
     import pyarrow.compute as pc
@@ -63,7 +75,9 @@ def _sharded_gz_dump(ds: "ray.data.Dataset", out_dir: str, render_fn,
     def dump(batch: pa.Table) -> pa.Table:
         tid = ray.get_runtime_context().get_task_id()
         path = os.path.join(out_dir, f"part-{tid[:16]}.{ext}.gz")
-        with gzip.open(path, "at", encoding="utf-8") as fh:
+        mode = "at" if path in _PART_TOUCHED else "wt"
+        _PART_TOUCHED.add(path)
+        with gzip.open(path, mode, encoding="utf-8") as fh:
             for line in render_fn(batch):
                 fh.write(line + "\n")
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
@@ -160,8 +174,11 @@ def render_jsonl_lines(batch: pa.Table) -> "np.ndarray":
         elif pa.types.is_string(t) and col.null_count == 0:
             vals = np.asarray(col.to_pylist(), dtype=object)
             pat = re.compile(_JSON_CLEAN)
-            clean = np.fromiter((pat.match(v) is not None for v in vals),
-                                bool, len(vals))
+            # fullmatch, not match: '$' matches BEFORE a trailing
+            # newline, which would send 'abc\n' down the raw fast path
+            # and emit a corrupt two-line JSONL record
+            clean = np.fromiter((pat.fullmatch(v) is not None
+                                 for v in vals), bool, len(vals))
             frag = '"' + vals + '"'
             bad = np.nonzero(~clean)[0]
             for j in bad:
@@ -172,11 +189,13 @@ def render_jsonl_lines(batch: pa.Table) -> "np.ndarray":
                  for v in col.to_pylist()], dtype=object)
         elif pa.types.is_floating(t):
             frag = np.asarray(
-                ["null" if v is None else json.dumps(round(float(v), 1))
+                ["null" if v is None
+                 else json.dumps(round(float(v), 1), allow_nan=False)
                  for v in col.to_pylist()], dtype=object)
         else:
-            frag = np.asarray([json.dumps(v) for v in col.to_pylist()],
-                              dtype=object)
+            frag = np.asarray(
+                [json.dumps(v, allow_nan=False)
+                 for v in col.to_pylist()], dtype=object)
         frags.append((key, frag))
 
     out = np.full(n, "{", dtype=object)
@@ -266,9 +285,12 @@ def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
             def dump(batch: pa.Table, d=d) -> pa.Table:
                 tid = ray.get_runtime_context().get_task_id()
                 path = os.path.join(d, f"part-{tid[:16]}.copy")
-                new_file = not os.path.exists(path)
-                with open(path, "r+b" if not new_file else "wb") as fh:
-                    if new_file:
+                # first touch in this process truncates (the
+                # _sharded_gz_dump retry discipline)
+                fresh = path not in _PART_TOUCHED
+                _PART_TOUCHED.add(path)
+                with open(path, "wb" if fresh else "r+b") as fh:
+                    if fresh:
                         fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))
                     else:
                         fh.seek(-2, 2)  # overwrite this part's trailer

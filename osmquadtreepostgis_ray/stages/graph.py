@@ -174,7 +174,10 @@ def kcore_peel(edges: ray.data.Dataset, k: int = 2,
     unrolls the same count; a non-converged peel raises rather than
     returning a wrong core."""
     edges = edges.materialize()
-    if k >= 1:
+    # admission: edge rows bound node count from above, and count() on
+    # a materialized dataset is metadata — only graphs that might
+    # exceed the bound pay the distinct-node shuffle
+    if k >= 1 and edges.count() > broadcast_nodes_max:
         n_nodes = sharded_agg(edges, ["src"],
                               {"d": ("src", "count")}).count()
         if n_nodes > broadcast_nodes_max:
@@ -286,9 +289,12 @@ def bfs_hops(edges: ray.data.Dataset, src_mod: int,
     land within ``max_rounds`` (a graph-structural bound the SQL twin
     unrolls); otherwise this raises.  Unreached nodes are dropped."""
     edges = edges.materialize()
-    n_nodes = sharded_agg(edges, ["src"], {"d": ("src", "count")}).count()
-    if n_nodes > broadcast_nodes_max:
-        return _bfs_bucketed(edges, src_mod, max_rounds)
+    # same cheap admission as kcore_peel: edge rows bound node count
+    if edges.count() > broadcast_nodes_max:
+        n_nodes = sharded_agg(edges, ["src"],
+                              {"d": ("src", "count")}).count()
+        if n_nodes > broadcast_nodes_max:
+            return _bfs_bucketed(edges, src_mod, max_rounds)
     tabs = [t for t in ray.get(edges.to_arrow_refs())
             if t.num_rows and "src" in t.column_names]
     ids = np.unique(np.concatenate(

@@ -92,16 +92,21 @@ def test_audio_silence_matches_brute(sf_dir):
 
 def test_bpe_merges_golden(tmp_path):
     """q_bpe_merges equals an independent list-of-symbols BPE reference
-    (no string replace — validates the replace-based merge semantics)
-    on a corpus engineered to exercise multi-char merged symbols and
-    the (n DESC, a, b) tie-break."""
+    (no string machinery — validates the canonical run-parity merge)
+    on a corpus with multi-char merged symbols, back-to-back pair
+    occurrences (mama/ababab), and the (n DESC, a, b) tie-break."""
     import pyarrow as pa
 
     texts = ["low low low low lower lower newest newest newest",
-             "widest widest newest lowest, lowest!"]
-    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
-                             "text": pa.array(texts, pa.string())}),
-                   str(tmp_path / "documents.parquet"))
+             "widest widest newest lowest, lowest!",
+             # back-to-back pair occurrences (mama/ababab): the case a
+             # plain ' a b '->' ab ' replace gets wrong — the canonical
+             # run-parity merge must handle it
+             "mama mama mamam ababab papapa"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
 
     from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
     from osmquadtreepostgis_ray.queries import q_bpe_merges

@@ -28,7 +28,7 @@ def test_weekend_lift_matches_brute(sf_dir):
     out = Q.q_weekend_lift(sf_dir).to_pandas() \
         .sort_values("tile").reset_index(drop=True)
     ev = _tiles(sf_dir)
-    ev["we"] = ((ev["tu"] // Q.DAY_US + 4) % 7 >= 5).astype(int)
+    ev["we"] = ((ev["tu"] // Q.DAY_US + 4) % 7).isin([0, 6]).astype(int)
     ref = ev.groupby("tile").agg(n=("we", "size"),
                                  n_weekend=("we", "sum")).reset_index()
     ref["n_weekday"] = ref["n"] - ref["n_weekend"]

@@ -309,6 +309,23 @@ def test_jsonl_render_vectorized_byte_equal():
     got = list(sinks.render_jsonl_lines(batch))
     assert got == ref_render(batch)
 
+    # trailing newline must NOT take the raw fast path ('$' matches
+    # before a final newline; fullmatch does not)
+    tricky = pa.table({"s": pa.array(["abc\n", "\n", "tab\there"],
+                                     pa.string())})
+    got_t = list(sinks.render_jsonl_lines(tricky))
+    assert got_t == ref_render(tricky)
+    import json as _json
+    for line in got_t:
+        _json.loads(line)
+        assert "\n" not in line
+
+    # NaN floats raise loudly (allow_nan=False discipline)
+    import pytest as _pytest
+    bad = pa.table({"f": pa.array([float("nan")], pa.float64())})
+    with _pytest.raises(ValueError):
+        sinks.render_jsonl_lines(bad)
+
     # null-free all-int fast path too
     fast = pa.table({"a": pa.array([0, 5], pa.int64()),
                      "s": pa.array(["x", "y"], pa.string())})

@@ -38,11 +38,14 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.3
-    if "--threshold" in sys.argv:
-        thr = float(sys.argv[sys.argv.index("--threshold") + 1])
-    old, new = load(args[0]), load(args[1])
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    ns = ap.parse_args()
+    thr = ns.threshold
+    old, new = load(ns.old), load(ns.new)
     oq, nq = old["queries"], new["queries"]
     slower, faster = [], []
     for k in sorted(set(oq) & set(nq)):
@@ -68,7 +71,8 @@ def main() -> int:
     tot_n = sum(nq[k] for k in set(oq) & set(nq))
     print(f"shared-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
           f"({tot_n / max(tot_o, 1e-9):.2f}x); "
-          f"suite {old.get('value'):.1f}s -> {new.get('value'):.1f}s")
+          f"suite {old.get('value') or 0:.1f}s -> "
+          f"{new.get('value') or 0:.1f}s")
     return 0
 
 
