@@ -3829,6 +3829,7 @@ def build_oracles() -> dict[str, str]:
         "snm_pairs": sql_snm_pairs(),
         "knn_confusion": sql_knn_confusion(),
         "trimmed_mean": sql_trimmed_mean(),
+        "fof_count": sql_fof_count(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6388,3 +6389,28 @@ def sql_trimmed_mean() -> str:
     FROM c JOIN b USING (event_type)
     WHERE c.cents BETWEEN b.lo AND b.hi
     GROUP BY 1"""
+
+
+def sql_fof_count() -> str:
+    """Twin of queries.q_fof_count: the sql_link_jaccard edge set,
+    distinct 2-hop non-edge pairs, exploded to per-node counts."""
+    return """
+    WITH docs AS (SELECT doc_id FROM documents),
+    e AS (
+        SELECT doc_id - 1 AS a, doc_id AS b FROM docs WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id - 2, doc_id FROM docs
+        WHERE doc_id >= 2 AND (doc_id - 2) % 3 = 0
+    ),
+    u AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    w AS (
+        SELECT DISTINCT u1.v AS v1, u2.v AS v2
+        FROM u u1 JOIN u u2 ON u1.u = u2.u AND u1.v < u2.v
+    ),
+    nw AS (
+        SELECT w.* FROM w
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.a = w.v1 AND e.b = w.v2)
+    ),
+    x AS (SELECT v1 AS node FROM nw UNION ALL SELECT v2 FROM nw)
+    SELECT node, count(*)::BIGINT AS fof FROM x GROUP BY 1"""

@@ -9989,3 +9989,68 @@ def q_trimmed_mean(sf_dir: str):
     return (counts.groupby("event_type")
             .map_groups(pick, batch_format="pandas")
             .select_columns(["event_type", "n_kept", "sum_kept_cents"]))
+
+
+def q_fof_count(sf_dir: str):
+    """Friend-of-friend reach per node (exactly-distance-2 neighborhood
+    size — the expansion statistic recommendation/2-hop retrieval
+    plans on): over the link_jaccard edge set, count per node the
+    DISTINCT nodes reachable in 2 hops that are neither the node
+    itself nor a direct neighbor.  Composition of existing machinery:
+    wedge_pairs (hub-guarded common-neighbor pairs) -> packed-key anti
+    join against the edge set -> both-direction explode -> per-node
+    sharded count."""
+    from osmquadtreepostgis_ray.stages.graph import wedge_pairs
+    from osmquadtreepostgis_ray.stages.joins import bucket_semi_join
+
+    SHIFT = np.int64(1) << np.int64(31)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy().astype(np.int64)
+        if len(i) and i.max() >= int(SHIFT):
+            raise ValueError("fof packed keys need ids < 2^31")
+        c1 = i[i >= 1]
+        c2 = i[(i >= 2) & ((i - 2) % 3 == 0)]
+        return pa.table({"a": pa.array(np.r_[c1 - 1, c2 - 2], pa.int64()),
+                         "b": pa.array(np.r_[c1, c2], pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow").materialize()
+
+    def und(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"u": pa.array(np.r_[a, b], pa.int64()),
+                         "v": pa.array(np.r_[b, a], pa.int64())})
+
+    u = e.map_batches(und, batch_format="pyarrow").materialize()
+    pairs = sharded_agg(wedge_pairs(u), ["v1", "v2"],
+                        {"common": ("c", "sum")})
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(
+            t.column("v1").to_numpy().astype(np.int64) * SHIFT
+            + t.column("v2").to_numpy().astype(np.int64), pa.int64()),
+            "v1": t.column("v1"), "v2": t.column("v2")})
+
+    ekey = u.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            np.minimum(t.column("u").to_numpy(), t.column("v").to_numpy())
+            .astype(np.int64) * SHIFT
+            + np.maximum(t.column("u").to_numpy(),
+                         t.column("v").to_numpy()).astype(np.int64),
+            pa.int64())}),
+        batch_format="pyarrow")
+    nonedges = bucket_semi_join(
+        pairs.map_batches(keyed, batch_format="pyarrow"), ekey,
+        on="key", anti=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        v1 = t.column("v1").to_numpy().astype(np.int64)
+        v2 = t.column("v2").to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.r_[v1, v2], pa.int64()),
+                         "one": pa.array(np.ones(2 * len(v1), np.int64),
+                                         pa.int64())})
+
+    return sharded_agg(nonedges.map_batches(explode, batch_format="pyarrow"),
+                       ["node"], {"fof": ("one", "sum")})
