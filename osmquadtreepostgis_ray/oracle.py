@@ -2372,15 +2372,11 @@ def sql_bpe_pairs() -> str:
     """
 
 
-def sql_bpe_merges() -> str:
-    """Twin of queries.q_bpe_merges: the K merge rounds unrolled as
-    MATERIALIZED CTE levels (the sql_blobs/sql_hilbert pattern) —
-    round r counts adjacent symbol pairs over the space-separated word
-    forms, picks the (n DESC, a, b) argmax, and applies the CANONICAL
-    greedy merge with window functions: occurrence runs via the
-    pos - row_number gaps-and-islands key, even offsets kept, kept
-    position's successor dropped, words re-agg'd with string_agg
-    ORDER BY pos (matching queries.bpe_merge_tokens exactly)."""
+def _bpe_chain_cte() -> str:
+    """Shared WITH-body for the BPE twins: unique-word table, K
+    unrolled merge rounds (pair counts -> argmax -> canonical
+    run-parity merge), `word` carried through every level so encode
+    twins can join back to per-source occurrences."""
     from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
     from osmquadtreepostgis_ray.queries import BPE_MERGE_ROUNDS
 
@@ -2403,9 +2399,9 @@ def sql_bpe_merges() -> str:
         FROM p{r} ORDER BY n DESC, a, b LIMIT 1
     ),
     tk{r} AS MATERIALIZED (
-        SELECT wid, n, generate_subscripts(arr, 1) AS pos,
+        SELECT wid, word, n, generate_subscripts(arr, 1) AS pos,
                unnest(arr) AS sym
-        FROM (SELECT wid, n, string_split(trim(s), ' ') AS arr
+        FROM (SELECT wid, word, n, string_split(trim(s), ' ') AS arr
               FROM {prev_w})
     ),
     oc{r} AS (
@@ -2428,7 +2424,7 @@ def sql_bpe_merges() -> str:
         ) WHERE i % 2 = 1
     ),
     w{r} AS MATERIALIZED (
-        SELECT t.wid AS wid, t.n AS n,
+        SELECT t.wid AS wid, t.word AS word, t.n AS n,
                ' ' || string_agg(
                    CASE WHEN k.pos IS NOT NULL THEN m.a || m.b
                         ELSE t.sym END, ' ' ORDER BY t.pos) || ' ' AS s
@@ -2437,13 +2433,9 @@ def sql_bpe_merges() -> str:
         LEFT JOIN kp{r} k  ON k.wid = t.wid AND k.pos = t.pos
         LEFT JOIN kp{r} kd ON kd.wid = t.wid AND kd.pos = t.pos - 1
         WHERE kd.pos IS NULL
-        GROUP BY t.wid, t.n
+        GROUP BY t.wid, t.word, t.n
     )""")
-    union = "\n    UNION ALL ".join(
-        f"SELECT round, a, b, n FROM m{r}"
-        for r in range(1, BPE_MERGE_ROUNDS + 1))
-    return f"""
-    WITH wct AS (
+    return f"""wct AS (
         SELECT word, count(*)::BIGINT AS n FROM (
             SELECT unnest(regexp_extract_all(
                 text, '{BPE_TOKEN_RE}')) AS word
@@ -2451,10 +2443,27 @@ def sql_bpe_merges() -> str:
         GROUP BY 1
     ),
     w0 AS (
-        SELECT row_number() OVER (ORDER BY word) AS wid, n,
+        SELECT row_number() OVER (ORDER BY word) AS wid, word, n,
                ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
         FROM wct
-    ),{','.join(levels)}
+    ),{','.join(levels)}"""
+
+
+def sql_bpe_merges() -> str:
+    """Twin of queries.q_bpe_merges: the K merge rounds unrolled as
+    MATERIALIZED CTE levels (the sql_blobs/sql_hilbert pattern) —
+    round r counts adjacent symbol pairs over the space-separated word
+    forms, picks the (n DESC, a, b) argmax, and applies the CANONICAL
+    greedy merge with window functions: occurrence runs via the
+    pos - row_number gaps-and-islands key, even offsets kept, kept
+    position's successor dropped, words re-agg'd with string_agg
+    ORDER BY pos (matching queries.bpe_merge_tokens exactly)."""
+    from osmquadtreepostgis_ray.queries import BPE_MERGE_ROUNDS
+    union = "\n    UNION ALL ".join(
+        f"SELECT round, a, b, n FROM m{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1))
+    return f"""
+    WITH {_bpe_chain_cte()}
     {union}
     """
 
@@ -3830,6 +3839,7 @@ def build_oracles() -> dict[str, str]:
         "knn_confusion": sql_knn_confusion(),
         "trimmed_mean": sql_trimmed_mean(),
         "fof_count": sql_fof_count(),
+        "bpe_encode": sql_bpe_encode(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
         "headings": sql_headings(),
@@ -6414,3 +6424,28 @@ def sql_fof_count() -> str:
     ),
     x AS (SELECT v1 AS node FROM nw UNION ALL SELECT v2 FROM nw)
     SELECT node, count(*)::BIGINT AS fof FROM x GROUP BY 1"""
+
+
+def sql_bpe_encode() -> str:
+    """Twin of queries.q_bpe_encode: the shared K-round merge chain
+    (word carried through), post-merge token length per unique word,
+    weighted by per-source occurrences."""
+    from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
+    from osmquadtreepostgis_ray.queries import BPE_MERGE_ROUNDS
+    return f"""
+    WITH {_bpe_chain_cte()},
+    swct AS (
+        SELECT source, word, count(*)::BIGINT AS n FROM (
+            SELECT source, unnest(regexp_extract_all(
+                text, '{BPE_TOKEN_RE}')) AS word
+            FROM documents)
+        GROUP BY 1, 2
+    ),
+    tl AS (
+        SELECT word, len(string_split(trim(s), ' '))::BIGINT AS ntok
+        FROM w{BPE_MERGE_ROUNDS}
+    )
+    SELECT s.source, sum(s.n)::BIGINT AS n_words,
+           sum(s.n * t.ntok)::BIGINT AS n_tokens
+    FROM swct s JOIN tl t USING (word)
+    GROUP BY 1"""

@@ -10054,3 +10054,70 @@ def q_fof_count(sf_dir: str):
 
     return sharded_agg(nonedges.map_batches(explode, batch_format="pyarrow"),
                        ["node"], {"fof": ("one", "sum")})
+
+
+def q_bpe_encode(sf_dir: str):
+    """Apply the induced BPE vocabulary (q_bpe_merges' K merges) to the
+    corpus — the tokenizer-application half of the induction loop: per
+    source, word-occurrence count and total POST-MERGE token count
+    (the statistic that prices a corpus in tokens under the trained
+    vocab).  The merge table is K rows (driver-bounded); the unique
+    (source, word) table encodes once — each word's sep-form runs the
+    K canonical merges (bpe_merge_tokens) and its token count weights
+    by occurrence; one sharded sum per source."""
+    from osmquadtreepostgis_ray.functions.text import BPE_TOKEN_RE
+
+    merges = q_bpe_merges(sf_dir).to_pylist()
+    pairs = [(m["a"], m["b"]) for m in merges]
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def wcount(t: pa.Table) -> pa.Table:
+        src = pd.Series(t.column("source").to_pylist(), dtype=object)
+        words = pd.Series(t.column("text").to_pylist(), dtype=object) \
+            .str.findall(BPE_TOKEN_RE)
+        lens = words.str.len().to_numpy()
+        flat = np.concatenate([np.asarray(x, object) for x in words]) \
+            if len(words) else np.empty(0, object)
+        df = pd.DataFrame({"source": src.to_numpy()[
+            np.repeat(np.arange(len(words)), lens)], "word": flat})
+        g = df.groupby(["source", "word"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    swct = sharded_agg(docs.map_batches(wcount, batch_format="pyarrow"),
+                       ["source", "word"], {"n": ("n", "sum")})
+
+    def encode(t: pa.Table) -> pa.Table:
+        cols = ("source", "n_words", "n_tokens")
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        w = pd.Series(t.column("word").to_pylist(), dtype=object)
+        sep = " " + w.str.replace(r"(.)", r"\1 ", regex=True)
+        for a, b in pairs:
+            sep = bpe_merge_tokens(sep, a, b)
+        ntok = sep.str.strip().str.split(" ").str.len() \
+            .to_numpy(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        g = (pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "nw": n, "nt": ntok * n})
+             .groupby("source", as_index=False)
+             .agg(n_words=("nw", "sum"), n_tokens=("nt", "sum")))
+        for c in ("n_words", "n_tokens"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = swct.map_batches(encode, batch_format="pyarrow")
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False).agg(
+            n_words=("n_words", "sum"), n_tokens=("n_tokens", "sum"))
+        for c in ("n_words", "n_tokens"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    from osmquadtreepostgis_ray.util import reduce_small_or_shard
+    return reduce_small_or_shard(part, ["source"], total)

@@ -144,3 +144,38 @@ def test_interval_union_matches_brute(rows, window):
         return
     pd.testing.assert_frame_equal(got.astype(np.int64),
                                   want.astype(np.int64))
+
+
+@settings(deadline=None, max_examples=80)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=12),
+                min_size=1, max_size=12),
+       st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"),
+                        ("aa", "b")]))
+def test_bpe_merge_tokens_matches_list_reference(words, pair):
+    """bpe_merge_tokens == the canonical greedy L2R list merge on
+    adversarial a/b words (dense back-to-back occurrence runs)."""
+    from osmquadtreepostgis_ray.queries import bpe_merge_tokens
+
+    a, b = pair
+    sep = pd.Series([" " + " ".join(list(w)) + " " for w in words],
+                    dtype=object)
+    # pre-merge (a+b='aa') case: seed with one prior merge so multi-char
+    # symbols occur; apply (a,a) canonically first
+    if a == "aa":
+        sep = bpe_merge_tokens(sep, "a", "a")
+
+    def ref(s: str) -> str:
+        toks = s.strip().split(" ")
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return " " + " ".join(out) + " "
+
+    got = bpe_merge_tokens(sep, a, b).tolist()
+    want = [ref(s) for s in sep]
+    assert got == want
