@@ -95,3 +95,14 @@ def test_no_duplicate_query_functions():
              if isinstance(n, ast.FunctionDef)]
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, f"duplicate function defs: {dupes}"
+
+
+def test_registry_oracle_coverage():
+    """Every queries() entry must carry a full-value oracle, except the
+    documented rows-only allowlist (recursive simplify is not
+    SQL-expressible; golden-checked in pytest instead)."""
+    import __ray_entry__ as E
+
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert q - o == {"simplify_ways"}
+    assert not (o - q), f"orphan oracles: {o - q}"
