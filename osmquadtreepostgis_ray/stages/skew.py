@@ -43,8 +43,22 @@ def cell_counts(ds: ray.data.Dataset, cell_col: str = "cell") -> ray.data.Datase
 
 def hot_cells(ds: ray.data.Dataset, max_rows: int, cell_col: str = "cell") -> np.ndarray:
     counts = cell_counts(ds, cell_col)
-    hot = counts.filter(lambda r: r["n"] > max_rows)
-    return np.array([r[cell_col] for r in hot.take_all()], dtype=np.int64)
+    # vectorized prefilter (Dataset.filter(row_fn) is Python-per-row
+    # over the DATA-SCALED cell table); only the bounded hot set
+    # reaches the driver
+    import pyarrow.compute as pc
+    empty = pa.table({cell_col: pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    hot = counts.map_batches(
+        lambda t, _m=max_rows, _e=empty: (
+            _e if "n" not in t.column_names  # zero-row empty-schema block
+            else t.filter(pc.greater(t.column("n"), _m))),
+        batch_format="pyarrow")
+    out = [t.column(cell_col).to_numpy()
+           for t in hot.iter_batches(batch_format="pyarrow")
+           if t.num_rows]
+    return (np.sort(np.concatenate(out)).astype(np.int64)
+            if out else np.empty(0, np.int64))
 
 
 def split_hot_cells(ds: ray.data.Dataset, max_rows: int, depth_delta: int = 2,
