@@ -2434,6 +2434,13 @@ def _bpe_chain_cte() -> str:
         LEFT JOIN kp{r} kd ON kd.wid = t.wid AND kd.pos = t.pos - 1
         WHERE kd.pos IS NULL
         GROUP BY t.wid, t.word, t.n
+        -- pair supply exhausted before round K: m{r} is empty, the
+        -- CROSS JOIN would zero every later level while the Ray side
+        -- breaks out early and still prices the corpus — pass the
+        -- previous level through unchanged instead
+        UNION ALL
+        SELECT wid, word, n, s FROM {prev_w}
+        WHERE NOT EXISTS (SELECT 1 FROM m{r})
     )""")
     return f"""wct AS (
         SELECT word, count(*)::BIGINT AS n FROM (

@@ -9921,8 +9921,12 @@ def q_knn_confusion(sf_dir: str):
         lab = t.column("label").to_numpy().astype(np.int64)
         dm = ((QM[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         # composite keeps the (d2, id) tie order inside every batch so
-        # the global merge sees the true winner (ids < 2^21 asserted)
-        assert ids.max() < (1 << 21) and dm.max() < (1 << 41)
+        # the global merge sees the true winner; explicit raise (not
+        # assert — stripped under python -O) like the fof packed key
+        if ids.max() >= (1 << 21) or dm.max() >= (1 << 41):
+            raise ValueError(
+                "knn_confusion packed argmin needs ids < 2^21 and "
+                "d2 < 2^41 to fit the int64 composite key")
         best = np.argmin(dm * np.int64(1 << 21) + ids[None, :], axis=1)
         return pa.table({
             "query_id": pa.array(qi, pa.int64()),

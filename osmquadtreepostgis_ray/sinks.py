@@ -209,11 +209,15 @@ def render_jsonl_lines(batch: pa.Table) -> "np.ndarray":
 PGCOPY_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"
 
 
-def _pg_field(val, typ: pa.DataType) -> bytes:
+def _pg_field(val, typ: pa.DataType, jsonb: bool = False) -> bytes:
     """One field in PostgreSQL binary COPY framing: int32 length +
     big-endian payload (-1 for NULL) — the reference's use_binary path
     (populate_* binary writers, /root/reference/src/postgiswriter.cpp:
-    860-1000)."""
+    860-1000).  ``jsonb`` frames a string cell as PostgreSQL ``jsonb``
+    binary (jsonb_send): version byte 1 before the UTF-8 text — the
+    reference emits json via its TEXT path (pack_jsontags,
+    /root/reference/src/postgiswriter.cpp:111-146), so this is the
+    binary-COPY completion of that surface, opt-in per column."""
     import struct
     if val is None:
         return struct.pack("!i", -1)
@@ -224,6 +228,8 @@ def _pg_field(val, typ: pa.DataType) -> bytes:
         return struct.pack("!id", 8, float(val))
     if pa.types.is_string(typ):
         b = str(val).encode("utf-8")
+        if jsonb:
+            return struct.pack("!i", len(b) + 1) + b"\x01" + b
         return struct.pack("!i", len(b)) + b
     if pa.types.is_binary(typ):
         return struct.pack("!i", len(val)) + bytes(val)
@@ -249,19 +255,107 @@ def _pg_field(val, typ: pa.DataType) -> bytes:
     raise TypeError(f"no PGCOPY encoding for {typ}")
 
 
-def render_pgcopy_batch(batch: pa.Table) -> bytes:
-    """Rows of an Arrow batch as PGCOPY binary tuples (no header)."""
-    import struct
-    types = [f.type for f in batch.schema]
-    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-    nf = struct.pack("!h", batch.num_columns)
-    return b"".join(
-        nf + b"".join(_pg_field(c[r], t) for c, t in zip(cols, types))
-        for r in range(batch.num_rows))
+def _pg_ragged(col, typ: pa.DataType, jsonb: bool = False):
+    """One column as a ragged payload: (plen, payload) where ``plen``
+    is the per-row int32 length-prefix VALUE (-1 for NULL) and
+    ``payload`` is every row's field bytes concatenated in row order
+    (NULL rows contribute nothing).  Fixed-width and varlen columns
+    build through numpy casts / Arrow buffers — zero per-row Python;
+    map (hstore) cells keep the _pg_field loop (nested framing on a
+    compat surface whose scale path is parquet)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    null = arr.is_null().to_numpy(zero_copy_only=False)
+    if pa.types.is_int64(typ) or pa.types.is_int32(typ):
+        w = 8 if pa.types.is_int64(typ) else 4
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        plen = np.where(null, np.int32(-1), np.int32(w)).astype(np.int32)
+        pay = vals[~null].astype(f">i{w}").tobytes()
+        return plen, pay
+    if pa.types.is_floating(typ):
+        vals = arr.fill_null(0.0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        plen = np.where(null, np.int32(-1), np.int32(8)).astype(np.int32)
+        return plen, vals[~null].astype(">f8").tobytes()
+    if pa.types.is_string(typ) or pa.types.is_binary(typ):
+        filled = arr.fill_null("" if pa.types.is_string(typ) else b"")
+        # offsets/data buffers: per-row byte extents, already row-order
+        off = np.frombuffer(filled.buffers()[1], np.int32)[
+            filled.offset: filled.offset + n + 1].astype(np.int64)
+        lens = np.diff(off)
+        dbuf = filled.buffers()[2]
+        data = np.frombuffer(dbuf, np.uint8)[off[0]:off[-1]] \
+            if dbuf is not None else np.empty(0, np.uint8)
+        if not jsonb:
+            plen = np.where(null, -1, lens).astype(np.int32)
+            return plen, data.tobytes()
+        # jsonb: version byte 1 precedes each non-null row's text
+        plen = np.where(null, -1, lens + 1).astype(np.int32)
+        kl = lens[~null]
+        starts = np.concatenate(([0], np.cumsum(kl + 1)[:-1])) \
+            if kl.size else np.empty(0, np.int64)
+        out = np.empty(int((kl + 1).sum()), np.uint8)
+        out[starts] = 1
+        if kl.sum():
+            so = off[:-1][~null] - off[0]
+            intra = np.arange(int(kl.sum())) - np.repeat(
+                np.concatenate(([0], np.cumsum(kl)[:-1])), kl)
+            out[np.repeat(starts + 1, kl) + intra] = \
+                data[np.repeat(so, kl) + intra]
+        return plen, out.tobytes()
+    # nested (hstore map) / anything else: per-row framing, re-split
+    fields = [_pg_field(v, typ, jsonb) for v in arr.to_pylist()]
+    plen = np.array([len(f) - 4 if not nl else -1
+                     for f, nl in zip(fields, null)], np.int32)
+    return plen, b"".join(f[4:] for f in fields)
+
+
+def render_pgcopy_batch(batch: pa.Table,
+                        json_cols: frozenset = frozenset()) -> bytes:
+    """Rows of an Arrow batch as PGCOPY binary tuples (no header).
+
+    Columnar assembly (the JSONL-sink vectorization pattern): each
+    column renders ONCE into (length-prefix values, concatenated
+    payload); one pass then scatters prefixes (big-endian int32 view)
+    and payload segments (ragged gather: repeat + intra-offset index)
+    into a single preallocated buffer — no per-row, per-field Python.
+    ``json_cols`` names string columns to frame as binary ``jsonb``
+    (version byte 1 + text)."""
+    n, c = batch.num_rows, batch.num_columns
+    if n == 0:
+        return b""
+    ragged = [_pg_ragged(batch.column(i), f.type, f.name in json_cols)
+              for i, f in enumerate(batch.schema)]
+    field_sizes = [4 + np.maximum(pl.astype(np.int64), 0)
+                   for pl, _ in ragged]
+    row_len = np.full(n, 2, np.int64)
+    for fs in field_sizes:
+        row_len += fs
+    out = np.empty(int(row_len.sum()), np.uint8)
+    row_start = np.concatenate(([0], np.cumsum(row_len)[:-1]))
+    nf = np.array([c], dtype=">i2").view(np.uint8)
+    out[row_start] = nf[0]
+    out[row_start + 1] = nf[1]
+    off = row_start + 2
+    for (plen, pay), fs in zip(ragged, field_sizes):
+        out[off[:, None] + np.arange(4)] = \
+            plen.astype(">i4").view(np.uint8).reshape(n, 4)
+        seg = np.maximum(plen.astype(np.int64), 0)
+        total = int(seg.sum())
+        if total:
+            m = seg > 0
+            sl = seg[m]
+            intra = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(sl)[:-1])), sl)
+            out[np.repeat(off[m] + 4, sl) + intra] = \
+                np.frombuffer(pay, np.uint8)
+        off = off + fs
+    return out.tobytes()
 
 
 def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
-                 sharded: bool = False) -> dict[str, int]:
+                 sharded: bool = False,
+                 json_cols: frozenset = frozenset()) -> dict[str, int]:
     """M5/S2 bit-compat surface: one ``<prefix><table>.copy`` per table in
     PostgreSQL binary COPY format (signature + flags + extension header,
     int16 field count + int32-length-framed big-endian fields per row,
@@ -282,7 +376,7 @@ def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
             d = f"{out_prefix}{name}"
             os.makedirs(d, exist_ok=True)
 
-            def dump(batch: pa.Table, d=d) -> pa.Table:
+            def dump(batch: pa.Table, d=d, _jc=json_cols) -> pa.Table:
                 tid = ray.get_runtime_context().get_task_id()
                 path = os.path.join(d, f"part-{tid[:16]}.copy")
                 # first touch in this process truncates (the
@@ -294,7 +388,7 @@ def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
                         fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))
                     else:
                         fh.seek(-2, 2)  # overwrite this part's trailer
-                    fh.write(render_pgcopy_batch(batch))
+                    fh.write(render_pgcopy_batch(batch, _jc))
                     fh.write(struct.pack("!h", -1))
                 return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
@@ -307,7 +401,7 @@ def write_pgcopy(tables: dict[str, ray.data.Dataset], out_prefix: str,
         with open(f"{out_prefix}{name}.copy", "wb") as fh:
             fh.write(PGCOPY_SIGNATURE + struct.pack("!ii", 0, 0))
             for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-                fh.write(render_pgcopy_batch(batch))
+                fh.write(render_pgcopy_batch(batch, json_cols))
                 n += batch.num_rows
             fh.write(struct.pack("!h", -1))
         counts[name] = n

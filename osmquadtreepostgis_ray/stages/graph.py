@@ -219,21 +219,33 @@ def _kcore_bucketed(edges, k: int, max_rounds: int) -> ray.data.Dataset:
     n_alive = alive.count()
     deg = alive  # (src, d) of the current alive set
 
+    # zero-row blocks can carry an EMPTY schema (CLAUDE.md) — every
+    # lambda guards column access with a typed empty table, matching
+    # hot_cells / the snm fanout
+    _e_src = pa.table({"src": pa.array([], pa.int64())})
+    _e_dst = pa.table({"dst": pa.array([], pa.int64())})
+    _e_deg = pa.table({"src": pa.array([], pa.int64()),
+                       "d": pa.array([], pa.int64())})
     for _ in range(max_rounds):
-        ids_src = deg.map_batches(lambda t: t.select(["src"]),
-                                  batch_format="pyarrow")
+        ids_src = deg.map_batches(
+            lambda t, _e=_e_src: (t.select(["src"])
+                                  if "src" in t.column_names else _e),
+            batch_format="pyarrow")
         ids_dst = deg.map_batches(
-            lambda t: pa.table({"dst": t.column("src")}),
+            lambda t, _e=_e_dst: (pa.table({"dst": t.column("src")})
+                                  if "src" in t.column_names else _e),
             batch_format="pyarrow")
         ea = bucket_hash_join(
             bucket_hash_join(edges, ids_src, on="src"), ids_dst, on="dst")
         deg = sharded_agg(ea, ["src"], {"d": ("src", "count")})
         # typed-union join floats int key columns (CLAUDE.md) — cast back
         deg = deg.map_batches(
-            lambda t, _k=k: (lambda f: pa.table({
-                "src": f.column("src").cast(pa.int64()),
-                "d": f.column("d").cast(pa.int64())}))(
-                t.filter(pc.greater_equal(t.column("d"), _k))),
+            lambda t, _k=k, _e=_e_deg: (
+                _e if "d" not in t.column_names
+                else (lambda f: pa.table({
+                    "src": f.column("src").cast(pa.int64()),
+                    "d": f.column("d").cast(pa.int64())}))(
+                    t.filter(pc.greater_equal(t.column("d"), _k)))),
             batch_format="pyarrow").materialize()
         n_new = deg.count()
         if n_new == n_alive:
@@ -327,35 +339,51 @@ def _bfs_bucketed(edges, src_mod: int, max_rounds: int) -> ray.data.Dataset:
     per node.  dist values only decrease and the reached set only
     grows, so (count, sum-of-dist) unchanged IS a fixpoint — two
     scalars per round, never node-scale driver state."""
+    # typed empty tables for the zero-row empty-schema block case
+    # (CLAUDE.md) — these plans only engage past broadcast_nodes_max,
+    # exactly where a stray KeyError would surface mid-run
+    _e_nd = pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
     nodes = sharded_agg(edges, ["src"], {"d": ("src", "count")})
     reached = nodes.map_batches(
-        lambda t, _m=src_mod: (lambda src: pa.table({
-            "node": pa.array(src[src % _m == 0], pa.int64()),
-            "dist": pa.array(np.zeros(int((src % _m == 0).sum()), np.int64),
-                             pa.int64())}))(t.column("src").to_numpy()),
+        lambda t, _m=src_mod, _e=_e_nd: (
+            _e if "src" not in t.column_names
+            else (lambda src: pa.table({
+                "node": pa.array(src[src % _m == 0], pa.int64()),
+                "dist": pa.array(np.zeros(int((src % _m == 0).sum()),
+                                          np.int64),
+                                 pa.int64())}))(
+                t.column("src").to_numpy())),
         batch_format="pyarrow").materialize()
     n_reached = reached.count()
     if n_reached == 0:
         return reached
     s_reached = 0
 
+    _e_sd = pa.table({"src": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
     for _ in range(max_rounds):
         as_src = reached.map_batches(
-            lambda t: pa.table({"src": t.column("node"),
-                                "dist": t.column("dist")}),
+            lambda t, _e=_e_sd: (
+                _e if "node" not in t.column_names
+                else pa.table({"src": t.column("node"),
+                               "dist": t.column("dist")})),
             batch_format="pyarrow")
         # typed-union join floats int columns (CLAUDE.md) — cast back
         cand = bucket_hash_join(edges, as_src, on="src").map_batches(
-            lambda t: pa.table({
-                "node": t.column("dst").cast(pa.int64()),
-                "dist": pc.add(t.column("dist").cast(pa.int64()), 1)}),
+            lambda t, _e=_e_nd: (
+                _e if "dst" not in t.column_names
+                else pa.table({
+                    "node": t.column("dst").cast(pa.int64()),
+                    "dist": pc.add(t.column("dist").cast(pa.int64()), 1)})),
             batch_format="pyarrow")
         reached = sharded_agg(reached.union(cand), ["node"],
                               {"dist": ("dist", "min")}).materialize()
         stats = reached.map_batches(
             lambda t: pa.table({
                 "n": pa.array([t.num_rows], pa.int64()),
-                "s": pa.array([int(pc.sum(t.column("dist")).as_py() or 0)],
+                "s": pa.array([int((pc.sum(t.column("dist")).as_py() or 0)
+                                   if "dist" in t.column_names else 0)],
                               pa.int64())}),
             batch_format="pyarrow").to_pandas()
         n_new, s_new = int(stats["n"].sum()), int(stats["s"].sum())
@@ -406,7 +434,9 @@ def wedge_pairs(und: ray.data.Dataset,
             "cv": f.column("x3"), "c1": f.column("x4"),
             "c2": f.column("x5")}))(
             t.filter(pc.equal(t.column("kind"), 1))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # ^ pinned: the count guard below plus shard_apply would otherwise
+    # consume the lazy filter chain twice (CLAUDE.md lazy-fork hazard)
     # a sort shuffle costs seconds of coordination even on zero rows
     # (CLAUDE.md) — skip the hub exchange entirely when nothing fanned
     if fanned.count() == 0:

@@ -80,12 +80,20 @@ def split_hot_cells(ds: ray.data.Dataset, max_rows: int, depth_delta: int = 2,
             if len(self.hot):
                 mask = np.isin(cells, self.hot)
                 if mask.any():
-                    depth = int(cells[mask][0] & 63) + depth_delta
+                    # per-ROW depth: hot cells at different depths can
+                    # co-occur in one batch (e.g. a second split pass) —
+                    # taking the first row's depth would rewrite the rest
+                    # at the wrong level, a silent bit-stability break
+                    depths = (cells[mask] & np.int64(63)) + depth_delta
                     lon_f, lat_f = geotag.milli_to_fixed(
                         batch.column(lon_col).to_numpy()[mask],
                         batch.column(lat_col).to_numpy()[mask])
-                    ix, iy = quadtree.fixed_to_ixy(lon_f, lat_f, depth)
-                    out[mask] = quadtree.encode_ixy(ix, iy, depth)
+                    new = np.empty(int(mask.sum()), np.int64)
+                    for d in np.unique(depths):
+                        sub = depths == d
+                        ix, iy = quadtree.fixed_to_ixy(lon_f[sub], lat_f[sub], int(d))
+                        new[sub] = quadtree.encode_ixy(ix, iy, int(d))
+                    out[mask] = new
             return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     from osmquadtreepostgis_ray.util import worker_cached

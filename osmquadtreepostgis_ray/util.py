@@ -172,7 +172,7 @@ def reduce_small_or_shard(ds: "ray.data.Dataset", keys: list[str], fn,
 
 def topk_per_key(partials: "ray.data.Dataset", key: str, by: list[str],
                  ascending: list[bool], k: int, out_cols: list[str],
-                 shards: int = 64) -> "pa.Table":
+                 shards: int | None = None) -> "pa.Table":
     """Distributed FINAL top-k merge for the ANN/kNN family.
 
     Partial candidate volume is n_keys x k x num_blocks — it grows with
@@ -182,7 +182,12 @@ def topk_per_key(partials: "ray.data.Dataset", key: str, by: list[str],
     shard assignment is row-pure, see shard_apply) and each shard does
     the vectorized sort + head(k) + rank; the driver receives only
     n_keys x k FINAL rows, independent of block count.  The tiny final
-    table is then canonically ordered by (key, rank)."""
+    table is then canonically ordered by (key, rank).  ``shards``
+    defaults to DATA-AWARE sizing (shard_apply -> scaled_shards): the
+    partial volume grows with block count, so a fixed fan-in would hold
+    millions of candidate rows per shard at 10^5-10^6 blocks.  Shard
+    ids never reach results, so the output is bit-identical at any
+    shard count."""
     import pyarrow as pa
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

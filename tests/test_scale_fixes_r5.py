@@ -1,0 +1,136 @@
+"""Round-5 scale fixes (VERDICT r4 'Next round' items 2-3 + ADVICE).
+
+- split_hot_cells handles hot cells at MIXED depths inside one batch
+  (per-row depth, not first-row depth — the bit-stability hazard)
+- topk_per_key output is bit-identical at any shard count (default is
+  now data-aware via shard_apply/scaled_shards)
+- sql_bpe_encode twin survives a degenerate corpus whose pair supply
+  exhausts before BPE_MERGE_ROUNDS (pass-through fallback levels)
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def test_split_hot_cells_mixed_depths():
+    """Hot cells at depth 10 AND depth 12 co-occurring in one block:
+    each row must be rewritten at ITS OWN depth + delta, recomputable
+    from the row alone."""
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+    from osmquadtreepostgis_ray.stages.skew import split_hot_cells
+
+    rng = np.random.RandomState(7)
+    # cluster A: 300 rows in one depth-10 cell
+    lon_a = 180_000 + rng.randint(0, 40, 300)
+    lat_a = 80_000 + rng.randint(0, 40, 300)
+    # cluster B: 300 rows in one depth-12 cell (distinct area)
+    lon_b = 90_000 + rng.randint(0, 10, 300)
+    lat_b = 40_000 + rng.randint(0, 10, 300)
+    # cold rows at both depths
+    lon_c = rng.randint(0, 360_000, 40)
+    lat_c = rng.randint(0, 170_000, 40)
+    lon = np.r_[lon_a, lon_b, lon_c].astype(np.int64)
+    lat = np.r_[lat_a, lat_b, lat_c].astype(np.int64)
+    fx, fy = geotag.milli_to_fixed(lon, lat)
+    cell = np.empty(len(lon), np.int64)
+    ix, iy = quadtree.fixed_to_ixy(fx[:300], fy[:300], 10)
+    cell[:300] = quadtree.encode_ixy(ix, iy, 10)
+    ix, iy = quadtree.fixed_to_ixy(fx[300:620], fy[300:620], 12)
+    cell[300:620] = quadtree.encode_ixy(ix, iy, 12)
+    ix, iy = quadtree.fixed_to_ixy(fx[620:], fy[620:], 11)
+    cell[620:] = quadtree.encode_ixy(ix, iy, 11)
+
+    # ONE block so both hot depths land in the same batch
+    ds = ray.data.from_arrow(pa.table({
+        "lon_milli": pa.array(lon), "lat_milli": pa.array(lat),
+        "cell": pa.array(cell, pa.int64())}))
+    out = split_hot_cells(ds, max_rows=100, depth_delta=2,
+                          cell_col="cell").to_pandas()
+    got = out["group_cell"].to_numpy()
+    in_depth = out["cell"].to_numpy() & 63
+    depths = got & 63
+    hot = np.zeros(len(out), bool)
+    for c in (cell[0], cell[300]):
+        hot |= out["cell"].to_numpy() == c
+    # every hot row deepened by exactly 2 FROM ITS OWN depth
+    assert (depths[hot] == in_depth[hot] + 2).all()
+    assert set(depths[hot].tolist()) == {12, 14}
+    # cold rows untouched
+    assert (got[~hot] == out["cell"].to_numpy()[~hot]).all()
+    # pure function of the row: recompute independently per depth
+    fx2, fy2 = geotag.milli_to_fixed(out["lon_milli"].to_numpy(),
+                                     out["lat_milli"].to_numpy())
+    for d in (12, 14):
+        m = hot & (depths == d)
+        ix2, iy2 = quadtree.fixed_to_ixy(fx2[m], fy2[m], d)
+        assert (quadtree.encode_ixy(ix2, iy2, d) == got[m]).all()
+
+
+def test_topk_per_key_shard_count_invariant():
+    """Shard ids never reach results: scaled default, a tiny forced
+    count and a large forced count all give the identical table."""
+    from osmquadtreepostgis_ray.util import topk_per_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tab = pa.table({
+        "query_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "d": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "neighbor_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+    })
+    outs = []
+    for shards in (None, 7, 512):
+        ds = ray.data.from_arrow(tab).repartition(8)
+        t = topk_per_key(ds, "query_id", ["d", "neighbor_id"],
+                         [True, True], 5,
+                         ["query_id", "neighbor_id", "d"], shards=shards)
+        outs.append(t.to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    assert len(outs[0]) == 40 * 5
+
+
+def test_bpe_degenerate_corpus_parity(tmp_path):
+    """Corpus of 2-char words: pair supply dries up after 2 merges
+    (< BPE_MERGE_ROUNDS).  The Ray side breaks out early; the SQL
+    twin's pass-through fallback must keep w{r} populated so encode
+    still prices the corpus — previously it returned ZERO rows."""
+    import duckdb
+
+    from osmquadtreepostgis_ray.oracle import sql_bpe_encode, sql_bpe_merges
+    from osmquadtreepostgis_ray.queries import q_bpe_encode, q_bpe_merges
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64), pa.int64()),
+        "source": pa.array(["web", "web", "web", "book", "book", "book"]),
+        "text": pa.array(["ab ab ab", "ab cd", "cd cd",
+                          "ab ab", "cd", "ab"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+
+    m_ray = q_bpe_merges(sf).to_pandas()
+    m_sql = con.execute(sql_bpe_merges()).df()
+    # both engines emit exactly the 2 possible merges, same order
+    assert len(m_ray) == 2 and len(m_sql) == 2
+    for c in ("round", "a", "b", "n"):
+        assert m_ray[c].tolist() == m_sql[c].tolist()
+
+    e_ray = q_bpe_encode(sf).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    e_sql = con.execute(sql_bpe_encode()).df() \
+        .sort_values("source").reset_index(drop=True)
+    assert len(e_sql) == 2, "twin zeroed out on pair exhaustion"
+    for c in ("source", "n_words", "n_tokens"):
+        assert e_ray[c].tolist() == e_sql[c].tolist()
+    # fully merged vocab: every word is ONE token
+    assert (e_ray["n_words"] == e_ray["n_tokens"]).all()
+    con.close()
