@@ -3846,6 +3846,7 @@ def build_oracles() -> dict[str, str]:
         "knn_confusion": sql_knn_confusion(),
         "trimmed_mean": sql_trimmed_mean(),
         "fof_count": sql_fof_count(),
+        "semantic_dedup": sql_semantic_dedup(),
         "bpe_encode": sql_bpe_encode(),
         "spacetime_cube": sql_spacetime_cube(),
         "colocation": sql_colocation(),
@@ -6456,3 +6457,53 @@ def sql_bpe_encode() -> str:
            sum(s.n * t.ntok)::BIGINT AS n_tokens
     FROM swct s JOIN tl t USING (word)
     GROUP BY 1"""
+
+
+def sql_semantic_dedup(k: int = 4, iters: int = 3) -> str:
+    """Twin of queries.q_semantic_dedup: the unrolled Lloyd CTE
+    (sql_kmeans_embed body) supplies cluster assignments; centered
+    quantized vectors (floor(x*1024) — no shift) give integer-exact
+    pairwise dots via the per-dim join, restricted to same-cluster
+    id-ordered pairs; the dup test is the cross-multiplied rational
+    cosine  dot >= 0 AND den^2*dot^2 >= num^2*n2u*n2v  (all BIGINT,
+    max operand ~1.1e17), zero-norm vectors excluded."""
+    from osmquadtreepostgis_ray.queries import SEM_TAU_DEN, SEM_TAU_NUM
+    base = sql_kmeans_embed(k, iters)
+    body = base[len("WITH "):base.rindex("SELECT vec_id")].rstrip()
+    num2 = SEM_TAU_NUM * SEM_TAU_NUM
+    den2 = SEM_TAU_DEN * SEM_TAU_DEN
+    return f"""
+    WITH {body},
+    asg AS (SELECT vec_id, j AS cluster FROM a{iters}),
+    cv AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    ce AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+           FROM cv),
+    nrm AS (SELECT vec_id, sum(x * x)::BIGINT AS n2 FROM ce GROUP BY 1),
+    pr AS (
+        SELECT a1.vec_id AS u, a2.vec_id AS v
+        FROM asg a1 JOIN asg a2
+          ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+    ),
+    dots AS (
+        SELECT p.u, p.v, sum(e1.x * e2.x)::BIGINT AS dot
+        FROM pr p
+        JOIN ce e1 ON e1.vec_id = p.u
+        JOIN ce e2 ON e2.vec_id = p.v AND e2.i = e1.i
+        GROUP BY p.u, p.v
+    ),
+    dup AS (
+        SELECT DISTINCT d.v AS vec_id
+        FROM dots d
+        JOIN nrm nu ON nu.vec_id = d.u
+        JOIN nrm nv ON nv.vec_id = d.v
+        WHERE nu.n2 > 0 AND nv.n2 > 0 AND d.dot >= 0
+          AND {den2} * d.dot * d.dot >= {num2} * nu.n2 * nv.n2
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS kept
+    FROM asg a LEFT JOIN dup USING (vec_id)"""

@@ -10125,3 +10125,95 @@ def q_bpe_encode(sf_dir: str):
 
     from osmquadtreepostgis_ray.util import reduce_small_or_shard
     return reduce_small_or_shard(part, ["source"], total)
+
+
+SEM_TAU_NUM = 2   # cosine threshold tau = 2/5 — exact rational so the
+SEM_TAU_DEN = 5   # comparison is pure int64 on both engines
+SEMDEDUP_MAX_CLUSTER = 200_000
+
+
+def q_semantic_dedup(sf_dir: str, k: int = 4, iters: int = 3):
+    """SemDeDup-shape per-cluster semantic dedup (Abbas et al. 2023):
+    k-means buckets the embedding corpus (the kmeans_embed Lloyd,
+    integer-exact), then WITHIN each cluster any vector whose cosine
+    similarity to a lower-id cluster-mate reaches tau is marked a
+    duplicate — the deterministic keep-lowest-id variant of the
+    paper's per-cluster prune.  Output: (vec_id, cluster, kept).
+
+    Exactness: similarity compares on the CENTERED quantized vectors
+    (floor(x*1024), i.e. q - KM_SHIFT — the shift would park every
+    vector in the positive orthant and saturate cosine), via the
+    all-integer cross-multiplied test  dot >= 0  AND
+    den^2 * dot^2 >= num^2 * |u|^2 * |v|^2  (tau = num/den); with
+    d = 64, |x| < 1 the largest operand is 25 * (64 * 1024^2)^2 ~
+    1.1e17 — inside int64 on numpy and DuckDB alike.  Zero-norm
+    vectors never match anything.
+
+    Scale shape: ONE exchange shards rows by cluster (shard_apply);
+    within a cluster the pairwise test runs as blocked int matmuls
+    (1024-row strips — no c x c materialization).  Per-cluster
+    pairwise cost is the SemDeDup contract: k must scale with the
+    corpus (k ~ n / target_cluster_size), enforced by a raise past
+    SEMDEDUP_MAX_CLUSTER rows; the kmeans stage itself is the
+    shuffle-free combiner loop of q_kmeans_embed."""
+    from osmquadtreepostgis_ray.stages.cluster import (KM_SHIFT, _qmat,
+                                                       _quantize,
+                                                       kmeans_assign)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, cents = kmeans_assign(ds, k=k, iters=iters, return_centroids=True)
+    cref = ray.put(cents)
+
+    def tag(t: pa.Table, cref=cref) -> pa.Table:
+        C = ray.get(cref)
+        ids, Q = _qmat(t)
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)  # ties -> smallest cluster (ORDER BY d2, j)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "q": t.column("q")})
+
+    tagged = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"]) \
+        .map_batches(_quantize, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, sub in g.groupby("cluster", sort=False):
+            c = len(sub)
+            if c > SEMDEDUP_MAX_CLUSTER:
+                raise ValueError(
+                    f"semantic_dedup cluster {cl} has {c} rows > "
+                    f"{SEMDEDUP_MAX_CLUSTER}: k must scale with the "
+                    f"corpus (SemDeDup k ~ n / target cluster size)")
+            ids = sub["vec_id"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            Q = np.stack(sub["q"].to_numpy())[order].astype(np.int64) \
+                - KM_SHIFT
+            n2 = (Q * Q).sum(axis=1)
+            dup = np.zeros(c, bool)
+            num2 = SEM_TAU_NUM * SEM_TAU_NUM
+            den2 = SEM_TAU_DEN * SEM_TAU_DEN
+            for s in range(0, c, 1024):  # blocked: no c x c matrix
+                e = min(s + 1024, c)
+                G = Q[s:e] @ Q.T                      # (b, c) int64
+                hit = (G >= 0) & (den2 * G * G >=
+                                  num2 * np.outer(n2[s:e], n2))
+                hit &= (n2[s:e, None] > 0) & (n2[None, :] > 0)
+                # row u (index s+i) marks col v>u as duplicate
+                hit &= (np.arange(s, e)[:, None] <
+                        np.arange(c)[None, :])
+                dup |= hit.any(axis=0)
+            out.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.full(c, cl, np.int64),
+                "kept": (~dup).astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64),
+                                 "kept": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return shard_apply(tagged, ["cluster"], prune)

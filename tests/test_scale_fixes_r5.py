@@ -134,3 +134,60 @@ def test_bpe_degenerate_corpus_parity(tmp_path):
     # fully merged vocab: every word is ONE token
     assert (e_ray["n_words"] == e_ray["n_tokens"]).all()
     con.close()
+
+
+def test_semantic_dedup_brute(tmp_path):
+    """Planted near-duplicate groups: q_semantic_dedup must drop every
+    higher-id member of a same-cluster near-dup pair and keep all
+    others — checked against an independent O(n^2) integer brute force
+    using the same centered-quantized rational-cosine rule."""
+    import pyarrow.parquet as pq
+
+    from osmquadtreepostgis_ray.queries import (SEM_TAU_DEN, SEM_TAU_NUM,
+                                                q_semantic_dedup)
+    from osmquadtreepostgis_ray.stages.cluster import KM_SCALE
+
+    rng = np.random.default_rng(17)
+    n_base, d = 60, 16
+    base = rng.uniform(-0.9, 0.9, (n_base, d))
+    rows = [base]
+    # plant a near-copy of every 5th base vector (tiny perturbation ->
+    # cosine ~1 >> tau)
+    dup_src = np.arange(0, n_base, 5)
+    rows.append(base[dup_src] + rng.uniform(-0.005, 0.005,
+                                            (len(dup_src), d)))
+    M = np.clip(np.vstack(rows), -0.999, 0.999)
+    n = len(M)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float64()))})
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+
+    got = q_semantic_dedup(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == n
+
+    # independent brute force on the SAME integer rule
+    Q = np.floor(M * KM_SCALE).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)
+    cl = got.set_index("vec_id")["cluster"]
+    num2, den2 = SEM_TAU_NUM ** 2, SEM_TAU_DEN ** 2
+    expect_kept = np.ones(n, np.int64)
+    for v in range(n):
+        for u in range(v):
+            if cl[u] != cl[v] or n2[u] == 0 or n2[v] == 0:
+                continue
+            dot = int(Q[u] @ Q[v])
+            if dot >= 0 and den2 * dot * dot >= num2 * int(n2[u]) * int(n2[v]):
+                expect_kept[v] = 0
+                break
+    assert got["kept"].tolist() == expect_kept.tolist()
+    # every planted copy shares its source's cluster and is dropped
+    planted = np.arange(n_base, n)
+    same = cl[planted].to_numpy() == cl[dup_src].to_numpy()
+    assert same.all()
+    assert (got["kept"].to_numpy()[planted] == 0).all()
+    # and the base corpus is genuinely split (dups exist, keeps exist)
+    base_kept = int(got["kept"].to_numpy()[:n_base].sum())
+    assert 0 < base_kept < n_base
