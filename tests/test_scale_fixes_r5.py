@@ -191,3 +191,30 @@ def test_semantic_dedup_brute(tmp_path):
     # and the base corpus is genuinely split (dups exist, keeps exist)
     base_kept = int(got["kept"].to_numpy()[:n_base].sum())
     assert 0 < base_kept < n_base
+
+
+def _sorted_df(ds):
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns), kind="mergesort") \
+             .reset_index(drop=True)
+
+
+def test_pipeline_shard_plan_invariance(sf_dir, monkeypatch):
+    """End-to-end pin of the shard_apply contract on REAL pipelines:
+    the data-scaled shard count (what a 100-TB input would choose) and
+    the floor plan must produce bit-identical rows — shards is a blocks
+    knob, never a semantics knob.  (The measured above-floor engagement
+    evidence at repeat-scaled volume lives in tools/scale_probe.py +
+    BASELINE.md; this test keeps the invariance pinned in CI.)"""
+    from osmquadtreepostgis_ray import util
+    from osmquadtreepostgis_ray.queries import q_dedup_exact, q_moving_window
+
+    floor = [_sorted_df(q(sf_dir))
+             for q in (q_dedup_exact, q_moving_window)]
+    monkeypatch.setattr(util, "scaled_shards",
+                        lambda ds, floor=0, target_bytes=0: 1024)
+    scaled = [_sorted_df(q(sf_dir))
+              for q in (q_dedup_exact, q_moving_window)]
+    for f, s in zip(floor, scaled):
+        pd.testing.assert_frame_equal(f, s)
+    assert len(floor[0]) > 0 and len(floor[1]) > 0

@@ -27,6 +27,9 @@ def load(path: str) -> dict:
         d = None
     if isinstance(d, dict) and "queries" in d:
         return d
+    if isinstance(d, dict) and isinstance(d.get("parsed"), dict) \
+            and "queries" in d["parsed"]:
+        return d["parsed"]
     text = d.get("tail", raw) if isinstance(d, dict) else raw
     HEADLINE = {"value", "sf", "num_cpus", "join_rows", "join_sec",
                 "join_rows_per_s", "tile_rows", "tiles", "tile_sec",
