@@ -10151,17 +10151,19 @@ def q_semantic_dedup(sf_dir: str, k: int = 4, iters: int = 3):
 
     Scale shape: ONE exchange shards rows by cluster (shard_apply);
     within a cluster the pairwise test runs as blocked int matmuls
-    (1024-row strips — no c x c materialization).  Per-cluster
+    (1024 x 8192 row/col tiles — peak transient 64 MB, never c x c
+    or b x c at the cluster cap).  Per-cluster
     pairwise cost is the SemDeDup contract: k must scale with the
     corpus (k ~ n / target_cluster_size), enforced by a raise past
     SEMDEDUP_MAX_CLUSTER rows; the kmeans stage itself is the
     shuffle-free combiner loop of q_kmeans_embed."""
     from osmquadtreepostgis_ray.stages.cluster import (KM_SHIFT, _qmat,
-                                                       _quantize,
                                                        kmeans_assign)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    _, cents = kmeans_assign(ds, k=k, iters=iters, return_centroids=True)
+    _, cents, corpus = kmeans_assign(ds, k=k, iters=iters,
+                                     return_centroids=True,
+                                     return_corpus=True)
     cref = ray.put(cents)
 
     def tag(t: pa.Table, cref=cref) -> pa.Table:
@@ -10174,10 +10176,10 @@ def q_semantic_dedup(sf_dir: str, k: int = 4, iters: int = 3):
             "cluster": pa.array(a.astype(np.int64), pa.int64()),
             "q": t.column("q")})
 
-    tagged = read_table(sf_dir, "embeddings",
-                        columns=["vec_id", "embedding"]) \
-        .map_batches(_quantize, batch_format="pyarrow") \
-        .map_batches(tag, batch_format="pyarrow")
+    # reuse the quantized corpus kmeans_assign already materialized —
+    # a second raw read + quantize pass would double the stage's input
+    # I/O at the 100-TB scale this pipeline targets
+    tagged = corpus.map_batches(tag, batch_format="pyarrow")
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -10197,16 +10199,31 @@ def q_semantic_dedup(sf_dir: str, k: int = 4, iters: int = 3):
             dup = np.zeros(c, bool)
             num2 = SEM_TAU_NUM * SEM_TAU_NUM
             den2 = SEM_TAU_DEN * SEM_TAU_DEN
-            for s in range(0, c, 1024):  # blocked: no c x c matrix
+            # int64-range guard (CLAUDE.md: numpy wraps SILENTLY where
+            # DuckDB HUGEINT raises): the largest operand is
+            # max(num2, den2) * (d * m^2)^2 with m = max |q| — a loud
+            # raise for wide / unnormalized embeddings, exact in
+            # Python ints so the check itself cannot wrap
+            m = int(np.abs(Q).max()) if c else 0
+            bound = Q.shape[1] * m * m
+            if max(num2, den2) * bound * bound >= 1 << 63:
+                raise ValueError(
+                    f"semantic_dedup rational-cosine operands exceed "
+                    f"int64 at dim={Q.shape[1]}, max|q|={m}: shrink "
+                    f"KM_SCALE or reduce the embedding width")
+            for s in range(0, c, 1024):   # blocked rows ...
                 e = min(s + 1024, c)
-                G = Q[s:e] @ Q.T                      # (b, c) int64
-                hit = (G >= 0) & (den2 * G * G >=
-                                  num2 * np.outer(n2[s:e], n2))
-                hit &= (n2[s:e, None] > 0) & (n2[None, :] > 0)
-                # row u (index s+i) marks col v>u as duplicate
-                hit &= (np.arange(s, e)[:, None] <
-                        np.arange(c)[None, :])
-                dup |= hit.any(axis=0)
+                rs = np.arange(s, e)[:, None]
+                for cs in range(0, c, 8192):   # ... AND blocked cols:
+                    ce = min(cs + 8192, c)     # peak transient is
+                    G = Q[s:e] @ Q[cs:ce].T    # 1024x8192 int64 = 64MB,
+                    hit = (G >= 0) & (          # never b x c at the
+                        den2 * G * G >=         # 200k cluster cap
+                        num2 * np.outer(n2[s:e], n2[cs:ce]))
+                    hit &= (n2[s:e, None] > 0) & (n2[None, cs:ce] > 0)
+                    # row u (index s+i) marks col v>u as duplicate
+                    hit &= rs < np.arange(cs, ce)[None, :]
+                    dup[cs:ce] |= hit.any(axis=0)
             out.append(pd.DataFrame({
                 "vec_id": ids, "cluster": np.full(c, cl, np.int64),
                 "kept": (~dup).astype(np.int64)}))

@@ -235,7 +235,8 @@ def _qmat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3,
-                  return_centroids: bool = False):
+                  return_centroids: bool = False,
+                  return_corpus: bool = False):
     """Distributed Lloyd over (vec_id, embedding) rows: `iters` assign
     passes with `iters - 1` integer-mean centroid updates between them.
 
@@ -288,6 +289,12 @@ def kmeans_assign(ds: ray.data.Dataset, k: int = 4, iters: int = 3,
                          "d2": pa.array(d2[np.arange(len(a)), a], pa.int64())})
 
     out = corpus.map_batches(assign, batch_format="pyarrow")
+    if return_centroids and return_corpus:
+        # corpus = the materialized quantized projection this function
+        # already built — callers that need another pass over (vec_id,
+        # q) rows (semantic_dedup's tag stage) reuse it instead of
+        # paying a second raw read + quantize of the input
+        return out, cents, corpus
     if return_centroids:
         # the (k x dim) int codebook the assign pass used — what a PQ
         # encoder stores alongside the codes (tiny, driver-held)

@@ -106,6 +106,18 @@ def main() -> None:
         print(f"[{i}/{len(todo)}] {' '.join(chunk)}", flush=True)
         res, timed_out = run_chunk(chunk, sf_dir, a.timeout)
         pending = [q for q in chunk if q not in res]
+        if pending and not timed_out:
+            # a chunk that produced no line for some queries without
+            # timing out CRASHED (import error, driver death): retry
+            # each solo so the failure is attributed per query, and
+            # record an explicit error rather than silently skipping
+            print(f"  chunk crashed with {len(pending)} unreported; "
+                  f"retrying solo")
+            for q in pending:
+                r, _ = run_chunk([q], sf_dir, a.timeout)
+                res[q] = r.get(q, {"status": "error", "sec": None,
+                                   "line": "no parity output (crash)"})
+            pending = []
         if timed_out and pending:
             for q in pending:
                 r, t2 = run_chunk([q], sf_dir, a.timeout)
@@ -117,8 +129,12 @@ def main() -> None:
         for q, r in res.items():
             prev = manifest.get(q, {})
             if r["status"] not in ("pass", "rows-only") and \
-                    prev.get("status") in ("pass", "rows-only"):
-                # keep the deepest recorded PASS; annotate the ceiling
+                    prev.get("status") in ("pass", "rows-only") and \
+                    prev.get("sf") != a.sf:
+                # keep the deepest recorded PASS (a shallower tier);
+                # annotate this tier as its ceiling.  A non-pass at the
+                # SAME tier a query previously passed is a regression
+                # and must overwrite, not hide behind the stale pass.
                 prev[f"sf{a.sf}_ceiling"] = r["line"]
                 manifest[q] = prev
                 continue
