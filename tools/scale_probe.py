@@ -276,6 +276,47 @@ def probe_graph_plan() -> dict:
             "sec_broadcast": round(t_broad, 2), "invariant": True}
 
 
+def probe_graph_pr() -> dict:
+    """pagerank past broadcast_nodes_max on the same real 1.5M-node
+    graph: the bucketed power-iteration plan must engage through the
+    default guard and match the broadcast plan exactly."""
+    from osmquadtreepostgis_ray.stages.graph import pagerank
+    n = 1_500_000
+    t0 = time.perf_counter()
+    bucketed = sorted_frame(pagerank(_chain_edges(n), iters=2))
+    t_bucket = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    broadcast = sorted_frame(pagerank(_chain_edges(n), iters=2,
+                                      broadcast_nodes_max=10_000_000))
+    t_broad = time.perf_counter() - t0
+    assert bucketed.equals(broadcast), "pagerank plans differ"
+    return {"probe": "graph_pr", "nodes": n, "guard": 1_000_000,
+            "rows": len(bucketed), "sec_bucketed": round(t_bucket, 2),
+            "sec_broadcast": round(t_broad, 2), "invariant": True}
+
+
+def probe_graph_bfs() -> dict:
+    """bfs_hops past broadcast_nodes_max on the same real 1.5M-node
+    graph (sources every 4 ids, so the hop radius is a local
+    structural bound independent of n): bucketed plan through the
+    default guard vs broadcast plan forced via a raised bound."""
+    from osmquadtreepostgis_ray.stages.graph import bfs_hops
+    n = 1_500_000
+    t0 = time.perf_counter()
+    bucketed = sorted_frame(bfs_hops(_chain_edges(n), src_mod=4,
+                                     max_rounds=12))
+    t_bucket = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    broadcast = sorted_frame(bfs_hops(_chain_edges(n), src_mod=4,
+                                      max_rounds=12,
+                                      broadcast_nodes_max=10_000_000))
+    t_broad = time.perf_counter() - t0
+    assert bucketed.equals(broadcast), "bfs plans differ"
+    return {"probe": "graph_bfs", "nodes": n, "guard": 1_000_000,
+            "rows": len(bucketed), "sec_bucketed": round(t_bucket, 2),
+            "sec_broadcast": round(t_broad, 2), "invariant": True}
+
+
 def probe_big_read() -> dict:
     """SMALL_READ_BYTES: a single >256MiB parquet file must take the
     Ray-sizing branch (block count scales with the DATA, not the CPU
@@ -322,6 +363,8 @@ PROBES = {
     "window_shards": probe_window_shards,
     "reduce_cap": probe_reduce_cap,
     "graph_plan": probe_graph_plan,
+    "graph_pr": probe_graph_pr,
+    "graph_bfs": probe_graph_bfs,
     "big_read": probe_big_read,
 }
 
