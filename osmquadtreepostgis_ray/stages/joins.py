@@ -106,7 +106,15 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
 
     ``how='left'`` keeps unmatched left rows (right columns null; int
     right columns float in the merged frame — callers coalesce + cast,
-    the typed-union dtype gotcha)."""
+    the typed-union dtype gotcha).
+
+    Each side's OWN int columns are cast back to their Arrow dtype
+    after the per-bucket side split: the union column holds the other
+    side's padding nulls, so pandas floats it for the whole group —
+    values silently lose exactness past 2^53 and the plan's dtype
+    diverges from broadcast_join (caught by the dim_cap scale probe).
+    A genuinely-null int cell raises loudly here, like asof_join's
+    lint cast."""
     import pyarrow as _pa
 
     buckets = buckets or default_buckets(left, right)
@@ -133,9 +141,17 @@ def bucket_hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     u = left.map_batches(tag_align(0), batch_format="pyarrow").union(
         right.map_batches(tag_align(1), batch_format="pyarrow"))
 
+    int_casts = {n: union_fields[n].to_pandas_dtype() for n in names
+                 if _pa.types.is_integer(union_fields[n])}
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][[c for c in names if c in lcols]]
         rg = g[g["__side"] == 1][[c for c in names if c in rcols]]
+        for c, dt in int_casts.items():
+            if c in lg.columns and lg[c].dtype != dt:
+                lg = lg.assign(**{c: lg[c].astype(dt)})
+            if c in rg.columns and rg[c].dtype != dt:
+                rg = rg.assign(**{c: rg[c].astype(dt)})
         return lg.merge(rg, on=on, how=how)
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
@@ -343,9 +359,17 @@ def bucket_hash_join_on_cols(left: ray.data.Dataset, right: ray.data.Dataset, on
     u = left.map_batches(tag_align(0), batch_format="pyarrow").union(
         right.map_batches(tag_align(1), batch_format="pyarrow"))
 
+    int_casts = {n: union_fields[n].to_pandas_dtype() for n in names
+                 if _pa.types.is_integer(union_fields[n])}
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][[c for c in names if c in lcols]]
         rg = g[g["__side"] == 1][[c for c in names if c in rcols]]
+        for c, dt in int_casts.items():  # un-float typed-union padding
+            if c in lg.columns and lg[c].dtype != dt:
+                lg = lg.assign(**{c: lg[c].astype(dt)})
+            if c in rg.columns and rg[c].dtype != dt:
+                rg = rg.assign(**{c: rg[c].astype(dt)})
         out = lg.merge(rg, on=[on, extra_key], how="inner")
         return out.drop(columns=[extra_key])
 

@@ -317,6 +317,47 @@ def probe_graph_bfs() -> dict:
             "sec_broadcast": round(t_broad, 2), "invariant": True}
 
 
+def probe_dim_cap() -> dict:
+    """dim_join's 256 MiB broadcast cap: a REAL >256 MiB dimension
+    side (4.5M unique keys x 64-byte payload, built deterministically)
+    must take the bucket_hash_join fallback through the default guard,
+    and match the broadcast plan forced via a raised cap on the same
+    input — the last size-guarded plan choice without a measured
+    above-cap run."""
+    from osmquadtreepostgis_ray.stages.joins import DIM_BROADCAST_CAP, dim_join
+
+    n_dim = 4_500_000
+
+    def mk_dim(t: pa.Table) -> pa.Table:
+        if not t.num_rows or "id" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "pad": pa.array([], pa.string())})
+        ids = t.column("id").to_numpy().astype(np.int64)
+        pad = pd.Series(ids % 997).astype(str).str.zfill(64)
+        return pa.table({"o_custkey": pa.array(ids, pa.int64()),
+                         "pad": pa.array(pad.to_numpy(), pa.string())})
+
+    def run(cap: int):
+        dim = ray.data.range(n_dim).map_batches(mk_dim, batch_format="pyarrow")
+        big = read_table(SF_DIR, "orders", columns=["o_orderkey", "o_custkey"])
+        t0 = time.perf_counter()
+        out = dim_join(big, dim, on="o_custkey", max_broadcast_bytes=cap)
+        got = sorted_frame(out.select_columns(["o_orderkey", "o_custkey", "pad"]))
+        return got, time.perf_counter() - t0
+
+    # measure the materialized dim size once for the record
+    dim_sz = ray.data.range(n_dim).map_batches(
+        mk_dim, batch_format="pyarrow").materialize().size_bytes()
+    assert dim_sz > DIM_BROADCAST_CAP, f"dim side only {dim_sz}B"
+    bucket, t_bucket = run(DIM_BROADCAST_CAP)      # default guard: bucket
+    broadcast, t_broad = run(1 << 40)              # forced broadcast
+    assert bucket.equals(broadcast), "bucket vs broadcast join outputs differ"
+    return {"probe": "dim_cap", "dim_rows": n_dim, "dim_bytes": dim_sz,
+            "cap_bytes": DIM_BROADCAST_CAP, "rows": len(bucket),
+            "sec_bucket": round(t_bucket, 2),
+            "sec_broadcast": round(t_broad, 2), "invariant": True}
+
+
 def probe_big_read() -> dict:
     """SMALL_READ_BYTES: a single >256MiB parquet file must take the
     Ray-sizing branch (block count scales with the DATA, not the CPU
@@ -365,6 +406,7 @@ PROBES = {
     "graph_plan": probe_graph_plan,
     "graph_pr": probe_graph_pr,
     "graph_bfs": probe_graph_bfs,
+    "dim_cap": probe_dim_cap,
     "big_read": probe_big_read,
 }
 
