@@ -87,11 +87,30 @@ def merge_latest(base: ray.data.Dataset, changes: ray.data.Dataset,
     unique-ish, so a raw groupby(key) would pay a Python task per
     ~1-row group); the latest-wins pick inside each shard is a single
     vectorized sort + groupby.tail(1).
+
+    Equal (key, version) across the two inputs resolves to the CHANGE
+    row, via an explicit side marker — intra-shard row order is not
+    deterministic (the shuffle orders only by shard), so relying on
+    arrival order would make the winner vary run to run, violating
+    bit-stability.  Duplicate (key, version) WITHIN one side remains
+    caller-undefined; feed unique versions per side.
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+
+    def mark(side: int):
+        def _m(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__src", pa.array(np.full(t.num_rows, side, np.int8),
+                                  pa.int8()))
+        return _m
+
+    u = base.map_batches(mark(0), batch_format="pyarrow").union(
+        changes.map_batches(mark(1), batch_format="pyarrow"))
 
     def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(version, kind="stable")
-        return g.groupby(key, sort=False).tail(1)
+        g = g.sort_values([version, "__src"], kind="stable")
+        return g.groupby(key, sort=False).tail(1).drop(columns="__src")
 
-    return shard_apply(base.union(changes), [key], last_per_key)
+    return shard_apply(u, [key], last_per_key)

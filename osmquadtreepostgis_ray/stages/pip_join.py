@@ -18,14 +18,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+import ray.data
 
 from osmquadtreepostgis_ray.functions import geotag, quadtree
 from osmquadtreepostgis_ray.functions.geometry import GridIndex
 from osmquadtreepostgis_ray.sources.zones import zone_rings, zones_table
+from osmquadtreepostgis_ray.util import worker_cached
 
 
 def build_zone_index(zt: pa.Table | None = None) -> GridIndex:
-    zt = zt or zones_table()
+    # `zt or ...` would treat an EMPTY zone table as falsy and silently
+    # substitute the full default set — a caller-filtered-to-nothing
+    # zone side must index zero polygons
+    zt = zones_table() if zt is None else zt
     polys = []
     for row in zt.to_pylist():
         polys.append((int(row["zone_id"]), zone_rings(row)))
@@ -72,6 +77,20 @@ class PipJoin:
         return pa.table(cols)
 
 
+def _col_type(ds, col: str) -> pa.DataType:
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[col]
+
+
+def _zero_pad(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed zero-fill for union padding (never nulls — CLAUDE.md)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    if pa.types.is_floating(typ):
+        return pa.array(np.zeros(n), typ)
+    return pa.array(np.zeros(n, np.int64), typ)
+
+
 def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
                            id_col: str = "event_id",
                            lon_col: str = "lon", lat_col: str = "lat"):
@@ -83,10 +102,6 @@ def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
     sets that don't fit one worker.  Identical output to the broadcast
     PipJoin (each point is tested exactly once, in its home cell).
     """
-    import pandas as pd
-
-    from osmquadtreepostgis_ray.functions import geotag, quadtree
-
     # polygon side: explode each zone's half-open milli bbox to the cells
     # it covers at `depth` (zones are small per-cell; the count of
     # replicas is bbox_cells x zones)
@@ -98,7 +113,11 @@ def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
     ix1, iy1 = quadtree.fixed_to_ixy(fx1, fy1, depth)
     reps = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
     rid = np.repeat(np.arange(len(reps)), reps)
-    local = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, np.int64)
+    # vectorized 0..r-1 per zone (radius_join's fan form — no per-zone
+    # Python arange on a data-scaled polygon side)
+    local = (np.arange(int(reps.sum())) -
+             np.repeat(np.cumsum(reps) - reps, reps)) if len(reps) \
+        else np.empty(0, np.int64)
     nxr = np.repeat(ix1 - ix0 + 1, reps)
     cell = quadtree.encode_ixy(ix0[rid] + local % nxr, iy0[rid] + local // nxr, depth)
     zrep = pa.table({
@@ -110,12 +129,14 @@ def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
         "lat0": pa.array(z["lat0"][rid], pa.int64()),
         "lon1": pa.array(z["lon1"][rid], pa.int64()),
         "lat1": pa.array(z["lat1"][rid], pa.int64()),
-        id_col: pa.array(np.zeros(len(rid), np.int64), pa.int64()),
+        # pad with typed ZEROS, not nulls (nulls would float int64
+        # inside mixed pandas groups — the typed-union trap); the id
+        # pad follows the point schema so non-int64 id columns work
+        id_col: _zero_pad(len(rid), _col_type(points, id_col)),
         lon_col: pa.array(np.zeros(len(rid)), pa.float64()),
         lat_col: pa.array(np.zeros(len(rid)), pa.float64()),
     })
-    import ray.data as rd
-    zds = rd.from_arrow(zrep)
+    zds = ray.data.from_arrow(zrep)
 
     def tag_points(batch: pa.Table) -> pa.Table:
         lon_m = batch.column("lon_milli").to_numpy()
@@ -144,7 +165,9 @@ def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
         zg = g[g["__side"] == 0]
         pg = g[g["__side"] == 1]
         if not len(zg) or not len(pg):
-            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+            # id dtype follows the group's column (uniform across cells
+            # now that the zone-side pad is typed like the point side)
+            return pd.DataFrame({id_col: g[id_col].iloc[:0],
                                  "zone_id": pd.Series([], dtype=np.int64),
                                  "kind": pd.Series([], dtype=object)})
         zg = zg.drop_duplicates("zone_id")
@@ -162,26 +185,14 @@ def pip_join_copartitioned(points, zones: pa.Table, depth: int = 6,
     return u.groupby("__cell").map_groups(local_pip, batch_format="pandas")
 
 
-_TASK_CACHE: dict = {}
-
-
 def pip_join_fn(zones_ref=None, **kwargs):
-    """Task-based form: a plain map_batches fn with a per-worker-process
-    cache of the built index.  The zone side here is tiny (hundreds of
-    rectangles, ~ms build), so actor-pool processes cost more to spawn
-    than they save; Ray reuses task workers, so the module cache gives
-    the same build-once amortization.  Use the PipJoin class form when
-    the polygon side is big enough that actors pay off."""
-    key = (zones_ref.hex() if zones_ref is not None else "default",
-           tuple(sorted(kwargs.items())))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        join = _TASK_CACHE.get(key)
-        if join is None:
-            join = _TASK_CACHE[key] = PipJoin(zones_ref, **kwargs)
-        return join(batch)
-
-    return fn
+    """Task-based form: a plain map_batches fn with build-once-per-
+    worker-process semantics (util.worker_cached — LRU-bounded, unlike
+    the hand-rolled cache this replaced).  The zone side here is tiny
+    (hundreds of rectangles, ~ms build), so actor-pool processes cost
+    more to spawn than they save.  Use the PipJoin class form when the
+    polygon side is big enough that actors pay off."""
+    return worker_cached(lambda: PipJoin(zones_ref, **kwargs))
 
 
 class PipAnti:
@@ -221,6 +232,10 @@ class ZoneDistance:
 
     def __init__(self, zones_ref=None, id_col: str = "event_id"):
         zt = ray.get(zones_ref) if zones_ref is not None else zones_table()
+        if not zt.num_rows:
+            raise ValueError("ZoneDistance needs >= 1 zone: nearest-zone "
+                             "distance is undefined over an empty zone set "
+                             "(argmin over a zero-width matrix)")
         order = np.argsort(zt.column("zone_id").to_numpy(), kind="stable")
         self.zid = zt.column("zone_id").to_numpy()[order]
         # closed-left/open-right milli boxes: interior x in [lon0, lon1)
@@ -260,16 +275,7 @@ def pip_anti_fn(zones_ref=None, **kwargs):
     """Task form of PipAnti (same per-worker cache rationale as
     pip_join_fn — the zone side is tiny, actors would cost more than
     they save)."""
-    key = ("anti", zones_ref.hex() if zones_ref is not None else "default",
-           tuple(sorted(kwargs.items())))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        join = _TASK_CACHE.get(key)
-        if join is None:
-            join = _TASK_CACHE[key] = PipAnti(zones_ref, **kwargs)
-        return join(batch)
-
-    return fn
+    return worker_cached(lambda: PipAnti(zones_ref, **kwargs))
 
 
 # ------------------------------------------------------------ radius join

@@ -9,6 +9,7 @@ import pandas as pd
 import ray
 
 _STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 32  # LRU bound: see worker_cached
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -85,11 +86,26 @@ def shard_apply(ds: "ray.data.Dataset", keys: list[str], fn,
         shards = scaled_shards(ds)
 
     def add_shard(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            # zero-row blocks can carry an EMPTY schema (CLAUDE.md) —
+            # never touch key columns; an empty block with __shard
+            # appended is droppable by the groupby either way
+            return t.append_column("__shard", pa.array([], pa.int64()))
         h = np.zeros(len(t), np.uint64)
         for k in keys:
             col = t.column(k)
             vals = col.to_numpy(zero_copy_only=False)
-            if vals.dtype.kind in "iu":
+            # the hash path must be a function of the SCHEMA, not the
+            # batch contents: an int column with a null in ONE batch
+            # comes out float64 there and the same key value would
+            # hash differently across batches — silently breaking the
+            # co-location contract.  Loud raise instead.
+            if pa.types.is_integer(col.type):
+                if col.null_count:
+                    raise ValueError(
+                        f"shard_apply: null in integer key column {k!r} "
+                        f"breaks batch-stable hashing; fill or filter "
+                        f"nulls before the shuffle")
                 hk = vals.astype(np.uint64, copy=False) * _MIX
                 hk ^= hk >> np.uint64(29)
             else:
@@ -116,9 +132,7 @@ def sharded_agg(ds: "ray.data.Dataset", keys: list[str], spec: dict,
     so the shuffle carries partials, not rows."""
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, as_index=False, sort=False).agg(
-            **{k: v for k, v in spec.items()})
-        return out
+        return g.groupby(keys, as_index=False, sort=False).agg(**spec)
 
     return shard_apply(ds, keys, agg, shards=shards)
 
@@ -137,7 +151,8 @@ def payload_batch_rows(avg_row_bytes: float,
     `hi` bounds per-batch Python overhead on tiny payloads."""
     if avg_row_bytes <= 0:
         return hi
-    return int(min(hi, max(lo, target_bytes // int(avg_row_bytes))))
+    # float division: int(avg_row_bytes) truncates 0 < avg < 1 to zero
+    return int(min(hi, max(lo, target_bytes / avg_row_bytes)))
 
 
 SOLVE_SMALL_BYTES = 1 << 30  # 1 GiB source estimate: one-task-solve cap
@@ -162,6 +177,8 @@ def reduce_small_or_shard(ds: "ray.data.Dataset", keys: list[str], fn,
         import pyarrow as pa
 
         def solve(t: "pa.Table") -> "pa.Table":
+            if not t.num_rows and not t.column_names:
+                return t  # fully-empty input: schema unrecoverable
             return pa.Table.from_pandas(fn(t.to_pandas()),
                                         preserve_index=False)
 
@@ -172,8 +189,10 @@ def reduce_small_or_shard(ds: "ray.data.Dataset", keys: list[str], fn,
 
 def topk_per_key(partials: "ray.data.Dataset", key: str, by: list[str],
                  ascending: list[bool], k: int, out_cols: list[str],
-                 shards: int | None = None) -> "pa.Table":
+                 shards: int | None = None) -> "pa.Table | None":
     """Distributed FINAL top-k merge for the ANN/kNN family.
+    Returns None when every shard is empty (empty corpus / all
+    sentinels) — callers build their own typed empty result.
 
     Partial candidate volume is n_keys x k x num_blocks — it grows with
     the BLOCK COUNT, so pulling partials to the driver (to_pandas) is a
@@ -215,13 +234,25 @@ def worker_cached(factory):
     most of our stages run).  Reserve real actor pools for state that is
     expensive to build (big indexes, models); use this for broadcast-ref
     lookups and compiled tables.  The factory must be picklable (may
-    capture ray.ObjectRefs)."""
+    capture ray.ObjectRefs).
+
+    The per-process cache is LRU-BOUNDED (_STAGE_CACHE_MAX): every
+    wrap mints a fresh key, so per-query wrappers (knn builds one per
+    call holding a dereferenced query matrix) would otherwise grow
+    worker RSS linearly over a long session.  An evicted entry just
+    rebuilds on next call."""
     key = uuid.uuid4().hex
 
     def fn(batch):
         obj = _STAGE_CACHE.get(key)
         if obj is None:
             obj = _STAGE_CACHE[key] = factory()
+            while len(_STAGE_CACHE) > _STAGE_CACHE_MAX:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        else:
+            # refresh LRU position (dict preserves insertion order)
+            _STAGE_CACHE.pop(key)
+            _STAGE_CACHE[key] = obj
         return obj(batch)
 
     return fn

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray
 import ray.data
 
@@ -218,3 +219,129 @@ def test_pipeline_shard_plan_invariance(sf_dir, monkeypatch):
     for f, s in zip(floor, scaled):
         pd.testing.assert_frame_equal(f, s)
     assert len(floor[0]) > 0 and len(floor[1]) > 0
+
+
+def test_shard_apply_empty_and_null_keys():
+    """Round-5 review fixes: (a) a fully-filtered input (zero-row,
+    possibly empty-schema blocks) flows through shard_apply as an
+    empty result instead of a KeyError; (b) a null in an integer key
+    column raises loudly — batch-dependent dtype would silently hash
+    the same key differently across batches."""
+    import ray.data
+
+    from osmquadtreepostgis_ray.util import shard_apply
+
+    ds = ray.data.from_items([{"k": 1, "v": 2}, {"k": 3, "v": 4}]) \
+        .filter(lambda r: r["v"] > 99)
+    out = shard_apply(ds, ["k"], lambda g: g).to_pandas()
+    assert len(out) == 0
+
+    tab = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                    "v": pa.array([1, 2, 3], pa.int64())})
+    bad = ray.data.from_arrow(tab)
+    with pytest.raises(Exception, match="null in integer key"):
+        shard_apply(bad, ["k"], lambda g: g).to_pandas()
+
+
+def test_merge_latest_tie_change_wins():
+    """Equal (key, version) between base and changes must pick the
+    CHANGE row deterministically (side marker, not arrival order)."""
+    import ray.data
+
+    from osmquadtreepostgis_ray.sources.tables import merge_latest
+
+    base = ray.data.from_items(
+        [{"k": 1, "ver": 5, "payload": 100},
+         {"k": 2, "ver": 1, "payload": 200}])
+    chg = ray.data.from_items(
+        [{"k": 1, "ver": 5, "payload": 999},   # tie -> change wins
+         {"k": 2, "ver": 0, "payload": 888}])  # older -> base wins
+    for _ in range(3):  # deterministic across repeated executions
+        out = merge_latest(base, chg, key="k", version="ver") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["payload"].tolist() == [999, 200]
+
+
+def test_payload_batch_rows_subbyte():
+    from osmquadtreepostgis_ray.util import payload_batch_rows
+    assert payload_batch_rows(0.5) == 4096      # hi clamp, no crash
+    assert payload_batch_rows(0) == 4096
+    assert payload_batch_rows(1 << 30) == 16    # lo clamp
+
+
+def test_worker_cached_lru_bound():
+    from osmquadtreepostgis_ray import util
+
+    built = []
+    fns = []
+    for i in range(util._STAGE_CACHE_MAX + 8):
+        fns.append(util.worker_cached(
+            lambda i=i: built.append(i) or (lambda b: b)))
+    for f in fns:
+        f(None)
+    assert len(built) == len(fns)
+    assert len(util._STAGE_CACHE) <= util._STAGE_CACHE_MAX
+    # most-recently-used entry still cached: calling again builds nothing
+    n = len(built)
+    fns[-1](None)
+    assert len(built) == n
+
+
+def test_pip_empty_zone_side():
+    """Round-5 review fixes: an EMPTY zone table must mean zero
+    polygons — not silently fall back to the default zone set (the
+    `or` falsy-table trap): PipAnti then keeps every point, PipJoin
+    emits nothing, ZoneDistance raises (nearest-of-nothing)."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import (PipAnti, PipJoin,
+                                                        ZoneDistance,
+                                                        build_zone_index)
+
+    empty = zones_table().slice(0, 0)
+    assert len(build_zone_index(empty).polys) == 0
+    eref = ray.put(empty)
+
+    batch = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "lon": pa.array([10.0, 20.0]), "lat": pa.array([5.0, 6.0]),
+        "lon_milli": pa.array([10000, 20000], pa.int64()),
+        "lat_milli": pa.array([5000, 6000], pa.int64())})
+    assert PipAnti(eref)(batch).num_rows == 2       # nothing covers them
+    assert PipJoin(eref)(batch).num_rows == 0       # no containments
+    with pytest.raises(ValueError, match="ZoneDistance needs"):
+        ZoneDistance(eref)
+
+
+def test_pip_copartitioned_string_id(tmp_path):
+    """pip_join_copartitioned must carry a NON-int64 id column: the
+    zone-side pad follows the point schema's type (was hardcoded
+    int64, which forked block schemas)."""
+    from osmquadtreepostgis_ray.sources.zones import zones_table
+    from osmquadtreepostgis_ray.stages.pip_join import (
+        PipJoin, pip_join_copartitioned)
+
+    from osmquadtreepostgis_ray.functions import geotag
+
+    zt = zones_table()
+    n = 40
+    rng = np.random.default_rng(7)
+    lon_m = rng.integers(0, 170_000, n)
+    lat_m = rng.integers(0, 80_000, n)
+    # degree columns must be the geotag projection of the milli columns
+    # (lon = m/1000 - 180 etc.) — the copartitioned path routes by
+    # milli-derived cells and tests containment in degree space
+    lon_d, lat_d = geotag.milli_to_degrees(lon_m, lat_m)
+    pts = pa.table({
+        "doc_key": pa.array([f"d{i:04d}" for i in range(n)], pa.string()),
+        "lon": pa.array(lon_d), "lat": pa.array(lat_d),
+        "lon_milli": pa.array(lon_m, pa.int64()),
+        "lat_milli": pa.array(lat_m, pa.int64())})
+    ds = ray.data.from_arrow(pts)
+
+    got = pip_join_copartitioned(ds, zt, id_col="doc_key") \
+        .to_pandas().sort_values(["doc_key", "zone_id"]).reset_index(drop=True)
+    want_t = PipJoin(ray.put(zt), id_col="doc_key")(pts).to_pandas() \
+        .sort_values(["doc_key", "zone_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_key", "zone_id", "kind"]],
+                                  want_t[["doc_key", "zone_id", "kind"]])
+    assert len(got) > 0
