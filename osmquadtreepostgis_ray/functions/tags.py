@@ -26,7 +26,14 @@ def count_word(texts: pd.Series, word: str) -> np.ndarray:
     """Occurrences of `word` as a whole word, per row (vectorized regex).
     DuckDB twin: (length(text) - length(regexp_replace(text, pat, '', 'g'))) / len."""
     pat = r"\b" + re.escape(word) + r"\b"
-    return texts.str.count(pat).to_numpy(dtype=np.int64)
+    counts = texts.str.count(pat)
+    if counts.isna().any():
+        # a null text would cast NaN -> INT64_MIN silently (numpy
+        # emits only a RuntimeWarning); the oracle's NULL semantics
+        # differ, so fail loudly instead of emitting garbage
+        raise ValueError("count_word: null text row (fill or filter "
+                         "nulls before counting)")
+    return counts.to_numpy(dtype=np.int64)
 
 
 def _tokens_of(texts):

@@ -4312,7 +4312,10 @@ def q_pip_holes(sf_dir: str):
     parquet filter pushdown, builds the edge table once, closes over
     it); events stream through a stateless vectorized batch kernel —
     the same broadcast-small-side plan as pip_zones."""
-    from osmquadtreepostgis_ray.stages.assembly import GROUP_SIZE, member_table
+    from osmquadtreepostgis_ray.stages.assembly import (GROUP_SIZE,
+                                                        hole_shrink,
+                                                        member_table,
+                                                        ring_split)
 
     max_doc = PIP_HOLES_GROUPS * GROUP_SIZE
     import pyarrow.dataset as pads
@@ -4328,15 +4331,12 @@ def q_pip_holes(sf_dir: str):
             continue
         xs = g["lon_milli"].to_numpy(np.int64)
         ys = g["lat_milli"].to_numpy(np.int64)
-        m = k // 2 if k >= 6 else k
+        m = ring_split(k)
         rings = [(xs[:m], ys[:m])]
         if m != k:
             hx, hy = xs[m:], ys[m:]
-            if gid % 2 == 0:               # A2 hole shrink (assembly.py)
-                ax, ay = xs[:m], ys[:m]
-                cx, cy = int(ax.sum()) // m, int(ay.sum()) // m
-                hx = np.clip((3 * cx + hx) // 4, ax.min(), ax.max())
-                hy = np.clip((3 * cy + hy) // 4, ay.min(), ay.max())
+            if gid % 2 == 0:  # A2 hole shrink — SHARED helper, no drift
+                hx, hy = hole_shrink(xs[:m], ys[:m], hx, hy)
             rings.append((hx, hy))
         for rx, ry in rings:
             ex1.append(rx); ey1.append(ry)

@@ -35,7 +35,8 @@ import ray.data
 
 from osmquadtreepostgis_ray.functions import geotag
 from osmquadtreepostgis_ray.functions.geometry import stitch_chains
-from osmquadtreepostgis_ray.functions.tags import count_word
+from osmquadtreepostgis_ray.functions.tags import (count_word,
+                                                   count_words_multi)
 from osmquadtreepostgis_ray.stages.joins import dim_join
 
 GROUP_SIZE = 8
@@ -69,6 +70,26 @@ def _ring_area2(xs: np.ndarray, ys: np.ndarray) -> int:
     return int(abs(np.sum(xs * y2 - x2 * ys)))
 
 
+def ring_split(k: int) -> int:
+    """A2 ring split point: a closed group of k >= 6 nodes splits into
+    outer ring [0, m) and second ring [m, k); smaller groups are one
+    ring.  Shared with q_pip_holes — the two sites must stay
+    bit-identical (drift between them is silent: each has its own
+    oracle twin)."""
+    return k // 2 if k >= 6 else k
+
+
+def hole_shrink(ax: np.ndarray, ay: np.ndarray,
+                hx: np.ndarray, hy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """A2 hole shrink: pull the second ring 3/4 toward the outer
+    ring's integer centroid, clipped into the outer bbox.  (3*c + v)//4
+    keeps every operand non-negative so numpy floor division equals
+    DuckDB's truncating `//` (CLAUDE.md).  Shared with q_pip_holes."""
+    cx, cy = int(ax.sum()) // len(ax), int(ay.sum()) // len(ay)
+    return (np.clip((3 * cx + hx) // 4, ax.min(), ax.max()),
+            np.clip((3 * cy + hy) // 4, ay.min(), ay.max()))
+
+
 def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
     g = g.sort_values("doc_id").reset_index(drop=True)
     k = len(g)
@@ -90,7 +111,7 @@ def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
         return pd.DataFrame([row("line", 1, k, length, gid)])
 
     # A2: ring edges per sub-ring, stitched from phash-shuffled order
-    m = k // 2 if k >= 6 else k
+    m = ring_split(k)
     rings = [np.arange(0, m)] if m == k else [np.arange(0, m), np.arange(m, k)]
     edges = []  # (edge_id=member seq-shuffled, a, b) node ids = seq
     for ring_nodes in rings:
@@ -126,18 +147,13 @@ def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
             and sum(1 for r in out if r["kind"] == "polygon") == 2:
         a, b = ring_nodes_of[1], ring_nodes_of[2]
         ax, ay = xs[a], ys[a]
-        cx, cy = int(ax.sum()) // len(a), int(ay.sum()) // len(a)
-        # (3*c + v) // 4 == c + (v - c)/4 shrink with every operand
-        # non-negative: numpy's floor div and DuckDB's truncating //
-        # agree only above zero, so the SQL twin stays exact
-        hx = np.clip((3 * cx + xs[b]) // 4, ax.min(), ax.max())
-        hy = np.clip((3 * cy + ys[b]) // 4, ay.min(), ay.max())
-        contained = (hx.min() >= ax.min() and hx.max() <= ax.max()
-                     and hy.min() >= ay.min() and hy.max() <= ay.max())
-        if contained:
-            area2 = _ring_area2(ax, ay) - _ring_area2(hx, hy)
-            out = [r for r in out if r["kind"] != "polygon"]
-            out.append(row("polygon", 1, len(a) + len(b) + 2, area2, -gid))
+        hx, hy = hole_shrink(ax, ay, xs[b], ys[b])
+        # containment in the outer bbox holds BY the clip above (the
+        # oracle's CTE merges unconditionally for the same reason) —
+        # no conditional branch, or the twin semantics would fork
+        area2 = _ring_area2(ax, ay) - _ring_area2(hx, hy)
+        out = [r for r in out if r["kind"] != "polygon"]
+        out.append(row("polygon", 1, len(a) + len(b) + 2, area2, -gid))
     out.sort(key=lambda r: r["part"])
     if not split_parts:
         # M8 off-mode: one row per multipolygon (parts merged; the
@@ -152,18 +168,85 @@ def _assemble_group(g: pd.DataFrame, split_parts: bool = True) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def assemble(ds: ray.data.Dataset, split_parts: bool = True) -> ray.data.Dataset:
-    """The A1/A2 stage: one grouped shuffle on group_id.  Rows with
-    kind='error' (unclosed rings) are the G2 error channel — use
-    `assembly_errors` to branch them off.  ``split_parts=False`` mirrors
-    the reference's `split_multipolygons=False` (one row per whole
-    multipolygon)."""
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return _assemble_group(g, split_parts)
+_ASSEMBLE_COLS = ("group_id", "osm_id", "kind", "part", "n_points",
+                  "measure2")
 
-    return (member_table(ds)
-            .groupby("group_id")
-            .map_groups(fn, batch_format="pandas"))
+
+def _assemble_shard(g: pd.DataFrame, split_parts: bool) -> pd.DataFrame:
+    """Whole-shard assembly: points and open ways (the overwhelming
+    majority) are fully vectorized with segmented numpy; only CLOSED
+    groups (close-marker hit AND k >= 3) fall back to the per-group
+    Python stitcher — groupby(group_id).map_groups paid a Python task
+    per corpus/8-row group, the exact per-tiny-group tax
+    util.shard_apply exists to remove."""
+    if not len(g):
+        return pd.DataFrame({"group_id": pd.Series([], dtype=np.int64),
+                             "osm_id": pd.Series([], dtype=np.int64),
+                             "kind": pd.Series([], dtype=object),
+                             "part": pd.Series([], dtype=np.int64),
+                             "n_points": pd.Series([], dtype=np.int64),
+                             "measure2": pd.Series([], dtype=np.int64)})
+    g = g.sort_values(["group_id", "doc_id"], kind="mergesort") \
+         .reset_index(drop=True)
+    gid_arr = g["group_id"].to_numpy(np.int64)
+    starts = np.flatnonzero(np.r_[True, gid_arr[1:] != gid_arr[:-1]])
+    counts = np.diff(np.r_[starts, len(gid_arr)])
+    gids = gid_arr[starts]
+    xs = g["lon_milli"].to_numpy(np.int64)
+    ys = g["lat_milli"].to_numpy(np.int64)
+    closed = np.logical_or.reduceat(
+        g["close_hit"].to_numpy() > 0, starts) & (counts >= 3)
+
+    frames = []
+    pm = counts == 1
+    if pm.any():
+        n1 = int(pm.sum())
+        frames.append(pd.DataFrame({
+            "group_id": gids[pm], "osm_id": gids[pm],
+            "kind": np.full(n1, "point", object),
+            "part": np.ones(n1, np.int64),
+            "n_points": np.ones(n1, np.int64),
+            "measure2": np.zeros(n1, np.int64)}))
+    lm = (counts > 1) & ~closed
+    if lm.any():
+        # segmented L1 polyline length: per-row leg |dx|+|dy| where the
+        # previous row is the same group, summed per group (reduceat)
+        same = gid_arr[1:] == gid_arr[:-1]
+        leg = np.r_[np.int64(0),
+                    np.where(same, np.abs(np.diff(xs)) + np.abs(np.diff(ys)),
+                             np.int64(0))]
+        glen = np.add.reduceat(leg, starts)
+        nl = int(lm.sum())
+        frames.append(pd.DataFrame({
+            "group_id": gids[lm], "osm_id": gids[lm],
+            "kind": np.full(nl, "line", object),
+            "part": np.ones(nl, np.int64),
+            "n_points": counts[lm].astype(np.int64),
+            "measure2": glen[lm].astype(np.int64)}))
+    for i in np.flatnonzero(closed):
+        s = starts[i]
+        frames.append(_assemble_group(g.iloc[s:s + counts[i]], split_parts))
+    out = pd.concat(frames, ignore_index=True) if frames else None
+    if out is None:
+        return _assemble_shard(g.iloc[:0], split_parts)
+    return out[list(_ASSEMBLE_COLS)]
+
+
+def assemble(ds: ray.data.Dataset, split_parts: bool = True) -> ray.data.Dataset:
+    """The A1/A2 stage: one hash-shard shuffle on group_id
+    (util.shard_apply; see _assemble_shard for the vectorized/Python
+    split).  Rows with kind='error' (unclosed rings) are the G2 error
+    channel — use `assembly_errors` to branch them off, and MATERIALIZE
+    the returned dataset first when consuming both channels (a lazy
+    fork re-executes the whole grouped shuffle per consumer —
+    CLAUDE.md).  ``split_parts=False`` mirrors the reference's
+    `split_multipolygons=False` (one row per whole multipolygon)."""
+    from osmquadtreepostgis_ray.util import shard_apply
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _assemble_shard(g, split_parts)
+
+    return shard_apply(member_table(ds), ["group_id"], fn)
 
 
 def assembly_errors(assembled: ray.data.Dataset) -> ray.data.Dataset:
@@ -196,29 +279,29 @@ def route_membership(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-RELTAG_SHARDS = 64
-
-
 def relation_tags(ds: ray.data.Dataset) -> ray.data.Dataset:
     """A3: per-doc comma-joined sorted route refs (bus_routes analog,
     /root/reference docs/output.txt:6 columns).
 
-    Distributed string-agg WITHOUT per-tiny-group task overhead: the
-    shuffle groups by a doc-hash SHARD (64 groups), and inside each
-    shard the per-doc join is one vectorized pass — sort by (doc,
-    route), segment offsets, Arrow binary_join over a list array.  The
-    previous groupby(doc_id).map_groups paid a Python task per ~1-row
+    Distributed string-agg WITHOUT per-tiny-group task overhead:
+    util.shard_apply groups by a doc-hash shard (DATA-scaled count,
+    plus the zero-row/null-key guards — this used to hand-roll the
+    same pattern with a fixed 64), and inside each shard the per-doc
+    join is one vectorized pass — sort by (doc, route), segment
+    offsets, Arrow binary_join over a list array.  A raw
+    groupby(doc_id).map_groups would pay a Python task per ~1-row
     group on the highest-cardinality key in the repo."""
     import pyarrow.compute as pc
 
-    def shard(batch: pa.Table) -> pa.Table:
-        s = (batch.column("doc_id").to_numpy() * 2654435761) % RELTAG_SHARDS
-        return batch.append_column("shard", pa.array(s, pa.int64()))
+    from osmquadtreepostgis_ray.util import shard_apply
 
     def join_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "route"], kind="stable")
         ids = g["doc_id"].to_numpy()
         routes = g["route"].to_numpy()
+        if not len(ids):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "routes": pd.Series([], dtype=object)})
         new = np.r_[True, ids[1:] != ids[:-1]]
         counts = np.diff(np.r_[np.flatnonzero(new), len(ids)])
         lst = pa.ListArray.from_arrays(
@@ -228,8 +311,7 @@ def relation_tags(ds: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": ids[new],
                              "routes": joined.to_pylist()})
 
-    return (route_membership(ds).map_batches(shard, batch_format="pyarrow")
-            .groupby("shard").map_groups(join_shard, batch_format="pandas"))
+    return shard_apply(route_membership(ds), ["doc_id"], join_shard)
 
 
 N_BOUNDARY = 12
@@ -286,11 +368,15 @@ def parent_tags(ds: ray.data.Dataset, keys: tuple[str, ...] = ("fast", "slow")) 
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        cap = pd.Series(batch.column("text").to_pylist())
+        # ONE fused tokenize pass for all keys (count_words_multi is
+        # byte-identical to per-key count_word on the whitespace-
+        # separated caption corpus — test_text_tags.py) instead of a
+        # full regex scan of the corpus per key
+        counts = count_words_multi(batch.column("text"), tuple(keys))
         cols = {"doc_id": pa.array(ids, pa.int64()),
                 "group_id": pa.array(ids // GROUP_SIZE, pa.int64())}
-        for key in keys:
-            cols[f"hit_{key}"] = pa.array(count_word(cap, key), pa.int64())
+        for j, key in enumerate(keys):
+            cols[f"hit_{key}"] = pa.array(counts[:, j], pa.int64())
         return pa.table(cols)
 
     # materialize: members feeds BOTH the aggregate and the join-back —
