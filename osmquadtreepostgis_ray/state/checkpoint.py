@@ -199,17 +199,42 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
 
     Returns the full lineage+metrics table: freshly written partitions
     with this run's id plus previously-done ones marked 'skipped'.
+
+    RESUME ADOPTS the persisted write settings (including the hot-
+    partition set): partition ids must be the same pure function of
+    the row across run and resume, so caller args that differ from a
+    prior run's are overridden (a changed max_rows_per_part would
+    otherwise re-route hot rows to ids absent from the done set and
+    duplicate them) — a mismatched key_col raises, since that is a
+    different export, not a resume.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    if read_settings(out_dir) is None:
-        _write_settings(out_dir, {"key_col": key_col, "part_depth": part_depth,
-                                  "max_rows_per_part": max_rows_per_part,
-                                  "skew_depth_delta": skew_depth_delta})
+    persisted = read_settings(out_dir)
+    if persisted is not None:
+        if persisted.get("key_col", key_col) != key_col:
+            raise ValueError(
+                f"resume key_col {key_col!r} != persisted "
+                f"{persisted['key_col']!r}: this directory holds a "
+                f"different export")
+        part_depth = persisted.get("part_depth", part_depth)
+        max_rows_per_part = persisted.get("max_rows_per_part",
+                                          max_rows_per_part)
+        skew_depth_delta = persisted.get("skew_depth_delta",
+                                         skew_depth_delta)
     done = completed_partitions(out_dir)
 
     hot: np.ndarray = np.empty(0, dtype=np.int64)
-    if max_rows_per_part is not None:
-        from ray.data.aggregate import Sum
+    if persisted is not None and "hot" in persisted:
+        # resume: the hot set is part of the partitioning function —
+        # reuse it verbatim (no corpus rescan; also immune to input
+        # drift near the hot threshold between run and resume)
+        hot = np.sort(np.asarray(persisted["hot"], dtype=np.int64))
+    elif max_rows_per_part is not None:
+        from osmquadtreepostgis_ray.util import reduce_small_or_shard
+
+        # the input feeds BOTH this counting pass and the write pass —
+        # materialize the fork or the whole upstream chain re-executes
+        ds = ds.materialize()
 
         def pcount(batch: pa.Table) -> pa.Table:
             part = quadtree.at_depth(batch.column(key_col).to_numpy(), part_depth)
@@ -217,11 +242,21 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
             return pa.table({"p": pa.array(u, pa.int64()),
                              "n": pa.array(c.astype(np.int64), pa.int64())})
 
-        counts = (ds.map_batches(pcount, batch_format="pyarrow")
-                  .groupby("p").aggregate(Sum("n", alias_name="n")))
-        hot = np.sort(np.array(
-            [r["p"] for r in counts.take_all() if r["n"] > max_rows_per_part],
-            dtype=np.int64))
+        def total(g):
+            return g.groupby("p", as_index=False)["n"].sum()
+
+        # partial cardinality is bounded by 4^part_depth — the guarded
+        # small reduce, not an unconditional sort shuffle
+        counts = reduce_small_or_shard(
+            ds.map_batches(pcount, batch_format="pyarrow"), ["p"],
+            total).to_pandas()
+        hot = np.sort(counts.loc[counts["n"] > max_rows_per_part, "p"]
+                      .to_numpy(np.int64))
+    if persisted is None:
+        _write_settings(out_dir, {"key_col": key_col, "part_depth": part_depth,
+                                  "max_rows_per_part": max_rows_per_part,
+                                  "skew_depth_delta": skew_depth_delta,
+                                  "hot": [int(p) for p in hot]})
 
     def addpart(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy()
@@ -229,9 +264,18 @@ def resumable_write(ds: ray.data.Dataset, out_dir: str, key_col: str = "tile",
         if len(hot):
             m = np.isin(part, hot)
             if m.any():
-                deep = min(part_depth + skew_depth_delta, int(keys[m][0] & 63))
+                # per-row depth clamp (a single first-row depth would
+                # rewrite mixed-depth keys at the wrong level — the
+                # stages/skew.py round-5 bit-stability fix)
+                km = keys[m]
+                deep = np.minimum(part_depth + skew_depth_delta,
+                                  (km & 63).astype(np.int64))
+                sub = np.empty(len(km), dtype=np.int64)
+                for d in np.unique(deep):
+                    dm = deep == d
+                    sub[dm] = quadtree.at_depth(km[dm], int(d))
                 part = part.copy()
-                part[m] = quadtree.at_depth(keys[m], deep)
+                part[m] = sub
         return batch.append_column("__part", pa.array(part, pa.int64()))
 
     ds2 = ds.map_batches(addpart, batch_format="pyarrow")

@@ -8,6 +8,8 @@
   exhausts before BPE_MERGE_ROUNDS (pass-through fallback levels)
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -345,3 +347,75 @@ def test_pip_copartitioned_string_id(tmp_path):
     pd.testing.assert_frame_equal(got[["doc_key", "zone_id", "kind"]],
                                   want_t[["doc_key", "zone_id", "kind"]])
     assert len(got) > 0
+
+
+def test_resume_adopts_persisted_settings(tmp_path):
+    """Round-5 review fix: a resume with DIFFERENT caller args must
+    adopt the persisted write settings (incl. the hot set) so the
+    partition function is identical across run and resume — a changed
+    max_rows_per_part would re-route hot rows to ids absent from the
+    done set and silently duplicate them."""
+    from osmquadtreepostgis_ray.state import checkpoint as C
+
+    n = 600
+    rng = np.random.RandomState(5)
+    # heavy skew: 500 rows in one deep cell region, 100 spread
+    from osmquadtreepostgis_ray.functions import geotag, quadtree
+    lon = np.r_[180_000 + rng.randint(0, 30, 500),
+                rng.randint(0, 360_000, 100)].astype(np.int64)
+    lat = np.r_[80_000 + rng.randint(0, 30, 500),
+                rng.randint(0, 170_000, 100)].astype(np.int64)
+    fx, fy = geotag.milli_to_fixed(lon, lat)
+    ix, iy = quadtree.fixed_to_ixy(fx, fy, 8)
+    tile = quadtree.encode_ixy(ix, iy, 8)
+    ds = ray.data.from_arrow(pa.table({
+        "tile": pa.array(tile, pa.int64()),
+        "val": pa.array(np.arange(n), pa.int64())}))
+    out = str(tmp_path / "ck")
+    m1 = C.resumable_write(ds, out, key_col="tile", part_depth=2,
+                           max_rows_per_part=200, run_id="r1")
+    assert int(pa.compute.sum(m1.column("rows")).as_py()) == n
+    settings = C.read_settings(out)
+    assert settings["hot"], "skewed input must persist a hot set"
+
+    # kill one partition, then resume WITHOUT the skew args — the
+    # persisted settings must be adopted, ids line up, rows not duped
+    victim = m1.column("part").to_pylist()[0]
+    os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+    m2 = C.resumable_write(ds, out, key_col="tile", part_depth=4,
+                           run_id="r2")  # wrong depth + no skew args
+    assert C.read_data(out).count() == n
+    assert int(pa.compute.sum(C.read_manifest(out).column("rows")).as_py()) == n
+    st = {r["part"]: r["status"] for r in m2.to_pylist()}
+    assert st[victim] == "done"
+
+    with pytest.raises(ValueError, match="different export"):
+        C.resumable_write(ds, out, key_col="val")
+
+
+def test_addpart_mixed_depth_hot(tmp_path):
+    """Hot keys at two different depths in ONE batch must each clamp
+    from their own depth (per-row), not the first row's — partition
+    ids are pure functions of the row (CLAUDE.md bit-stability)."""
+    from osmquadtreepostgis_ray.functions import quadtree
+    from osmquadtreepostgis_ray.state import checkpoint as C
+
+    # two keys under the same depth-1 ancestor but stored at different
+    # native depths (depth byte = low 6 bits)
+    k_deep = (np.int64(0b1101) << np.int64(58)) >> np.int64(0) | np.int64(8)
+    k_shallow = (k_deep & ~np.int64(63)) | np.int64(3)
+    keys = np.array([k_deep, k_shallow] * 50, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "tile": pa.array(keys, pa.int64()),
+        "val": pa.array(np.arange(len(keys)), pa.int64())}))
+    out = str(tmp_path / "ck2")
+    C.resumable_write(ds, out, key_col="tile", part_depth=1,
+                      max_rows_per_part=10, run_id="r1")
+    # expected ids: per-row min(1+2, own depth)
+    exp = set()
+    for k in (k_deep, k_shallow):
+        d = min(1 + 2, int(k & 63))
+        exp.add(int(quadtree.at_depth(np.array([k]), d)[0]))
+    got = set(int(p) for p in C.read_manifest(out).column("part").to_pylist())
+    assert exp <= got
+    assert C.read_data(out).count() == len(keys)
